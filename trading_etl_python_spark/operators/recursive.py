@@ -1,0 +1,280 @@
+"""Linear-recurrence indicator family (SURVEY.md §2.1 W2, W3, W4, W6, W8):
+EMA, RSI, MACD, ATR, ADX.
+
+These are the only reference operators (pandas-ta calls at
+/root/reference/trading-etl-python/src/db/backfill.py:18-27,39-44,55 and
+src/processing/consumer.py:89-98,110-114,122) that no fixed-frame Spark
+window aggregate can express — each output row depends on the *previous
+output*, not a bounded input frame.
+
+Primary implementation: grouped-map ``applyInPandas`` per symbol — Arrow
+batch transfer, numpy recurrences, one shuffle on the key.  This mirrors
+the reference's per-symbol pandas frames exactly, and scales the same way
+Spark's own window exec does (one key's series processed by one task; keys
+are the parallelism unit).  For very long per-key histories, chunk by the
+warmup-carry trick (seed each chunk with the previous chunk's tail state) —
+not needed at the harness scales.
+
+A secondary, Catalyst-visible formulation via the SQL ``aggregate()``
+higher-order function over a per-key ``collect_list`` lives in
+``ema_via_sql_hof`` (bounded series only; quadratic array copying makes it
+a demo/cross-check, not the scale path).
+
+Recurrence definitions (pandas-ta 0.4.71b0 semantics, documented in
+SURVEY.md §7.4; all seeded with the SMA of the first n points, Wilder
+indicators use alpha=1/n, EMA uses alpha=2/(n+1)):
+
+    ema[n-1]  = mean(x[0..n-1]);   ema[i] = a*x[i] + (1-a)*ema[i-1]
+
+The DuckDB recursive-CTE oracles in ``queries_oracle.py`` implement the
+identical recurrences; floats are rounded to 4dp on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ROUND_DP = 4
+
+
+# ---------------------------------------------------------------- numpy core
+
+
+def ema_rec(x: np.ndarray, n: int, alpha: float | None = None) -> np.ndarray:
+    """SMA-seeded exponential recurrence. NaN before index n-1."""
+    alpha = alpha if alpha is not None else 2.0 / (n + 1.0)
+    out = np.full(len(x), np.nan)
+    if len(x) < n:
+        return out
+    out[n - 1] = x[:n].mean()
+    for i in range(n, len(x)):
+        out[i] = alpha * x[i] + (1.0 - alpha) * out[i - 1]
+    return out
+
+
+def rma_rec(x: np.ndarray, n: int, start: int) -> np.ndarray:
+    """Wilder RMA (alpha=1/n) over x[start:], seeded with the mean of
+    x[start:start+n]; NaN before index start+n-1."""
+    out = np.full(len(x), np.nan)
+    if len(x) - start < n:
+        return out
+    s = start + n - 1
+    out[s] = x[start : start + n].mean()
+    a = 1.0 / n
+    for i in range(s + 1, len(x)):
+        out[i] = a * x[i] + (1.0 - a) * out[i - 1]
+    return out
+
+
+def true_range(h: np.ndarray, lo: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """TR_0 = high-low; TR_i = max(h-l, |h-prev_c|, |l-prev_c|)."""
+    tr = h - lo
+    if len(c) > 1:
+        pc = c[:-1]
+        tr = np.concatenate(
+            [tr[:1], np.maximum.reduce([h[1:] - lo[1:], np.abs(h[1:] - pc), np.abs(lo[1:] - pc)])]
+        )
+    return tr
+
+
+def rsi_rec(c: np.ndarray, n: int = 14) -> np.ndarray:
+    """RSI(n): Wilder RMA of gains/losses over close deltas;
+    rsi = 100*avg_gain/(avg_gain+avg_loss)."""
+    out = np.full(len(c), np.nan)
+    if len(c) < n + 1:
+        return out
+    d = np.diff(c)  # d[i-1] = delta at row i
+    g = np.where(d > 0, d, 0.0)
+    l = np.where(d < 0, -d, 0.0)
+    ag, al = g[:n].mean(), l[:n].mean()
+    if ag + al > 0:
+        out[n] = 100.0 * ag / (ag + al)
+    a = 1.0 / n
+    for i in range(n + 1, len(c)):
+        ag = a * g[i - 1] + (1.0 - a) * ag
+        al = a * l[i - 1] + (1.0 - a) * al
+        out[i] = 100.0 * ag / (ag + al) if (ag + al) > 0 else np.nan
+    return out
+
+
+def atr_rec(h: np.ndarray, lo: np.ndarray, c: np.ndarray, n: int = 14) -> np.ndarray:
+    """ATR(n) = Wilder RMA(n) of the true range, seeded with SMA."""
+    return rma_rec(true_range(h, lo, c), n, start=0)
+
+
+def adx_rec(h: np.ndarray, lo: np.ndarray, c: np.ndarray, n: int = 14) -> np.ndarray:
+    """ADX(n): ±DM -> Wilder-smooth(n) -> ±DI -> DX -> RMA(n) of DX.
+    First DX at index n; ADX (RMA-seeded) from index 2n-1."""
+    L = len(c)
+    out = np.full(L, np.nan)
+    if L < 2 * n:
+        return out
+    up = h[1:] - h[:-1]
+    dn = lo[:-1] - lo[1:]
+    pdm = np.where((up > dn) & (up > 0), up, 0.0)
+    mdm = np.where((dn > up) & (dn > 0), dn, 0.0)
+    tr = true_range(h, lo, c)[1:]  # deltas exist from row 1
+    a = 1.0 / n
+    sp, sm, st = pdm[:n].mean(), mdm[:n].mean(), tr[:n].mean()
+
+    def dx(sp: float, sm: float, st: float) -> float:
+        if st <= 0:
+            return np.nan
+        dip, dim = 100.0 * sp / st, 100.0 * sm / st
+        return 100.0 * abs(dip - dim) / (dip + dim) if (dip + dim) > 0 else np.nan
+
+    dxs = [dx(sp, sm, st)]  # dx at row index n
+    for i in range(n, len(pdm)):  # row index i+1
+        sp = a * pdm[i] + (1.0 - a) * sp
+        sm = a * mdm[i] + (1.0 - a) * sm
+        st = a * tr[i] + (1.0 - a) * st
+        dxs.append(dx(sp, sm, st))
+    dxa = np.array(dxs)  # dxa[j] = DX at row index n+j
+    adx = np.nanmean(dxa[:n]) if not np.all(np.isnan(dxa[:n])) else np.nan
+    out[2 * n - 1] = adx
+    for j in range(n, len(dxa)):
+        adx = a * dxa[j] + (1.0 - a) * adx if not np.isnan(dxa[j]) else adx
+        out[n + j] = adx
+    return out
+
+
+# ------------------------------------------------------- Spark grouped-map
+
+
+def _indicator_apply(df: DataFrame, out_cols: dict[str, str], fn) -> DataFrame:
+    """Shared applyInPandas scaffold: group by symbol, sort by
+    (time, event_id), run ``fn(pdf) -> {col: np.ndarray}``, round to 4dp."""
+    schema_parts = [f"`{c}` {t}" for c, t in df.dtypes] + [
+        f"`{c}` {t}" for c, t in out_cols.items()
+    ]
+    schema = ", ".join(schema_parts)
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["time", "event_id"], kind="mergesort").reset_index(drop=True)
+        for col, arr in fn(pdf).items():
+            pdf[col] = np.round(arr, ROUND_DP)
+        return pdf
+
+    return df.groupBy("symbol").applyInPandas(compute, schema=schema)
+
+
+def with_ema(df: DataFrame, periods: tuple[int, ...] = (10, 20)) -> DataFrame:
+    """W2 — EMA(n) for each n (backfill.py:18-19)."""
+
+    def fn(pdf: pd.DataFrame):
+        c = pdf["close"].to_numpy(dtype=np.float64)
+        return {f"ema_{n}": ema_rec(c, n) for n in periods}
+
+    return _indicator_apply(df, {f"ema_{n}": "double" for n in periods}, fn)
+
+
+def with_rsi(df: DataFrame, n: int = 14) -> DataFrame:
+    """W3 — RSI(n) (backfill.py:20)."""
+
+    def fn(pdf: pd.DataFrame):
+        return {f"rsi_{n}": rsi_rec(pdf["close"].to_numpy(dtype=np.float64), n)}
+
+    return _indicator_apply(df, {f"rsi_{n}": "double"}, fn)
+
+
+def with_macd(df: DataFrame, fast: int = 12, slow: int = 26) -> DataFrame:
+    """W4 — MACD line = EMA(fast) - EMA(slow); the reference keeps only
+    the line (backfill.py:23-27)."""
+
+    def fn(pdf: pd.DataFrame):
+        c = pdf["close"].to_numpy(dtype=np.float64)
+        return {"macd_line": ema_rec(c, fast) - ema_rec(c, slow)}
+
+    return _indicator_apply(df, {"macd_line": "double"}, fn)
+
+
+def with_atr(df: DataFrame, n: int = 14) -> DataFrame:
+    """W8 — ATR(n) (backfill.py:55)."""
+
+    def fn(pdf: pd.DataFrame):
+        return {
+            f"atr_{n}": atr_rec(
+                pdf["high"].to_numpy(np.float64),
+                pdf["low"].to_numpy(np.float64),
+                pdf["close"].to_numpy(np.float64),
+                n,
+            )
+        }
+
+    return _indicator_apply(df, {f"atr_{n}": "double"}, fn)
+
+
+def with_adx(df: DataFrame, n: int = 14) -> DataFrame:
+    """W6 — ADX(n) (backfill.py:39-44)."""
+
+    def fn(pdf: pd.DataFrame):
+        return {
+            f"adx_{n}": adx_rec(
+                pdf["high"].to_numpy(np.float64),
+                pdf["low"].to_numpy(np.float64),
+                pdf["close"].to_numpy(np.float64),
+                n,
+            )
+        }
+
+    return _indicator_apply(df, {f"adx_{n}": "double"}, fn)
+
+
+# -------------------------------------------- SQL HOF alternative (bounded)
+
+
+def ema_via_sql_hof(df: DataFrame, n: int = 10, out: str = "ema_hof") -> DataFrame:
+    """Catalyst-visible EMA via collect_list + aggregate() fold, then
+    posexplode back to rows.  Safe only for bounded per-key series (the
+    reference itself bounds state at 60 rows, consumer.py:33); the fold
+    re-copies the output array per element, so it is O(len^2) per key.
+    Kept as a pure-SQL cross-check of ``with_ema``."""
+    a = 2.0 / (n + 1.0)
+    packed = df.groupBy("symbol").agg(
+        F.array_sort(F.collect_list(F.struct("time", "event_id", "close"))).alias("rows")
+    )
+    # fold: acc = struct(i, prev, out array); seed = SMA of first n
+    fold = F.aggregate(
+        F.col("rows"),
+        F.struct(
+            F.lit(0).alias("i"),
+            F.lit(None).cast("double").alias("prev"),
+            F.array().cast("array<double>").alias("out"),
+        ),
+        lambda acc, r: F.struct(
+            (acc["i"] + 1).alias("i"),
+            F.when(
+                acc["i"] + 1 == n,
+                F.aggregate(
+                    F.slice(F.col("rows"), 1, n), F.lit(0.0), lambda s, rr: s + rr["close"]
+                )
+                / F.lit(float(n)),
+            )
+            .when(acc["i"] + 1 > n, F.lit(a) * r["close"] + F.lit(1.0 - a) * acc["prev"])
+            .alias("prev"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.when(
+                        acc["i"] + 1 == n,
+                        F.aggregate(
+                            F.slice(F.col("rows"), 1, n), F.lit(0.0), lambda s, rr: s + rr["close"]
+                        )
+                        / F.lit(float(n)),
+                    ).when(acc["i"] + 1 > n, F.lit(a) * r["close"] + F.lit(1.0 - a) * acc["prev"])
+                ),
+            ).alias("out"),
+        ),
+        lambda acc: acc["out"],
+    )
+    exploded = packed.select("symbol", F.posexplode(fold).alias("pos", out), F.col("rows"))
+    return exploded.select(
+        "symbol",
+        F.col("rows")[F.col("pos")]["time"].alias("time"),
+        F.col("rows")[F.col("pos")]["event_id"].alias("event_id"),
+        F.col("rows")[F.col("pos")]["close"].alias("close"),
+        F.round(F.col(out), ROUND_DP).alias(out),
+    )

@@ -1,0 +1,127 @@
+"""Relational capability suite (SURVEY.md §2.2-2.3 X7).
+
+The reference is a single-table pipeline with NO joins, grouping sets,
+or set operations (SURVEY.md §2.2) — Spark SQL provides all of these;
+this module pins the *shapes we want at scale*:
+
+- dimension joins are explicitly ``broadcast()`` (region 5 rows, nation 25,
+  supplier 10 — never shuffle the fact table for these)
+- semi/anti joins use the dedicated join types (no distinct+inner hack,
+  which would shuffle and dedup the big side)
+- top-k uses orderBy+limit which Catalyst compiles to
+  TakeOrderedAndProject (per-partition heaps, no global sort)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def revenue_by_nation(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q5 shape: local-supplier revenue per nation inside a region.
+    Dims broadcast; the orders⋈lineitem join is the only big shuffle, and
+    the o_orderdate filter is pushed below it."""
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_lo).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(date_hi).cast("timestamp_ntz"))
+    )
+    n_r = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        nation.n_regionkey == region.r_regionkey,
+    )
+    return (
+        lineitem.join(o, lineitem.l_orderkey == o.o_orderkey)
+        .join(customer, o.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (supplier.s_nationkey == customer.c_nationkey),
+        )
+        .join(F.broadcast(n_r), customer.c_nationkey == n_r.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def semi_join_counts(customer: DataFrame, orders: DataFrame, status: str = "F") -> DataFrame:
+    """Customers having >=1 order with the given status (EXISTS)."""
+    o = orders.filter(F.col("o_orderstatus") == status)
+    return (
+        customer.join(o, customer.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def anti_join_counts(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Customers with no orders at all (NOT EXISTS)."""
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def set_op_counts(events: DataFrame, type_a: str = "click", type_b: str = "purchase") -> DataFrame:
+    """UNION / INTERSECT / EXCEPT cardinalities over per-type user sets,
+    as one 1-row frame (cross-join of three lazily-composed aggregates)."""
+    a = events.filter(F.col("event_type") == type_a).select("user_id").distinct()
+    b = events.filter(F.col("event_type") == type_b).select("user_id").distinct()
+    n_union = a.union(b).distinct().agg(F.count(F.lit(1)).alias("n_union"))
+    n_intersect = a.intersect(b).agg(F.count(F.lit(1)).alias("n_intersect"))
+    n_except = a.exceptAll(b.distinct()).agg(F.count(F.lit(1)).alias("n_except"))
+    return n_union.crossJoin(n_intersect).crossJoin(n_except)
+
+
+def top_customers_per_segment(customer: DataFrame, k: int = 3) -> DataFrame:
+    """Window rank: top-k customers by acctbal per market segment;
+    deterministic tiebreak on the key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        customer.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def rollup_lineitem(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP(returnflag, linestatus) with GROUPING indicators — partial
+    aggregation happens map-side before the single shuffle."""
+    return lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def top_orders(orders: DataFrame, k: int = 10) -> DataFrame:
+    """Global top-k -> TakeOrderedAndProject (no full sort)."""
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+    )

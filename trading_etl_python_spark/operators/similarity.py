@@ -1,0 +1,123 @@
+"""Vector similarity search over embedding columns
+(driver-mandated extension, SURVEY.md §2.3 X3; top-k similarity
+literature in /root/repo/PAPERS.md).
+
+Three tiers, by scale:
+
+1. ``topk_cosine`` — brute-force scan + TakeOrderedAndProject: the exact
+   baseline.  One pass over the table, per-partition top-k heaps, only
+   k rows cross the network.  At 100 TB this is the *correct* shape for
+   one-off queries (it is bandwidth-bound, embarrassingly parallel).
+2. ``cosine_pairs_blocked`` — all-pairs within a blocking key (here the
+   coarse ``label``, standing in for an IVF cell assignment): exact
+   within block, never materializes the global pair space.
+3. ``ann_lsh_topk`` — random-hyperplane LSH: probe only buckets matching
+   the query signature, rerank exactly.  Recall/probe tradeoff via
+   ``n_planes``/``n_probe_bits``; the sketch is JVM-side expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import dot
+
+
+def topk_cosine(
+    embeddings: DataFrame, query_vec_id: int = 0, k: int = 20, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact top-k by cosine (embeddings are unit-norm -> dot).  The
+    1-row query side is broadcast; ORDER BY+LIMIT compiles to
+    TakeOrderedAndProject.  Ties broken by id pre-rounding."""
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col("embedding").alias("_qv")
+    )
+    sim = dot("embedding", "_qv")
+    return (
+        embeddings.crossJoin(F.broadcast(q))
+        .select(id_col, "label", sim.alias("_sim"))
+        .orderBy(F.col("_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "label", F.round("_sim", 6).alias("cos_sim"))
+    )
+
+
+def cosine_pairs_blocked(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """X2-embedding — near-duplicate vector pairs within a blocking key.
+    The block join keeps the pair space at Σ_b |b|^2 instead of N^2."""
+    a = embeddings.alias("a")
+    b = embeddings.alias("b")
+    sim = dot(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            sim.alias("_sim"),
+        )
+        .filter(F.col("_sim") >= threshold)
+        .select("vec_a", "vec_b", F.round("_sim", 6).alias("cos_sim"))
+    )
+
+
+def _lsh_signature(vec_col, n_planes: int, dim: int):
+    """Deterministic pseudo-random hyperplanes without storing a matrix:
+    plane p, dim i weight = sign pattern from xxhash64(p*dim+i).  The
+    signature is Σ_p 2^p * [Σ_i w_pi * v_i > 0] — all HOF expressions."""
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda i: F.when(
+                        F.xxhash64(F.lit(p) * F.lit(dim) + i).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1.0),
+                    ).otherwise(F.lit(-1.0)),
+                ),
+                lambda v, w: v.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_planes: int = 12,
+    max_hamming: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane signatures, candidate filter
+    by signature Hamming distance, exact rerank of candidates.  At scale
+    the signature is precomputed+bucketed (write-time), making the probe
+    a partition-pruned point lookup instead of a scan."""
+    sig = _lsh_signature(F.col("embedding"), n_planes, dim)
+    with_sig = embeddings.withColumn("_sig", sig)
+    q = with_sig.filter(F.col(id_col) == query_vec_id).select(
+        F.col("embedding").alias("_qv"), F.col("_sig").alias("_qsig")
+    )
+    ham = F.bit_count(F.col("_sig").bitwiseXOR(F.col("_qsig")))
+    cands = with_sig.crossJoin(F.broadcast(q)).filter(ham <= max_hamming)
+    return (
+        cands.select(id_col, "label", dot("embedding", "_qv").alias("_sim"))
+        .orderBy(F.col("_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "label", F.round("_sim", 6).alias("cos_sim"))
+    )

@@ -1,0 +1,124 @@
+"""Text-analysis operators over the documents table
+(driver-mandated extensions, SURVEY.md §2.3 X4/X5): tokenization, token
+frequency, language ID, quality scoring, fingerprinting.
+
+All pure built-in expressions (split/filter/transform/aggregate HOFs) —
+no Python in the row path, so the plans stay inside whole-stage codegen
+and scale linearly with one shuffle per groupBy at most.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens_col
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic.  Order = deterministic tie-break priority.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "y", "que", "en", "los"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un"),
+}
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("_toks", tokens_col(text_col))
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """X4 — per-doc token counting."""
+    df = with_tokens(df)
+    return df.select(
+        id_col,
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).cast("long").alias("n_distinct"),
+    )
+
+
+def token_freq(df: DataFrame, top_n: int = 50) -> DataFrame:
+    """X4 — corpus token frequency, deterministic top-n."""
+    tok = with_tokens(df).select(F.explode("_toks").alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(top_n)
+    )
+
+
+def doc_profile(df: DataFrame) -> DataFrame:
+    """X5 — language/source profiling."""
+    return df.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def _hits(lang: str):
+    words = [F.lit(w) for w in STOPWORDS[lang]]
+    return F.size(F.filter(F.col("_toks"), lambda t: t.isin(*[w for w in STOPWORDS[lang]])))
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Stopword-ratio language ID.  Argmax with fixed priority order
+    (en>es>de>fr) — a deliberately simple, deterministic heuristic; real
+    systems would swap in a fastText-style model via mapInPandas."""
+    df = with_tokens(df)
+    for lang in STOPWORDS:
+        df = df.withColumn(f"h_{lang}", _hits(lang).cast("long"))
+    pred = (
+        F.when(
+            (F.col("h_en") >= F.col("h_es"))
+            & (F.col("h_en") >= F.col("h_de"))
+            & (F.col("h_en") >= F.col("h_fr")),
+            F.lit("en"),
+        )
+        .when((F.col("h_es") >= F.col("h_de")) & (F.col("h_es") >= F.col("h_fr")), F.lit("es"))
+        .when(F.col("h_de") >= F.col("h_fr"), F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return df.select(id_col, "lang", pred.alias("pred_lang"), "h_en", "h_es", "h_de", "h_fr")
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """X4 — document quality score: length, lexical diversity, stopword
+    ratio (the classic pre-training corpus filters)."""
+    df = with_tokens(df)
+    n_tok = F.size("_toks").cast("double")
+    n_dis = F.size(F.array_distinct("_toks")).cast("double")
+    n_stop = F.size(F.filter(F.col("_toks"), lambda t: t.isin(*STOPWORDS["en"]))).cast("double")
+    score = (
+        F.lit(0.4) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (n_dis / F.nullif(n_tok, F.lit(0.0)))
+        + F.lit(0.3) * F.least(n_stop / F.nullif(F.lit(0.1) * n_tok, F.lit(0.0)), F.lit(1.0))
+    )
+    return df.select(
+        id_col,
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """X4 — rolling polynomial fingerprint over the token stream:
+    fold(acc*31 + (ascii(first_char)*31 + len)) mod 1e9+7.  A pure
+    aggregate() HOF — order-sensitive by construction (a permuted doc
+    fingerprints differently), unlike a bag-of-words hash."""
+    df = with_tokens(df)
+    vals = F.transform(
+        F.col("_toks"),
+        lambda t: (F.ascii(F.substring(t, 1, 1)).cast("long") * F.lit(31) + F.length(t)).cast(
+            "long"
+        ),
+    )
+    fp = F.aggregate(
+        vals,
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * F.lit(31) + v) % F.lit(1000000007),
+    )
+    return df.select(id_col, fp.alias("fingerprint"))

@@ -1,0 +1,92 @@
+"""Row-level transforms (SURVEY.md §2.1 P1-P7, S4, S5/A1).
+
+Each function is a named, composable ``DataFrame -> DataFrame`` so
+``queries()`` keys map 1:1 onto functions.  All are pure built-in column
+expressions — JVM-side, whole-stage-codegen'd, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Wire schema of the reference's tick message
+# (/root/reference/trading-etl-python/src/ingestion/producer.py:81-86).
+TICK_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("timestamp", T.LongType()),  # epoch ms
+        T.StructField("fetched_at", T.LongType()),  # epoch ms
+    ]
+)
+
+
+def json_decode(df: DataFrame, col: str, schema: T.StructType | str) -> DataFrame:
+    """S4 — JSON wire decode (consumer.py:146-149 ``json.loads``).
+    ``from_json`` returns NULL-struct on bad input = the reference's
+    per-message error isolation (T7), without a Python loop."""
+    return df.withColumn("_decoded", F.from_json(F.col(col), schema))
+
+
+def rename_project(df: DataFrame, mapping: dict[str, str], ordered_cols: list[str]) -> DataFrame:
+    """P1+P2 — source-schema adaptation (backfill.py:118-128) + ordered
+    projection to the storage column order (backfill.py:137)."""
+    return df.withColumnsRenamed(mapping).select(*ordered_cols)
+
+
+def null_filter(df: DataFrame, required: list[str]) -> DataFrame:
+    """P4 — drop rows missing required fields (producer.py:67-75)."""
+    cond = F.lit(True)
+    for c in required:
+        cond = cond & F.col(c).isNotNull()
+    return df.filter(cond)
+
+
+def epoch_ms_to_ts(col: Column | str) -> Column:
+    """P5 — epoch ms -> UTC timestamp (consumer.py:149)."""
+    return F.timestamp_millis(F.col(col) if isinstance(col, str) else col)
+
+
+def ts_to_epoch_ms(col: Column | str) -> Column:
+    """P5 — timestamp -> epoch ms (inverse of producer.py:78 sec->ms)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_millis(c.cast("timestamp"))
+
+
+def tick_widen(df: DataFrame, price: str = "price") -> DataFrame:
+    """P7 — single-price tick -> pseudo-OHLCV row (consumer.py:153-160):
+    open=high=low=close=price, volume NULL."""
+    p = F.col(price)
+    return df.select(
+        *[c for c in df.columns if c != price],
+        p.alias("open"),
+        p.alias("high"),
+        p.alias("low"),
+        p.alias("close"),
+        F.lit(None).cast("long").alias("volume"),
+    )
+
+
+def nan_to_null(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """P6 — NaN -> NULL normalization (consumer.py:178, backfill.py:134).
+    Spark window aggregates already emit NULL, so this is only needed at
+    pandas-UDF exits."""
+    cols = cols or [c for c, t in df.dtypes if t in ("double", "float")]
+    return df.withColumns({c: F.nanvl(F.col(c), F.lit(None).cast("double")) for c in cols})
+
+
+def upsert_ignore(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """S5/A1 — first-writer-wins key dedup, the batch equivalent of
+    ``INSERT ... ON CONFLICT (time,symbol) DO NOTHING`` (consumer.py:197-201,
+    backfill.py:160-166).  ``order_col`` makes "first" deterministic (the
+    reference's "first" is arrival order; ours is the stable ingest id).
+    Scale note: this is one hash-shuffle on the PK — the same cost profile
+    as any engine's upsert — and AQE coalesces the post-shuffle partitions."""
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

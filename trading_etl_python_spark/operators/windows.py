@@ -1,0 +1,163 @@
+"""Window-native technical indicators (SURVEY.md §2.1 W1, W5, W7, W9-W14).
+
+The reference computes these with pandas-ta over a per-symbol pandas frame
+(/root/reference/trading-etl-python/src/db/backfill.py:12-64 and
+src/processing/consumer.py:82-135).  Here each is a fixed-frame window
+aggregate over ``Window.partitionBy("symbol").orderBy("time", "event_id")``
+— pure JVM expressions, shuffle-once-per-key, codegen'd, and
+cluster-scalable (state never exceeds the frame, exactly like the
+reference's 60-row cap at consumer.py:33).
+
+Numeric-parity conventions shared with the DuckDB oracles:
+- within-key order is always (time, event_id) — fully deterministic
+- warmup gates are explicit ``count() >= n`` guards (pandas min_periods)
+- float outputs are rounded to 4 decimals to absorb summation-order
+  differences between engines (window aggregation trees differ)
+- every division guards the denominator with ``nullif``-style logic
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+ROUND_DP = 4
+
+
+def by_key(symbol: str = "symbol", time: str = "time", tiebreak: str = "event_id") -> WindowSpec:
+    return Window.partitionBy(symbol).orderBy(F.col(time).asc(), F.col(tiebreak).asc())
+
+
+def _guarded(expr: Column, cnt: Column, n: int, dp: int = ROUND_DP) -> Column:
+    return F.when(cnt >= n, F.round(expr, dp))
+
+
+def with_sma(df: DataFrame, n: int = 20, col: str = "close", out: str | None = None) -> DataFrame:
+    """W1 — rolling mean of last n closes, NULL until n rows exist
+    (pandas-ta sma min_periods semantics; golden test
+    tests/test_processing_indicators.py:28-34 in the reference)."""
+    w = by_key().rowsBetween(-(n - 1), 0)
+    out = out or f"sma_{n}"
+    return df.withColumn(out, _guarded(F.avg(col).over(w), F.count(col).over(w), n))
+
+
+def with_bbands(df: DataFrame, n: int = 20, ndev: float = 2.0) -> DataFrame:
+    """W5 — Bollinger Bands: mid = SMA(n); upper/lower = mid ± ndev *
+    rolling sample stddev (ddof=1, pandas default) (backfill.py:30-36)."""
+    w = by_key().rowsBetween(-(n - 1), 0)
+    cnt = F.count("close").over(w)
+    mid = F.avg("close").over(w)
+    sd = F.stddev_samp("close").over(w)
+    return (
+        df.withColumn("bb_mid", _guarded(mid, cnt, n))
+        .withColumn("bb_upper", _guarded(mid + ndev * sd, cnt, n))
+        .withColumn("bb_lower", _guarded(mid - ndev * sd, cnt, n))
+    )
+
+
+def with_stoch(df: DataFrame, n: int = 14, smooth_k: int = 3) -> DataFrame:
+    """W7 — Stochastic %K(14,3): raw %K = 100*(close-min(low,n)) /
+    (max(high,n)-min(low,n)), then SMA(smooth_k) (backfill.py:46-53; the
+    reference keeps only the %K column)."""
+    w = by_key().rowsBetween(-(n - 1), 0)
+    cnt = F.count("close").over(w)
+    denom = F.max("high").over(w) - F.min("low").over(w)
+    raw = F.lit(100.0) * (F.col("close") - F.min("low").over(w)) / F.nullif(denom, F.lit(0.0))
+    df = df.withColumn("_stoch_raw", F.when(cnt >= n, raw))
+    wk = by_key().rowsBetween(-(smooth_k - 1), 0)
+    k = _guarded(F.avg("_stoch_raw").over(wk), F.count("_stoch_raw").over(wk), smooth_k)
+    return df.withColumn(f"stoch_k_{n}", k).drop("_stoch_raw")
+
+
+def with_mfi(df: DataFrame, n: int = 14) -> DataFrame:
+    """W9 — Money Flow Index: typical price tp=(h+l+c)/3, raw money flow
+    tp*volume signed by the tp delta; MFI = 100*possum/(possum+negsum)
+    over the last n deltas (backfill.py:58-60)."""
+    kw = by_key()
+    tp = (F.col("high") + F.col("low") + F.col("close")) / F.lit(3.0)
+    df = df.withColumn("_tp", tp).withColumn("_tp_prev", F.lag("_tp").over(kw))
+    mf = F.col("_tp") * F.col("volume")
+    pos = F.when(F.col("_tp") > F.col("_tp_prev"), mf).otherwise(F.lit(0.0))
+    neg = F.when(F.col("_tp") < F.col("_tp_prev"), mf).otherwise(F.lit(0.0))
+    df = df.withColumn("_pos", F.when(F.col("_tp_prev").isNotNull(), pos)).withColumn(
+        "_neg", F.when(F.col("_tp_prev").isNotNull(), neg)
+    )
+    w = by_key().rowsBetween(-(n - 1), 0)
+    cnt = F.count("_pos").over(w)  # counts non-null deltas in frame
+    possum, negsum = F.sum("_pos").over(w), F.sum("_neg").over(w)
+    mfi = F.lit(100.0) * possum / F.nullif(possum + negsum, F.lit(0.0))
+    return df.withColumn(f"mfi_{n}", _guarded(mfi, cnt, n)).drop("_tp", "_tp_prev", "_pos", "_neg")
+
+
+def with_obv(df: DataFrame) -> DataFrame:
+    """W10 — On-Balance Volume: running Σ sign(close-prev_close)*volume
+    (backfill.py:61).  Integer arithmetic — exact, no rounding needed."""
+    kw = by_key()
+    prev = F.lag("close").over(kw)
+    signed = (
+        F.when(prev.isNull(), F.lit(0))
+        .when(F.col("close") > prev, F.col("volume"))
+        .when(F.col("close") < prev, -F.col("volume"))
+        .otherwise(F.lit(0))
+    )
+    w = by_key().rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn("_sv", signed).withColumn(
+        "obv", F.sum("_sv").over(w).cast("long")
+    ).drop("_sv")
+
+
+def with_vwap(df: DataFrame) -> DataFrame:
+    """W11 — daily-anchored VWAP: cumulative Σ(tp*vol)/Σ(vol) resetting
+    each calendar day (pandas-ta anchor="D"; backfill.py:62).  The day
+    anchor is an extra partition key — the easy-to-miss detail from
+    SURVEY.md §7.4."""
+    day_w = (
+        Window.partitionBy("symbol", F.to_date("time"))
+        .orderBy(F.col("time").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tp = (F.col("high") + F.col("low") + F.col("close")) / F.lit(3.0)
+    # Quantize tp to integer micro-units: the cumulative sums become exact
+    # integer arithmetic — identical in any summation order (cross-engine
+    # parity) and cheaper than float accumulation at scale.
+    tpq = F.round(tp * F.lit(1000000.0), 0).cast("long")
+    num = F.sum(tpq * F.col("volume")).over(day_w).cast("double")
+    den = F.lit(1000000.0) * F.sum("volume").over(day_w).cast("double")
+    return df.withColumn("vwap", F.round(num / F.nullif(den, F.lit(0.0)), ROUND_DP))
+
+
+def with_warmup_gate(df: DataFrame, min_rows: int = 26, require_col: str | None = "sma_20") -> DataFrame:
+    """W12 — emit rows only once >= min_rows of per-key history exist AND
+    the slowest indicator is non-NULL (consumer.py:165-167,171-173; the
+    30-msgs->5-inserts scenario in tests/test_consumer.py:136-138)."""
+    w = by_key().rowsBetween(Window.unboundedPreceding, 0)
+    df = df.withColumn("_hist", F.count(F.lit(1)).over(w))
+    cond = F.col("_hist") >= min_rows
+    if require_col is not None:
+        cond = cond & F.col(require_col).isNotNull()
+    return df.filter(cond).drop("_hist")
+
+
+def latest_per_key(df: DataFrame) -> DataFrame:
+    """W13 — most recent row per symbol (consumer.py:135 ``df.iloc[-1]``;
+    the planned /latest_price endpoint, roadmap.md:44).  max_by on a
+    packed ordering key: one partial-aggregating shuffle, no full sort —
+    at scale this beats the row_number() formulation because the
+    map-side combine collapses each partition to one row per key."""
+    ord_key = F.struct(F.col("time"), F.col("event_id"))
+    agg = [F.max_by(F.col(c), ord_key).alias(c) for c in df.columns if c != "symbol"]
+    return df.groupBy("symbol").agg(*agg)
+
+
+def lookback_trim(df: DataFrame, n: int = 60) -> DataFrame:
+    """W14 — keep only the last n rows per key (the reference's bounded
+    state, consumer.py:33,162-163)."""
+    w = Window.partitionBy("symbol").orderBy(F.col("time").desc(), F.col("event_id").desc())
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= n).drop("_rn")
+
+
+def time_range(df: DataFrame, lo: str, hi: str, col: str = "time") -> DataFrame:
+    """A3 — historical range query (the planned /indicators endpoint,
+    roadmap.md:44-46).  On date-partitioned storage this prunes
+    partitions; on raw parquet the predicate pushes to the scan."""
+    return df.filter(F.col(col).between(F.lit(lo).cast("timestamp_ntz"), F.lit(hi).cast("timestamp_ntz")))

@@ -1,0 +1,254 @@
+"""Extension queries + oracles (SURVEY.md §2.3): dedup, similarity
+search, text analysis, approx stats, multimodal metadata.
+
+Oracle notes: DuckDB's list lambdas mirror Spark HOFs one-to-one
+(list_filter/filter, list_transform/transform, list_reduce/aggregate);
+both engines fold/accumulate left-to-right, so even order-sensitive
+expressions (dot products, rolling fingerprints) hash-match after
+rounding.  Hash-seeded ops (MinHash/SimHash/LSH: engine-specific
+xxhash64 / Spark ML seeds) are declared WITHOUT oracles -> driver
+records the weaker rows-only check; their numerics are covered by unit
+tests against exact counterparts instead (tests/test_dedup.py,
+tests/test_similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as TX
+from ..sources.tables import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ------------------------------------------------------------------- dedup
+
+
+@q(
+    "q_dedup_exact",
+    """SELECT doc_id, lang, source, n_chars FROM (
+         SELECT doc_id, lang, source, n_chars,
+                ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         FROM documents) t WHERE rn = 1""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_exact(docs).select("doc_id", "lang", "source", "n_chars")
+
+
+@q(
+    "q_dedup_ngram",
+    f"""WITH tok AS (
+         SELECT doc_id, {TOKS} AS toks FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+         FROM tok, UNNEST(range(1, len(toks) - 1)) AS t(i)
+         WHERE len(toks) >= 3),
+       cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       pairs AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+              ROUND(CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 6) AS jaccard
+       FROM pairs
+       JOIN cnt ca ON ca.doc_id = doc_a
+       JOIN cnt cb ON cb.doc_id = doc_b
+       WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5""",
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+
+
+@q("q_dedup_minhash")  # rows-only: MinHashLSH hash family is engine-specific
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+@q("q_dedup_simhash")  # rows-only: xxhash64 token hashes are engine-specific
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, max_hamming=3)
+
+
+# -------------------------------------------------------------- similarity
+
+_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+@q(
+    "q_topk_cosine",
+    f"""WITH qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+       s AS (SELECT e.vec_id, e.label,
+                    {_DOT.format(a='e.embedding', b='qv.v')} AS sim
+             FROM embeddings e, qv)
+       SELECT vec_id, label, ROUND(sim, 6) AS cos_sim
+       FROM s ORDER BY sim DESC, vec_id LIMIT 20""",
+)
+def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.topk_cosine(emb, query_vec_id=0, k=20)
+
+
+@q(
+    "q_embed_neardup",
+    f"""SELECT vec_a, vec_b, ROUND(sim, 6) AS cos_sim FROM (
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                {_DOT.format(a='a.embedding', b='b.embedding')} AS sim
+         FROM embeddings a
+         JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id) t
+       WHERE sim >= 0.8""",
+)
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_pairs_blocked(emb, threshold=0.8, block_col="label")
+
+
+@q("q_ann_lsh")  # rows-only: hyperplane signs derive from engine xxhash64
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_lsh_topk(emb, query_vec_id=0, k=10)
+
+
+# ------------------------------------------------------------------- text
+
+
+@q(
+    "q_text_tokens",
+    f"""SELECT doc_id,
+         CAST(len({TOKS}) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct({TOKS})) AS BIGINT) AS n_distinct
+       FROM documents""",
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "q_token_freq",
+    f"""WITH tok AS (SELECT unnest({TOKS}) AS token FROM documents)
+       SELECT token, COUNT(*) AS cnt FROM tok
+       GROUP BY token ORDER BY cnt DESC, token LIMIT 50""",
+)
+def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.token_freq(load_table(spark, sf_dir, "documents"), 50)
+
+
+@q(
+    "q_doc_profile",
+    """SELECT lang, source, COUNT(*) AS n_docs,
+         ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+         MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+       FROM documents GROUP BY lang, source""",
+)
+def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.doc_profile(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "q_lang_id",
+    f"""WITH tok AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
+       h AS (SELECT doc_id, lang,
+         CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS h_en,
+         CAST(len(list_filter(toks, t -> t IN ('el','la','de','y','que','en','los'))) AS BIGINT) AS h_es,
+         CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist','von','mit'))) AS BIGINT) AS h_de,
+         CAST(len(list_filter(toks, t -> t IN ('le','la','de','et','les','des','un'))) AS BIGINT) AS h_fr
+       FROM tok)
+       SELECT doc_id, lang,
+         CASE WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr THEN 'en'
+              WHEN h_es >= h_de AND h_es >= h_fr THEN 'es'
+              WHEN h_de >= h_fr THEN 'de'
+              ELSE 'fr' END AS pred_lang,
+         h_en, h_es, h_de, h_fr
+       FROM h""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "q_text_quality",
+    f"""WITH m AS (
+         SELECT doc_id,
+           CAST(len({TOKS}) AS DOUBLE) AS n_tok,
+           CAST(len(list_distinct({TOKS})) AS DOUBLE) AS n_dis,
+           CAST(len(list_filter({TOKS},
+                t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) AS n_stop
+         FROM documents)
+       SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+         ROUND(0.4 * LEAST(n_tok / 100.0, 1.0)
+             + 0.3 * (n_dis / NULLIF(n_tok, 0.0))
+             + 0.3 * LEAST(n_stop / NULLIF(0.1 * n_tok, 0.0), 1.0), 6) AS quality
+       FROM m""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "q_doc_fingerprint",
+    f"""SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform({TOKS},
+               t -> CAST(ord(t[1]) AS BIGINT) * 31 + CAST(length(t) AS BIGINT))),
+           (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+       FROM documents""",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------- approx/multimodal
+
+
+@q("q_approx_stats")  # rows-only: HLL/quantile sketches are engine-specific
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", 0.95).alias("p95_price"),
+    )
+
+
+@q(
+    "q_multimodal_meta",
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         sha256(text) AS sha_hex
+       FROM documents""",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata pass: payload byte length + content hash —
+    the pruned-scan pattern from operators/multimodal.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.documents_as_media(docs)
+    return media.select(
+        F.col("media_id").alias("doc_id"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("sha_hex"),
+    )
