@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (count() would let
+Catalyst prune the expensive columns away).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from trading_etl_python_spark.operators.indicators import indicator_table
+from trading_etl_python_spark.session import get_spark
+from trading_etl_python_spark.sources.tables import bars
+from trading_etl_python_spark.suite import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship indicator pipeline + one representative of
+# each capability family (join/agg, window rank, similarity, dedup, text).
+HEADLINE = [
+    "q_join_agg",
+    "q_window_rank",
+    "q_grouping_sets",
+    "q_topk_cosine",
+    "q_embed_neardup",
+    "q_dedup_exact",
+    "q_dedup_ngram",
+    "q_text_quality",
+    "q_token_freq",
+    "q_vwap",
+    "q_stoch",
+    "q_rsi",
+]
+
+
+def consume(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    timings: dict[str, float] = {}
+
+    # warm the JVM/session so the first measured query isn't paying init
+    bars(spark, SF_DIR).count()
+
+    t0 = time.time()
+    consume(indicator_table(bars(spark, SF_DIR), warmup=26))
+    timings["indicators_full"] = round(time.time() - t0, 3)
+
+    for name in HEADLINE:
+        t0 = time.time()
+        consume(QUERIES[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,59 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trading_etl_python_spark.operators import dedup as D
+from trading_etl_python_spark.sources.tables import load_table
+
+
+def test_dedup_exact_idempotent(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    once = D.dedup_exact(docs)
+    twice = D.dedup_exact(once)
+    assert once.count() == twice.count()
+    # no surviving duplicate texts
+    assert once.groupBy("text").count().filter("count > 1").count() == 0
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(3, "same"), (1, "same"), (2, "other")], "doc_id long, text string"
+    )
+    kept = sorted(r.doc_id for r in D.dedup_exact(df).collect())
+    assert kept == [1, 2]
+
+
+def test_shingles_small(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    got = sorted(r.shingle for r in D.shingles(df, 3).collect())
+    assert got == ["a b c", "b c d"]
+
+
+def test_minhash_recall_of_exact_pairs(spark, sf_dir):
+    """LSH candidates must recover the high-Jaccard exact pairs (recall),
+    at jaccard>=0.7 with 8 tables recall should be essentially 1."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    if exact:
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.8, f"minhash recall {recall} over {len(exact)} true pairs"
+
+
+def test_simhash_pairs_respect_hamming_bound(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_pairs(docs, max_hamming=3).collect()
+    assert all(r.hamming <= 3 for r in pairs)
+    # identical texts must collide at hamming 0
+    dup = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    got = D.simhash_pairs(dup, max_hamming=0).collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in got] == [(1, 2, 0)]

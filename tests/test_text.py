@@ -1,0 +1,44 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trading_etl_python_spark.operators import text as TX
+from trading_etl_python_spark.sources.tables import load_table
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame([(1, "Hello, hello world!")], "doc_id long, text string")
+    row = TX.token_stats(df).collect()[0]
+    assert row.n_tokens == 3
+    assert row.n_distinct == 2
+
+
+def test_quality_bounds(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rows = TX.quality_score(docs).collect()
+    assert all(0.0 <= r.quality <= 1.0 + 1e-9 for r in rows if r.quality is not None)
+
+
+def test_lang_id_emits_known_labels(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    langs = {r.pred_lang for r in TX.lang_id(docs).collect()}
+    assert langs <= {"en", "es", "de", "fr"}
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id: r.fingerprint for r in TX.doc_fingerprint(df).collect()}
+    assert fp[1] == fp[3]  # same token stream -> same fingerprint
+    assert fp[1] != fp[2]  # permutation -> different fingerprint
+
+
+def test_token_freq_deterministic_topn(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = [(r.token, r.cnt) for r in TX.token_freq(docs, 10).collect()]
+    b = [(r.token, r.cnt) for r in TX.token_freq(docs, 10).collect()]
+    assert a == b
+    assert len(a) == 10

@@ -1,0 +1,46 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trading_etl_python_spark.operators import transforms as X
+
+
+def test_tick_widen(spark):
+    df = spark.createDataFrame([(1, 99.5)], "id long, price double")
+    out = X.tick_widen(df, "price").collect()[0]
+    assert out.open == out.high == out.low == out.close == 99.5
+    assert out.volume is None
+
+
+def test_upsert_ignore_first_writer_wins(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "a", 5), (2, "a", 7)], "k long, sym string, seq long"
+    )
+    out = X.upsert_ignore(df, ["k", "sym"], "seq").orderBy("k").collect()
+    assert [(r.k, r.seq) for r in out] == [(1, 5), (2, 7)]
+
+
+def test_json_decode_bad_input_isolated(spark):
+    """T7 — malformed JSON yields NULL struct, pipeline continues."""
+    df = spark.createDataFrame([('{"k": 3}',), ("not json",)], "props string")
+    out = X.json_decode(df, "props", "k long").select("_decoded.k").collect()
+    assert [r.k for r in out] == [3, None]
+
+
+def test_null_filter(spark):
+    df = spark.createDataFrame([(1, 1.0), (2, None)], "id long, v double")
+    assert X.null_filter(df, ["v"]).count() == 1
+
+
+def test_epoch_roundtrip(spark):
+    df = spark.createDataFrame([(1700000000123,)], "ms long")
+    out = df.select(X.epoch_ms_to_ts("ms").alias("ts")).select(
+        X.ts_to_epoch_ms("ts").alias("ms2")
+    )
+    assert out.collect()[0].ms2 == 1700000000123
+
+
+def test_nan_to_null(spark):
+    df = spark.createDataFrame([(float("nan"),), (1.5,)], "v double")
+    vals = [r.v for r in X.nan_to_null(df).collect()]
+    assert vals == [None, 1.5]
