@@ -1,0 +1,220 @@
+"""Structured Streaming port of the reference's consumer path
+(SURVEY.md §2.1 T1-T7; /root/reference/trading-etl-python/src/processing/
+consumer.py:214-265).
+
+Reference semantics -> Spark mapping:
+
+- micro-batch poll loop (consumer.py:234, <=500 msgs/1000 ms)   -> trigger
+  intervals / maxOffsetsPerTrigger (or availableNow for replay)
+- per-symbol 60-row in-memory buffer (consumer.py:35-39,162)    -> bounded
+  keyed state in ``applyInPandasWithState`` (GroupState timeout NoTimeout)
+- JSON decode with per-message isolation (consumer.py:146-149)  -> from_json
+  (NULL on bad rows, filtered)
+- warmup gate >=26 rows (consumer.py:165-167)                   -> state row
+  count check before emitting
+- at-least-once + idempotent sink (consumer.py:200,250)         -> foreachBatch
+  dedup-append with checkpointing (effectively-once)
+
+The offline harness replays the ``events`` parquet as a file stream —
+the Kafka wiring is the same code with ``format("kafka")`` + the wire
+schema decode (transforms.TICK_WIRE_SCHEMA); it is an edge adapter, not
+engine logic.
+
+Scale: state per key is a bounded 60-row float buffer (the reference's
+own cap), so total state = O(#symbols * 60) regardless of stream length;
+shuffle is one hash exchange on symbol per micro-batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators import recursive as R
+
+LOOKBACK = 60  # consumer.py:33
+WARMUP = 26  # consumer.py:165
+
+TICK_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.LongType()),
+        T.StructField("time", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("close", T.DoubleType()),
+    ]
+)
+
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.LongType()),
+        T.StructField("time", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("close", T.DoubleType()),
+        T.StructField("sma_20", T.DoubleType()),
+        T.StructField("ema_10", T.DoubleType()),
+        T.StructField("ema_20", T.DoubleType()),
+        T.StructField("rsi_14", T.DoubleType()),
+        T.StructField("bb_upper", T.DoubleType()),
+        T.StructField("bb_lower", T.DoubleType()),
+    ]
+)
+
+# state: parallel arrays of the buffered tick history per symbol
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("times", T.ArrayType(T.LongType())),  # epoch us
+        T.StructField("event_ids", T.ArrayType(T.LongType())),
+        T.StructField("closes", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _indicators_from_buffer(
+    sym: int, ts_us: np.ndarray, eids: np.ndarray, closes: np.ndarray, n_new: int
+) -> pd.DataFrame:
+    """Compute streaming indicators over the buffer, emit the last n_new
+    gated rows (mirrors calculate_live_indicators, consumer.py:82-135)."""
+    n = len(closes)
+    out = {
+        "sma_20": np.full(n, np.nan),
+        "bb_upper": np.full(n, np.nan),
+        "bb_lower": np.full(n, np.nan),
+    }
+    if n >= 20:
+        win = np.lib.stride_tricks.sliding_window_view(closes, 20)
+        sma = win.mean(axis=1)
+        sd = win.std(axis=1, ddof=1)
+        out["sma_20"][19:] = sma
+        out["bb_upper"][19:] = sma + 2.0 * sd
+        out["bb_lower"][19:] = sma - 2.0 * sd
+    ema10 = R.ema_rec(closes, 10)
+    ema20 = R.ema_rec(closes, 20)
+    rsi = R.rsi_rec(closes, 14)
+    emit = pd.DataFrame(
+        {
+            "symbol": sym,
+            "time": pd.to_datetime(ts_us, unit="us"),
+            "event_id": eids,
+            "close": closes,
+            "sma_20": np.round(out["sma_20"], 4),
+            "ema_10": np.round(ema10, 4),
+            "ema_20": np.round(ema20, 4),
+            "rsi_14": np.round(rsi, 4),
+            "bb_upper": np.round(out["bb_upper"], 4),
+            "bb_lower": np.round(out["bb_lower"], 4),
+        }
+    )
+    emit = emit.iloc[n - n_new :]
+    # warmup gate: >=WARMUP rows of history AND sma present (consumer.py:165-173)
+    row_idx = np.arange(n - n_new, n)
+    emit = emit[(row_idx + 1 >= WARMUP) & emit["sma_20"].notna()]
+    return emit
+
+
+def _stateful_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (sym,) = key
+    if state.exists:
+        times, eids, closes = state.get
+        times, eids, closes = list(times), list(eids), list(closes)
+    else:
+        times, eids, closes = [], [], []
+    n_new = 0
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["time", "event_id"], kind="mergesort")
+        times.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf["time"]))
+        eids.extend(int(x) for x in pdf["event_id"])
+        closes.extend(float(x) for x in pdf["close"])
+        n_new += len(pdf)
+    if n_new:
+        out = _indicators_from_buffer(
+            sym, np.array(times), np.array(eids), np.array(closes, dtype=np.float64), n_new
+        )
+        # trim AFTER computing (reference trims pre-compute at 60; we keep
+        # warmup correctness for buffers crossing the trim boundary by
+        # trimming to LOOKBACK for the next batch, consumer.py:162-163)
+        state.update((times[-LOOKBACK:], eids[-LOOKBACK:], closes[-LOOKBACK:]))
+        yield out
+    else:  # pragma: no cover - empty poll, skip (consumer.py:236)
+        yield pd.DataFrame(columns=[f.name for f in OUT_SCHEMA.fields])
+
+
+def stream_indicators(ticks: DataFrame) -> DataFrame:
+    """Streaming DF of ticks -> streaming DF of gated indicator rows with
+    per-symbol bounded state."""
+    return (
+        ticks.groupBy("symbol")
+        .applyInPandasWithState(
+            _stateful_fn,
+            outputStructType=OUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def events_file_stream(spark: SparkSession, sf_dir: str, max_files: int = 1) -> DataFrame:
+    """Replay the events parquet as a micro-batched file stream (the
+    offline stand-in for the Kafka source, per SURVEY.md §3.3).  The raw
+    file carries TIMESTAMP(NANOS) -> read ts as long (nanosAsLong) and
+    convert with integer division, same as the batch loader."""
+    from ..session import ensure_session_compat
+
+    ensure_session_compat(spark)
+    raw_schema = (
+        "event_id long, ts long, user_id long, event_type string, value double, props string"
+    )
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", max_files)
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_replay_pipeline(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str, out_table: str = "stream_out"
+) -> DataFrame:
+    """End-to-end availableNow replay: file source -> tick projection ->
+    stateful indicators -> foreachBatch idempotent dedup-append into an
+    in-memory table.  Returns the collected batch result as a DataFrame.
+
+    The foreachBatch dedup-append reproduces the reference's
+    at-least-once + ON CONFLICT DO NOTHING sink (T4): replays cannot
+    double-insert because the PK (time,symbol) dedup runs per batch
+    against the sink state."""
+    import tempfile
+
+    ev = events_file_stream(spark, sf_dir)
+    ticks = ev.select(
+        F.col("user_id").alias("symbol"),
+        F.col("ts").alias("time"),
+        "event_id",
+        F.col("value").alias("close"),
+    ).filter(F.col("close").isNotNull() & F.col("time").isNotNull())
+    out = stream_indicators(ticks)
+
+    sink_path = tempfile.mkdtemp(prefix="stream_sink_")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.dropDuplicates(["time", "symbol"]).write.mode("append").parquet(sink_path)
+
+    q = (
+        out.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(sink_path).dropDuplicates(["time", "symbol"])
+    res.createOrReplaceTempView(out_table)
+    return res
