@@ -49,8 +49,12 @@ def main() -> None:
     spark = get_spark("bench")
     timings: dict[str, float] = {}
 
-    # warm the JVM/session so the first measured query isn't paying init
+    # warm the JVM/session + Python (Arrow) workers so the first measured
+    # query isn't paying one-time process startup
     bars(spark, SF_DIR).count()
+    import pandas as _pd
+
+    spark.range(64).mapInPandas(lambda it: it, "id long").count()
 
     t0 = time.time()
     consume(indicator_table(bars(spark, SF_DIR), warmup=26))

@@ -37,7 +37,12 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id_col, shingle)."""
+    """Distinct word n-gram shingles per doc: (id_col, shingle).
+    Repartitions the (narrow) doc rows first so the explode fans out
+    across cores — a single-file corpus scan would otherwise pin the
+    whole shingle generation to one task."""
+    npart = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    df = df.select(F.col(id_col), F.col(text_col)).repartition(npart, F.col(id_col))
     toks = tokens_col(text_col)
     df = df.select(F.col(id_col), toks.alias("_toks")).filter(F.size("_toks") >= n)
     grams = F.transform(
@@ -52,23 +57,36 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """X2 (exact variant) — doc pairs with shingle-set Jaccard >= threshold.
     Join on shared shingles -> count intersections -> |A|+|B|-|A∩B|."""
-    sh = shingles(df, n, text_col, id_col)
+    # join on the 64-bit shingle hash, not the string: fixed-width shuffle
+    # keys; collision odds at 64 bits are negligible for any corpus size
+    sh = shingles(df, n, text_col, id_col).select(id_col, F.xxhash64("shingle").alias("h"))
     cnt = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    side = sh.join(F.broadcast(cnt), id_col)
+    a, b = side.alias("a"), side.alias("b")
+    # length-ratio prefilter inside the join condition: jaccard >= t forces
+    # min(|A|,|B|) >= t*max(|A|,|B|) — provably output-preserving, and it
+    # drops hopeless pairs before they hit the aggregation shuffle
+    ratio_ok = (F.col("a.n_sh") >= threshold * F.col("b.n_sh")) & (
+        F.col("b.n_sh") >= threshold * F.col("a.n_sh")
+    )
     pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & ratio_ok,
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    ca = cnt.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    cb = cnt.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     return (
-        pairs.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .withColumn("jaccard", jac)
+        pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )

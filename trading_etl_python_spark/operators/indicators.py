@@ -70,7 +70,9 @@ def with_recursive_suite(df: DataFrame) -> DataFrame:
         }
 
     out_cols = {k: "double" for k in ["ema_10", "ema_20", "macd_line", "rsi_14", "atr_14", "adx_14"]}
-    return R._indicator_apply(df, out_cols, fn)
+    # riding the window stage: data is already hash(symbol)-partitioned,
+    # so skip the extra exchange and let mapInPandas consume it in place
+    return R._indicator_map(df, out_cols, fn, repartition=False)
 
 
 def indicator_table(bars: DataFrame, warmup: int | None = 26) -> DataFrame:

@@ -144,13 +144,17 @@ def adx_rec(h: np.ndarray, lo: np.ndarray, c: np.ndarray, n: int = 14) -> np.nda
 # ------------------------------------------------------- Spark grouped-map
 
 
+def _schema_str(df: DataFrame, out_cols: dict[str, str]) -> str:
+    return ", ".join(
+        [f"`{c}` {t}" for c, t in df.dtypes] + [f"`{c}` {t}" for c, t in out_cols.items()]
+    )
+
+
 def _indicator_apply(df: DataFrame, out_cols: dict[str, str], fn) -> DataFrame:
-    """Shared applyInPandas scaffold: group by symbol, sort by
-    (time, event_id), run ``fn(pdf) -> {col: np.ndarray}``, round to 4dp."""
-    schema_parts = [f"`{c}` {t}" for c, t in df.dtypes] + [
-        f"`{c}` {t}" for c, t in out_cols.items()
-    ]
-    schema = ", ".join(schema_parts)
+    """Grouped-map scaffold (one Arrow round-trip PER KEY).  Semantically
+    the reference's per-symbol pandas frames; superseded by
+    ``_indicator_map`` for throughput — kept as the simple/debug variant."""
+    schema = _schema_str(df, out_cols)
 
     def compute(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["time", "event_id"], kind="mergesort").reset_index(drop=True)
@@ -161,6 +165,49 @@ def _indicator_apply(df: DataFrame, out_cols: dict[str, str], fn) -> DataFrame:
     return df.groupBy("symbol").applyInPandas(compute, schema=schema)
 
 
+def _indicator_map(df: DataFrame, out_cols: dict[str, str], fn, repartition: bool = True) -> DataFrame:
+    """Whole-partition scaffold: co-locate keys with ONE hash exchange on
+    symbol, then ``mapInPandas`` processes an entire partition per Python
+    task — per-key numpy slices found by sorted boundary scan, no per-group
+    Arrow round-trips.  ~5-10x faster than the grouped-map at many-small-
+    keys shapes (the streaming-symbol workload).
+
+    Scale note: a task materializes its partition (pd.concat) — per-task
+    memory is bounded by the shuffle partition count, which ``repartition``
+    pins explicitly (AQE coalescing would otherwise shrink small stages
+    below the core count).  For very long per-key histories raise the
+    partition count; keys are never split across partitions."""
+    schema = _schema_str(df, out_cols)
+    in_cols = [c for c, _ in df.dtypes]
+
+    def compute(batches) -> "pd.DataFrame":
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        if len(pdf) == 0:
+            return
+        order = np.lexsort(
+            (pdf["event_id"].to_numpy(), pdf["time"].to_numpy(), pdf["symbol"].to_numpy())
+        )
+        pdf = pdf.iloc[order].reset_index(drop=True)
+        sym = pdf["symbol"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, sym[1:] != sym[:-1]])
+        ends = np.r_[starts[1:], len(sym)]
+        outs = {c: np.full(len(sym), np.nan) for c in out_cols}
+        for s, e in zip(starts, ends):
+            for c, arr in fn(pdf.iloc[s:e]).items():
+                outs[c][s:e] = arr
+        for c in out_cols:
+            pdf[c] = np.round(outs[c], ROUND_DP)
+        yield pdf
+
+    if repartition:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        df = df.repartition(n, "symbol")
+    return df.mapInPandas(compute, schema=schema)
+
+
 def with_ema(df: DataFrame, periods: tuple[int, ...] = (10, 20)) -> DataFrame:
     """W2 — EMA(n) for each n (backfill.py:18-19)."""
 
@@ -168,7 +215,7 @@ def with_ema(df: DataFrame, periods: tuple[int, ...] = (10, 20)) -> DataFrame:
         c = pdf["close"].to_numpy(dtype=np.float64)
         return {f"ema_{n}": ema_rec(c, n) for n in periods}
 
-    return _indicator_apply(df, {f"ema_{n}": "double" for n in periods}, fn)
+    return _indicator_map(df, {f"ema_{n}": "double" for n in periods}, fn)
 
 
 def with_rsi(df: DataFrame, n: int = 14) -> DataFrame:
@@ -177,7 +224,7 @@ def with_rsi(df: DataFrame, n: int = 14) -> DataFrame:
     def fn(pdf: pd.DataFrame):
         return {f"rsi_{n}": rsi_rec(pdf["close"].to_numpy(dtype=np.float64), n)}
 
-    return _indicator_apply(df, {f"rsi_{n}": "double"}, fn)
+    return _indicator_map(df, {f"rsi_{n}": "double"}, fn)
 
 
 def with_macd(df: DataFrame, fast: int = 12, slow: int = 26) -> DataFrame:
@@ -188,7 +235,7 @@ def with_macd(df: DataFrame, fast: int = 12, slow: int = 26) -> DataFrame:
         c = pdf["close"].to_numpy(dtype=np.float64)
         return {"macd_line": ema_rec(c, fast) - ema_rec(c, slow)}
 
-    return _indicator_apply(df, {"macd_line": "double"}, fn)
+    return _indicator_map(df, {"macd_line": "double"}, fn)
 
 
 def with_atr(df: DataFrame, n: int = 14) -> DataFrame:
@@ -204,7 +251,7 @@ def with_atr(df: DataFrame, n: int = 14) -> DataFrame:
             )
         }
 
-    return _indicator_apply(df, {f"atr_{n}": "double"}, fn)
+    return _indicator_map(df, {f"atr_{n}": "double"}, fn)
 
 
 def with_adx(df: DataFrame, n: int = 14) -> DataFrame:
@@ -220,7 +267,7 @@ def with_adx(df: DataFrame, n: int = 14) -> DataFrame:
             )
         }
 
-    return _indicator_apply(df, {f"adx_{n}": "double"}, fn)
+    return _indicator_map(df, {f"adx_{n}": "double"}, fn)
 
 
 # -------------------------------------------- SQL HOF alternative (bounded)

@@ -51,8 +51,12 @@ def cosine_pairs_blocked(
 ) -> DataFrame:
     """X2-embedding — near-duplicate vector pairs within a blocking key.
     The block join keeps the pair space at Σ_b |b|^2 instead of N^2."""
-    a = embeddings.alias("a")
-    b = embeddings.alias("b")
+    npart = int(embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    # spread the probe side across cores (single-file scans arrive as one
+    # partition); broadcast the build side — parallelism then scales with
+    # the probe partitioning instead of the (few) block keys
+    a = embeddings.repartition(npart).alias("a")
+    b = F.broadcast(embeddings).alias("b")
     sim = dot(F.col("a.embedding"), F.col("b.embedding"))
     return (
         a.join(

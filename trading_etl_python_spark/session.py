@@ -30,6 +30,9 @@ def get_spark(app_name: str = "trading-etl-spark", cpus: str | int | None = None
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # keep parallelism for Python (Arrow) stages: the default 1m floor
+        # coalesces small shuffles to ~4 partitions, serializing pandas work
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
