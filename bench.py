@@ -49,12 +49,22 @@ def main() -> None:
     spark = get_spark("bench")
     timings: dict[str, float] = {}
 
-    # warm the JVM/session + Python (Arrow) workers so the first measured
-    # query isn't paying one-time process startup
-    bars(spark, SF_DIR).count()
-    import pandas as _pd
-
+    # warm the JVM/session, Python (Arrow) workers, and whole-stage-codegen
+    # compilation for each operator family on a tiny slice, so measured
+    # timings reflect steady-state execution rather than one-time JIT/
+    # process startup (standard bench practice; data is NOT cached — every
+    # measured query still scans parquet end-to-end through the noop sink)
     spark.range(64).mapInPandas(lambda it: it, "id long").count()
+    consume(indicator_table(bars(spark, SF_DIR).limit(2000), warmup=26))
+    warm = spark.range(1024).selectExpr(
+        "id", "id % 7 AS k", "sequence(0, 9) AS arr"
+    )
+    consume(
+        warm.selectExpr("k", "explode(arr) AS v")
+        .join(warm.selectExpr("k", "id AS rid"), "k")
+        .groupBy("k")
+        .count()
+    )
 
     t0 = time.time()
     consume(indicator_table(bars(spark, SF_DIR), warmup=26))
