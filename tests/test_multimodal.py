@@ -38,6 +38,29 @@ def test_metadata_stats_prunes_payload(spark, sf_dir):
     assert "payload" not in plan
 
 
+def test_frame_sample_stride_and_content(spark):
+    payload = bytes(range(256)) * 4  # 1024 bytes = 16 frames of 64
+    df = spark.createDataFrame([(1, payload)], "media_id long, payload binary")
+    frames = {r.frame_idx: bytes(r.frame) for r in M.frame_sample(df, every_n=4, frame_bytes=64).collect()}
+    assert sorted(frames) == [0, 4, 8, 12]  # every 4th of 16 frames
+    assert frames[0] == payload[:64]
+    assert frames[12] == payload[12 * 64 : 13 * 64]
+
+
+def test_frame_sample_short_and_null_payloads(spark):
+    df = spark.createDataFrame(
+        [(1, b"tiny"), (2, None), (3, b"x" * 64)], "media_id long, payload binary"
+    )
+    rows = M.frame_sample(df, every_n=1, frame_bytes=64).collect()
+    assert [(r.media_id, r.frame_idx) for r in rows] == [(3, 0)]
+
+
+def test_frame_sample_real_codec_raises(spark):
+    df = spark.createDataFrame([(1, b"")], "media_id long, payload binary")
+    with pytest.raises(NotImplementedError):
+        M.frame_sample(df, codec="mp4")
+
+
 def test_resize_stub_updates_meta(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(1)
     media = M.resize_stub(M.documents_as_media(docs), 256, 128)

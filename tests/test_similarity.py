@@ -33,6 +33,35 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert approx[0] == 0  # query always lands in its own bucket
 
 
+def test_ivf_assign_is_nearest_centroid(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    cents = S.collect_centroids(emb, n_cells=4)
+    assigned = {r.vec_id: r._cell for r in S.ivf_assign(emb, cents).collect()}
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    for vid, v in vecs.items():
+        best = min(cents, key=lambda c: (-S._seq_dot(v, cents[c]), c))
+        assert assigned[vid] == best, f"vec {vid}: {assigned[vid]} != {best}"
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = [r.vec_id for r in S.topk_cosine(emb, 0, 10).collect()]
+    approx = [r.vec_id for r in S.ann_ivf_topk(emb, 0, 10, n_cells=16, n_probe=4).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.4, f"IVF recall@10 = {recall}"
+    assert approx[0] == 0  # query's own cell is always probed
+
+
+def test_train_ivf_kmeans_shape(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    cents = S.train_ivf_kmeans(emb, n_cells=4)
+    assert set(cents) == {0, 1, 2, 3}
+    assert all(len(v) == 64 for v in cents.values())
+    # trained centroids drive the same assignment machinery
+    cells = {r._cell for r in S.ivf_assign(emb, cents).collect()}
+    assert cells <= {0, 1, 2, 3}
+
+
 def test_cosine_pairs_blocked_symmetry_free(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = S.cosine_pairs_blocked(emb, threshold=-1.0, block_col="label").limit(1000).collect()

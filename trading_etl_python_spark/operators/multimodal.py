@@ -113,6 +113,53 @@ def media_metadata_stats(df: DataFrame) -> DataFrame:
     )
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame, every_n: int = 10, frame_bytes: int = 256, codec: str = "fake"
+) -> DataFrame:
+    """Video frame sampling over binary payloads: emit every ``every_n``-th
+    frame as its own row.  The 'fake' codec treats the payload as a dense
+    array of fixed-size frames (``frame_bytes`` each) so the row-explosion
+    plumbing — one wide input row fanning out to many frame rows inside a
+    streaming Arrow batch — is real and tested; a real container parser
+    (mp4/mkv keyframe index) plugs into the slicing step.
+
+    Scale note: output rows >> input rows, so the caller should bound
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` and repartition AFTER
+    sampling if a downstream shuffle follows (frames of one video stay in
+    the producing task; no shuffle is introduced here)."""
+    if codec != "fake":
+        raise NotImplementedError(
+            f"codec {codec!r} requires a video container parser not present in "
+            "this container; only the deterministic fixed-stride 'fake' codec runs."
+        )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            frames: list[bytes] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                n_frames = len(payload) // frame_bytes
+                for fi in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    frames.append(bytes(payload[fi * frame_bytes : (fi + 1) * frame_bytes]))
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
     """Image resize placeholder: passes metadata through with new dims;
     payload transformation requires a codec (NotImplementedError via

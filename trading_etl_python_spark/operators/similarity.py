@@ -14,6 +14,12 @@ Three tiers, by scale:
 3. ``ann_lsh_topk`` — random-hyperplane LSH: probe only buckets matching
    the query signature, rerank exactly.  Recall/probe tradeoff via
    ``n_planes``/``n_probe_bits``; the sketch is JVM-side expressions.
+4. ``ann_ivf_topk`` — inverted-file (IVF) ANN: assign every vector to its
+   nearest coarse centroid MAP-SIDE (broadcast-literal centroid table, no
+   shuffle), probe only the ``n_probe`` cells nearest the query, rerank
+   exactly.  At 100 TB the assignment happens at WRITE time and the table
+   is partitioned by cell, turning the probe into a partition-pruned scan
+   of n_probe/n_cells of the data.
 """
 
 from __future__ import annotations
@@ -72,6 +78,111 @@ def cosine_pairs_blocked(
         .filter(F.col("_sim") >= threshold)
         .select("vec_a", "vec_b", F.round("_sim", 6).alias("cos_sim"))
     )
+
+
+# ------------------------------------------------------------------- IVF
+
+
+def _seq_dot(a, b) -> float:
+    """Strict left-to-right double fold — same accumulation order as the
+    ``dot()`` HOF and DuckDB's list_sum(list_transform(...)), so driver-
+    side and engine-side dot products agree bit-for-bit."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def collect_centroids(
+    embeddings: DataFrame, n_cells: int = 16, id_col: str = "vec_id"
+) -> dict[int, list[float]]:
+    """Deterministic coarse centroids: the ``n_cells`` lowest-id vectors.
+    A production build trains these with KMeans (``train_ivf_kmeans``);
+    the deterministic pick keeps the whole IVF query oracle-checkable."""
+    rows = (
+        embeddings.filter(F.col(id_col) < n_cells)
+        .select(F.col(id_col).alias("cell"), "embedding")
+        .collect()
+    )
+    return {int(r["cell"]): [float(v) for v in r["embedding"]] for r in rows}
+
+
+def train_ivf_kmeans(
+    embeddings: DataFrame, n_cells: int = 16, seed: int = 42, id_col: str = "vec_id"
+) -> dict[int, list[float]]:
+    """KMeans-trained centroids via Spark ML (the scale path: train on a
+    sample, assignment stays map-side).  Engine-seeded -> queries built on
+    these are rows-only checkable, not value-hash."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = embeddings.select(array_to_vector(F.col("embedding").cast("array<double>")).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(vecs)
+    return {i: [float(v) for v in c] for i, c in enumerate(model.clusterCenters())}
+
+
+def ivf_assign(
+    embeddings: DataFrame, centroids: dict[int, list[float]], cell_col: str = "_cell"
+) -> DataFrame:
+    """Nearest-centroid cell id per row, computed entirely map-side: the
+    (small) centroid table is inlined as a literal array-of-structs and the
+    argmax runs as a HOF expression — zero shuffle, scales linearly.  Ties
+    break toward the smaller cell id (negated-cell max trick) to match the
+    oracle's ROW_NUMBER ordering."""
+    cent = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cell"),
+                F.array(*[F.lit(v) for v in vec]).alias("cv"),
+            )
+            for cid, vec in sorted(centroids.items())
+        ]
+    )
+    best = F.array_max(
+        F.transform(
+            cent,
+            lambda c: F.struct(
+                dot(F.col("embedding"), c["cv"]).alias("sim"),
+                (-c["cell"]).alias("negcell"),
+            ),
+        )
+    )
+    return embeddings.withColumn(cell_col, (-best["negcell"]).cast("int"))
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    centroids: dict[int, list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k via IVF: probe the ``n_probe`` cells whose
+    centroids are nearest the query, exact-rerank only their members.
+    Probe-cell selection runs driver-side over the collected centroids
+    (same sequential fold as the engine).  With default deterministic
+    centroids this is fully value-hash oracle-checkable."""
+    cents = centroids or collect_centroids(embeddings, n_cells, id_col)
+    qvec = [
+        [float(v) for v in r["embedding"]]
+        for r in embeddings.filter(F.col(id_col) == query_vec_id)
+        .select("embedding")
+        .collect()
+    ][0]
+    probe = sorted(cents, key=lambda cid: (-_seq_dot(qvec, cents[cid]), cid))[:n_probe]
+    qlit = F.array(*[F.lit(v) for v in qvec])
+    cands = ivf_assign(embeddings, cents).filter(F.col("_cell").isin([int(p) for p in probe]))
+    return (
+        cands.select(id_col, "label", dot("embedding", qlit).alias("_sim"))
+        .orderBy(F.col("_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "label", F.round("_sim", 6).alias("cos_sim"))
+    )
+
+
+# ------------------------------------------------------------------- LSH
 
 
 def _lsh_signature(vec_col, n_planes: int, dim: int):

@@ -133,6 +133,40 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_lsh_topk(emb, query_vec_id=0, k=10)
 
 
+@q(
+    "q_ann_ivf",
+    f"""WITH cent AS (
+         SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 16),
+       qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+       probe AS (
+         SELECT cell FROM cent, qv
+         ORDER BY {_DOT.format(a='cv', b='qv.v')} DESC, cell LIMIT 4),
+       asn AS (
+         SELECT vec_id, cell FROM (
+           SELECT e.vec_id, c.cell,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {_DOT.format(a='e.embedding', b='c.cv')} DESC, c.cell
+                  ) AS rn
+           FROM embeddings e CROSS JOIN cent c) t
+         WHERE rn = 1),
+       cand AS (
+         SELECT e.vec_id, e.label, e.embedding
+         FROM embeddings e JOIN asn USING (vec_id)
+         WHERE asn.cell IN (SELECT cell FROM probe))
+       SELECT vec_id, label,
+              ROUND({_DOT.format(a='embedding', b='qv.v')}, 6) AS cos_sim
+       FROM cand, qv
+       ORDER BY {_DOT.format(a='embedding', b='qv.v')} DESC, vec_id LIMIT 10""",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with deterministic coarse centroids (vec_id < 16): map-side
+    cell assignment, 4-of-16 cell probe, exact rerank — value-hash checked
+    against the identical SQL plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_ivf_topk(emb, query_vec_id=0, k=10, n_cells=16, n_probe=4)
+
+
 # ------------------------------------------------------------------- text
 
 
@@ -251,4 +285,27 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_id").alias("doc_id"),
         F.octet_length("payload").cast("long").alias("n_bytes"),
         F.sha2(F.col("payload"), 256).alias("sha_hex"),
+    )
+
+
+@q(
+    "q_media_frames",
+    """WITH b AS (SELECT doc_id, hex(encode(text)) AS payhex,
+                octet_length(encode(text)) AS n_bytes FROM documents),
+       f AS (
+         SELECT doc_id, CAST(i AS INT) AS frame_idx,
+                substring(payhex, CAST(i AS INT) * 128 + 1, 128) AS frame_hex
+         FROM b, UNNEST(range(0, n_bytes // 64, 4)) AS t(i))
+       SELECT doc_id AS media_id, frame_idx, frame_hex FROM f""",
+)
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over binary payloads (every 4th 64-byte
+    frame), hex-encoded per frame (DuckDB cannot slice BLOBs, so the
+    oracle slices the hex string — 2 chars/byte) — exercises the
+    one-row-to-many-frames mapInPandas fan-out against a pure-SQL oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.documents_as_media(docs)
+    frames = M.frame_sample(media, every_n=4, frame_bytes=64)
+    return frames.select(
+        "media_id", "frame_idx", F.hex(F.col("frame")).alias("frame_hex")
     )
