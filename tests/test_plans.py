@@ -1,0 +1,92 @@
+"""Physical-plan posture tests: pin the execution properties that matter
+at 100 TB, so a regression that silently changes the plan (lost pushdown,
+broadcast flipping to shuffle, extra exchanges) fails CI even though
+results stay correct.
+
+These assert on `.explain`-level artifacts: PushedFilters reaching the
+parquet scan, column-pruned ReadSchema, BroadcastHashJoin for dimension
+tables, TakeOrderedAndProject for top-k, and the exchange budget of the
+indicator pipeline.
+"""
+
+from __future__ import annotations
+
+import re
+
+from trading_etl_python_spark.operators.indicators import indicator_table
+from trading_etl_python_spark.sources.tables import bars, load_table
+from trading_etl_python_spark.suite import QUERIES
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _explain_formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_time_range_filter_pushed_to_scan(spark, sf_dir):
+    plan = _explain_formatted(QUERIES["q_time_range"](spark, sf_dir))
+    scan = plan[plan.index("Scan parquet") :]
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", scan)
+    assert pushed is not None, "no PushedFilters in scan node"
+    assert "time" in pushed.group(1) or "ts" in pushed.group(1), pushed.group(1)
+
+
+def test_doc_profile_prunes_text_column(spark, sf_dir):
+    """Profiling aggregates metadata only — the (wide) text column must
+    not appear in the parquet ReadSchema."""
+    plan = _explain_formatted(QUERIES["q_doc_profile"](spark, sf_dir))
+    read_schema = re.search(r"ReadSchema: (\S+)", plan)
+    assert read_schema and "text" not in read_schema.group(1)
+
+
+def test_join_agg_broadcasts_dimension_tables(spark, sf_dir):
+    """region/nation/supplier/customer are dimension-sized: the revenue
+    join must broadcast them, never shuffle lineitem for them."""
+    plan = _executed(QUERIES["q_join_agg"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the fact table must not be sort-merge-joined against 5-row region
+    assert plan.count("SortMergeJoin") == 0
+
+
+def test_top_orders_uses_take_ordered(spark, sf_dir):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-
+    partition heaps, k rows over the wire) — not a global sort."""
+    plan = _executed(QUERIES["q_top_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_topk_cosine_uses_take_ordered(spark, sf_dir):
+    plan = _executed(QUERIES["q_topk_cosine"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_indicator_pipeline_exchange_budget(spark, sf_dir):
+    """The full 13-indicator table must run in <=3 exchanges: hash(symbol)
+    for the window+recursive stages, hash(symbol, day) for VWAP, plus at
+    most one AQE artifact — NOT one shuffle per indicator."""
+    plan = _executed(indicator_table(bars(spark, sf_dir), warmup=26))
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges <= 3, f"expected <=3 exchanges, got {n_exchanges}:\n{plan[:2000]}"
+
+
+def test_latest_per_key_no_global_sort(spark, sf_dir):
+    """W13 latest-row-per-key must be a partial-agg max_by (map-side
+    combine), not a window sort over the whole table."""
+    plan = _executed(QUERIES["q_latest_per_key"](spark, sf_dir))
+    assert "max_by" in plan or "Window" in plan  # either strategy is fine...
+    # ...but a global (non-partitioned) Sort is not
+    assert not re.search(r"Sort \[[^\]]*\], true", plan.replace("ENSURE_REQUIREMENTS", ""))
+
+
+def test_events_scan_prunes_props_column(spark, sf_dir):
+    """bars() never touches event_type/props — verify the scan schema is
+    pruned to the 4 used columns."""
+    df = bars(spark, sf_dir).select("symbol", "time", "close")
+    plan = _explain_formatted(df)
+    read_schema = re.search(r"ReadSchema: (\S+)", plan)
+    assert read_schema and "props" not in read_schema.group(1)

@@ -188,11 +188,13 @@ def run_replay_pipeline(
     stateful indicators -> foreachBatch idempotent dedup-append into an
     in-memory table.  Returns the collected batch result as a DataFrame.
 
-    The foreachBatch dedup-append reproduces the reference's
-    at-least-once + ON CONFLICT DO NOTHING sink (T4): replays cannot
-    double-insert because the PK (time,symbol) dedup runs per batch
-    against the sink state."""
+    The foreachBatch sink is ``sinks.upsert_ignore`` — the reference's
+    at-least-once + ON CONFLICT DO NOTHING path (T4): replayed batches
+    anti-join against the already-written (time, symbol) keys, so
+    re-delivery never double-inserts, across batches and across restarts."""
     import tempfile
+
+    from ..sinks import upsert_ignore
 
     ev = events_file_stream(spark, sf_dir)
     ticks = ev.select(
@@ -206,7 +208,7 @@ def run_replay_pipeline(
     sink_path = tempfile.mkdtemp(prefix="stream_sink_")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.dropDuplicates(["time", "symbol"]).write.mode("append").parquet(sink_path)
+        upsert_ignore(batch_df, sink_path, keys=("time", "symbol"))
 
     q = (
         out.writeStream.foreachBatch(write_batch)
@@ -215,6 +217,6 @@ def run_replay_pipeline(
         .start()
     )
     q.awaitTermination()
-    res = spark.read.parquet(sink_path).dropDuplicates(["time", "symbol"])
+    res = spark.read.parquet(sink_path).drop("trade_date")
     res.createOrReplaceTempView(out_table)
     return res
