@@ -1,0 +1,93 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from trading_etl_python_spark.operators.temporal import asof_join, session_stats, sessionize
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 12, minute)
+
+
+def test_asof_join_backward_inclusive(spark):
+    quotes = spark.createDataFrame(
+        [(1, _ts(0), 100.0), (1, _ts(10), 101.0), (2, _ts(5), 50.0)],
+        "sym long, time timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [(1, _ts(10), "a"), (1, _ts(12), "b"), (1, _ts(3), "c"), (2, _ts(4), "d")],
+        "sym long, time timestamp, tid string",
+    )
+    out = {
+        r.tid: r.asof_px
+        for r in asof_join(
+            trades, quotes, on="sym", value_cols=("px",), prefix="asof_"
+        ).collect()
+    }
+    assert out["a"] == 101.0  # equal timestamps match (inclusive)
+    assert out["b"] == 101.0
+    assert out["c"] == 100.0
+    assert out["d"] is None  # LEFT: no quote at or before 12:04 for sym 2
+
+
+def test_asof_join_dedups_right_ties(spark):
+    quotes = spark.createDataFrame(
+        [(1, _ts(0), 1.0), (1, _ts(0), 9.0)], "sym long, time timestamp, px double"
+    )
+    trades = spark.createDataFrame([(1, _ts(1), "t")], "sym long, time timestamp, tid string")
+    rows = asof_join(trades, quotes, on="sym", value_cols=("px",)).collect()
+    assert len(rows) == 1
+    assert rows[0].asof_px == 9.0  # deterministic max-value tie-break
+
+
+def test_asof_join_preserves_left_columns_and_count(spark, sf_dir):
+    from trading_etl_python_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    out = asof_join(purchases, clicks, on="user_id", left_time="ts", right_time="ts", value_cols=("value",))
+    assert out.columns == ["event_id", "user_id", "ts", "asof_value"]
+    assert out.count() == purchases.count()  # left join: row-preserving
+
+
+def test_sessionize_gap_boundaries(spark):
+    rows = [
+        (1, 100, _ts(0), 1.0),
+        (1, 101, _ts(29), 1.0),  # 29 min gap -> same session (<= 30)
+        (1, 102, _ts(59), 1.0),  # 30 min gap exactly -> same session
+        (1, 103, _ts(59) + dt.timedelta(minutes=31), 1.0),  # 31 min -> new
+        (2, 104, _ts(0), 1.0),  # separate key -> own session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+    got = {r.event_id: r.session_id for r in sessionize(df, gap_minutes=30).collect()}
+    assert got[100] == got[101] == got[102] == 1
+    assert got[103] == 2
+    assert got[104] == 1
+
+
+def test_session_stats_aggregates(spark):
+    rows = [(1, 1, _ts(0), 2.0), (1, 2, _ts(5), 3.0), (1, 3, _ts(59), 4.0)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+    stats = session_stats(df, gap_minutes=30).collect()
+    by_id = {(r.user_id, r.session_id): r for r in stats}
+    assert by_id[(1, 1)].n_events == 2 and by_id[(1, 1)].sum_value == 5.0
+    assert by_id[(1, 2)].n_events == 1 and by_id[(1, 2)].session_start == _ts(59)
+
+
+def test_asof_join_single_exchange(spark, sf_dir):
+    """The union+last_value plan must shuffle exactly once (hash on the
+    key) — the whole point of not using a range join."""
+    from trading_etl_python_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    plan = (
+        asof_join(purchases, clicks, on="user_id", left_time="ts", right_time="ts", value_cols=("value",))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 2  # tie-dedup window + main window share the exchange
+    assert "Join" not in plan  # no join operator anywhere

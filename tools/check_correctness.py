@@ -51,6 +51,8 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
         sv, ov = s[c].to_numpy(), o[c].to_numpy()
         if sv.dtype.kind == "f":
             eq = (np.isnan(sv.astype(float)) & np.isnan(ov.astype(float))) | (sv == ov)
+        elif sv.dtype.kind == "M":  # datetime64: NaT == NaT counts as equal
+            eq = (np.isnat(sv) & np.isnat(ov)) | (sv == ov)
         else:
             eq = sv == ov
         bad = int((~eq).sum())

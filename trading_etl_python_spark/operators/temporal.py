@@ -1,0 +1,123 @@
+"""Temporal operators Spark lacks as built-ins: as-of join and gap-based
+sessionization (capability extensions beyond the reference, SURVEY.md
+§2.2 — the reference is single-table and has neither; both are core
+trading/clickstream query shapes).
+
+Both are implemented as SINGLE-SHUFFLE window compositions — no join
+operator at all — which is the scale-optimal shape: an as-of join via
+join would need an inequality (range) condition that Spark executes as a
+broadcast-nested-loop or a full sort-merge with range keys; the
+union+last_value formulation is one hash exchange on the key plus a
+per-partition sort, identical cost to a single window aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str = "time",
+    right_time: str = "time",
+    value_cols: tuple[str, ...] = ("value",),
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For every left row, attach the most recent right row of the same
+    key with right.time <= left.time (inclusive — DuckDB/pandas
+    ``merge_asof`` 'backward' semantics).  LEFT-join behavior: left rows
+    with no prior right row get NULLs.
+
+    Plan: tag right=0 / left=1, union, one window
+    ``last(value, ignorenulls=True)`` over (key ORDER BY time, tag) with
+    an unbounded-preceding frame, keep left rows.  One exchange, one
+    sort, no join node.  Right rows are deduplicated per (key, time) by
+    greatest ``_seq`` so ties are deterministic."""
+    lcols = left.columns
+    r = (
+        right.select(
+            F.col(on),
+            F.col(right_time).alias("_t"),
+            F.struct(*[F.col(c) for c in value_cols]).alias("_rv"),
+        )
+        # deterministic tie-break: one right row per (key, time) — max by
+        # the value struct (field-lexicographic, matches the oracle's MAX)
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy(on, "_t").orderBy(F.desc("_rv"))),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("_src", F.lit(0))
+        .withColumn(
+            "_lrow",
+            F.lit(None).cast(T.StructType([left.schema[c] for c in lcols])),
+        )
+    )
+    l = left.select(
+        F.col(on),
+        F.col(left_time).alias("_t"),
+        F.lit(None).cast(r.schema["_rv"].dataType).alias("_rv"),
+        F.lit(1).alias("_src"),
+        F.struct(*[F.col(c) for c in lcols]).alias("_lrow"),
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_t").asc(), F.col("_src").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        r.select(on, "_t", "_rv", "_src", "_lrow")
+        .unionByName(l)
+        .withColumn("_m", F.last("_rv", ignorenulls=True).over(w))
+        .filter(F.col("_src") == 1)
+    )
+    out = matched.select(
+        *[F.col("_lrow")[c].alias(c) for c in lcols],
+        *[F.col("_m")[c].alias(f"{prefix}{c}") for c in value_cols],
+    )
+    return out
+
+
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    time_col: str = "ts",
+    gap_minutes: int = 30,
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the key's previous event exceeds ``gap_minutes``.  Session ids are a
+    running count of session starts per key (1-based) — the classic
+    lag + conditional cumulative-sum window composition, one exchange."""
+    w = Window.partitionBy(key).orderBy(F.col(time_col).asc(), F.col(order_tiebreak).asc())
+    # interval arithmetic, not epoch casts: works for TIMESTAMP_NTZ and is
+    # independent of the session timezone
+    gap = F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")
+    prev = F.lag(time_col).over(w)
+    is_new = F.when(prev.isNull() | (F.col(time_col) - prev > gap), 1).otherwise(0)
+    return events.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    key: str = "user_id",
+    time_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-session rollup: bounds, size, and value sum — the aggregation
+    reuses the sessionize() output in the same keyed distribution."""
+    s = sessionize(events, key, time_col, gap_minutes)
+    return s.groupBy(key, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(time_col).alias("session_start"),
+        F.max(time_col).alias("session_end"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )

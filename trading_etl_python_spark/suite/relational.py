@@ -10,7 +10,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from ..operators import relational as REL
+from ..operators import temporal as TMP
 from ..sources.tables import load_events, load_table
 
 QUERIES = {}
@@ -124,6 +127,80 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return REL.rollup_lineitem(load_table(spark, sf_dir, "lineitem"))
+
+
+@q(
+    "q_cube",
+    """SELECT l_returnflag, l_linestatus,
+         CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+         CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+         ROUND(SUM(l_quantity), 4) AS sum_qty,
+         COUNT(*) AS n_rows
+       FROM lineitem
+       GROUP BY CUBE(l_returnflag, l_linestatus)""",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@q(
+    "q_asof_join",
+    """WITH c AS (
+         SELECT user_id, ts, MAX(value) AS value
+         FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+       p AS (
+         SELECT event_id, user_id, ts, value
+         FROM events WHERE event_type = 'purchase')
+       SELECT p.event_id, p.user_id, p.ts, p.value,
+              c.ts AS asof_ts, c.value AS asof_value
+       FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every purchase gets the user's most recent click at or
+    before it (backward inclusive).  Spark side is the single-shuffle
+    union+last_value plan; oracle is DuckDB's native ASOF JOIN.  The
+    query keeps only matched rows (inner asof) so the hashed output is
+    NULL-free; the operator itself is LEFT (tests cover the NULL path)."""
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return TMP.asof_join(
+        purchases, clicks, on="user_id", left_time="ts", right_time="ts",
+        value_cols=("ts", "value"), prefix="asof_",
+    ).filter(F.col("asof_ts").isNotNull())
+
+
+@q(
+    "q_sessionize",
+    """WITH lagged AS (
+         SELECT user_id, event_id, ts, value,
+                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         FROM events),
+       s AS (
+         SELECT user_id, ts, value,
+                SUM(CASE WHEN prev_ts IS NULL
+                          OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM lagged)
+       SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+              COUNT(*) AS n_events,
+              MIN(ts) AS session_start, MAX(ts) AS session_end,
+              ROUND(SUM(value), 4) AS sum_value
+       FROM s GROUP BY user_id, session_id""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) + per-session rollup."""
+    ev = load_events(spark, sf_dir)
+    return TMP.session_stats(ev, key="user_id", time_col="ts", gap_minutes=30)
 
 
 @q(
