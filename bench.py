@@ -28,6 +28,8 @@ HEADLINE = [
     "q_join_agg",
     "q_window_rank",
     "q_grouping_sets",
+    "q_asof_join",
+    "q_sessionize",
     "q_topk_cosine",
     "q_embed_neardup",
     "q_dedup_exact",
