@@ -1,0 +1,161 @@
+"""Property-based tests (hypothesis) for the numerically-risky kernels.
+
+The numpy recurrence kernels are checked against independent naive
+Python re-implementations on arbitrary series (fast: no Spark); the
+as-of join is checked against pandas.merge_asof on small generated
+frames (one Spark job per example, examples kept low)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from trading_etl_python_spark.operators import recursive as R
+
+prices = st.lists(
+    st.floats(min_value=0.01, max_value=1e6, allow_nan=False, allow_infinity=False),
+    min_size=0,
+    max_size=120,
+)
+
+
+def naive_ema(xs: list[float], n: int) -> list[float]:
+    out = [math.nan] * len(xs)
+    if len(xs) < n:
+        return out
+    a = 2.0 / (n + 1.0)
+    e = sum(xs[:n]) / n
+    out[n - 1] = e
+    for i in range(n, len(xs)):
+        e = a * xs[i] + (1 - a) * e
+        out[i] = e
+    return out
+
+
+@given(prices, st.integers(min_value=2, max_value=30))
+@settings(max_examples=200, deadline=None)
+def test_ema_rec_matches_naive(xs, n):
+    got = R.ema_rec(np.array(xs, dtype=np.float64), n)
+    want = naive_ema(xs, n)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert (math.isnan(g) and math.isnan(w)) or g == pytest_approx(w)
+
+
+def pytest_approx(w, rel=1e-9):
+    import pytest
+
+    return pytest.approx(w, rel=rel, abs=1e-9)
+
+
+@given(prices, st.integers(min_value=2, max_value=20))
+@settings(max_examples=200, deadline=None)
+def test_rsi_bounds_and_warmup(xs, n):
+    got = R.rsi_rec(np.array(xs, dtype=np.float64), n)
+    # NaN for the first n rows (needs n deltas), bounded in [0, 100] after
+    for i, v in enumerate(got):
+        if i < n:
+            assert math.isnan(v)
+        elif not math.isnan(v):
+            assert -1e-9 <= v <= 100.0 + 1e-9
+
+
+@given(prices)
+@settings(max_examples=100, deadline=None)
+def test_true_range_is_nonnegative_and_geq_hl(xs):
+    c = np.array(xs, dtype=np.float64)
+    h, lo = c * 1.02 + 0.01, c * 0.98
+    tr = R.true_range(h, lo, c)
+    assert len(tr) == len(c)
+    assert all(t >= (hh - ll) - 1e-9 for t, hh, ll in zip(tr, h, lo))
+
+
+@given(prices, st.integers(min_value=2, max_value=15))
+@settings(max_examples=100, deadline=None)
+def test_atr_warmup_boundary(xs, n):
+    c = np.array(xs, dtype=np.float64)
+    got = R.atr_rec(c * 1.02, c * 0.98, c, n)
+    for i, v in enumerate(got):
+        assert math.isnan(v) == (i < n - 1) or not math.isnan(v)
+        if i < n - 1:
+            assert math.isnan(v)
+
+
+# --------------------------------------------------------------- asof join
+
+
+asof_frames = st.integers(min_value=1, max_value=6).flatmap(
+    lambda nkeys: st.tuples(
+        st.lists(  # left: (key, minute)
+            st.tuples(st.integers(0, nkeys), st.integers(0, 500)), min_size=1, max_size=30
+        ),
+        st.lists(  # right: (key, minute, value)
+            st.tuples(
+                st.integers(0, nkeys),
+                st.integers(0, 500),
+                st.integers(-1000, 1000),
+            ),
+            min_size=0,
+            max_size=30,
+        ),
+    )
+)
+
+
+@given(asof_frames)
+@settings(max_examples=10, deadline=None)
+def test_asof_join_matches_pandas_merge_asof(spark, data):
+    from trading_etl_python_spark.operators.temporal import asof_join
+
+    left_rows, right_rows = data
+    base = dt.datetime(2024, 1, 1)
+    lpdf = pd.DataFrame(
+        {
+            "k": [k for k, _ in left_rows],
+            "time": [base + dt.timedelta(minutes=m) for _, m in left_rows],
+            "lid": range(len(left_rows)),
+        }
+    )
+    # dedupe right on (k, time) keeping max v — the operator's tie rule
+    rpdf = (
+        pd.DataFrame(
+            {
+                "k": pd.Series([k for k, _, _ in right_rows], dtype="int64"),
+                "time": pd.Series(
+                    [base + dt.timedelta(minutes=m) for _, m, _ in right_rows],
+                    dtype="datetime64[ns]",
+                ),
+                "v": pd.Series([float(v) for _, _, v in right_rows], dtype="float64"),
+            }
+        )
+        .groupby(["k", "time"], as_index=False)
+        .max()
+    )
+    ldf = spark.createDataFrame(lpdf.assign(k=lpdf.k.astype("int64"), lid=lpdf.lid.astype("int64")))
+    rdf = (
+        spark.createDataFrame(rpdf.assign(k=rpdf.k.astype("int64")))
+        if len(rpdf)
+        else spark.createDataFrame([], "k long, time timestamp, v double")
+    )
+    got = {
+        r.lid: r.asof_v
+        for r in asof_join(ldf, rdf, on="k", value_cols=("v",), prefix="asof_").collect()
+    }
+    want_df = pd.merge_asof(
+        lpdf.sort_values("time", kind="mergesort"),
+        rpdf.sort_values("time", kind="mergesort"),
+        on="time",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    want = dict(zip(want_df["lid"], want_df["v"]))
+    assert set(got) == set(want)
+    for lid in want:
+        g, w = got[lid], want[lid]
+        assert (g is None and pd.isna(w)) or g == w, f"lid={lid}: {g} != {w}"

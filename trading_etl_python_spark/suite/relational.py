@@ -204,6 +204,40 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_range_window",
+    """SELECT event_id, user_id, ts, CAST(n_clicks_10m AS BIGINT) AS n_clicks_10m
+       FROM (
+         SELECT event_id, user_id, ts, event_type,
+                SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER (
+                  PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW
+                ) AS n_clicks_10m
+         FROM events) t
+       WHERE event_type = 'purchase'""",
+)
+def q_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range window frame: clicks in the trailing 10 minutes at each
+    purchase.  Spark RANGE frames need a numeric order key -> epoch
+    MICROseconds (not seconds: the frame boundary must live at the same
+    granularity as the oracle's INTERVAL arithmetic or peer groups
+    diverge)."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-600 * 1_000_000, 0)
+    )
+    is_click = F.when(F.col("event_type") == "click", 1).otherwise(0)
+    return (
+        ev.withColumn("n_clicks_10m", F.sum(is_click).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "n_clicks_10m")
+    )
+
+
+@q(
     "q_top_orders",
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
