@@ -37,6 +37,20 @@ def test_replay_matches_batch_warmup_count(spark, sf_dir, replay):
     assert replay.count() == batch.count()
 
 
+def test_restart_with_same_checkpoint_is_idempotent(spark, sf_dir):
+    """Recovery semantics (T4): re-starting the query with the same
+    checkpoint and sink must not duplicate rows — the source is already
+    fully consumed per the checkpoint, and even a replayed batch would be
+    absorbed by the upsert-ignore sink."""
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt, tempfile.TemporaryDirectory(
+        prefix="sink_"
+    ) as sink:
+        first = run_replay_pipeline(spark, sf_dir, ckpt, sink_path=sink).count()
+        assert first > 0
+        second = run_replay_pipeline(spark, sf_dir, ckpt, sink_path=sink).count()
+        assert second == first
+
+
 def test_replay_ema_matches_batch(spark, sf_dir, replay):
     """Streaming EMA values equal the batch applyInPandas EMA on the
     same history (one batch -> no trim effects)."""

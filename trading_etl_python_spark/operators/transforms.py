@@ -30,6 +30,22 @@ def json_decode(df: DataFrame, col: str, schema: T.StructType | str) -> DataFram
     return df.withColumn("_decoded", F.from_json(F.col(col), schema))
 
 
+def json_encode_wire(
+    df: DataFrame,
+    key_col: str = "symbol",
+    payload_cols: tuple[str, ...] = ("symbol", "price", "timestamp", "fetched_at"),
+) -> DataFrame:
+    """S2 — produce-side wire encoding (producer.py:32,89): JSON-serialize
+    the payload struct and key the message by symbol.  Output has exactly
+    the Kafka sink contract columns (``key``/``value`` binary), so
+    ``df.write.format("kafka")`` is a drop-in; keying by symbol preserves
+    the reference's per-key ordering guarantee."""
+    return df.select(
+        F.col(key_col).cast("string").cast("binary").alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in payload_cols])).cast("binary").alias("value"),
+    )
+
+
 def rename_project(df: DataFrame, mapping: dict[str, str], ordered_cols: list[str]) -> DataFrame:
     """P1+P2 — source-schema adaptation (backfill.py:118-128) + ordered
     projection to the storage column order (backfill.py:137)."""

@@ -182,7 +182,11 @@ def events_file_stream(spark: SparkSession, sf_dir: str, max_files: int = 1) -> 
 
 
 def run_replay_pipeline(
-    spark: SparkSession, sf_dir: str, checkpoint_dir: str, out_table: str = "stream_out"
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    out_table: str = "stream_out",
+    sink_path: str | None = None,
 ) -> DataFrame:
     """End-to-end availableNow replay: file source -> tick projection ->
     stateful indicators -> foreachBatch idempotent dedup-append into an
@@ -205,7 +209,7 @@ def run_replay_pipeline(
     ).filter(F.col("close").isNotNull() & F.col("time").isNotNull())
     out = stream_indicators(ticks)
 
-    sink_path = tempfile.mkdtemp(prefix="stream_sink_")
+    sink_path = sink_path or tempfile.mkdtemp(prefix="stream_sink_")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         upsert_ignore(batch_df, sink_path, keys=("time", "symbol"))
