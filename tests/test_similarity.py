@@ -52,6 +52,12 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert approx[0] == 0  # query's own cell is always probed
 
 
+def test_ann_ivf_missing_query_raises(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="query vector"):
+        S.ann_ivf_topk(emb, query_vec_id=10_000_000)
+
+
 def test_train_ivf_kmeans_shape(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").limit(200)
     cents = S.train_ivf_kmeans(emb, n_cells=4)

@@ -31,10 +31,31 @@ def test_write_partitions_by_date(spark, sf_dir, tmp_path):
 def test_upsert_ignore_is_idempotent(spark, sf_dir, tmp_path):
     path = str(tmp_path / "tbl")
     batch = _sample(spark, sf_dir)
-    upsert_ignore(batch, path)
-    n1 = spark.read.parquet(path).count()
-    upsert_ignore(batch, path)  # exact replay: ON CONFLICT DO NOTHING
-    assert spark.read.parquet(path).count() == n1 == 200
+    assert upsert_ignore(batch, path) == 200
+    assert upsert_ignore(batch, path) == 0  # exact replay: ON CONFLICT DO NOTHING
+    assert spark.read.parquet(path).count() == 200
+
+
+def test_upsert_ignore_null_partition_stays_idempotent(spark):
+    """NULL time -> NULL trade_date partition; isin() semantics must not
+    silently drop it from the existing-keys read (it would re-append the
+    same keys on every replay)."""
+    import datetime as dt
+
+    batch_rows = [
+        (dt.datetime(2024, 1, 1, 12), 1, 10.0),
+        (None, 2, 20.0),
+    ]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/tbl"
+        spark_df = lambda: spark.createDataFrame(  # noqa: E731
+            batch_rows, "time timestamp, symbol long, v double"
+        )
+        assert upsert_ignore(spark_df(), path) == 2
+        assert upsert_ignore(spark_df(), path) == 0
+        assert spark.read.parquet(path).count() == 2
 
 
 def test_upsert_ignore_appends_only_new_keys(spark, sf_dir, tmp_path):

@@ -56,6 +56,15 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert got == want
 
 
+def test_salted_join_rejects_dim_preserving_types(spark, sf_dir):
+    import pytest
+
+    ev = load_events(spark, sf_dir).select("event_id", "user_id")
+    dim = ev.select("user_id").distinct()
+    with pytest.raises(ValueError, match="salted_join supports"):
+        SK.salted_join(ev, dim, on="user_id", how="full")
+
+
 def test_skew_stats_orders_by_count(spark, sf_dir):
     ev = load_events(spark, sf_dir)
     rows = SK.skew_stats(ev, "event_type", top=5).collect()

@@ -42,12 +42,12 @@ def test_restart_with_same_checkpoint_is_idempotent(spark, sf_dir):
     checkpoint and sink must not duplicate rows — the source is already
     fully consumed per the checkpoint, and even a replayed batch would be
     absorbed by the upsert-ignore sink."""
-    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt, tempfile.TemporaryDirectory(
-        prefix="sink_"
-    ) as sink:
-        first = run_replay_pipeline(spark, sf_dir, ckpt, sink_path=sink).count()
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        # default sink lives with the checkpoint, so a bare restart with
+        # only the checkpoint dir must also be idempotent
+        first = run_replay_pipeline(spark, sf_dir, ckpt).count()
         assert first > 0
-        second = run_replay_pipeline(spark, sf_dir, ckpt, sink_path=sink).count()
+        second = run_replay_pipeline(spark, sf_dir, ckpt).count()
         assert second == first
 
 

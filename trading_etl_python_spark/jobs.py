@@ -30,17 +30,16 @@ def backfill_job(
     date-partitioned parquet with ON-CONFLICT-DO-NOTHING semantics.
     Returns rows written this run (0 on exact re-run)."""
     table = indicator_table(bars(spark, sf_dir), warmup=warmup)
-    before = _count_if_exists(spark, out_path)
-    upsert_ignore(table, out_path, keys=("time", "symbol"))
-    return _count_if_exists(spark, out_path) - before
+    return upsert_ignore(table, out_path, keys=("time", "symbol"))
 
 
 def latest_indicators_job(spark: SparkSession, table_path: str) -> DataFrame:
     """/latest_price equivalent: most recent indicator row per symbol from
-    the stored table (max_by aggregation, no global sort)."""
+    the stored table (max_by aggregation, no global sort).  Ordered by
+    time alone — the table's PK (time, symbol) guarantees uniqueness."""
     return latest_per_key(
-        spark.read.parquet(table_path).withColumn("event_id", F.monotonically_increasing_id())
-    ).drop("event_id", "trade_date")
+        spark.read.parquet(table_path), order_cols=("time",)
+    ).drop("trade_date")
 
 
 def range_query_job(spark: SparkSession, table_path: str, lo: str, hi: str) -> DataFrame:
@@ -50,14 +49,3 @@ def range_query_job(spark: SparkSession, table_path: str, lo: str, hi: str) -> D
         (F.col("trade_date") >= F.to_date(F.lit(lo)))
         & (F.col("trade_date") <= F.to_date(F.lit(hi)))
     )
-
-
-def _count_if_exists(spark: SparkSession, path: str) -> int:
-    import os
-
-    if not os.path.isdir(path):
-        return 0
-    try:
-        return spark.read.parquet(path).count()
-    except Exception:
-        return 0

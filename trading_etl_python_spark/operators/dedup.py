@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..util import spread
+
 TOKEN_RE = "[^a-z0-9]+"
 
 
@@ -41,8 +43,7 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "d
     Repartitions the (narrow) doc rows first so the explode fans out
     across cores — a single-file corpus scan would otherwise pin the
     whole shingle generation to one task."""
-    npart = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    df = df.select(F.col(id_col), F.col(text_col)).repartition(npart, F.col(id_col))
+    df = spread(df.select(F.col(id_col), F.col(text_col)), id_col)
     toks = tokens_col(text_col)
     df = df.select(F.col(id_col), toks.alias("_toks")).filter(F.size("_toks") >= n)
     grams = F.transform(
@@ -61,7 +62,9 @@ def ngram_jaccard_pairs(
     # keys; collision odds at 64 bits are negligible for any corpus size
     sh = shingles(df, n, text_col, id_col).select(id_col, F.xxhash64("shingle").alias("h"))
     cnt = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    side = sh.join(F.broadcast(cnt), id_col)
+    # NOT force-broadcast: cnt is one row per document (unbounded); let
+    # Catalyst broadcast small corpora and shuffle-join large ones
+    side = sh.join(cnt, id_col)
     a, b = side.alias("a"), side.alias("b")
     # length-ratio prefilter inside the join condition: jaccard >= t forces
     # min(|A|,|B|) >= t*max(|A|,|B|) — provably output-preserving, and it

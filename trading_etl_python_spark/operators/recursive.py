@@ -203,8 +203,9 @@ def _indicator_map(df: DataFrame, out_cols: dict[str, str], fn, repartition: boo
         yield pdf
 
     if repartition:
-        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-        df = df.repartition(n, "symbol")
+        from ..util import spread
+
+        df = spread(df, "symbol")
     return df.mapInPandas(compute, schema=schema)
 
 

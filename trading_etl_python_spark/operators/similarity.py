@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vector import dot
+from ..util import spread
 
 
 def topk_cosine(
@@ -57,12 +58,13 @@ def cosine_pairs_blocked(
 ) -> DataFrame:
     """X2-embedding — near-duplicate vector pairs within a blocking key.
     The block join keeps the pair space at Σ_b |b|^2 instead of N^2."""
-    npart = int(embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     # spread the probe side across cores (single-file scans arrive as one
-    # partition); broadcast the build side — parallelism then scales with
-    # the probe partitioning instead of the (few) block keys
-    a = embeddings.repartition(npart).alias("a")
-    b = F.broadcast(embeddings).alias("b")
+    # partition); the build side is NOT force-broadcast — Catalyst picks
+    # broadcast under autoBroadcastJoinThreshold and falls back to a
+    # shuffle join when the table outgrows it (a mandatory hint would
+    # abort >8GB tables instead of shuffling)
+    a = spread(embeddings).alias("a")
+    b = embeddings.alias("b")
     sim = dot(F.col("a.embedding"), F.col("b.embedding"))
     return (
         a.join(
@@ -164,13 +166,11 @@ def ann_ivf_topk(
     Probe-cell selection runs driver-side over the collected centroids
     (same sequential fold as the engine).  With default deterministic
     centroids this is fully value-hash oracle-checkable."""
-    cents = centroids or collect_centroids(embeddings, n_cells, id_col)
-    qvec = [
-        [float(v) for v in r["embedding"]]
-        for r in embeddings.filter(F.col(id_col) == query_vec_id)
-        .select("embedding")
-        .collect()
-    ][0]
+    cents = centroids if centroids is not None else collect_centroids(embeddings, n_cells, id_col)
+    qrows = embeddings.filter(F.col(id_col) == query_vec_id).select("embedding").collect()
+    if not qrows:
+        raise ValueError(f"query vector {id_col}={query_vec_id} not found")
+    qvec = [float(v) for v in qrows[0]["embedding"]]
     probe = sorted(cents, key=lambda cid: (-_seq_dot(qvec, cents[cid]), cid))[:n_probe]
     qlit = F.array(*[F.lit(v) for v in qvec])
     cands = ivf_assign(embeddings, cents).filter(F.col("_cell").isin([int(p) for p in probe]))

@@ -70,7 +70,17 @@ def salted_join(
 
     ``salt_col`` defaults to a per-partition monotonic id, which is
     deterministic for a fixed input layout; pass a stable data column for
-    layout-independent reproducibility."""
+    layout-independent reproducibility.
+
+    Only fact-preserving join types are salt-safe: with 'right'/'full'
+    (or 'left' from the dim side) an unmatched dim key would surface once
+    PER SALT COPY instead of once."""
+    safe = {"inner", "left", "left_outer", "cross"}
+    if how not in safe:
+        raise ValueError(
+            f"salted_join supports {sorted(safe)}; {how!r} would duplicate "
+            "unmatched dim rows once per salt"
+        )
     salt = (
         F.pmod(F.col(salt_col), F.lit(n_salts))
         if salt_col

@@ -138,15 +138,17 @@ def with_warmup_gate(df: DataFrame, min_rows: int = 26, require_col: str | None 
     return df.filter(cond).drop("_hist")
 
 
-def latest_per_key(df: DataFrame) -> DataFrame:
+def latest_per_key(
+    df: DataFrame, key: str = "symbol", order_cols: tuple[str, ...] = ("time", "event_id")
+) -> DataFrame:
     """W13 — most recent row per symbol (consumer.py:135 ``df.iloc[-1]``;
     the planned /latest_price endpoint, roadmap.md:44).  max_by on a
     packed ordering key: one partial-aggregating shuffle, no full sort —
     at scale this beats the row_number() formulation because the
     map-side combine collapses each partition to one row per key."""
-    ord_key = F.struct(F.col("time"), F.col("event_id"))
-    agg = [F.max_by(F.col(c), ord_key).alias(c) for c in df.columns if c != "symbol"]
-    return df.groupBy("symbol").agg(*agg)
+    ord_key = F.struct(*[F.col(c) for c in order_cols])
+    agg = [F.max_by(F.col(c), ord_key).alias(c) for c in df.columns if c != key]
+    return df.groupBy(key).agg(*agg)
 
 
 def lookback_trim(df: DataFrame, n: int = 60) -> DataFrame:

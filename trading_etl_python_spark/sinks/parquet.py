@@ -28,11 +28,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _table_exists(path: str) -> bool:
+def _table_exists(path: str, partition_col: str) -> bool:
     # local-fs check is sufficient here; an object-store deployment would
     # consult the table catalog instead
     return os.path.isdir(path) and any(
-        name.endswith(".parquet") or name.startswith(("trade_date=", "_SUCCESS"))
+        name.endswith(".parquet") or name.startswith((f"{partition_col}=", "_SUCCESS"))
         for name in os.listdir(path)
     )
 
@@ -65,23 +65,42 @@ def upsert_ignore(
     keys: tuple[str, ...] = ("time", "symbol"),
     partition_col: str = "trade_date",
     time_col: str = "time",
-) -> None:
+) -> int:
     """``INSERT ... ON CONFLICT (keys) DO NOTHING`` onto a date-partitioned
     parquet table (consumer.py:188-206).  Idempotent: re-running the same
     batch appends nothing — the at-least-once replay guarantee (SURVEY.md
-    T4) holds end-to-end.
+    T4) holds end-to-end.  Returns the number of rows appended.
 
     Plan shape: dedup incoming on keys -> read ONLY touched partitions of
     the existing table (partition-pruned by the incoming batch's distinct
-    partition values) -> left-anti join -> append."""
+    partition values, NULL partition handled explicitly — isin() alone
+    would silently drop it) -> left-anti join -> cache -> count + append
+    (the cache keeps the upstream pipeline from executing twice)."""
     spark = df.sparkSession
     incoming = with_partition_col(df, partition_col, time_col).dropDuplicates(list(keys))
-    if _table_exists(path):
+    if _table_exists(path, partition_col):
         touched = [r[0] for r in incoming.select(partition_col).distinct().collect()]
-        existing_keys = (
-            spark.read.parquet(path)
-            .filter(F.col(partition_col).isin(touched))
-            .select(*keys)
+        non_null = [t for t in touched if t is not None]
+        cond = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+        if any(t is None for t in touched):
+            cond = cond | F.col(partition_col).isNull()
+        existing_keys = spark.read.parquet(path).filter(cond).select(
+            *[F.col(k).alias(f"_ex_{k}") for k in keys]
         )
-        incoming = incoming.join(existing_keys, on=list(keys), how="left_anti")
-    incoming.write.mode("append").partitionBy(partition_col).parquet(path)
+        # null-safe key equality: a NULL-keyed row already in the table
+        # must block its replay (plain `=` never matches NULL, which would
+        # re-append it every run); the reference's PK is NOT NULL so this
+        # only matters for generic callers
+        anti_cond = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"_ex_{k}"))
+            anti_cond = c if anti_cond is None else anti_cond & c
+        incoming = incoming.join(existing_keys, on=anti_cond, how="left_anti")
+    incoming = incoming.persist()
+    try:
+        n = incoming.count()
+        if n:
+            incoming.write.mode("append").partitionBy(partition_col).parquet(path)
+        return n
+    finally:
+        incoming.unpersist()

@@ -196,7 +196,7 @@ def run_replay_pipeline(
     at-least-once + ON CONFLICT DO NOTHING path (T4): replayed batches
     anti-join against the already-written (time, symbol) keys, so
     re-delivery never double-inserts, across batches and across restarts."""
-    import tempfile
+    import os
 
     from ..sinks import upsert_ignore
 
@@ -209,7 +209,9 @@ def run_replay_pipeline(
     ).filter(F.col("close").isNotNull() & F.col("time").isNotNull())
     out = stream_indicators(ticks)
 
-    sink_path = sink_path or tempfile.mkdtemp(prefix="stream_sink_")
+    # the sink must live WITH the checkpoint: a restart that reuses the
+    # checkpoint (source already consumed) must also see the rows it wrote
+    sink_path = sink_path or os.path.join(checkpoint_dir, "sink")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         upsert_ignore(batch_df, sink_path, keys=("time", "symbol"))
@@ -221,6 +223,9 @@ def run_replay_pipeline(
         .start()
     )
     q.awaitTermination()
-    res = spark.read.parquet(sink_path).drop("trade_date")
+    if not os.path.isdir(sink_path):  # stream produced no gated rows at all
+        res = spark.createDataFrame([], OUT_SCHEMA)
+    else:
+        res = spark.read.parquet(sink_path).drop("trade_date")
     res.createOrReplaceTempView(out_table)
     return res
