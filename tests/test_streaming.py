@@ -11,7 +11,12 @@ from pyspark.sql import functions as F
 from trading_etl_python_spark.operators import recursive as R
 from trading_etl_python_spark.operators import windows as W
 from trading_etl_python_spark.sources.tables import load_events
-from trading_etl_python_spark.streaming.pipeline import WARMUP, run_replay_pipeline
+from trading_etl_python_spark.streaming.pipeline import (
+    WARMUP,
+    events_file_stream,
+    run_replay_pipeline,
+    stream_windowed_stats,
+)
 
 
 @pytest.fixture(scope="module")
@@ -49,6 +54,59 @@ def test_restart_with_same_checkpoint_is_idempotent(spark, sf_dir):
         assert first > 0
         second = run_replay_pipeline(spark, sf_dir, ckpt).count()
         assert second == first
+
+
+def test_windowed_stats_with_watermark_match_batch(spark, sf_dir):
+    """Append-mode watermarked windows must (a) only contain finalized
+    windows and (b) agree exactly with the batch tumbling aggregation on
+    every emitted window."""
+    with tempfile.TemporaryDirectory(prefix="ckpt_wm_") as ckpt:
+        ticks = events_file_stream(spark, sf_dir).select(
+            F.col("user_id").alias("symbol"), F.col("ts").alias("time"),
+            F.col("value").alias("close"),
+        )
+        q = (
+            stream_windowed_stats(ticks)
+            .writeStream.format("memory")
+            .queryName("wm_out")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        emitted = {
+            (r.win_start, r.symbol): (r.n_ticks, r.avg_close, r.max_close)
+            for r in spark.sql("SELECT * FROM wm_out").collect()
+        }
+
+    ev = load_events(spark, sf_dir)
+    batch_rows = (
+        ev.groupBy(F.window(F.col("ts"), "1 hour").alias("w"), F.col("user_id").alias("symbol"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_v"),
+            F.round(F.max("value"), 4).alias("max_v"),
+        )
+        .collect()
+    )
+    batch = {(r.w.start, r.symbol): (r.n, r.avg_v, r.max_v) for r in batch_rows}
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+
+    assert emitted, "no windows emitted"
+    for key, vals in emitted.items():
+        assert batch[key] == vals  # exact agreement with batch semantics
+    # every window that closed before the final watermark must be present
+    import datetime as dt
+
+    final_wm = max_ts - dt.timedelta(minutes=30)
+    closed = {
+        (ws, sym)
+        for (ws, sym) in batch
+        if ws + dt.timedelta(hours=1) <= final_wm.replace(tzinfo=None)
+    }
+    missing = closed - set(emitted)
+    assert not missing, f"{len(missing)} finalized windows not emitted"
 
 
 def test_replay_ema_matches_batch(spark, sf_dir, replay):

@@ -122,3 +122,28 @@ def doc_fingerprint(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         lambda acc, v: (acc * F.lit(31) + v) % F.lit(1000000007),
     )
     return df.select(id_col, fp.alias("fingerprint"))
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 5, id_col: str = "doc_id") -> DataFrame:
+    """X4 — top-k TF-IDF terms per document.  tf = in-doc term count,
+    idf = ln(N / df) with exact document frequency; deterministic
+    tie-break on the token.  Plan: explode -> two hash aggregations
+    (term-per-doc, then doc-frequency) -> broadcast-size idf join ->
+    per-doc top-k window.  The idf table is one row per distinct token —
+    at corpus scale it exceeds broadcast size and Catalyst shuffles it,
+    which is the correct fallback."""
+    from pyspark.sql import Window
+
+    n_docs = df.count()  # scalar, computed once at plan-build time
+    toks = with_tokens(df).select(id_col, F.explode("_toks").alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "token").withColumn(
+        "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(id_col, "token", F.round("tfidf", 6).alias("tfidf"))
+    )

@@ -161,6 +161,37 @@ def stream_indicators(ticks: DataFrame) -> DataFrame:
     )
 
 
+def stream_windowed_stats(
+    ticks: DataFrame, window: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the canonical Structured
+    Streaming operator, and a strict upgrade over the reference's late-
+    data story (it has none: any tick is applied whenever it arrives,
+    SURVEY.md T3).  Append mode emits a window only once its end falls
+    behind the watermark, so results are final; state is bounded because
+    closed windows are evicted.
+
+    Scale: one shuffle on (window, symbol); state size = open windows x
+    symbols, independent of stream length."""
+    return (
+        ticks.withWatermark("time", watermark)
+        .groupBy(F.window("time", window).alias("w"), "symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.round(F.avg("close"), 4).alias("avg_close"),
+            F.round(F.max("close"), 4).alias("max_close"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "symbol",
+            "n_ticks",
+            "avg_close",
+            "max_close",
+        )
+    )
+
+
 def events_file_stream(spark: SparkSession, sf_dir: str, max_files: int = 1) -> DataFrame:
     """Replay the events parquet as a micro-batched file stream (the
     offline stand-in for the Kafka source, per SURVEY.md §3.3).  The raw

@@ -256,6 +256,48 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.doc_fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+@q(
+    "q_tfidf",
+    f"""WITH tok AS (
+         SELECT doc_id, unnest({TOKS}) AS token FROM documents),
+       tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+       dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+       n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+       s AS (
+         SELECT tf.doc_id, tf.token,
+                tf.tf * ln(n.n / dfreq.df) AS tfidf,
+                ROW_NUMBER() OVER (
+                  PARTITION BY tf.doc_id
+                  ORDER BY tf.tf * ln(n.n / dfreq.df) DESC, tf.token
+                ) AS rn
+         FROM tf JOIN dfreq ON tf.token = dfreq.token, n)
+       SELECT doc_id, token, ROUND(tfidf, 6) AS tfidf FROM s WHERE rn <= 5""",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document with exact document frequencies."""
+    return TX.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=5)
+
+
+@q(
+    "q_group_quantiles",
+    """SELECT l_returnflag,
+         ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+         ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+         ROUND(quantile_cont(l_discount, 0.5), 4) AS p50_discount
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (the exact companion to the
+    sketch-based q_approx_stats): Spark `percentile` and DuckDB
+    `quantile_cont` both use linear interpolation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.expr("percentile(l_discount, 0.5)"), 4).alias("p50_discount"),
+    )
+
+
 # ------------------------------------------------------- approx/multimodal
 
 
