@@ -74,3 +74,29 @@ def test_upsert_ignore_dedups_within_batch(spark, sf_dir, tmp_path):
     batch = _sample(spark, sf_dir, 100)
     upsert_ignore(batch.union(batch), path)  # duplicate keys inside one batch
     assert spark.read.parquet(path).count() == 100
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir):
+    """Two tables bucketed on the same key must join with ZERO exchanges
+    on the fact sides — the write-time bucketing IS the shuffle."""
+    from pyspark.sql import functions as F
+
+    from trading_etl_python_spark.sinks.parquet import write_bucketed
+    from trading_etl_python_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    write_bucketed(ev.select("event_id", "user_id", "value"), "ev_bucketed", "user_id", 8)
+    write_bucketed(
+        ev.select("user_id").distinct().withColumn("grp", F.pmod("user_id", F.lit(3))),
+        "users_bucketed", "user_id", 8,
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+        joined = spark.table("ev_bucketed").join(spark.table("users_bucketed"), "user_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan[:1500]
+        assert joined.count() == ev.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+        spark.sql("DROP TABLE IF EXISTS users_bucketed")

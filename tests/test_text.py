@@ -42,3 +42,32 @@ def test_token_freq_deterministic_topn(spark, sf_dir):
     b = [(r.token, r.cnt) for r in TX.token_freq(docs, 10).collect()]
     assert a == b
     assert len(a) == 10
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing guarantee: two documents sharing a substring of length
+    >= k + w - 1 = 8 must share at least one fingerprint hash."""
+    from trading_etl_python_spark.operators.text import winnow_fingerprints
+
+    shared = "identicalpassageofsometext"
+    docs = spark.createDataFrame(
+        [(1, f"first document AAA {shared} BBB"), (2, f"zzz other {shared} qqq end")],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs, k=5, w=4)
+    h1 = {r.hash for r in fp.filter("doc_id = 1").collect()}
+    h2 = {r.hash for r in fp.filter("doc_id = 2").collect()}
+    assert h1 & h2, "no shared fingerprint for a shared 26-char passage"
+
+
+def test_winnow_disjoint_texts_share_nothing(spark):
+    from trading_etl_python_spark.operators.text import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz"), (2, "0123456789012345678901234567")],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs, k=5, w=4)
+    h1 = {r.hash for r in fp.filter("doc_id = 1").collect()}
+    h2 = {r.hash for r in fp.filter("doc_id = 2").collect()}
+    assert h1 and h2 and not (h1 & h2)

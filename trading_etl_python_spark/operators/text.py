@@ -147,3 +147,49 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, id_col: str = "doc_id") -> DataFr
         .filter(F.col("_rn") <= k)
         .select(id_col, "token", F.round("tfidf", 6).alias("tfidf"))
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame, k: int = 5, w: int = 4, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS):
+    polynomial-hash every character k-gram of the normalized text, slide
+    a w-hash window, keep the window minimum (rightmost on ties), emit
+    the distinct (position, hash) selections.  Guarantees any shared
+    substring of length >= k + w - 1 produces a shared fingerprint —
+    the robust fingerprinting behind plagiarism/near-dup detection.
+
+    Entirely HOF expressions (JVM, one explode + one distinct shuffle);
+    the polynomial hash folds left-to-right mod 1e9+7, which both engines
+    compute identically on ASCII codes (non-alphanumerics are stripped)."""
+    mod = F.lit(1_000_000_007).cast("long")
+    s = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    n_grams = F.length(s) - k + 1
+    hs = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.aggregate(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: F.pmod(
+                acc * F.lit(31) + F.ascii(s.substr(i + j, F.lit(1))).cast("long"),
+                mod,
+            ),
+        ),
+    )
+    df = df.filter(F.length(s) >= k + w - 1).withColumn("_h", hs)
+    win_min = F.transform(
+        F.sequence(F.lit(1), F.size("_h") - w + 1),
+        lambda j: F.aggregate(
+            F.sequence(j + 1, j + w - 1),
+            F.struct(j.alias("p"), F.element_at("_h", j).alias("v")),
+            lambda acc, i: F.when(
+                F.element_at("_h", i) <= acc["v"],
+                F.struct(i.alias("p"), F.element_at("_h", i).alias("v")),
+            ).otherwise(acc),
+        ),
+    )
+    return (
+        df.select(id_col, F.explode(win_min).alias("fp"))
+        .select(id_col, F.col("fp.p").cast("long").alias("pos"), F.col("fp.v").alias("hash"))
+        .distinct()
+    )

@@ -104,3 +104,23 @@ def upsert_ignore(
         return n
     finally:
         incoming.unpersist()
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (SURVEY.md §7.0: co-located joins).  Two
+    tables bucketed by the same key into the same bucket count join
+    WITHOUT a shuffle — the exchange happens once at write time and every
+    downstream join/aggregation on the key rides it for free.  This is
+    the batch analogue of the reference keying its Kafka topic by symbol
+    (producer.py:89) so consumers see per-key locality."""
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table_name)

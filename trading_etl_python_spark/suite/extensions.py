@@ -257,6 +257,33 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_doc_winnow",
+    """WITH norm AS (
+         SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+         FROM documents),
+       g AS (SELECT doc_id, s, length(s) - 4 AS ng FROM norm WHERE length(s) >= 8),
+       hs AS (
+         SELECT doc_id, list_transform(range(1, ng + 1), i ->
+           list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 5), j ->
+             CAST(ord(substring(s, CAST(i + j AS INT), 1)) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007)) AS h
+         FROM g),
+       win AS (
+         SELECT doc_id, unnest(list_transform(range(1, len(h) - 2), j ->
+           list_reduce(
+             list_transform(range(CAST(j AS INT), CAST(j + 4 AS INT)),
+                            i -> {'p': i, 'v': h[i]}),
+             (a, b) -> CASE WHEN b.v <= a.v THEN b ELSE a END))) AS fp
+         FROM hs)
+       SELECT DISTINCT doc_id, CAST(fp.p AS BIGINT) AS pos, fp.v AS hash FROM win""",
+)
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (k=5, w=4): shared substrings >= 8 chars
+    are guaranteed a shared (pos-independent) hash selection."""
+    return TX.winnow_fingerprints(load_table(spark, sf_dir, "documents"), k=5, w=4)
+
+
+@q(
     "q_tfidf",
     f"""WITH tok AS (
          SELECT doc_id, unnest({TOKS}) AS token FROM documents),
