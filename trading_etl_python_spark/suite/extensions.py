@@ -328,6 +328,24 @@ def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------- approx/multimodal
 
 
+@q("q_stream_replay")  # rows-only: stateful streaming is not SQL-expressible
+def q_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Structured Streaming pipeline (SURVEY.md T1-T7) run as an
+    availableNow replay: file micro-batches -> applyInPandasWithState
+    (bounded 60-row keyed buffers) -> warmup-gated indicator rows ->
+    idempotent upsert-ignore sink.  Declared rows-only: the driver checks
+    row count/schema stability; value parity with batch semantics is
+    covered by tests/test_streaming.py."""
+    import tempfile
+
+    from ..streaming.pipeline import run_replay_pipeline
+
+    with tempfile.TemporaryDirectory(prefix="ckpt_q_") as ckpt:
+        out = run_replay_pipeline(spark, sf_dir, ckpt)
+        # materialize before the checkpoint dir vanishes
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
 @q("q_approx_stats")  # rows-only: HLL/quantile sketches are engine-specific
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
