@@ -159,3 +159,40 @@ def test_asof_join_matches_pandas_merge_asof(spark, data):
     for lid in want:
         g, w = got[lid], want[lid]
         assert (g is None and pd.isna(w)) or g == w, f"lid={lid}: {g} != {w}"
+
+
+def naive_sessionize(rows, gap_s=1800):
+    """rows: (key, epoch_s, event_id) -> {(key, event_id): session_id}"""
+    out = {}
+    by_key = {}
+    for k, t, e in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        hist = by_key.setdefault(k, [])
+        if not hist or t - hist[-1][0] > gap_s:
+            sid = (hist[-1][1] + 1) if hist else 1
+        else:
+            sid = hist[-1][1]
+        hist.append((t, sid))
+        out[(k, e)] = sid
+    return out
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20000), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: r[2],
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_sessionize_matches_naive(spark, rows):
+    from trading_etl_python_spark.operators.temporal import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(k, base + dt.timedelta(seconds=t), e, 1.0) for k, t, e in rows],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    got = {(r.user_id, r.event_id): r.session_id for r in sessionize(df, gap_minutes=30).collect()}
+    want = naive_sessionize(rows)
+    assert got == want

@@ -192,6 +192,31 @@ def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_token_count",
+    r"""SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT)
+           AS n_ws_tokens,
+         CAST(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+'))
+           AS BIGINT) AS n_bpe_tokens
+       FROM documents""",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (driver-mandate X4): whitespace split, and
+    a BPE-ish pre-tokenizer regex (letter runs / digit runs / punctuation
+    runs with leading-space absorption, the GPT-2 pre-tokenizer shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    bpe = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(" ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+"), F.lit(0)
+    )
+    return docs.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+@q(
     "q_doc_profile",
     """SELECT lang, source, COUNT(*) AS n_docs,
          ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
