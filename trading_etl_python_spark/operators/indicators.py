@@ -85,10 +85,18 @@ def indicator_table(bars: DataFrame, warmup: int | None = 26) -> DataFrame:
     df = W.with_stoch(df, 14, 3)
     df = W.with_mfi(df, 14)
     df = W.with_obv(df)
+    if warmup is not None:
+        # compute the running history count HERE so it merges into the
+        # first hash(symbol) window stage; gating after VWAP then stays a
+        # pure Filter instead of re-exchanging back to hash(symbol)
+        from pyspark.sql import Window
+
+        whist = W.by_key().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        df = df.withColumn("_hist", F.count(F.lit(1)).over(whist))
     df = with_recursive_suite(df)
     df = W.with_vwap(df)
     if warmup is not None:
-        df = W.with_warmup_gate(df, warmup, "sma_20")
+        df = df.filter((F.col("_hist") >= warmup) & F.col("sma_20").isNotNull())
     return df.select(*FINAL_COLS)
 
 
