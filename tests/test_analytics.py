@@ -1,0 +1,87 @@
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from trading_etl_python_spark.operators import analytics as AN
+from trading_etl_python_spark.operators import relational as REL
+from trading_etl_python_spark.sources.tables import load_table
+
+
+def _bars(spark, rows):
+    """rows: (symbol, time_str, event_id, close)"""
+    return spark.createDataFrame(
+        [(s, t, e, float(c)) for s, t, e, c in rows],
+        "symbol long, time string, event_id long, close double",
+    ).withColumn("time", F.col("time").cast("timestamp"))
+
+
+def test_log_return_golden(spark):
+    df = _bars(
+        spark,
+        [(1, "2024-01-01", 1, 100.0), (1, "2024-01-02", 2, 110.0), (1, "2024-01-03", 3, 99.0)],
+    )
+    out = {r.event_id: r.log_ret for r in AN.with_log_return(df).collect()}
+    assert out[1] is None  # no prior close
+    assert out[2] == round(math.log(110.0 / 100.0), 6)
+    assert out[3] == round(math.log(99.0 / 110.0), 6)
+
+
+def test_rolling_vol_warmup_null_until_n_returns(spark):
+    # 21 bars -> 20 returns; vol_3 needs 3 returns => NULL for rows 1-3
+    rows = [(1, f"2024-01-{d:02d}", d, 100 + d) for d in range(1, 8)]
+    df = AN.with_rolling_vol(AN.with_log_return(_bars(spark, rows)), n=3)
+    got = {r.event_id: r.vol_3 for r in df.collect()}
+    assert got[1] is None and got[2] is None and got[3] is None
+    assert got[4] is not None and got[4] >= 0.0
+
+
+def test_max_drawdown_golden(spark):
+    # peak 120, trough after peak 90 -> max drawdown = 90/120 - 1 = -0.25
+    rows = [(1, f"2024-01-0{i}", i, c) for i, c in enumerate([100, 120, 90, 110], start=1)]
+    out = AN.max_drawdown(_bars(spark, rows)).collect()
+    assert len(out) == 1
+    assert out[0].max_drawdown == -0.25
+    assert out[0].peak_close == 120.0
+    assert out[0].n_bars == 4
+
+
+def test_basket_correlation_perfect_and_inverse(spark):
+    # symbol 2 = 2x symbol 1 (corr +1); symbol 3 = 500 - symbol 1 (corr -1)
+    rows = []
+    for d in range(1, 21):
+        base = 100.0 + d * (1 if d % 2 else 2)  # non-linear so corr is non-degenerate
+        rows += [
+            (1, f"2024-01-{d:02d}", d * 10 + 1, base),
+            (2, f"2024-01-{d:02d}", d * 10 + 2, 2 * base),
+            (3, f"2024-01-{d:02d}", d * 10 + 3, 500.0 - base),
+        ]
+    out = AN.basket_correlation(_bars(spark, rows), basket_max_symbol=50, min_days=15)
+    got = {(r.symbol_a, r.symbol_b): (r.corr_close, r.n_days) for r in out.collect()}
+    assert got[(1, 2)] == (1.0, 20)
+    assert got[(1, 3)] == (-1.0, 20)
+    assert got[(2, 3)] == (-1.0, 20)
+
+
+def test_basket_correlation_min_days_filter(spark):
+    rows = [
+        (1, f"2024-01-{d:02d}", d * 10 + 1, 100.0 + d) for d in range(1, 6)
+    ] + [(2, f"2024-01-{d:02d}", d * 10 + 2, 200.0 + d) for d in range(1, 6)]
+    out = AN.basket_correlation(_bars(spark, rows), basket_max_symbol=50, min_days=15)
+    assert out.count() == 0  # only 5 shared days < 15
+
+
+def test_pivot_row_counts_reconcile(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    wide = REL.pivot_orders_by_priority(orders)
+    total = wide.select(
+        (
+            F.col("n_urgent") + F.col("n_high") + F.col("n_medium")
+            + F.col("n_notspec") + F.col("n_low")
+        ).alias("t")
+    ).agg(F.sum("t")).first()[0]
+    assert total == orders.count()
+    # missing (year, priority) combos are 0, never NULL
+    for c in ("n_urgent", "n_high", "n_medium", "n_notspec", "n_low"):
+        assert wide.filter(F.col(c).isNull()).count() == 0

@@ -1,0 +1,95 @@
+"""Portfolio/risk analytics over the indicator engine's bar streams —
+log returns, rolling volatility, drawdown, cross-symbol correlation.
+
+These extend the reference's per-symbol indicator suite (SURVEY.md §2.1
+W1-W11, `trading-etl-python/src/db/backfill.py:12-64`) with the
+cross-sectional statistics a trading analytics stack needs next; all are
+window/aggregate-native (no UDFs, whole-stage codegen end-to-end).
+
+Scale notes (100 TB posture):
+
+- returns / volatility / drawdown are per-key window expressions: one
+  hash(symbol) exchange, frame state O(lookback), same scale envelope as
+  the indicator table (PLANS.md §1).
+- correlation matrices are inherently quadratic in the number of series,
+  so `basket_correlation` correlates a *chosen basket* (deterministic
+  key predicate), aligned on calendar day. The daily-aggregated basket
+  series is tiny (|basket| x |days|) regardless of tick volume — the
+  heavy lineage is the day-level pre-aggregation, which is one
+  hash(symbol, day) exchange over the full stream; the pair join runs on
+  the reduced table and Catalyst broadcasts it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import windows as W
+
+
+def with_log_return(df: DataFrame, col: str = "close", out: str = "log_ret") -> DataFrame:
+    """ln(close_t / close_{t-1}) per symbol; NULL on each symbol's first row."""
+    w = W.by_key()
+    return df.withColumn(out, F.round(F.log(F.col(col) / F.lag(col, 1).over(w)), 6))
+
+
+def with_rolling_vol(df: DataFrame, n: int = 20, ret_col: str = "log_ret") -> DataFrame:
+    """Rolling sample stddev of log returns over the last ``n`` returns;
+    NULL until ``n`` non-NULL returns exist (min_periods semantics,
+    mirroring the reference's SMA warmup discipline)."""
+    w = W.by_key().rowsBetween(-(n - 1), Window.currentRow)
+    vol = F.when(
+        F.count(ret_col).over(w) >= n, F.round(F.stddev_samp(ret_col).over(w), 6)
+    )
+    return df.withColumn(f"vol_{n}", vol)
+
+
+def with_drawdown(df: DataFrame, col: str = "close") -> DataFrame:
+    """Running peak and drawdown-from-peak (<= 0) per symbol."""
+    w = W.by_key().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    peak = F.max(col).over(w)
+    return df.withColumn("peak", F.round(peak, 4)).withColumn(
+        "drawdown", F.round(F.col(col) / peak - 1.0, 6)
+    )
+
+
+def max_drawdown(df: DataFrame, col: str = "close") -> DataFrame:
+    """Per-symbol maximum drawdown (most negative peak-to-trough)."""
+    dd = with_drawdown(df, col)
+    return dd.groupBy("symbol").agg(
+        F.min("drawdown").alias("max_drawdown"),
+        F.round(F.max("peak"), 4).alias("peak_close"),
+        F.count(F.lit(1)).alias("n_bars"),
+    )
+
+
+def daily_close(df: DataFrame, col: str = "close") -> DataFrame:
+    """Mean close per (symbol, calendar day) — the alignment grid for
+    cross-symbol statistics. One hash(symbol, day) exchange."""
+    return df.groupBy("symbol", F.to_date("time").alias("day")).agg(
+        F.avg(col).alias("close_d")
+    )
+
+
+def basket_correlation(
+    df: DataFrame, basket_max_symbol: int = 50, min_days: int = 15
+) -> DataFrame:
+    """Pearson correlation of day-aligned close series for every pair in
+    a deterministic basket (symbol < ``basket_max_symbol``). Pairs with
+    fewer than ``min_days`` shared days are dropped (corr over a handful
+    of points is noise)."""
+    d = daily_close(df.filter(F.col("symbol") < basket_max_symbol))
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, (F.col("a.day") == F.col("b.day")) & (F.col("a.symbol") < F.col("b.symbol")))
+        .groupBy(
+            F.col("a.symbol").alias("symbol_a"),
+            F.col("b.symbol").alias("symbol_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.corr("a.close_d", "b.close_d"), 4).alias("corr_close"),
+        )
+        .filter(F.col("n_days") >= min_days)
+    )

@@ -125,3 +125,22 @@ def top_orders(orders: DataFrame, k: int = 10) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(k)
     )
+
+
+def pivot_orders_by_priority(orders: DataFrame) -> DataFrame:
+    """Pivot: order counts per year x priority as a wide table.  Pivot
+    values are declared explicitly — Catalyst then plans a single
+    hash aggregation of conditional counts (no extra pass to discover
+    the value set, which at 100 TB would be a full scan of its own)."""
+    priorities = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    wide = (
+        orders.groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .pivot("o_orderpriority", priorities)
+        .agg(F.count(F.lit(1)))
+    )
+    names = ["n_urgent", "n_high", "n_medium", "n_notspec", "n_low"]
+    # a (year, priority) combo with no rows pivots to NULL; conditional
+    # COUNT semantics (and the SQL oracle) say 0
+    zeroed = [F.coalesce(F.col(f"`{p}`"), F.lit(0).cast("long")).alias(n)
+              for p, n in zip(priorities, names)]
+    return wide.select("order_year", *zeroed)

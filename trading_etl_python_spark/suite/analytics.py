@@ -1,0 +1,90 @@
+"""Portfolio/risk analytics queries + DuckDB oracles — log returns,
+rolling volatility, max drawdown, basket correlation
+(operators/analytics.py; extends SURVEY.md §2.1 W1-W11 cross-sectionally).
+
+Parity rules: returns rounded 6dp BEFORE any downstream aggregate (both
+engines), vol 6dp, drawdown 6dp, corr 4dp; round/min/max commute
+(monotone), so oracles use the simpler nesting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import analytics as AN
+from ..sources.tables import bars
+from .core import BARS_CTE, KW
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+RET = f"ROUND(LN(close / LAG(close) OVER ({KW})), 6)"
+
+
+@q(
+    "q_log_returns",
+    f"""WITH {BARS_CTE}
+    SELECT symbol, time, event_id, {RET} AS log_ret FROM bars""",
+)
+def q_log_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AN.with_log_return(bars(spark, sf_dir)).select(
+        "symbol", "time", "event_id", "log_ret"
+    )
+
+
+@q(
+    "q_rolling_vol",
+    f"""WITH {BARS_CTE},
+    r AS (SELECT symbol, time, event_id, {RET} AS log_ret FROM bars)
+    SELECT symbol, time, event_id,
+      CASE WHEN COUNT(log_ret) OVER w >= 20
+           THEN ROUND(STDDEV_SAMP(log_ret) OVER w, 6) END AS vol_20
+    FROM r
+    WINDOW w AS ({KW} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""",
+)
+def q_rolling_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = AN.with_rolling_vol(AN.with_log_return(bars(spark, sf_dir)), 20)
+    return df.select("symbol", "time", "event_id", "vol_20")
+
+
+@q(
+    "q_drawdown",
+    f"""WITH {BARS_CTE},
+    d AS (SELECT symbol, close,
+            MAX(close) OVER ({KW} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+          FROM bars)
+    SELECT symbol,
+      ROUND(MIN(close / peak - 1.0), 6) AS max_drawdown,
+      ROUND(MAX(peak), 4) AS peak_close,
+      COUNT(*) AS n_bars
+    FROM d GROUP BY symbol""",
+)
+def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AN.max_drawdown(bars(spark, sf_dir))
+
+
+@q(
+    "q_symbol_corr",
+    f"""WITH {BARS_CTE},
+    d AS (SELECT symbol, CAST(time AS DATE) AS day, AVG(close) AS close_d
+          FROM bars WHERE symbol < 50 GROUP BY symbol, CAST(time AS DATE))
+    SELECT a.symbol AS symbol_a, b.symbol AS symbol_b,
+           COUNT(*) AS n_days,
+           ROUND(CORR(a.close_d, b.close_d), 4) AS corr_close
+    FROM d a JOIN d b ON a.day = b.day AND a.symbol < b.symbol
+    GROUP BY a.symbol, b.symbol
+    HAVING COUNT(*) >= 15""",
+)
+def q_symbol_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AN.basket_correlation(bars(spark, sf_dir), basket_max_symbol=50, min_days=15)

@@ -244,3 +244,18 @@ def q_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return REL.top_orders(load_table(spark, sf_dir, "orders"), 10)
+
+
+@q(
+    "q_pivot",
+    """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+         COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+         COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+         COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium,
+         COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+         COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low
+       FROM orders GROUP BY YEAR(o_orderdate)""",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide conditional-count pivot (declared value set -> single agg pass)."""
+    return REL.pivot_orders_by_priority(load_table(spark, sf_dir, "orders"))
