@@ -39,6 +39,8 @@ HEADLINE = [
     "q_vwap",
     "q_stoch",
     "q_rsi",
+    "q_drawdown",
+    "q_symbol_corr",
 ]
 
 
@@ -69,10 +71,10 @@ def main() -> None:
     )
 
     def timed(make_df) -> float:
-        # best-of-2: report steady-state, not scheduler/GC noise (each run
+        # best-of-3: report steady-state, not scheduler/GC noise (each run
         # still scans parquet end-to-end; nothing is cached between runs)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             consume(make_df())
             best = min(best, time.time() - t0)
