@@ -130,3 +130,24 @@ def test_replay_ema_matches_batch(spark, sf_dir, replay):
             r.symbol,
             r.event_id,
         )
+
+
+def test_transform_with_state_matches_group_state(spark, sf_dir, replay):
+    """The transformWithStateInPandas runtime (RocksDB typed state) must
+    emit exactly the rows the applyInPandasWithState path emits.
+
+    Spark's transformWithState Python driver worker imports protobuf,
+    which this container does not ship -> skipped where unavailable (the
+    operator itself is import-clean; see pipeline.stream_indicators_tws).
+    """
+    import tempfile
+
+    pytest.importorskip("google.protobuf")
+
+    with tempfile.TemporaryDirectory(prefix="ckpt_tws_") as ckpt:
+        tws = run_replay_pipeline(
+            spark, sf_dir, ckpt, out_table="stream_out_tws", api="transformWithState"
+        )
+        cols = ["symbol", "event_id", "close", "sma_20", "ema_20", "rsi_14"]
+        assert tws.count() == replay.count()
+        assert tws.select(*cols).exceptAll(replay.select(*cols)).count() == 0

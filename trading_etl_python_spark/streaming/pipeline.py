@@ -34,6 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.streaming import StatefulProcessor
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators import recursive as R
@@ -117,15 +118,12 @@ def _indicators_from_buffer(
     return emit
 
 
-def _stateful_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (sym,) = key
-    if state.exists:
-        times, eids, closes = state.get
-        times, eids, closes = list(times), list(eids), list(closes)
-    else:
-        times, eids, closes = [], [], []
+def _advance_buffer(
+    buf: tuple[list, list, list], pdfs: Iterator[pd.DataFrame]
+) -> tuple[tuple[list, list, list], int]:
+    """Append this micro-batch's ticks (sorted by time,event_id) to the
+    per-symbol buffer; returns the grown buffer and the new-row count."""
+    times, eids, closes = buf
     n_new = 0
     for pdf in pdfs:
         pdf = pdf.sort_values(["time", "event_id"], kind="mergesort")
@@ -133,6 +131,19 @@ def _stateful_fn(
         eids.extend(int(x) for x in pdf["event_id"])
         closes.extend(float(x) for x in pdf["close"])
         n_new += len(pdf)
+    return (times, eids, closes), n_new
+
+
+def _stateful_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (sym,) = key
+    if state.exists:
+        times, eids, closes = state.get
+        buf = (list(times), list(eids), list(closes))
+    else:
+        buf = ([], [], [])
+    (times, eids, closes), n_new = _advance_buffer(buf, pdfs)
     if n_new:
         out = _indicators_from_buffer(
             sym, np.array(times), np.array(eids), np.array(closes, dtype=np.float64), n_new
@@ -158,6 +169,49 @@ def stream_indicators(ticks: DataFrame) -> DataFrame:
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+class _IndicatorProcessor(StatefulProcessor):
+    """StatefulProcessor for ``transformWithStateInPandas`` — Spark 4's
+    typed-state API (the engine-managed successor to GroupState): state
+    lives in the RocksDB state store as a named ValueState, so per-key
+    buffers spill to disk and snapshot into the checkpoint instead of
+    living on the JVM heap.  Same tick buffer + gate semantics as
+    ``_stateful_fn`` (consumer.py:35-39,162-173)."""
+
+    def init(self, handle) -> None:
+        self._buf = handle.getValueState("buf", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        (sym,) = key
+        prev = self._buf.get() if self._buf.exists() else None
+        buf = (list(prev[0]), list(prev[1]), list(prev[2])) if prev else ([], [], [])
+        (times, eids, closes), n_new = _advance_buffer(buf, rows)
+        if n_new:
+            yield _indicators_from_buffer(
+                sym, np.array(times), np.array(eids), np.array(closes, dtype=np.float64), n_new
+            )
+            self._buf.update((times[-LOOKBACK:], eids[-LOOKBACK:], closes[-LOOKBACK:]))
+
+    def close(self) -> None:
+        pass
+
+
+def stream_indicators_tws(ticks: DataFrame) -> DataFrame:
+    """``stream_indicators`` on the transformWithStateInPandas runtime.
+    Requires the RocksDB state store provider (set by the runner); output
+    rows are identical to the applyInPandasWithState path.
+
+    Runtime note: Spark's transformWithState Python driver worker needs
+    the ``protobuf`` package at stream start; environments without it
+    (like this repo's test container) should use ``stream_indicators``
+    — the parity test skips itself accordingly."""
+    return ticks.groupBy("symbol").transformWithStateInPandas(
+        statefulProcessor=_IndicatorProcessor(),
+        outputStructType=OUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
     )
 
 
@@ -218,6 +272,7 @@ def run_replay_pipeline(
     checkpoint_dir: str,
     out_table: str = "stream_out",
     sink_path: str | None = None,
+    api: str = "applyInPandasWithState",
 ) -> DataFrame:
     """End-to-end availableNow replay: file source -> tick projection ->
     stateful indicators -> foreachBatch idempotent dedup-append into an
@@ -238,7 +293,18 @@ def run_replay_pipeline(
         "event_id",
         F.col("value").alias("close"),
     ).filter(F.col("close").isNotNull() & F.col("time").isNotNull())
-    out = stream_indicators(ticks)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    if api == "transformWithState":
+        # transformWithState requires the RocksDB state store (read at
+        # query start; restored after the run below)
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        out = stream_indicators_tws(ticks)
+    else:
+        out = stream_indicators(ticks)
 
     # the sink must live WITH the checkpoint: a restart that reuses the
     # checkpoint (source already consumed) must also see the rows it wrote
@@ -247,13 +313,20 @@ def run_replay_pipeline(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         upsert_ignore(batch_df, sink_path, keys=("time", "symbol"))
 
-    q = (
-        out.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            out.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if api == "transformWithState":
+            if prev_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev_provider)
     if not os.path.isdir(sink_path):  # stream produced no gated rows at all
         res = spark.createDataFrame([], OUT_SCHEMA)
     else:
