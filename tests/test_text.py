@@ -71,3 +71,23 @@ def test_winnow_disjoint_texts_share_nothing(spark):
     h1 = {r.hash for r in fp.filter("doc_id = 1").collect()}
     h2 = {r.hash for r in fp.filter("doc_id = 2").collect()}
     assert h1 and h2 and not (h1 & h2)
+
+
+def test_curate_corpus_stage_policies(spark):
+    """Each curation stage drops exactly what its policy says: low
+    quality, exact duplicate (higher id), near duplicate (higher id)."""
+    from trading_etl_python_spark.operators.curation import curate_corpus
+
+    base = ("the cat sat of a mat and to in is " * 12).strip()  # high quality, 120 tokens
+    near = base + " extra"  # one appended token -> jaccard ~0.9 vs base
+    rows = [
+        (1, base, "en", "web"),
+        (2, base, "en", "web"),          # exact dup of 1 -> dropped
+        (3, near, "en", "web"),          # near dup of 1 -> dropped
+        (4, "zzz qqq", "en", "web"),     # low quality -> dropped
+        (5, "a completely different story about ships and the open sea "
+            "told in many plain short words over and over " * 3, "en", "book"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    kept = sorted(r.doc_id for r in curate_corpus(docs).collect())
+    assert kept == [1, 5]

@@ -85,9 +85,10 @@ def lang_id(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "lang", pred.alias("pred_lang"), "h_en", "h_es", "h_de", "h_fr")
 
 
-def quality_score(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def quality_score(df: DataFrame, id_col: str = "doc_id", keep: tuple[str, ...] = ()) -> DataFrame:
     """X4 — document quality score: length, lexical diversity, stopword
-    ratio (the classic pre-training corpus filters)."""
+    ratio (the classic pre-training corpus filters).  ``keep`` carries
+    extra columns through (e.g. text/lang/source for pipeline stages)."""
     df = with_tokens(df)
     n_tok = F.size("_toks").cast("double")
     n_dis = F.size(F.array_distinct("_toks")).cast("double")
@@ -99,6 +100,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
     return df.select(
         id_col,
+        *keep,
         F.size("_toks").cast("long").alias("n_tokens"),
         F.round(score, 6).alias("quality"),
     )

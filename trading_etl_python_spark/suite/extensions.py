@@ -421,3 +421,49 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "media_id", "frame_idx", F.hex(F.col("frame")).alias("frame_hex")
     )
+
+
+@q(
+    "q_corpus_pipeline",
+    f"""WITH m AS (
+         SELECT doc_id, text, lang, source,
+           CAST(len({TOKS}) AS DOUBLE) AS n_tok,
+           CAST(len(list_distinct({TOKS})) AS DOUBLE) AS n_dis,
+           CAST(len(list_filter({TOKS},
+                t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) AS n_stop
+         FROM documents),
+       scored AS (
+         SELECT doc_id, text, lang, source, CAST(n_tok AS BIGINT) AS n_tokens,
+           ROUND(0.4 * LEAST(n_tok / 100.0, 1.0)
+               + 0.3 * (n_dis / NULLIF(n_tok, 0.0))
+               + 0.3 * LEAST(n_stop / NULLIF(0.1 * n_tok, 0.0), 1.0), 6) AS quality
+         FROM m),
+       kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+       uniq AS (
+         SELECT doc_id, text, lang, source, n_tokens, quality FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+           FROM kept) t WHERE rn = 1),
+       tok AS (SELECT doc_id, {TOKS} AS toks FROM uniq),
+       sh AS (
+         SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+         FROM tok, UNNEST(range(1, len(toks) - 1)) AS t(i)
+         WHERE len(toks) >= 3),
+       cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       pairs AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       losers AS (
+         SELECT DISTINCT doc_b FROM pairs
+         JOIN cnt ca ON ca.doc_id = doc_a
+         JOIN cnt cb ON cb.doc_id = doc_b
+         WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.8)
+       SELECT doc_id, lang, source, n_tokens, quality
+       FROM uniq WHERE doc_id NOT IN (SELECT doc_b FROM losers)""",
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline: quality filter -> exact dedup ->
+    near-dup removal, as ONE lazy plan (operators/curation.py)."""
+    from ..operators.curation import curate_corpus
+
+    return curate_corpus(load_table(spark, sf_dir, "documents"))
