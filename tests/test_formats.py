@@ -1,0 +1,58 @@
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from trading_etl_python_spark.sources import formats as FMT
+from trading_etl_python_spark.sources.tables import load_events, load_table
+
+
+def _same_rows(a, b, key):
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, key
+
+
+def test_documents_csv_roundtrip(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory(prefix="csv_") as d:
+        FMT.write_csv(docs, d)
+        back = FMT.read_csv(spark, d, "documents")
+        assert back.schema == FMT.CSV_SCHEMAS["documents"]
+        _same_rows(docs, back, "documents/csv")
+
+
+def test_events_jsonl_roundtrip(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    with tempfile.TemporaryDirectory(prefix="jsonl_") as d:
+        FMT.write_jsonl(ev, d)
+        back = FMT.read_jsonl(spark, d, "events")
+        _same_rows(
+            ev.select("event_id", "user_id", "event_type", "value", "ts"),
+            back.select("event_id", "user_id", "event_type", "value", "ts"),
+            "events/jsonl",
+        )
+
+
+def test_csv_reader_does_no_inference_pass(spark, sf_dir):
+    """The declared-schema read must not trigger an inference scan: the
+    returned schema is exactly the canonical one even on an empty dir."""
+    with tempfile.TemporaryDirectory(prefix="csv_empty_") as d:
+        df = FMT.read_csv(spark, d, "events")
+        assert df.schema == FMT.CSV_SCHEMAS["events"]
+        assert df.count() == 0
+
+
+def test_malformed_jsonl_rows_become_nulls(spark):
+    """T7 error isolation: a bad line yields NULL fields, not a crash."""
+    import os
+
+    with tempfile.TemporaryDirectory(prefix="jsonl_bad_") as d:
+        with open(os.path.join(d, "part.json"), "w") as f:
+            f.write('{"event_id": 1, "user_id": 2, "value": 3.5}\n')
+            f.write("this is not json\n")
+            f.write('{"event_id": 4, "user_id": 5, "value": 6.5}\n')
+        back = FMT.read_jsonl(spark, d, "events")
+        assert back.count() == 3
+        assert back.filter(F.col("event_id").isNull()).count() == 1
+        assert back.filter(F.col("event_id").isNotNull()).count() == 2

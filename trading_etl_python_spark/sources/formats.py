@@ -1,0 +1,87 @@
+"""Alternate source formats — CSV and JSON-lines readers with DECLARED
+schemas, plus matching writers for round-trip interchange.
+
+The reference hand-declares its schema at every hop and never infers
+(SURVEY.md §1.3; wire parse at consumer.py:146-149, column projection at
+backfill.py:137).  These adapters follow the same discipline: every read
+takes an explicit ``StructType``, so a malformed file surfaces as NULL
+columns (PERMISSIVE, T7 error isolation) rather than a silently-wrong
+inferred schema — and, at scale, schema inference's extra full scan of
+the data never happens.
+
+Scale notes: CSV/JSONL are row-oriented interchange formats — fine as
+ingest edges, wrong as the analytical store.  ``to_parquet_table`` is
+the landing step (columnar, partition-pruned, statistics) that every
+pipeline should run before heavy queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# canonical wire schemas for the tables that commonly arrive as flat files
+CSV_SCHEMAS: dict[str, T.StructType] = {
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+}
+
+
+def read_csv(spark: SparkSession, path: str, table: str) -> DataFrame:
+    """CSV scan with the declared schema — no inference pass, malformed
+    rows produce NULLs (PERMISSIVE) for the caller's null_filter."""
+    schema = CSV_SCHEMAS[table]
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+# default NTZ JSON format truncates to milliseconds; timestamps here are
+# microsecond-precision end-to-end (see session docstring), so pin it
+_TS_NTZ_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
+def read_jsonl(spark: SparkSession, path: str, table: str) -> DataFrame:
+    """JSON-lines scan with the declared schema.  Spark's json source is
+    schema-first here too: no sampling pass, unknown fields dropped,
+    missing fields NULL."""
+    schema = CSV_SCHEMAS[table]
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("timestampNTZFormat", _TS_NTZ_FMT)
+        .json(path)
+    )
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").option("timestampNTZFormat", _TS_NTZ_FMT).json(path)
+
+
+def to_parquet_table(df: DataFrame, path: str) -> None:
+    """Land an ingest-edge frame as the columnar analytical store."""
+    df.write.mode("overwrite").parquet(path)
