@@ -91,3 +91,24 @@ def test_asof_join_single_exchange(spark, sf_dir):
     )
     assert plan.count("Exchange hashpartitioning") <= 2  # tie-dedup window + main window share the exchange
     assert "Join" not in plan  # no join operator anywhere
+
+
+def test_candles_golden(spark):
+    from trading_etl_python_spark.operators.temporal import candles
+
+    rows = [
+        # symbol 1, one day: open=first by time, close=last, high/low across
+        (1, "2024-01-01 09:00:00", 10.0, 12.0, 9.0, 10.5, 100),
+        (1, "2024-01-01 15:00:00", 10.6, 13.0, 10.0, 11.0, 200),
+        (1, "2024-01-02 09:00:00", 11.0, 11.5, 10.5, 11.2, 50),
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol long, time string, open double, high double, low double, close double, volume long"
+    ).selectExpr("symbol", "CAST(time AS TIMESTAMP) AS time", "open", "high", "low", "close", "volume")
+    got = {str(r.bucket_start): r for r in candles(df, "1 day").collect()}
+    d1 = got["2024-01-01 00:00:00"]
+    assert (d1.open_px, d1.high_px, d1.low_px, d1.close_px, d1.volume, d1.n_ticks) == (
+        10.0, 13.0, 9.0, 11.0, 300, 2
+    )
+    d2 = got["2024-01-02 00:00:00"]
+    assert (d2.open_px, d2.close_px, d2.n_ticks) == (11.0, 11.2, 1)

@@ -121,3 +121,34 @@ def session_stats(
         F.max(time_col).alias("session_end"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+def candles(df: DataFrame, bucket: str = "1 day") -> DataFrame:
+    """OHLCV downsample: ticks/bars -> one candle per (symbol, bucket) —
+    the hypertable continuous-aggregate / rollup shape (TimescaleDB's
+    planned role in the reference, src/db/setup.py:92-98).
+
+    One hash(symbol, bucket) aggregation, fully map-side-combinable:
+    min_by/max_by carry (value, key) pairs through partial aggregation,
+    so no window sort and no per-bucket row materialization — the
+    scale-optimal shape for "resample 100 TB of ticks to daily bars".
+    Requires a deterministic intra-key order: ``time`` must be unique
+    per symbol (true for the events table; enforce upstream with
+    upsert_ignore on (symbol, time))."""
+    w = F.window("time", bucket)
+    return (
+        df.groupBy("symbol", w.alias("w"))
+        .agg(
+            F.min_by("open", "time").alias("open_px"),
+            F.max("high").alias("high_px"),
+            F.min("low").alias("low_px"),
+            F.max_by("close", "time").alias("close_px"),
+            F.sum("volume").alias("volume"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            "symbol",
+            F.col("w.start").alias("bucket_start"),
+            "open_px", "high_px", "low_px", "close_px", "volume", "n_ticks",
+        )
+    )

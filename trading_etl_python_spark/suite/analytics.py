@@ -88,3 +88,22 @@ def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_symbol_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AN.basket_correlation(bars(spark, sf_dir), basket_max_symbol=50, min_days=15)
+
+
+@q(
+    "q_candles",
+    f"""WITH {BARS_CTE}
+    SELECT symbol, CAST(CAST(time AS DATE) AS TIMESTAMP) AS bucket_start,
+      arg_min(open, time) AS open_px,
+      MAX(high) AS high_px,
+      MIN(low) AS low_px,
+      arg_max(close, time) AS close_px,
+      CAST(SUM(volume) AS BIGINT) AS volume,
+      COUNT(*) AS n_ticks
+    FROM bars GROUP BY symbol, CAST(time AS DATE)""",
+)
+def q_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLCV candles from the tick stream (hypertable rollup)."""
+    from ..operators.temporal import candles
+
+    return candles(bars(spark, sf_dir), "1 day")
