@@ -91,3 +91,36 @@ def test_events_scan_prunes_props_column(spark, sf_dir):
     plan = _explain_formatted(df)
     read_schema = re.search(r"ReadSchema: (\S+)", plan)
     assert read_schema and "props" not in read_schema.group(1)
+
+
+def test_candles_single_exchange_no_sort(spark, sf_dir):
+    """The candle rollup must be ONE partial-aggregated hash aggregation:
+    one exchange, no Window operator, no Sort (min_by/max_by carry the
+    open/close through map-side combine)."""
+    plan = _executed(QUERIES["q_candles"](spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:2000]
+    assert "Window" not in plan and "Sort " not in plan, plan[:2000]
+
+
+def test_basket_correlation_broadcasts_pair_join(spark, sf_dir):
+    """The pair join runs on the day-aggregated (tiny) table -> must be
+    broadcast, never a SortMergeJoin of the raw stream."""
+    df = QUERIES["q_symbol_corr"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()  # let AQE finalize
+    plan = _executed(df)
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_corpus_pipeline_quality_filter_is_map_side(spark, sf_dir):
+    """The quality predicate must run in the SCAN stage (stage order is
+    the optimization: filter -> dedup -> near-dup): walking down from
+    each quality Filter to its parquet scan must cross no Exchange."""
+    lines = _executed(QUERIES["q_corpus_pipeline"](spark, sf_dir)).splitlines()
+    filter_rows = [i for i, ln in enumerate(lines) if "Filter" in ln and "0.5" in ln]
+    assert filter_rows, "quality filter not found in plan"
+    for i in filter_rows:
+        for ln in lines[i + 1 :]:
+            if "Exchange" in ln:
+                raise AssertionError(f"Exchange between quality filter and scan:\n{lines[i]}")
+            if "Scan parquet" in ln or "FileScan" in ln:
+                break
