@@ -85,3 +85,20 @@ def test_pivot_row_counts_reconcile(spark, sf_dir):
     # missing (year, priority) combos are 0, never NULL
     for c in ("n_urgent", "n_high", "n_medium", "n_notspec", "n_low"):
         assert wide.filter(F.col(c).isNull()).count() == 0
+
+
+def test_basket_beta_proportional_returns(spark):
+    """symbol 2's log returns are exactly 2x symbol 1's -> beta_2 = 2*beta_1,
+    and equal-weight betas average to 1 (cov is linear in its first arg)."""
+    import math
+
+    rows = []
+    for d in range(1, 25):
+        x = 0.01 * (d % 5 - 2) * d  # non-monotonic, non-degenerate
+        rows.append((1, f"2024-01-{d:02d}", d * 10 + 1, math.exp(x)))
+        rows.append((2, f"2024-01-{d:02d}", d * 10 + 2, math.exp(2 * x)))
+    df = _bars(spark, rows)
+    got = {r.symbol: r.beta for r in AN.basket_beta(df, 50, min_days=15).collect()}
+    assert abs(got[1] + got[2] - 2.0) < 1e-3        # betas average to 1
+    assert abs(got[2] - 2.0 * got[1]) < 1e-3        # linearity
+    assert got[2] > got[1]

@@ -151,3 +151,52 @@ def test_transform_with_state_matches_group_state(spark, sf_dir, replay):
         cols = ["symbol", "event_id", "close", "sma_20", "ema_20", "rsi_14"]
         assert tws.count() == replay.count()
         assert tws.select(*cols).exceptAll(replay.select(*cols)).count() == 0
+
+
+def test_stream_candles_match_batch(spark, sf_dir):
+    """Every candle the stream emits (closed windows only, append mode)
+    must equal the batch rollup of the same ticks."""
+    with tempfile.TemporaryDirectory(prefix="ckpt_candle_") as ckpt:
+        from trading_etl_python_spark.streaming.pipeline import stream_candles
+
+        ticks = events_file_stream(spark, sf_dir).select(
+            F.col("user_id").alias("symbol"), F.col("ts").alias("time"),
+            F.col("value").alias("close"),
+        )
+        q = (
+            stream_candles(ticks)
+            .writeStream.format("memory")
+            .queryName("candle_out")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        emitted = {
+            (r.symbol, r.bucket_start): (r.open_px, r.high_px, r.low_px, r.close_px, r.n_ticks)
+            for r in spark.sql("SELECT * FROM candle_out").collect()
+        }
+        assert emitted, "stream emitted no closed candles"
+
+        from trading_etl_python_spark.sources.tables import load_events
+
+        ev = load_events(spark, sf_dir)
+        batch = (
+            ev.groupBy(F.col("user_id").alias("symbol"), F.window("ts", "1 hour").alias("w"))
+            .agg(
+                F.min_by("value", "ts").alias("open_px"),
+                F.max("value").alias("high_px"),
+                F.min("value").alias("low_px"),
+                F.max_by("value", "ts").alias("close_px"),
+                F.count(F.lit(1)).alias("n_ticks"),
+            )
+            .select("symbol", F.col("w.start").alias("bucket_start"),
+                    "open_px", "high_px", "low_px", "close_px", "n_ticks")
+        )
+        expect = {
+            (r.symbol, r.bucket_start): (r.open_px, r.high_px, r.low_px, r.close_px, r.n_ticks)
+            for r in batch.collect()
+        }
+        for k, v in emitted.items():
+            assert expect[k] == v, k

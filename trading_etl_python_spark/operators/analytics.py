@@ -93,3 +93,33 @@ def basket_correlation(
         )
         .filter(F.col("n_days") >= min_days)
     )
+
+
+def basket_beta(
+    df: DataFrame, basket_max_symbol: int = 50, min_days: int = 15
+) -> DataFrame:
+    """CAPM beta of each basket symbol against the equal-weight basket
+    "market": beta_i = covar_samp(r_i, r_m) / var_samp(r_m) over
+    day-aligned daily log returns.
+
+    Same scale shape as ``basket_correlation``: all heavy lineage is the
+    one hash(symbol, day) pre-aggregation; returns, the per-day market
+    average, and the final per-symbol moments all run on the tiny
+    |basket| x |days| grid."""
+    d = daily_close(df.filter(F.col("symbol") < basket_max_symbol))
+    wd = Window.partitionBy("symbol").orderBy("day")
+    r = d.withColumn(
+        "r", F.round(F.log(F.col("close_d") / F.lag("close_d", 1).over(wd)), 6)
+    ).filter(F.col("r").isNotNull())
+    mkt = r.groupBy("day").agg(F.round(F.avg("r"), 6).alias("r_mkt"))
+    return (
+        r.join(mkt, "day")
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(
+                F.covar_samp("r", "r_mkt") / F.nullif(F.var_samp("r_mkt"), F.lit(0.0)), 4
+            ).alias("beta"),
+        )
+        .filter(F.col("n_days") >= min_days)
+    )

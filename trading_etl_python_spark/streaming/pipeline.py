@@ -333,3 +333,30 @@ def run_replay_pipeline(
         res = spark.read.parquet(sink_path).drop("trade_date")
     res.createOrReplaceTempView(out_table)
     return res
+
+
+def stream_candles(
+    ticks: DataFrame, window: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming OHLC candles — the same rollup as the batch
+    ``temporal.candles`` (min_by/max_by on event time inside a
+    watermarked tumbling window), so the streaming and batch paths give
+    identical bars for closed windows.  Append mode: a candle is emitted
+    exactly once, when its window falls behind the watermark; state =
+    open windows only."""
+    return (
+        ticks.withWatermark("time", watermark)
+        .groupBy(F.window("time", window).alias("w"), "symbol")
+        .agg(
+            F.min_by("close", "time").alias("open_px"),
+            F.max("close").alias("high_px"),
+            F.min("close").alias("low_px"),
+            F.max_by("close", "time").alias("close_px"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            "symbol",
+            F.col("w.start").alias("bucket_start"),
+            "open_px", "high_px", "low_px", "close_px", "n_ticks",
+        )
+    )

@@ -107,3 +107,23 @@ def q_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.temporal import candles
 
     return candles(bars(spark, sf_dir), "1 day")
+
+
+@q(
+    "q_beta",
+    f"""WITH {BARS_CTE},
+    d AS (SELECT symbol, CAST(time AS DATE) AS day, AVG(close) AS close_d
+          FROM bars WHERE symbol < 50 GROUP BY symbol, CAST(time AS DATE)),
+    r AS (SELECT symbol, day,
+            ROUND(LN(close_d / LAG(close_d) OVER (PARTITION BY symbol ORDER BY day)), 6) AS r
+          FROM d QUALIFY r IS NOT NULL),
+    mkt AS (SELECT day, ROUND(AVG(r), 6) AS r_mkt FROM r GROUP BY day)
+    SELECT r.symbol, COUNT(*) AS n_days,
+           ROUND(COVAR_SAMP(r.r, mkt.r_mkt) / NULLIF(VAR_SAMP(mkt.r_mkt), 0.0), 4) AS beta
+    FROM r JOIN mkt USING (day)
+    GROUP BY r.symbol
+    HAVING COUNT(*) >= 15""",
+)
+def q_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPM beta vs the equal-weight basket market (covar/var moments)."""
+    return AN.basket_beta(bars(spark, sf_dir), basket_max_symbol=50, min_days=15)
