@@ -41,6 +41,8 @@ HEADLINE = [
     "q_rsi",
     "q_drawdown",
     "q_symbol_corr",
+    "q_candles",
+    "q_corpus_pipeline",
 ]
 
 
