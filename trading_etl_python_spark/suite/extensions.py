@@ -21,7 +21,7 @@ from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as TX
-from ..sources.tables import load_table
+from ..sources.tables import load_events, load_table
 
 QUERIES = {}
 ORACLES = {}
@@ -467,3 +467,51 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import curate_corpus
 
     return curate_corpus(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "q_histogram",
+    """SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+         CAST(FLOOR(value / 25.0) AS BIGINT) * 25.0 AS bin_lo,
+         COUNT(*) AS n,
+         ROUND(AVG(value), 4) AS avg_value
+       FROM events WHERE value IS NOT NULL
+       GROUP BY 1, 2""",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (X6 profiling family) — pure map-side
+    binning + one hash aggregation; bins are closed-form (no sort, no
+    per-bin state), the scale shape for profiling a 100 TB column."""
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    bin_ = F.floor(F.col("value") / F.lit(25.0)).cast("long")
+    return ev.groupBy(
+        bin_.alias("bin"), (bin_ * F.lit(25.0)).alias("bin_lo")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+@q(
+    "q_null_profile",
+    """SELECT COUNT(*) AS n_rows,
+         COUNT(value) AS n_value,
+         COUNT(props) AS n_props,
+         COUNT(*) - COUNT(value) AS null_value,
+         COUNT(DISTINCT user_id) AS n_users,
+         COUNT(DISTINCT event_type) AS n_types
+       FROM events""",
+)
+def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column completeness/cardinality profile (X6 family): one pass,
+    all-partial-aggregatable counts (exact distincts expand to one
+    extra exchange each; swap for approx_count_distinct at 100 TB)."""
+    ev = load_events(spark, sf_dir)
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("n_value"),
+        F.count("props").alias("n_props"),
+        (F.count(F.lit(1)) - F.count("value")).alias("null_value"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
