@@ -112,3 +112,16 @@ def test_indicator_table_schema_and_nulls(spark, sf_dir):
         for c in ("ema_10", "macd_line", "adx_14", "rsi_14"):
             v = r[c]
             assert v is None or not math.isnan(v)
+
+
+def test_wma_golden(spark):
+    """WMA-3 of [1,2,3] = (1*1 + 2*2 + 3*3)/6 = 14/6; NULL before 3 rows."""
+    from trading_etl_python_spark.operators.windows import with_wma
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01", 1, 1.0), (1, "2024-01-02", 2, 2.0), (1, "2024-01-03", 3, 3.0)],
+        "symbol long, time string, event_id long, close double",
+    ).selectExpr("symbol", "CAST(time AS TIMESTAMP) AS time", "event_id", "close")
+    got = {r.event_id: r.wma_3 for r in with_wma(df, 3).collect()}
+    assert got[1] is None and got[2] is None
+    assert got[3] == round(14.0 / 6.0, 4)

@@ -163,3 +163,25 @@ def time_range(df: DataFrame, lo: str, hi: str, col: str = "time") -> DataFrame:
     roadmap.md:44-46).  On date-partitioned storage this prunes
     partitions; on raw parquet the predicate pushes to the scan."""
     return df.filter(F.col(col).between(F.lit(lo).cast("timestamp_ntz"), F.lit(hi).cast("timestamp_ntz")))
+
+
+def with_wma(df: DataFrame, n: int = 10, col: str = "close", out: str | None = None) -> DataFrame:
+    """WMA(n) — linearly-weighted moving average (pandas-ta wma family):
+    sum(i * x_i, i=1..n, most-recent weight n) / (n*(n+1)/2), NULL until
+    n rows exist.
+
+    Implementation is the bounded collect_list + ``aggregate()`` HOF
+    pattern (SURVEY.md §7.3): the frame is a fixed n rows, so the
+    collected list is O(n) per row regardless of history length, and the
+    whole expression stays JVM-side (no Python, Catalyst-visible) with a
+    deterministic left-to-right fold for oracle parity."""
+    w = by_key().rowsBetween(-(n - 1), 0)
+    out = out or f"wma_{n}"
+    lst = F.collect_list(col).over(w)
+    weighted = F.aggregate(
+        F.zip_with(lst, F.sequence(F.lit(1), F.lit(n)), lambda x, i: x * i.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    denom = float(n * (n + 1) / 2)
+    return df.withColumn(out, _guarded(weighted / F.lit(denom), F.count(col).over(w), n))

@@ -127,3 +127,26 @@ def q_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CAPM beta vs the equal-weight basket market (covar/var moments)."""
     return AN.basket_beta(bars(spark, sf_dir), basket_max_symbol=50, min_days=15)
+
+
+@q(
+    "q_wma",
+    f"""WITH {BARS_CTE},
+    l AS (SELECT symbol, time, event_id,
+            list(close) OVER ({KW} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS lst,
+            COUNT(close) OVER ({KW} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS cnt
+          FROM bars)
+    SELECT symbol, time, event_id,
+      CASE WHEN cnt >= 10 THEN ROUND(
+        list_reduce(
+          list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, 11), i -> lst[CAST(i AS INT)] * CAST(i AS DOUBLE))),
+          (a, b) -> a + b) / 55.0, 4) END AS wma_10
+    FROM l""",
+)
+def q_wma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly-weighted moving average via the bounded-list aggregate()
+    HOF pattern (operators/windows.with_wma)."""
+    from ..operators.windows import with_wma
+
+    return with_wma(bars(spark, sf_dir), 10).select("symbol", "time", "event_id", "wma_10")
