@@ -71,39 +71,45 @@ def upsert_ignore(
     batch appends nothing — the at-least-once replay guarantee (SURVEY.md
     T4) holds end-to-end.  Returns the number of rows appended.
 
-    Plan shape: dedup incoming on keys -> read ONLY touched partitions of
+    Plan shape: dedup incoming on keys -> persist (ONE materialization of
+    the upstream pipeline feeds both the prune list and the write — a
+    non-deterministic upstream must not produce one touched-partition list
+    and a different appended row set) -> read ONLY touched partitions of
     the existing table (partition-pruned by the incoming batch's distinct
     partition values, NULL partition handled explicitly — isin() alone
-    would silently drop it) -> left-anti join -> cache -> count + append
-    (the cache keeps the upstream pipeline from executing twice)."""
+    would silently drop it) -> left-anti join -> count + append."""
     spark = df.sparkSession
-    incoming = with_partition_col(df, partition_col, time_col).dropDuplicates(list(keys))
-    if _table_exists(path, partition_col):
-        touched = [r[0] for r in incoming.select(partition_col).distinct().collect()]
-        non_null = [t for t in touched if t is not None]
-        cond = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
-        if any(t is None for t in touched):
-            cond = cond | F.col(partition_col).isNull()
-        existing_keys = spark.read.parquet(path).filter(cond).select(
-            *[F.col(k).alias(f"_ex_{k}") for k in keys]
-        )
-        # null-safe key equality: a NULL-keyed row already in the table
-        # must block its replay (plain `=` never matches NULL, which would
-        # re-append it every run); the reference's PK is NOT NULL so this
-        # only matters for generic callers
-        anti_cond = None
-        for k in keys:
-            c = F.col(k).eqNullSafe(F.col(f"_ex_{k}"))
-            anti_cond = c if anti_cond is None else anti_cond & c
-        incoming = incoming.join(existing_keys, on=anti_cond, how="left_anti")
-    incoming = incoming.persist()
+    pinned = (
+        with_partition_col(df, partition_col, time_col)
+        .dropDuplicates(list(keys))
+        .persist()
+    )
+    incoming = pinned
     try:
+        if _table_exists(path, partition_col):
+            touched = [r[0] for r in incoming.select(partition_col).distinct().collect()]
+            non_null = [t for t in touched if t is not None]
+            cond = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+            if any(t is None for t in touched):
+                cond = cond | F.col(partition_col).isNull()
+            existing_keys = spark.read.parquet(path).filter(cond).select(
+                *[F.col(k).alias(f"_ex_{k}") for k in keys]
+            )
+            # null-safe key equality: a NULL-keyed row already in the table
+            # must block its replay (plain `=` never matches NULL, which would
+            # re-append it every run); the reference's PK is NOT NULL so this
+            # only matters for generic callers
+            anti_cond = None
+            for k in keys:
+                c = F.col(k).eqNullSafe(F.col(f"_ex_{k}"))
+                anti_cond = c if anti_cond is None else anti_cond & c
+            incoming = incoming.join(existing_keys, on=anti_cond, how="left_anti")
         n = incoming.count()
         if n:
             incoming.write.mode("append").partitionBy(partition_col).parquet(path)
         return n
     finally:
-        incoming.unpersist()
+        pinned.unpersist()
 
 
 def write_bucketed(

@@ -79,5 +79,7 @@ def bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") * F.lit(1.02) + F.lit(0.01)).alias("high"),
         (F.col("value") * F.lit(0.98)).alias("low"),
         F.col("value").alias("close"),
-        (F.pmod(F.col("event_id"), F.lit(1000)) + F.lit(1)).cast("long").alias("volume"),
+        # `%` (remainder, sign of dividend) matches DuckDB's `%` in BARS_CTE
+        # for ALL inputs incl. negative event_ids; pmod would diverge there
+        ((F.col("event_id") % F.lit(1000)) + F.lit(1)).cast("long").alias("volume"),
     )

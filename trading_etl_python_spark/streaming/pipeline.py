@@ -124,14 +124,17 @@ def _advance_buffer(
     """Append this micro-batch's ticks (sorted by time,event_id) to the
     per-symbol buffer; returns the grown buffer and the new-row count."""
     times, eids, closes = buf
-    n_new = 0
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["time", "event_id"], kind="mergesort")
-        times.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf["time"]))
-        eids.extend(int(x) for x in pdf["event_id"])
-        closes.extend(float(x) for x in pdf["close"])
-        n_new += len(pdf)
-    return (times, eids, closes), n_new
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return (times, eids, closes), 0
+    # Sort the COMBINED micro-batch once: a key whose batch arrives as
+    # multiple Arrow chunks must not interleave unsorted runs into the buffer.
+    batch = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    batch = batch.sort_values(["time", "event_id"], kind="mergesort")
+    times.extend(int(t.value) // 1000 for t in pd.to_datetime(batch["time"]))
+    eids.extend(int(x) for x in batch["event_id"])
+    closes.extend(float(x) for x in batch["close"])
+    return (times, eids, closes), len(batch)
 
 
 def _stateful_fn(
