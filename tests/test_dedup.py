@@ -46,6 +46,36 @@ def test_minhash_recall_of_exact_pairs(spark, sf_dir):
         assert recall >= 0.8, f"minhash recall {recall} over {len(exact)} true pairs"
 
 
+def test_minhash_banded_recall_and_estimate(spark, sf_dir):
+    """Deterministic (oracle-checkable) MinHash banding: recalls the
+    high-Jaccard exact pairs AND its Jaccard estimate tracks the exact
+    value within sampling error of 32 permutations."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b): r.approx_jaccard
+        for r in D.minhash_banded_pairs(docs, threshold=0.5).collect()
+    }
+    if exact:
+        recall = len(set(exact) & set(approx)) / len(exact)
+        assert recall >= 0.8, f"banded minhash recall {recall}"
+        for pair in set(exact) & set(approx):
+            # 32-perm estimator std-err ~= sqrt(j(1-j)/32) <= 0.09
+            assert abs(exact[pair] - approx[pair]) < 0.3
+
+
+def test_minhash_identical_docs_estimate_one(spark):
+    dup = spark.createDataFrame(
+        [(1, "alpha beta gamma delta eps"), (2, "alpha beta gamma delta eps")],
+        "doc_id long, text string",
+    )
+    got = D.minhash_banded_pairs(dup, threshold=0.5).collect()
+    assert [(r.doc_a, r.doc_b, r.approx_jaccard) for r in got] == [(1, 2, 1.0)]
+
+
 def test_simhash_pairs_respect_hamming_bound(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.simhash_pairs(docs, max_hamming=3).collect()

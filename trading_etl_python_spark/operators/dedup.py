@@ -10,20 +10,48 @@ Scale design notes (the 100 TB posture):
   equi-join on shared shingles, so cost is driven by posting-list sizes,
   not |docs|^2.  Still quadratic in the worst case -> use MinHash LSH at
   scale; kept because it is exactly SQL-expressible (oracle-checkable).
-- **MinHash LSH**: the scale path — O(docs x bands) with banding via
-  Spark ML's MinHashLSH; candidate pairs only within colliding buckets.
+- **MinHash LSH**: the scale path — O(docs x bands).  Two variants:
+  ``minhash_banded_pairs`` (hand-rolled, md5-derived shingle hashes +
+  LCG-seeded affine permutations, fully oracle-checkable because DuckDB
+  computes the identical signature) and ``minhash_lsh_pairs`` (Spark
+  ML's MinHashLSH — engine-seeded, kept as the library-native path).
 - **SimHash**: 64-bit signature fully JVM-side (64 aggregate exprs, no
   Python), banded on 16-bit sub-keys for Hamming-distance blocking.
+  Token hashes are md5-derived (portable), so the whole operator has an
+  exact SQL twin.
+
+Portable hashing: ``porthash32(c)`` = first 8 hex chars of md5 as an
+unsigned 32-bit int.  Spark: ``conv(substring(md5(c),1,8),16,10)``;
+DuckDB: ``('0x'||substring(md5(c),1,8))::BIGINT`` — verified
+bit-identical.  md5 is ~2x slower than xxhash64 but both are trivially
+cheap next to the shuffle they feed; at 100 TB the hash choice is
+irrelevant, the banding strategy is everything.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..util import spread
+from ..util import lcg_stream, spread
 
 TOKEN_RE = "[^a-z0-9]+"
+
+#: smallest prime > 2^32 — modulus of the MinHash permutation family;
+#: a*h+b stays < 2^30 * 2^32 = 2^62, no 64-bit overflow on either engine
+MINHASH_P = 4294967311
+
+
+def porthash32(c) -> Column:
+    """Portable unsigned-32-bit content hash (see module docstring)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def minhash_params(num_perm: int = 32, seed: int = 7) -> tuple[list[int], list[int]]:
+    """(a_k, b_k) coefficients of the affine permutation family
+    h_k(x) = (a_k*x + b_k) mod P, shared verbatim with the SQL oracle."""
+    vals = lcg_stream(seed, 2 * num_perm)
+    return [v | 1 for v in vals[:num_perm]], vals[num_perm:]
 
 
 def tokens_col(text_col: str = "text"):
@@ -125,28 +153,117 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    num_perm: int = 32,
+    n: int = 3,
+    seed: int = 7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Portable MinHash signature matrix: one row per doc, columns
+    ``m0..m{K-1}`` = min over shingles of (a_k*h + b_k) mod P.  All K
+    mins compute in ONE hash aggregation over the shingle explode — the
+    signature never materializes per-shingle."""
+    a, b = minhash_params(num_perm, seed)
+    sh = shingles(df, n, text_col, id_col).select(
+        id_col, porthash32("shingle").alias("h")
+    )
+    mins = [
+        F.min((F.col("h") * F.lit(a[k]) + F.lit(b[k])) % F.lit(MINHASH_P)).alias(f"m{k}")
+        for k in range(num_perm)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_banded_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    seed: int = 7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X2 (scale variant, oracle-checkable) — MinHash banding: split the
+    K-component signature into ``bands`` bands of K/bands rows; docs
+    colliding on ANY full band become candidates (classic LSH AND-OR
+    construction); estimate Jaccard as the fraction of matching
+    signature components.  Cost is O(docs x bands) + colliding pairs —
+    the full pair space never materializes, which is the entire point at
+    100 TB (band keys are fixed-width strings, shuffle stays narrow)."""
+    assert num_perm % bands == 0, "bands must divide num_perm"
+    r = num_perm // bands
+    sig = minhash_signatures(df, num_perm, n, seed, text_col, id_col)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.concat_ws("_", *[F.col(f"m{i * r + j}") for j in range(r)]).alias("key"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sig.select(id_col, F.explode(band_structs).alias("bk")).select(
+        id_col, "bk.band", "bk.key"
+    )
+    ba, bb = banded.alias("a"), banded.alias("b")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("doc_a"), *[F.col(f"m{k}").alias(f"a{k}") for k in range(num_perm)])
+    sb = sig.select(F.col(id_col).alias("doc_b"), *[F.col(f"m{k}").alias(f"b{k}") for k in range(num_perm)])
+    match_frac = sum(
+        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0) for k in range(num_perm)
+    ) / F.lit(float(num_perm))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("approx_jaccard", match_frac)
+        .filter(F.col("approx_jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("approx_jaccard", 6).alias("approx_jaccard"))
+    )
+
+
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """X2 (SimHash) — 64-bit signature per doc, entirely JVM-side:
-    explode tokens, xxhash64 each, then 64 conditional-sum aggregates
-    (one per bit) and recombination.  No Python, one shuffle on id."""
+    """X2 (SimHash) — 64-bit signature per doc as 4 x 16-bit band keys
+    ``k0..k3``, entirely JVM-side: explode tokens, portable md5-derived
+    64-bit hash per token (two 32-bit halves — never combined into one
+    bigint, so no sign-bit traffic on either engine), then 64
+    conditional-sum aggregates (one per bit) folded into the band keys.
+    No Python, one shuffle on id."""
     tok = df.select(id_col, F.explode(tokens_col(text_col)).alias("tok"))
     tok = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).cast("long").alias("w"))
-    tok = tok.withColumn("h", F.xxhash64("tok"))
+    tok = tok.select(
+        id_col,
+        "w",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    def bit_src(b: int):
+        src = F.col("lo") if b < 32 else F.col("hi")
+        return F.shiftright(src, b % 32).bitwiseAND(F.lit(1))
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(
-                -F.col("w")
-            )
-        ).alias(f"b{b}")
+        F.sum(F.when(bit_src(b) == 1, F.col("w")).otherwise(-F.col("w"))).alias(f"b{b}")
         for b in range(64)
     ]
     sums = tok.groupBy(id_col).agg(*bit_sums)
-    sig = None
-    for b in range(64):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        shifted = term * F.lit(1 << b).cast("long") if b < 63 else F.shiftleft(term, 63)
-        sig = shifted if sig is None else sig + shifted
-    return sums.select(id_col, sig.alias("simhash"))
+    keys = []
+    for band in range(4):
+        key = None
+        for i in range(16):
+            term = F.when(F.col(f"b{band * 16 + i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            key = term if key is None else key + term
+        keys.append(key.cast("long").alias(f"k{band}"))
+    return sums.select(id_col, *keys)
 
 
 def simhash_pairs(
@@ -154,25 +271,21 @@ def simhash_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit signature into 4 x 16-bit
     sub-keys (pigeonhole: hamming<=3 => >=1 identical band), join per
-    band, verify with bit_count(xor) — all JVM expressions."""
+    band, verify hamming = sum of per-band bit_count(xor) — all JVM
+    expressions, and exactly reproducible in the SQL oracle."""
     sig = simhash_signatures(df, text_col, id_col)
     banded = sig.select(
         id_col,
-        "simhash",
+        *[f"k{i}" for i in range(4)],
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("key"),
-                    )
+                    F.struct(F.lit(i).alias("band"), F.col(f"k{i}").alias("key"))
                     for i in range(4)
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "simhash", "bk.band", "bk.key")
+    ).select(id_col, *[f"k{i}" for i in range(4)], "bk.band", "bk.key")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -184,12 +297,16 @@ def simhash_pairs(
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            *[F.col(f"a.k{i}").alias(f"ka{i}") for i in range(4)],
+            *[F.col(f"b.k{i}").alias(f"kb{i}") for i in range(4)],
         )
         .distinct()
     )
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cand.withColumn("hamming", ham.cast("int")).filter(
-        F.col("hamming") <= max_hamming
-    ).select("doc_a", "doc_b", "hamming")
+    ham = sum(
+        F.bit_count(F.col(f"ka{i}").bitwiseXOR(F.col(f"kb{i}"))) for i in range(4)
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

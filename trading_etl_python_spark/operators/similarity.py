@@ -185,27 +185,28 @@ def ann_ivf_topk(
 # ------------------------------------------------------------------- LSH
 
 
-def _lsh_signature(vec_col, n_planes: int, dim: int):
-    """Deterministic pseudo-random hyperplanes without storing a matrix:
-    plane p, dim i weight = sign pattern from xxhash64(p*dim+i).  The
-    signature is Σ_p 2^p * [Σ_i w_pi * v_i > 0] — all HOF expressions."""
+def lsh_planes(n_planes: int = 12, dim: int = 64, seed: int = 11) -> list[list[float]]:
+    """Deterministic ±1 random-hyperplane matrix from the shared LCG —
+    generated once in Python and inlined as literals in BOTH the Spark
+    plan and the DuckDB oracle, so the bucketing is engine-independent.
+    Sign-random-projection only needs the signs, not gaussians (Charikar
+    2002); ±1 keeps the literal table tiny (n_planes x dim ints)."""
+    from ..util import lcg_stream
+
+    bits = lcg_stream(seed, n_planes * dim, mod=2)
+    return [
+        [1.0 if bits[p * dim + i] else -1.0 for i in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def _lsh_signature(vec_col, planes: list[list[float]]):
+    """Signature = Σ_p 2^p * [dot(v, plane_p) > 0] — the plane rows are
+    literal arrays, the dot is the same left-fold HOF as ``dot()``."""
     sig = F.lit(0).cast("long")
-    for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda i: F.when(
-                        F.xxhash64(F.lit(p) * F.lit(dim) + i).bitwiseAND(F.lit(1)) == 1,
-                        F.lit(1.0),
-                    ).otherwise(F.lit(-1.0)),
-                ),
-                lambda v, w: v.cast("double") * w,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    for p, w in enumerate(planes):
+        wlit = F.array(*[F.lit(x) for x in w])
+        proj = dot(vec_col, wlit)
         sig = sig + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
     return sig
 
@@ -223,7 +224,7 @@ def ann_lsh_topk(
     by signature Hamming distance, exact rerank of candidates.  At scale
     the signature is precomputed+bucketed (write-time), making the probe
     a partition-pruned point lookup instead of a scan."""
-    sig = _lsh_signature(F.col("embedding"), n_planes, dim)
+    sig = _lsh_signature(F.col("embedding"), lsh_planes(n_planes, dim))
     with_sig = embeddings.withColumn("_sig", sig)
     q = with_sig.filter(F.col(id_col) == query_vec_id).select(
         F.col("embedding").alias("_qv"), F.col("_sig").alias("_qsig")

@@ -5,11 +5,12 @@ Oracle notes: DuckDB's list lambdas mirror Spark HOFs one-to-one
 (list_filter/filter, list_transform/transform, list_reduce/aggregate);
 both engines fold/accumulate left-to-right, so even order-sensitive
 expressions (dot products, rolling fingerprints) hash-match after
-rounding.  Hash-seeded ops (MinHash/SimHash/LSH: engine-specific
-xxhash64 / Spark ML seeds) are declared WITHOUT oracles -> driver
-records the weaker rows-only check; their numerics are covered by unit
-tests against exact counterparts instead (tests/test_dedup.py,
-tests/test_similarity.py).
+rounding.  MinHash/SimHash/hyperplane-LSH use PORTABLE hashing (md5-hex
+prefixes parsed to ints, LCG-seeded constants inlined as literals on
+both sides — operators/dedup.py module docstring), so they carry full
+value-hash oracles; the remaining rows-only declarations are the
+genuinely engine-specific ops (Spark sketches in q_approx_stats,
+stateful streaming in q_stream_replay).
 """
 
 from __future__ import annotations
@@ -79,13 +80,108 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
 
 
-@q("q_dedup_minhash")  # rows-only: MinHashLSH hash family is engine-specific
+# DuckDB twin of operators/dedup.porthash32: md5-hex prefix -> uint32
+_PH_HI = "('0x' || substring(md5({c}), 1, 8))::BIGINT"
+_PH_LO = "('0x' || substring(md5({c}), 9, 8))::BIGINT"
+
+# shared shingle CTEs (identical to q_dedup_ngram's)
+_SHINGLE_CTES = f"""tok AS (
+         SELECT doc_id, {TOKS} AS toks FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+         FROM tok, UNNEST(range(1, len(toks) - 1)) AS t(i)
+         WHERE len(toks) >= 3)"""
+
+
+def _minhash_sql(threshold: float = 0.5, num_perm: int = 32, bands: int = 8) -> str:
+    """SQL twin of minhash_banded_pairs — SAME (a_k, b_k) constants."""
+    a, b = D.minhash_params(num_perm)
+    r = num_perm // bands
+    mins = ",\n           ".join(
+        f"MIN((h * {a[k]} + {b[k]}) % {D.MINHASH_P}) AS m{k}" for k in range(num_perm)
+    )
+    band_sel = "\n         UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, concat_ws('_', "
+        + ", ".join(f"m{i * r + j}" for j in range(r))
+        + ") AS key FROM sig"
+        for i in range(bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.m{k} = sb.m{k} THEN 1 ELSE 0 END" for k in range(num_perm)
+    )
+    return f"""WITH {_SHINGLE_CTES},
+       hs AS (SELECT doc_id, {_PH_HI.format(c='shingle')} AS h FROM sh),
+       sig AS (SELECT doc_id,
+           {mins}
+         FROM hs GROUP BY doc_id),
+       bands AS ({band_sel}),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       SELECT doc_a, doc_b, ROUND(aj, 6) AS approx_jaccard FROM (
+         SELECT doc_a, doc_b, ({matches}) / {float(num_perm)} AS aj
+         FROM cand
+         JOIN sig sa ON sa.doc_id = doc_a
+         JOIN sig sb ON sb.doc_id = doc_b) t
+       WHERE aj >= {threshold}"""
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """SQL twin of simhash_pairs — same md5-derived bit tests."""
+    bitsums = ",\n           ".join(
+        f"SUM(CASE WHEN (({'lo' if bb < 32 else 'hi'} >> {bb % 32}) & 1) = 1 "
+        f"THEN w ELSE -w END) AS b{bb}"
+        for bb in range(64)
+    )
+    keys = ",\n           ".join(
+        "CAST("
+        + " + ".join(f"CASE WHEN b{band * 16 + i} > 0 THEN {1 << i} ELSE 0 END" for i in range(16))
+        + f" AS BIGINT) AS k{band}"
+        for band in range(4)
+    )
+    band_sel = "\n         UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, k{i} AS key, k0, k1, k2, k3 FROM sig" for i in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(ka{i}, kb{i}))" for i in range(4))
+    return f"""WITH tw AS (
+         SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS w FROM (
+           SELECT doc_id, unnest({TOKS}) AS tok FROM documents) t
+         GROUP BY doc_id, tok),
+       th AS (SELECT doc_id, w, {_PH_HI.format(c='tok')} AS hi,
+                     {_PH_LO.format(c='tok')} AS lo FROM tw),
+       sums AS (SELECT doc_id,
+           {bitsums}
+         FROM th GROUP BY doc_id),
+       sig AS (SELECT doc_id,
+           {keys}
+         FROM sums),
+       bands AS ({band_sel}),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.k0 AS ka0, a.k1 AS ka1, a.k2 AS ka2, a.k3 AS ka3,
+                b.k0 AS kb0, b.k1 AS kb1, b.k2 AS kb2, b.k3 AS kb3
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       SELECT doc_a, doc_b, CAST({ham} AS INT) AS hamming
+       FROM cand WHERE {ham} <= {max_hamming}"""
+
+
+@q("q_dedup_minhash", _minhash_sql(threshold=0.5))
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_banded_pairs(docs, threshold=0.5)
+
+
+@q("q_dedup_minhash_ml")  # rows-only: Spark ML MinHashLSH seeds are engine-specific
+def q_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library-native MinHashLSH (the Spark ML path) — kept judged as the
+    banding scale-reference; recall vs exact Jaccard is unit-tested."""
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(docs, threshold=0.5)
 
 
-@q("q_dedup_simhash")  # rows-only: xxhash64 token hashes are engine-specific
+@q("q_dedup_simhash", _simhash_sql(max_hamming=3))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_pairs(docs, max_hamming=3)
@@ -127,7 +223,37 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_pairs_blocked(emb, threshold=0.8, block_col="label")
 
 
-@q("q_ann_lsh")  # rows-only: hyperplane signs derive from engine xxhash64
+# strict left-fold dot (exactly mirrors the F.aggregate fold in
+# functions/vector.dot) — used where an UNROUNDED comparison feeds a
+# sign test, where accumulation order must match bit-for-bit
+_DOTF = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (acc, v) -> acc + v)"
+)
+
+
+def _ann_lsh_sql(k: int = 10, n_planes: int = 12, max_hamming: int = 2) -> str:
+    """SQL twin of ann_lsh_topk — the SAME literal hyperplane matrix."""
+    planes = S.lsh_planes(n_planes, 64)
+    sig_terms = " + ".join(
+        "CASE WHEN "
+        + _DOTF.format(a="embedding", b="[" + ", ".join(str(x) for x in w) + "]")
+        + f" > 0 THEN {1 << p} ELSE 0 END"
+        for p, w in enumerate(planes)
+    )
+    return f"""WITH sigt AS (
+         SELECT vec_id, label, embedding, CAST({sig_terms} AS BIGINT) AS sig
+         FROM embeddings),
+       qv AS (SELECT embedding AS v, sig AS qsig FROM sigt WHERE vec_id = 0),
+       cand AS (
+         SELECT s.vec_id, s.label, {_DOTF.format(a='s.embedding', b='qv.v')} AS sim
+         FROM sigt s, qv
+         WHERE bit_count(xor(s.sig, qv.qsig)) <= {max_hamming})
+       SELECT vec_id, label, ROUND(sim, 6) AS cos_sim
+       FROM cand ORDER BY sim DESC, vec_id LIMIT {k}"""
+
+
+@q("q_ann_lsh", _ann_lsh_sql(k=10))
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ann_lsh_topk(emb, query_vec_id=0, k=10)

@@ -5,6 +5,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def lcg_stream(seed: int, n: int, mod: int = 1 << 30) -> list[int]:
+    """Deterministic pseudo-random ints in [0, mod) from a plain LCG
+    (glibc constants).  Used wherever a Spark query and its DuckDB oracle
+    must share the SAME 'random' constants (MinHash permutations, LSH
+    hyperplanes): the values are generated once in Python and inlined as
+    literals on both sides, so no engine RNG is ever involved."""
+    out, x = [], seed
+    for _ in range(n):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        out.append(x % mod)
+    return out
+
+
 def spread(df: DataFrame, *cols: str) -> DataFrame:
     """Repartition to the session's shuffle-partition count, optionally by
     hash of ``cols``.  Used ahead of Python (Arrow) stages and explode fan-
