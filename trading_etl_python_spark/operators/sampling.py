@@ -1,0 +1,53 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+Training-data pipelines need samples and train/val/test splits that are
+(a) reproducible run-over-run, (b) stable under re-partitioning and
+retries, and (c) computable without any coordination — which rules out
+``df.sample`` (engine-seeded per-partition RNG: adding one input file
+reshuffles every assignment).  The standard trick is to hash a stable
+row key and threshold the hash (the same mechanism behind bucketed
+A/B assignment).  We reuse the portable md5-derived hash from
+operators/dedup.py, so every sample/split here has an exact DuckDB twin
+and is identical on ANY engine that can compute md5 — at 100 TB this is
+a pure map-side operation, no shuffle, no state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import porthash32
+
+
+def hash_bucket(key, n_buckets: int = 100) -> Column:
+    """Stable bucket in [0, n_buckets) from the row key (cast to string
+    so int and string keys hash identically on both engines)."""
+    key = F.col(key) if isinstance(key, str) else key
+    return porthash32(key.cast("string")) % n_buckets
+
+
+def deterministic_sample(
+    df: DataFrame, rate_pct: int = 10, key_col: str = "doc_id"
+) -> DataFrame:
+    """Keep ~rate_pct% of rows, chosen by key hash — stable across runs,
+    partitionings, and engines."""
+    return df.filter(hash_bucket(key_col) < rate_pct)
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Add a ``split`` column: train / val / test by hash bucket.  A
+    document's split NEVER changes as the corpus grows — the property
+    that keeps eval sets uncontaminated across pipeline re-runs."""
+    b = hash_bucket(key_col)
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

@@ -195,3 +195,48 @@ def winnow_fingerprints(
         .select(id_col, F.col("fp.p").cast("long").alias("pos"), F.col("fp.v").alias("hash"))
         .distinct()
     )
+
+
+def repetition_metrics(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style intra-document repetition / quality signals (Rae et
+    al. 2021 §A1.1 — public paper; no reference counterpart, SURVEY.md
+    §2.2): per doc, instance-weighted mean token length, duplicate-token
+    fraction, most-common-token fraction, most-common-bigram fraction,
+    and token entropy ln(n) - Σc·ln(c)/n.  Two explode→hash-agg passes
+    (unigram + bigram) joined on doc id; all JVM expressions, shuffle
+    keys are (doc_id, token) — bounded by document length, never corpus
+    size, so the plan is skew-safe at 100 TB."""
+    tf = (
+        with_tokens(df)
+        .select(id_col, F.explode("_toks").alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    uni = tf.groupBy(id_col).agg(
+        F.sum("c").alias("_n"),
+        F.count(F.lit(1)).alias("_ndis"),
+        (F.sum(F.length("tok") * F.col("c")) / F.sum("c")).alias("_mwl"),
+        F.max("c").alias("_topc"),
+        (F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c")).alias("_ent"),
+    )
+    toks = with_tokens(df).select(id_col, "_toks").filter(F.size("_toks") >= 2)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("_toks") - 1),
+        lambda i: F.concat_ws(" ", F.element_at("_toks", i), F.element_at("_toks", i + 1)),
+    )
+    bg = (
+        toks.select(id_col, F.explode(bigrams).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("_topbg"), F.sum("c").alias("_nbg"))
+    )
+    return uni.join(bg, id_col, "left").select(
+        id_col,
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.round("_mwl", 6).alias("mean_word_len"),
+        F.round(F.lit(1.0) - F.col("_ndis") / F.col("_n"), 6).alias("dup_token_frac"),
+        F.round(F.col("_topc") / F.col("_n"), 6).alias("top_token_frac"),
+        F.round(F.col("_topbg") / F.col("_nbg"), 6).alias("top_bigram_frac"),
+        F.round("_ent", 6).alias("token_entropy"),
+    )

@@ -185,3 +185,25 @@ def with_wma(df: DataFrame, n: int = 10, col: str = "close", out: str | None = N
     )
     denom = float(n * (n + 1) / 2)
     return df.withColumn(out, _guarded(weighted / F.lit(denom), F.count(col).over(w), n))
+
+
+def with_rolling_median(df: DataFrame, n: int = 20, col: str = "close", out: str | None = None) -> DataFrame:
+    """Rolling median over the last ``n`` rows per key (robust smoother —
+    no reference counterpart; the window-family complement to SMA/WMA).
+
+    Bounded collect_list + array_sort + interpolated middle (same
+    semantics as SQL ``quantile_cont(0.5)`` / DuckDB windowed
+    ``median``): odd count -> middle element, even -> mean of the two
+    middles, computed over the partial frame during warmup exactly like
+    the SQL window aggregate.  O(n log n) per row JVM-side; the frame
+    bound keeps state O(n) regardless of history (SURVEY.md §7.0)."""
+    w = by_key().rowsBetween(-(n - 1), 0)
+    out = out or f"median_{n}"
+    arr = F.array_sort(F.collect_list(F.col(col).cast("double")).over(w))
+    m = F.size(arr)
+    mid_hi = F.element_at(arr, (m.cast("long") / 2 + 1).cast("int"))
+    mid_lo = F.element_at(arr, (m.cast("long") / 2).cast("int"))
+    med = F.when(m % 2 == 1, F.element_at(arr, ((m + 1).cast("long") / 2).cast("int"))).otherwise(
+        (mid_lo + mid_hi) / 2.0
+    )
+    return df.withColumn(out, F.round(med, ROUND_DP))

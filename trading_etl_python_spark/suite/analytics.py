@@ -150,3 +150,22 @@ def q_wma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.windows import with_wma
 
     return with_wma(bars(spark, sf_dir), 10).select("symbol", "time", "event_id", "wma_10")
+
+
+@q(
+    "q_rolling_median",
+    f"""WITH {BARS_CTE}
+    SELECT symbol, time, event_id,
+      ROUND(median(close) OVER ({KW} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 4)
+        AS median_20
+    FROM bars""",
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 20-row median (robust smoother): bounded collect_list +
+    array_sort + interpolated middle == DuckDB's windowed median over
+    DOUBLE (quantile_cont semantics), including partial warmup frames."""
+    from ..operators.windows import with_rolling_median
+
+    return with_rolling_median(bars(spark, sf_dir), 20).select(
+        "symbol", "time", "event_id", "median_20"
+    )

@@ -1,0 +1,93 @@
+"""Event-stream behavioral analytics queries + DuckDB oracles: funnel
+conversion, retention cohorts, interval (range) join
+(operators/eventflow.py — capability extensions beyond the reference's
+single-stream surface, SURVEY.md §2.2).
+
+All three are exact relational plans (keyed aggregations + equi-joins
+with time predicates), so the oracles are direct transliterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import eventflow as EV
+from ..sources.tables import load_events
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@q(
+    "q_funnel",
+    """WITH s1 AS (
+         SELECT user_id, MIN(ts) AS t1 FROM events
+         WHERE event_type = 'view' GROUP BY user_id),
+       s2 AS (
+         SELECT e.user_id, MIN(e.ts) AS t2
+         FROM events e JOIN s1 ON e.user_id = s1.user_id
+         WHERE e.event_type = 'click' AND e.ts > s1.t1
+         GROUP BY e.user_id),
+       s3 AS (
+         SELECT e.user_id, MIN(e.ts) AS t3
+         FROM events e JOIN s2 ON e.user_id = s2.user_id
+         WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+         GROUP BY e.user_id)
+       SELECT (SELECT COUNT(*) FROM s1) AS entered,
+              (SELECT COUNT(*) FROM s2) AS reached_2,
+              (SELECT COUNT(*) FROM s3) AS reached_3""",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel (strictly-later stages)."""
+    return EV.funnel_counts(load_events(spark, sf_dir))
+
+
+@q(
+    "q_retention",
+    """WITH first AS (
+         SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+         FROM events GROUP BY user_id),
+       active AS (
+         SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_date FROM events)
+       SELECT CAST(f.cohort_date AS TIMESTAMP) AS cohort_date,
+              date_diff('day', f.cohort_date, a.active_date) AS day_offset,
+              COUNT(DISTINCT a.user_id) AS n_users
+       FROM active a JOIN first f ON a.user_id = f.user_id
+       GROUP BY 1, 2""",
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: users active at each day offset from their
+    first-seen (cohort) day.  cohort_date surfaces as TIMESTAMP (driver
+    compare normalizes timestamps, not DATE)."""
+    from pyspark.sql import functions as F
+
+    out = EV.retention_cohorts(load_events(spark, sf_dir))
+    return out.withColumn("cohort_date", F.col("cohort_date").cast("timestamp_ntz"))
+
+
+@q(
+    "q_range_join",
+    """WITH wins AS (
+         SELECT user_id AS wu, ts AS lo, ts + INTERVAL 10 MINUTE AS hi
+         FROM events WHERE event_type = 'error')
+       SELECT e.user_id, COUNT(DISTINCT e.event_id) AS n_probe_events
+       FROM events e JOIN wins w
+         ON e.user_id = w.wu AND e.ts >= w.lo AND e.ts <= w.hi
+       WHERE e.event_type IN ('view', 'click')
+       GROUP BY e.user_id""",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: distinct view/click events inside any 10-minute
+    window opened by the same user's error events (equi-key + range
+    predicate -> co-located hash join, never a cartesian)."""
+    return EV.events_in_windows(load_events(spark, sf_dir))

@@ -457,6 +457,82 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_doc_repetition",
+    f"""WITH tf AS (
+         SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS c FROM (
+           SELECT doc_id, unnest({TOKS}) AS tok FROM documents) t
+         GROUP BY doc_id, tok),
+       uni AS (
+         SELECT doc_id, SUM(c) AS n, COUNT(*) AS ndis,
+                SUM(length(tok) * c) / SUM(c) AS mwl,
+                MAX(c) AS topc,
+                ln(SUM(c)) - SUM(c * ln(c)) / SUM(c) AS ent
+         FROM tf GROUP BY doc_id),
+       bgt AS (
+         SELECT doc_id, bg, CAST(COUNT(*) AS DOUBLE) AS c FROM (
+           SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+           FROM (SELECT doc_id, {TOKS} AS toks FROM documents) d,
+                UNNEST(range(1, len(toks))) AS t(i)
+           WHERE len(toks) >= 2) x
+         GROUP BY doc_id, bg),
+       bg AS (SELECT doc_id, MAX(c) AS topbg, SUM(c) AS nbg FROM bgt GROUP BY doc_id)
+       SELECT uni.doc_id, CAST(n AS BIGINT) AS n_tokens,
+              ROUND(mwl, 6) AS mean_word_len,
+              ROUND(1.0 - ndis / n, 6) AS dup_token_frac,
+              ROUND(topc / n, 6) AS top_token_frac,
+              ROUND(topbg / nbg, 6) AS top_bigram_frac,
+              ROUND(ent, 6) AS token_entropy
+       FROM uni LEFT JOIN bg ON uni.doc_id = bg.doc_id""",
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality signals per document (X4 family):
+    mean token length, duplicate-token fraction, top token/bigram
+    fractions, token entropy."""
+    return TX.repetition_metrics(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "q_split_assign",
+    """SELECT doc_id, lang,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       FROM (SELECT doc_id, lang,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+             FROM documents) t""",
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucketed train/val/test split (80/10/10):
+    stable across runs, partitionings, and engines — the property that
+    keeps eval sets uncontaminated as the corpus grows
+    (operators/sampling.py)."""
+    from ..operators.sampling import split_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    return split_assign(docs).select("doc_id", "lang", "split")
+
+
+@q(
+    "q_sample_profile",
+    """WITH s AS (
+         SELECT * FROM documents
+         WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10)
+       SELECT lang, COUNT(*) AS n_docs,
+              ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+       FROM s GROUP BY lang""",
+)
+def q_sample_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic hash sample, profiled per language — the
+    map-side-only sampling shape (no shuffle, no RNG state) that stays
+    reproducible on a 1000-executor cluster."""
+    from ..operators.sampling import deterministic_sample
+
+    docs = deterministic_sample(load_table(spark, sf_dir, "documents"), rate_pct=10)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+    )
+
+
+@q(
     "q_group_quantiles",
     """SELECT l_returnflag,
          ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
