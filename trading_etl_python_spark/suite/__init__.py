@@ -16,14 +16,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import analytics, behavior, core, extensions, relational
+from . import analytics, behavior, core, extensions, relational, sql_api
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, Builder] = {}
 ORACLES: dict[str, str] = {}
 
-for mod in (core, relational, extensions, analytics, behavior):
+for mod in (core, relational, extensions, analytics, behavior, sql_api):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 
