@@ -124,3 +124,44 @@ def test_corpus_pipeline_quality_filter_is_map_side(spark, sf_dir):
                 raise AssertionError(f"Exchange between quality filter and scan:\n{lines[i]}")
             if "Scan parquet" in ln or "FileScan" in ln:
                 break
+
+
+def test_range_join_is_not_cartesian(spark, sf_dir):
+    """The interval join has an equi-key (user_id): it must execute as a
+    hash/sort-merge equi-join with the range as a post-condition — a
+    BroadcastNestedLoopJoin/CartesianProduct would be O(N*M) at scale."""
+    plan = _executed(QUERIES["q_range_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_stage_aggs_share_partitioning(spark, sf_dir):
+    """All three funnel stages key on user_id; with exchange reuse the
+    physical plan must not exceed one exchange per distinct dataset leg
+    (3 stage scans + joins -> <=6 hashpartitioning exchanges, not 9+)."""
+    plan = _executed(QUERIES["q_funnel"](spark, sf_dir))
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n <= 6, f"funnel plan shuffles {n} times:\n{plan[:3000]}"
+
+
+def test_split_assign_no_shuffle(spark, sf_dir):
+    """Hash-bucketed split assignment is pure map-side: zero exchanges."""
+    plan = _executed(QUERIES["q_split_assign"](spark, sf_dir))
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_sql_q1_partial_aggregation(spark, sf_dir):
+    """TPC-H Q1 must partial-aggregate before the exchange (6 groups ->
+    the shuffle moves bytes, not rows)."""
+    plan = _executed(QUERIES["q_sql_tpch_q1"](spark, sf_dir))
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges == 1, plan[:2000]
+    assert "HashAggregate" in plan
+
+
+def test_sql_q3_pushes_both_filters(spark, sf_dir):
+    plan = _explain_formatted(QUERIES["q_sql_tpch_q3"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    joined = " ".join(pushed)
+    assert "o_orderdate" in joined and "l_shipdate" in joined, pushed
