@@ -200,3 +200,88 @@ def test_stream_candles_match_batch(spark, sf_dir):
         }
         for k, v in emitted.items():
             assert expect[k] == v, k
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Watermarked stream-stream interval join emits exactly the pairs
+    the batch equi+range join produces (single availableNow replay: all
+    data inside the watermark horizon)."""
+    from trading_etl_python_spark.streaming.pipeline import stream_stream_join
+
+    with tempfile.TemporaryDirectory(prefix="ckpt_ssj_") as ckpt:
+        src = events_file_stream(spark, sf_dir)
+        probes = src.filter(F.col("event_type").isin("view", "click")).select(
+            "user_id", "event_id", "ts"
+        )
+        wins = src.filter(F.col("event_type") == "error").select(
+            "user_id", "event_id", "ts"
+        )
+        q = (
+            stream_stream_join(probes, wins)
+            .writeStream.format("memory")
+            .queryName("ssj_out")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r.probe_event_id, r.window_event_id)
+            for r in spark.sql("SELECT * FROM ssj_out").collect()
+        }
+
+    ev = load_events(spark, sf_dir)
+    p = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("event_id").alias("pid"), "ts"
+    )
+    w = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("wu"), F.col("event_id").alias("wid"),
+        F.col("ts").alias("wts"),
+    )
+    batch = {
+        (r.pid, r.wid)
+        for r in p.join(
+            w,
+            (F.col("user_id") == F.col("wu"))
+            & (F.col("ts") >= F.col("wts"))
+            & (F.col("ts") <= F.col("wts") + F.expr("INTERVAL 10 MINUTES")),
+        ).collect()
+    }
+    assert got == batch and batch, f"stream {len(got)} vs batch {len(batch)}"
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir):
+    """A duplicated tick stream (every row delivered twice, as a replayed
+    micro-batch would) must come out unique on (symbol, time)."""
+    import os
+
+    from trading_etl_python_spark.streaming.pipeline import (
+        stream_dedup_within_watermark,
+    )
+
+    with tempfile.TemporaryDirectory(prefix="dd_") as tmp:
+        ev = load_events(spark, sf_dir).limit(500).select(
+            F.col("user_id").alias("symbol"), F.col("ts").alias("time"),
+            F.col("value").alias("close"),
+        )
+        dup_dir = os.path.join(tmp, "in")
+        ev.union(ev).write.parquet(dup_dir)
+        ticks = (
+            spark.readStream.schema("symbol long, time timestamp, close double")
+            .parquet(dup_dir)
+        )
+        q = (
+            stream_dedup_within_watermark(ticks)
+            .writeStream.format("memory")
+            .queryName("dd_out")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.sql("SELECT symbol, time FROM dd_out").collect()
+    keys = [(r.symbol, r.time) for r in rows]
+    assert len(keys) == len(set(keys)), "duplicates survived"
+    assert len(set(keys)) == ev.count()

@@ -363,3 +363,54 @@ def stream_candles(
             "open_px", "high_px", "low_px", "close_px", "n_ticks",
         )
     )
+
+
+def stream_stream_join(
+    a: DataFrame,
+    b: DataFrame,
+    join_minutes: int = 10,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with event-time bounds — a capability the
+    reference cannot express at all (its consumer sees one topic; joining
+    two live streams would need a second consumer plus hand-rolled state).
+
+    Both sides are watermarked and the join condition carries a time
+    range, so Spark knows exactly how long to buffer each side's state
+    (watermark + range bound) and evicts it after — bounded state on
+    unbounded streams.  Shuffles both sides on ``user_id`` once; at scale
+    this is the same co-partitioned hash join as the batch interval join
+    (PLANS.md §13).
+
+    a: probe events (view/click), b: window-opening events (error).
+    """
+    wa = a.withWatermark("ts", watermark).alias("a")
+    wb = b.withWatermark("ts", watermark).alias("b")
+    return wa.join(
+        wb,
+        F.expr(
+            f"""a.user_id = b.user_id
+            AND a.ts >= b.ts
+            AND a.ts <= b.ts + INTERVAL {join_minutes} MINUTES"""
+        ),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_id").alias("probe_event_id"),
+        F.col("b.event_id").alias("window_event_id"),
+        F.col("a.ts").alias("probe_ts"),
+    )
+
+
+def stream_dedup_within_watermark(
+    ticks: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming key-dedup: ``dropDuplicatesWithinWatermark`` on
+    (symbol, time) — the streaming-native form of the reference's
+    ``ON CONFLICT DO NOTHING`` (SURVEY.md A1/T3): a replayed or
+    duplicated tick inside the watermark horizon is dropped in-flight,
+    BEFORE the sink, with state bounded by the watermark (keys older
+    than the horizon are evicted; the idempotent sink still catches
+    replays that arrive later than the horizon)."""
+    return ticks.withWatermark("time", watermark).dropDuplicatesWithinWatermark(
+        ["symbol", "time"]
+    )
