@@ -85,3 +85,15 @@ def write_jsonl(df: DataFrame, path: str) -> None:
 def to_parquet_table(df: DataFrame, path: str) -> None:
     """Land an ingest-edge frame as the columnar analytical store."""
     df.write.mode("overwrite").parquet(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC writer — Spark's second first-class columnar format (native
+    reader/writer, predicate pushdown, column pruning)."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan.  Columnar + statistics like parquet; schema travels with
+    the file so no declared schema is needed."""
+    return spark.read.orc(path)

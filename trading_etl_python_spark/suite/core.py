@@ -66,6 +66,71 @@ def q_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_error_isolation",
+    """WITH m AS (
+         SELECT event_id,
+                CASE WHEN event_id % 97 = 0 THEN 'x' || props ELSE props END AS wire
+         FROM events)
+       SELECT event_id,
+              CASE WHEN json_valid(wire)
+                   THEN CAST(json_extract_string(wire, '$.k') AS BIGINT) END AS prop_k,
+              NOT json_valid(wire) AS is_corrupt
+       FROM m""",
+)
+def q_error_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 — per-message error isolation: every ~97th wire message is
+    corrupted (leading garbage); PERMISSIVE ``from_json`` with a
+    ``columnNameOfCorruptRecord`` routes exactly those rows into the
+    corrupt-record column (fields NULL) and the pipeline continues — the
+    reference's log-and-skip (producer.py:93-95, consumer.py:184-186)
+    without stopping the stream.  The oracle reproduces the corruption
+    and the NULL-on-invalid semantics via json_valid."""
+    ev = load_events(spark, sf_dir)
+    wire = F.when(F.col("event_id") % 97 == 0, F.concat(F.lit("x"), "props")).otherwise(
+        F.col("props")
+    )
+    decoded = F.from_json(
+        wire,
+        "k long, _corrupt string",
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+    )
+    return ev.select(
+        "event_id",
+        decoded["k"].alias("prop_k"),
+        decoded["_corrupt"].isNotNull().alias("is_corrupt"),
+    )
+
+
+@q(
+    "q_format_roundtrip",
+    """SELECT event_type, COUNT(*) AS n,
+              ROUND(SUM(value), 4) AS sum_value,
+              MIN(event_id) AS min_id, MAX(event_id) AS max_id
+       FROM events GROUP BY event_type""",
+)
+def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 (format breadth) — events round-tripped through ORC (Spark's
+    second native columnar format) must aggregate identically to the
+    parquet original: the oracle reads parquet, the Spark side reads the
+    ORC copy it just wrote, so any loss/corruption in the ORC write/read
+    path (types, timestamps, nulls) breaks the value hash."""
+    import tempfile
+
+    from ..sources.formats import read_orc, write_orc
+
+    ev = load_events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="orc_rt_")
+    write_orc(ev, f"{tmp}/events_orc")
+    back = read_orc(spark, f"{tmp}/events_orc")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+@q(
     "q_rename_project",
     f"WITH {BARS_CTE} SELECT symbol, time, event_id, open, high, low, close, volume FROM bars",
 )
