@@ -100,3 +100,33 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS ev_bucketed")
         spark.sql("DROP TABLE IF EXISTS users_bucketed")
+
+
+def test_upsert_replace_touches_only_present_partitions(spark, tmp_path):
+    """Dynamic partition overwrite: a refresh carrying only day-2 data
+    must replace day-2 and leave day-1 byte-identical."""
+    from trading_etl_python_spark.sinks import upsert_replace
+
+    path = str(tmp_path / "rollup")
+    d1 = [(1, "2024-01-01 10:00:00", 10.0), (1, "2024-01-01 11:00:00", 11.0)]
+    d2 = [(1, "2024-01-02 10:00:00", 20.0)]
+    schema = "symbol long, time timestamp_ntz, v double"
+    base = spark.createDataFrame(
+        [(s, __import__("datetime").datetime.fromisoformat(t), v) for s, t, v in d1 + d2],
+        schema,
+    )
+    upsert_replace(base, path)
+    # refresh: day-2 recomputed with a different value; day-1 absent
+    refresh = spark.createDataFrame(
+        [(1, __import__("datetime").datetime.fromisoformat("2024-01-02 10:00:00"), 99.0)],
+        schema,
+    )
+    upsert_replace(refresh, path)
+    rows = {
+        (r.symbol, str(r.time), r.v) for r in spark.read.parquet(path).collect()
+    }
+    assert rows == {
+        (1, "2024-01-01 10:00:00", 10.0),
+        (1, "2024-01-01 11:00:00", 11.0),
+        (1, "2024-01-02 10:00:00", 99.0),
+    }

@@ -1,1 +1,1 @@
-from .parquet import upsert_ignore, write_indicator_table  # noqa: F401
+from .parquet import upsert_ignore, upsert_replace, write_indicator_table  # noqa: F401

@@ -130,3 +130,27 @@ def write_bucketed(
     if sort_col:
         w = w.sortBy(sort_col)
     w.saveAsTable(table_name)
+
+
+def upsert_replace(
+    df: DataFrame,
+    path: str,
+    partition_col: str = "trade_date",
+    time_col: str = "time",
+) -> None:
+    """Partition-level upsert-REPLACE: overwrite ONLY the partitions
+    present in ``df``, leave every other partition untouched (Spark's
+    dynamic partitionOverwriteMode).  This is the refresh primitive of a
+    continuous aggregate — the TimescaleDB hypertable rollup the
+    reference's storage roadmap points at (setup.py:92-98): recompute
+    the buckets new data touched, atomically swap just those partitions.
+    Unlike ``upsert_ignore`` (first-writer-wins, for idempotent fact
+    appends) this is last-writer-wins at partition granularity — the
+    right semantics when the new write IS the recomputed truth."""
+    (
+        with_partition_col(df, partition_col, time_col)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )

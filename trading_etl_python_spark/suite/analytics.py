@@ -169,3 +169,114 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_rolling_median(bars(spark, sf_dir), 20).select(
         "symbol", "time", "event_id", "median_20"
     )
+
+
+@q(
+    "q_candles_incremental",
+    f"""WITH {BARS_CTE}
+    SELECT symbol, CAST(CAST(time AS DATE) AS TIMESTAMP) AS bucket_start,
+      arg_min(open, time) AS open_px,
+      MAX(high) AS high_px,
+      MIN(low) AS low_px,
+      arg_max(close, time) AS close_px,
+      CAST(SUM(volume) AS BIGINT) AS volume,
+      COUNT(*) AS n_ticks
+    FROM bars GROUP BY symbol, CAST(time AS DATE)""",
+)
+def q_candles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance (the hypertable rollup refresh,
+    setup.py:92-98): build the candle table from ~80% of the stream,
+    then 'new data arrives' — recompute ONLY the day-buckets the late
+    20% touches from full source data and dynamic-partition-OVERWRITE
+    just those partitions (sinks/parquet.upsert_replace).  The refreshed
+    table must equal the from-scratch rollup — which is exactly what the
+    oracle computes."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.temporal import candles
+    from ..sinks.parquet import upsert_replace
+
+    b = bars(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="cand_inc_") + "/candles"
+    cols = ["symbol", "bucket_start", "open_px", "high_px", "low_px",
+            "close_px", "volume", "n_ticks"]
+    # initial build: everything except the "late" slice
+    hist = b.filter(F.col("event_id") % 5 != 0)
+    upsert_replace(candles(hist, "1 day"), path, "bucket_date", "bucket_start")
+    # refresh: recompute ONLY the buckets the late slice touches, from
+    # full source data for those days, and swap those partitions
+    late = b.filter(F.col("event_id") % 5 == 0)
+    touched = [
+        r.d for r in late.select(F.to_date("time").alias("d")).distinct().collect()
+    ]
+    refreshed = candles(b.filter(F.to_date("time").isin(touched)), "1 day")
+    upsert_replace(refreshed, path, "bucket_date", "bucket_start")
+    return spark.read.parquet(path).select(*cols)
+
+
+@q(
+    "q_salted_agg",
+    """SELECT event_type, COUNT(*) AS n_rows,
+              ROUND(SUM(value), 4) AS sum_value,
+              MIN(value) AS min_value, MAX(value) AS max_value
+       FROM events GROUP BY event_type""",
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed-key aggregation via two-phase salting (operators/skew.py):
+    5 hot event_type keys spread over 16 salts in the first exchange,
+    merged in a second (tiny) exchange.  Algebraic-aggregate correctness
+    is the oracle: the salted plan must equal the plain GROUP BY."""
+    from pyspark.sql import functions as F
+
+    from ..operators.skew import salted_agg
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    return salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_rows": (F.count(F.lit(1)), F.sum("n_rows")),
+            "sum_value": (F.sum("value"), F.round(F.sum("sum_value"), 4)),
+            "min_value": (F.min("value"), F.min("min_value")),
+            "max_value": (F.max("value"), F.max("max_value")),
+        },
+        salt_col="event_id",
+        n_salts=16,
+    )
+
+
+@q(
+    "q_window_navs",
+    f"""WITH {BARS_CTE}
+    SELECT symbol, time, event_id,
+      ROUND(close - LAG(close) OVER ({KW}), 4) AS delta_prev,
+      ROUND(LEAD(close) OVER ({KW}) - close, 4) AS delta_next,
+      NTILE(4) OVER (PARTITION BY symbol ORDER BY close, event_id) AS close_quartile,
+      ROUND(PERCENT_RANK() OVER (PARTITION BY symbol ORDER BY close, event_id), 6)
+        AS close_pct_rank,
+      ROUND(CUME_DIST() OVER (PARTITION BY symbol ORDER BY close, event_id), 6)
+        AS close_cume_dist
+    FROM bars""",
+)
+def q_window_navs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window navigation/distribution functions over the per-symbol
+    stream: lag/lead deltas (time order) and ntile / percent_rank /
+    cume_dist (value order, id tie-break).  Both window specs share the
+    hash(symbol) exchange — one shuffle, two sorts."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    b = bars(spark, sf_dir)
+    wt = Window.partitionBy("symbol").orderBy("time", "event_id")
+    wv = Window.partitionBy("symbol").orderBy("close", "event_id")
+    return b.select(
+        "symbol", "time", "event_id",
+        F.round(F.col("close") - F.lag("close").over(wt), 4).alias("delta_prev"),
+        F.round(F.lead("close").over(wt) - F.col("close"), 4).alias("delta_next"),
+        F.ntile(4).over(wv).alias("close_quartile"),
+        F.round(F.percent_rank().over(wv), 6).alias("close_pct_rank"),
+        F.round(F.cume_dist().over(wv), 6).alias("close_cume_dist"),
+    )
