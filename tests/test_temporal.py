@@ -112,3 +112,73 @@ def test_candles_golden(spark):
     )
     d2 = got["2024-01-02 00:00:00"]
     assert (d2.open_px, d2.close_px, d2.n_ticks) == (11.0, 11.2, 1)
+
+
+def test_gapfill_locf_and_interp(spark):
+    from trading_etl_python_spark.operators.temporal import gapfill_locf
+
+    # one symbol, ticks in buckets 00-06 and 18-24 of the same day: two
+    # 6h gap buckets (06-12, 12-18) to fill; LOCF carries 10, interp
+    # walks 10 -> 22 in thirds.
+    h = lambda hh, mm=0: dt.datetime(2024, 1, 2, hh, mm)
+    df = spark.createDataFrame(
+        [(7, h(1), 1, 9.0), (7, h(2), 2, 10.0), (7, h(19), 3, 22.0)],
+        "symbol long, time timestamp, event_id long, close double",
+    )
+    rows = {r.bucket_start.hour: r for r in gapfill_locf(df, 6).collect()}
+    assert sorted(rows) == [0, 6, 12, 18]
+    assert rows[0].n_ticks == 2 and not rows[0].is_gap
+    assert rows[0].close_locf == 10.0  # last tick of the bucket, not first
+    assert rows[6].is_gap and rows[6].n_ticks == 0
+    assert rows[6].close_locf == 10.0 and rows[12].close_locf == 10.0
+    assert rows[6].close_interp == 14.0  # 10 + (22-10)*1/3
+    assert rows[12].close_interp == 18.0
+    assert rows[18].close_interp == 22.0 and not rows[18].is_gap
+
+
+def test_gapfill_trailing_gap_uses_locf(spark):
+    from trading_etl_python_spark.operators.temporal import gapfill_locf
+
+    # gap bucket after the last real tick (day 2 bucket 0 real, bucket 6
+    # empty, bucket 12 real on another symbol extends nothing): trailing
+    # buckets only exist up to each symbol's own max bucket.
+    h = lambda d_, hh: dt.datetime(2024, 1, d_, hh)
+    df = spark.createDataFrame(
+        [(1, h(2, 0), 1, 5.0), (1, h(2, 13), 2, 7.0), (2, h(2, 3), 3, 1.0)],
+        "symbol long, time timestamp, event_id long, close double",
+    )
+    out = gapfill_locf(df, 6).collect()
+    sym1 = sorted([r for r in out if r.symbol == 1], key=lambda r: r.bucket_start)
+    assert [r.bucket_start.hour for r in sym1] == [0, 6, 12]
+    assert [r.close_interp for r in sym1] == [5.0, 6.0, 7.0]
+    assert len([r for r in out if r.symbol == 2]) == 1  # span is per-symbol
+
+
+def test_twap_holding_time_weights(spark):
+    from trading_etl_python_spark.operators.analytics import twap
+
+    # weights: 10 at 100s, 20 at 200s, last tick weightless ->
+    # (10*100 + 20*200) / 300
+    t0 = dt.datetime(2024, 1, 2, 0, 0, 0)
+    df = spark.createDataFrame(
+        [
+            (1, t0, 1, 10.0),
+            (1, t0 + dt.timedelta(seconds=100), 2, 20.0),
+            (1, t0 + dt.timedelta(seconds=300), 3, 99.0),
+        ],
+        "symbol long, time timestamp, event_id long, close double",
+    )
+    r = twap(df).collect()[0]
+    assert r.n_ticks == 3
+    assert abs(r.twap - (10 * 100 + 20 * 200) / 300) < 1e-6  # operator rounds 6dp
+
+
+def test_twap_single_tick_is_null(spark):
+    from trading_etl_python_spark.operators.analytics import twap
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 2), 1, 10.0)],
+        "symbol long, time timestamp, event_id long, close double",
+    )
+    r = twap(df).collect()[0]
+    assert r.twap is None and r.n_ticks == 1

@@ -123,3 +123,24 @@ def basket_beta(
         )
         .filter(F.col("n_days") >= min_days)
     )
+
+
+def twap(df: DataFrame, col: str = "close") -> DataFrame:
+    """Time-weighted average price per (symbol, day): each tick is weighted
+    by its holding time — microseconds until the next tick of the same day
+    (the last tick carries no weight, TimescaleDB ``time_weight('LOCF')``
+    within-bucket semantics).  One window (lead) + one hash aggregate,
+    both on the symbol distribution; weights stay integral (micros) so
+    only the final division needs rounding."""
+    day = F.date_trunc("day", "time").alias("day")
+    w = Window.partitionBy("symbol", F.to_date("time")).orderBy("time", "event_id")
+    nxt = F.lead(F.col("time").cast("timestamp")).over(w)
+    dt_us = F.unix_micros(nxt) - F.unix_micros(F.col("time").cast("timestamp"))
+    wsum = df.select("symbol", day, F.col(col).alias("px"), dt_us.alias("dt_us"))
+    return wsum.groupBy("symbol", "day").agg(
+        F.round(
+            F.sum(F.col("px") * F.col("dt_us")) / F.nullif(F.sum("dt_us"), F.lit(0)),
+            6,
+        ).alias("twap"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )

@@ -152,3 +152,80 @@ def candles(df: DataFrame, bucket: str = "1 day") -> DataFrame:
             "open_px", "high_px", "low_px", "close_px", "volume", "n_ticks",
         )
     )
+
+
+def time_bucket(col: str = "time", hours: int = 6):
+    """Fixed-width time bucket (TimescaleDB ``time_bucket``): midnight-anchored
+    so the Spark and DuckDB twins agree for any divisor of 24.  Expressed as
+    date_trunc + whole-hour interval — stays inside codegen, no UDF."""
+    assert 24 % hours == 0, "bucket must divide a day for midnight anchoring"
+    return F.expr(
+        f"date_trunc('day', {col}) + make_interval(0, 0, 0, 0, "
+        f"CAST({hours} * floor(hour({col}) / {hours}) AS INT), 0, 0)"
+    )
+
+
+def gapfill_locf(
+    df: DataFrame, bucket_hours: int = 6, value_col: str = "close"
+) -> DataFrame:
+    """Gap-filled downsample with LOCF + linear interpolation — the
+    TimescaleDB ``time_bucket_gapfill(..) + locf(..) + interpolate(..)``
+    shape (the hypertable surface the reference provisions in
+    src/db/setup.py:92-98 but never implements).
+
+    Plan at scale: the tick->bucket rollup is one map-side-combinable
+    hash aggregate (same shape as ``candles``); the dense scaffold is
+    generated from the per-symbol [min,max] span — ``sequence()`` on a
+    #symbols-sized frame, NOT an explode of the fact table — so scaffold
+    cost is O(symbols x buckets), independent of tick count.  The left
+    join back and both fill windows share the hash(symbol) distribution;
+    AQE broadcasts the scaffold side when small.
+
+    Interpolation uses bucket ordinals, not epochs: buckets are uniform,
+    so the fraction (rn - prev_rn)/(next_rn - prev_rn) is integer-exact
+    and engine-portable."""
+    bucket = time_bucket("time", bucket_hours)
+    b = df.groupBy(F.col("symbol"), bucket.alias("bucket_start")).agg(
+        F.max_by(value_col, "time").alias("v"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+    spans = b.groupBy("symbol").agg(
+        F.min("bucket_start").alias("mn"), F.max("bucket_start").alias("mx")
+    )
+    dense = spans.select(
+        "symbol",
+        F.explode(
+            F.sequence("mn", "mx", F.expr(f"INTERVAL {int(bucket_hours)} HOURS"))
+        ).alias("bucket_start"),
+    )
+    j = dense.join(b, ["symbol", "bucket_start"], "left")
+    w = Window.partitionBy("symbol").orderBy("bucket_start")
+    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    rn = F.row_number().over(w)
+    v_rn = F.when(F.col("v").isNotNull(), F.col("rn"))
+    out = (
+        j.withColumn("rn", rn)
+        .withColumn("locf", F.last("v", ignorenulls=True).over(back))
+        .withColumn("prev_rn", F.last(v_rn, ignorenulls=True).over(back))
+        .withColumn("nxt", F.first("v", ignorenulls=True).over(fwd))
+        .withColumn("next_rn", F.first(v_rn, ignorenulls=True).over(fwd))
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("nxt").isNull(), F.col("locf"))
+        .otherwise(
+            F.col("locf")
+            + (F.col("nxt") - F.col("locf"))
+            * (F.col("rn") - F.col("prev_rn"))
+            / (F.col("next_rn") - F.col("prev_rn"))
+        )
+    )
+    return out.select(
+        "symbol",
+        "bucket_start",
+        F.coalesce("n_ticks", F.lit(0)).alias("n_ticks"),
+        F.col("v").isNull().alias("is_gap"),
+        F.round("locf", 6).alias("close_locf"),
+        F.round(interp, 6).alias("close_interp"),
+    )

@@ -280,3 +280,58 @@ def q_window_navs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(wv), 6).alias("close_pct_rank"),
         F.round(F.cume_dist().over(wv), 6).alias("close_cume_dist"),
     )
+
+
+@q(
+    "q_gapfill_locf",
+    f"""WITH {BARS_CTE},
+    b AS (SELECT symbol,
+            date_trunc('day', time) + to_hours(6 * (hour(time) // 6)) AS bucket_start,
+            arg_max(close, time) AS v, COUNT(*) AS n_ticks
+          FROM bars GROUP BY 1, 2),
+    sp AS (SELECT symbol, MIN(bucket_start) AS mn, MAX(bucket_start) AS mx FROM b GROUP BY 1),
+    dense AS (SELECT symbol, unnest(generate_series(mn, mx, INTERVAL 6 HOUR)) AS bucket_start FROM sp),
+    j AS (SELECT d.symbol, d.bucket_start, b.v, COALESCE(b.n_ticks, 0) AS n_ticks
+          FROM dense d LEFT JOIN b ON b.symbol = d.symbol AND b.bucket_start = d.bucket_start),
+    r0 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY bucket_start) AS rn FROM j),
+    r AS (SELECT *,
+        LAST_VALUE(v IGNORE NULLS) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+        LAST_VALUE(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+          OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_rn,
+        FIRST_VALUE(v IGNORE NULLS) OVER (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt,
+        FIRST_VALUE(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+          OVER (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_rn
+      FROM r0 WINDOW w AS (PARTITION BY symbol ORDER BY bucket_start))
+    SELECT symbol, bucket_start, n_ticks, v IS NULL AS is_gap,
+      ROUND(locf, 6) AS close_locf,
+      ROUND(CASE WHEN v IS NOT NULL THEN v
+                 WHEN nxt IS NULL THEN locf
+                 ELSE locf + (nxt - locf) * (rn - prev_rn) / (next_rn - prev_rn) END,
+            6) AS close_interp
+    FROM r""",
+)
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_bucket_gapfill + locf + interpolate (TimescaleDB hypertable
+    surface, reference src/db/setup.py:92-98): dense 6-hour buckets per
+    symbol span, carried-forward and linearly-interpolated closes."""
+    from ..operators.temporal import gapfill_locf
+
+    return gapfill_locf(bars(spark, sf_dir), bucket_hours=6)
+
+
+@q(
+    "q_twap",
+    f"""WITH {BARS_CTE},
+    t AS (SELECT symbol, date_trunc('day', time) AS day, close,
+            epoch_us(LEAD(time) OVER (PARTITION BY symbol, CAST(time AS DATE)
+                                      ORDER BY time, event_id)) - epoch_us(time) AS dt_us
+          FROM bars)
+    SELECT symbol, day,
+      ROUND(SUM(close * dt_us) / NULLIF(SUM(dt_us), 0), 6) AS twap,
+      COUNT(*) AS n_ticks
+    FROM t GROUP BY symbol, day""",
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per (symbol, day) — holding-time
+    weights (micros until next tick), TimescaleDB time_weight shape."""
+    return AN.twap(bars(spark, sf_dir))
