@@ -87,3 +87,48 @@ def test_simhash_pairs_respect_hamming_bound(spark, sf_dir):
     )
     got = D.simhash_pairs(dup, max_hamming=0).collect()
     assert [(r.doc_a, r.doc_b, r.hamming) for r in got] == [(1, 2, 0)]
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    from trading_etl_python_spark.operators.dedup import dedup_clusters
+
+    # explicit edge list: 1-2, 2-3 chain plus isolated 9 -> components
+    # {1,2,3} (canonical 1) and {9}; A~C never appears as a direct edge.
+    docs = spark.createDataFrame([(1,), (2,), (3,), (9,)], "doc_id long")
+    pairs = spark.createDataFrame([(2, 3), (1, 2)], "doc_a long, doc_b long")
+    out = {r.doc_id: r for r in dedup_clusters(docs, pairs=pairs).collect()}
+    assert {v.cluster_id for v in out.values()} == {1, 9}
+    assert out[3].cluster_id == 1 and not out[3].is_canonical
+    assert out[1].is_canonical and out[9].is_canonical
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    from trading_etl_python_spark.operators.dedup import dedup_clusters
+
+    # 0-1-2-...-7 path: needs multiple propagation rounds (diameter 7)
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "doc_a long, doc_b long"
+    )
+    out = dedup_clusters(docs, pairs=pairs).collect()
+    assert all(r.cluster_id == 0 for r in out)
+    assert sum(r.is_canonical for r in out) == 1
+
+
+def test_contamination_flags_shared_ngrams(spark):
+    from pyspark.sql import functions as F
+
+    from trading_etl_python_spark.operators.dedup import contamination
+
+    eval_doc = "alpha beta gamma delta epsilon zeta"
+    train_hit = "prefix words alpha beta gamma delta epsilon and more"
+    train_clean = "entirely different words with no overlap at all here"
+    df = spark.createDataFrame(
+        [(1, eval_doc, "eval"), (2, train_hit, "train"), (3, train_clean, "train")],
+        "doc_id long, text string, source string",
+    )
+    out = contamination(df, F.col("source") == "eval", n=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    # shared 5-grams: "alpha beta gamma delta epsilon" only
+    assert r.doc_id == 2 and r.n_shared == 1 and r.n_eval_docs == 1

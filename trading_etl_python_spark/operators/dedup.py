@@ -310,3 +310,95 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def contamination(
+    df: DataFrame,
+    eval_pred: Column,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag every training doc sharing at least
+    one word n-gram with any eval doc (the GPT-3/PaLM report procedure —
+    n-gram collision against held-out benchmarks — as a set-join).
+
+    Returns (id_col, n_shared, n_eval_docs) for flagged train docs only.
+
+    Scale shape: eval benchmarks are small by construction (thousands of
+    docs vs billions of train docs), so the eval shingle set is force-
+    broadcast and the train corpus never shuffles — one scan, one
+    broadcast hash join, one partial-aggregated groupBy(doc).  If the
+    eval side ever outgrows broadcast range, drop the hint and Catalyst
+    falls back to a shuffle join on the shingle key."""
+    ev = shingles(df.filter(eval_pred), n, text_col, id_col).select(
+        "shingle", F.col(id_col).alias("_eval_id")
+    )
+    tr = shingles(df.filter(~eval_pred), n, text_col, id_col)
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("shingle").alias("n_shared"),
+            F.countDistinct("_eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the pairwise
+    near-dup graph, labeling every doc with the min doc id of its
+    component (the canonical survivor).  This is the step production
+    dedup pipelines (The Stack, RefinedWeb) run after pair generation —
+    keeping one doc per *component*, not per pair, so A~B, B~C collapses
+    to {A} even when A!~C directly.
+
+    Iterative min-label propagation: labels converge in <= graph-diameter
+    rounds; each round is one shuffle join (edges x labels) + one
+    map-side-combinable min-agg, with ``localCheckpoint`` truncating the
+    lineage so plans don't grow per round.  Near-dup graphs are
+    overwhelmingly tiny components (pairs, triangles), so diameter is
+    small and the loop exits via the monotone changed-count reaching 0.
+    At extreme scale swap the propagation body for the large-star/
+    small-star rounds of Kiveris et al. "Connected Components in
+    MapReduce" — same driver loop, fewer rounds on long chains.
+
+    Returns (id_col, cluster_id, is_canonical) for EVERY input doc;
+    isolated docs are their own singleton cluster."""
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(df, n, threshold, id_col=id_col).select(
+            "doc_a", "doc_b"
+        )
+    fwd = pairs.select(F.col("doc_a").alias("e_a"), F.col("doc_b").alias("e_b"))
+    edges = fwd.unionAll(
+        pairs.select(F.col("doc_b").alias("e_a"), F.col("doc_a").alias("e_b"))
+    ).localCheckpoint()
+    labels = df.select(F.col(id_col).alias("v"), F.col(id_col).alias("l"))
+    for _ in range(max_iter):
+        nbr = edges.join(labels, edges.e_b == labels.v).select(
+            F.col("e_a").alias("v"), F.col("l")
+        )
+        new_labels = (
+            labels.unionByName(nbr).groupBy("v").agg(F.min("l").alias("l"))
+        ).localCheckpoint()
+        n_changed = (
+            new_labels.alias("nw")
+            .join(labels.alias("old"), "v")
+            .filter(F.col("nw.l") < F.col("old.l"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+    return labels.select(
+        F.col("v").alias(id_col),
+        F.col("l").alias("cluster_id"),
+        (F.col("l") == F.col("v")).alias("is_canonical"),
+    )

@@ -753,3 +753,50 @@ def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.countDistinct("event_type").alias("n_types"),
     )
+
+
+@q(
+    "q_decontaminate",
+    f"""WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    shn AS (SELECT DISTINCT doc_id, list_aggregate(toks[i:i+4], 'string_agg', ' ') AS shingle
+            FROM tok, UNNEST(range(1, len(toks) - 3)) AS t(i) WHERE len(toks) >= 5),
+    ev AS (SELECT DISTINCT shingle, s.doc_id FROM shn s JOIN documents d USING (doc_id)
+           WHERE d.source = 'src0'),
+    tr AS (SELECT s.doc_id, s.shingle FROM shn s JOIN documents d USING (doc_id)
+           WHERE d.source <> 'src0')
+    SELECT tr.doc_id, COUNT(DISTINCT tr.shingle) AS n_shared,
+           COUNT(DISTINCT ev.doc_id) AS n_eval_docs
+    FROM tr JOIN ev USING (shingle) GROUP BY tr.doc_id""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs (source != src0) sharing any
+    word 5-gram with the eval split (source = src0); broadcast eval side."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.contamination(docs, F.col("source") == "src0", n=5)
+
+
+@q(
+    "q_dedup_clusters",
+    f"""WITH RECURSIVE {_SHINGLE_CTES},
+    cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    pairs AS (SELECT doc_a, doc_b FROM p
+              JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+              WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(v, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.v, e.b FROM reach JOIN edges e ON e.a = reach.r)
+    SELECT v AS doc_id, MIN(r) AS cluster_id, (MIN(r) = v) AS is_canonical
+    FROM reach GROUP BY v""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components dedup clustering over the 3-gram Jaccard>=0.5
+    near-dup graph (iterative min-label propagation; oracle is the
+    recursive-CTE transitive closure)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_clusters(docs, n=3, threshold=0.5)
