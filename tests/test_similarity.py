@@ -72,3 +72,34 @@ def test_cosine_pairs_blocked_symmetry_free(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = S.cosine_pairs_blocked(emb, threshold=-1.0, block_col="label").limit(1000).collect()
     assert all(r.vec_a < r.vec_b for r in pairs)  # each pair exactly once
+
+
+def test_kmeans_step_means_and_counts(spark):
+    from trading_etl_python_spark.operators.similarity import kmeans_step
+
+    # two obvious clusters on a 2d simplex; seeds = vec_id<2 (one per side)
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]),
+        (2, [0.9, 0.1]), (3, [0.1, 0.9]), (4, [0.8, 0.2]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r.cell, r.dim): r for r in kmeans_step(df, n_cells=2).collect()}
+    assert out[(0, 0)].n_members == 3  # vecs 0, 2, 4
+    assert abs(out[(0, 0)].centroid_val - (1.0 + 0.9 + 0.8) / 3) < 1e-5
+    assert out[(1, 1)].n_members == 2
+    assert abs(out[(1, 1)].centroid_val - (1.0 + 0.9) / 2) < 1e-5
+
+
+def test_kmeans_fit_reaches_fixpoint(spark):
+    from trading_etl_python_spark.operators.similarity import kmeans_fit, kmeans_step
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]),
+        (2, [0.9, 0.1]), (3, [0.1, 0.9]), (4, [0.8, 0.2]), (5, [0.05, 0.95]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_fit(df, n_cells=2, max_iter=5)
+    # fixpoint: one more step reproduces the same centroids
+    again = {(r.cell, r.dim): r.centroid_val for r in kmeans_step(df, cents).collect()}
+    for (cell, dim), v in again.items():
+        assert abs(cents[cell][dim] - v) < 1e-9

@@ -237,3 +237,60 @@ def ann_lsh_topk(
         .limit(k)
         .select(id_col, "label", F.round("_sim", 6).alias("cos_sim"))
     )
+
+
+def kmeans_step(
+    embeddings: DataFrame,
+    centroids: dict[int, list[float]] | None = None,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One distributed Lloyd iteration (the body of k-means at scale):
+    nearest-centroid assignment entirely MAP-SIDE (``ivf_assign``'s
+    literal-centroid argmax HOF — zero shuffle over the fact table), then
+    the mean recompute in LONG form — ``posexplode(embedding)`` ->
+    groupBy(cell, dim) avg — one fully map-side-combinable shuffle whose
+    key cardinality is K x dim, independent of row count.  Iterating is a
+    driver loop feeding the output back in as the next centroid literal;
+    empty cells simply drop out (standard Lloyd).
+
+    Returns (cell, dim, centroid_val, n_members) — the updated centroid
+    matrix in coordinate form."""
+    cents = (
+        centroids
+        if centroids is not None
+        else collect_centroids(embeddings, n_cells, id_col)
+    )
+    asn = ivf_assign(embeddings, cents, "_cell")
+    long = asn.select(
+        F.col("_cell").alias("cell"),
+        F.posexplode("embedding").alias("dim", "val"),
+    )
+    return long.groupBy("cell", "dim").agg(
+        F.round(F.avg("val"), 6).alias("centroid_val"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+) -> dict[int, list[float]]:
+    """Full Lloyd loop built from ``kmeans_step``: each round collects only
+    the K x dim coordinate matrix (tiny, independent of data size) and
+    re-inlines it as the next round's literal centroid table.  Stops early
+    when assignments stop moving the centroids (exact fixpoint)."""
+    cents = collect_centroids(embeddings, n_cells, id_col)
+    for _ in range(max_iter):
+        rows = kmeans_step(embeddings, cents, id_col=id_col).collect()
+        nxt: dict[int, list[float]] = {}
+        for r in rows:
+            nxt.setdefault(int(r["cell"]), [0.0] * len(next(iter(cents.values()))))[
+                int(r["dim"])
+            ] = float(r["centroid_val"])
+        if nxt == cents:
+            break
+        cents = nxt
+    return cents

@@ -800,3 +800,32 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE transitive closure)."""
     docs = load_table(spark, sf_dir, "documents")
     return D.dedup_clusters(docs, n=3, threshold=0.5)
+
+
+@q(
+    "q_kmeans_step",
+    f"""WITH cent AS (
+         SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 16),
+       asn AS (
+         SELECT vec_id, cell FROM (
+           SELECT e.vec_id, c.cell,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {_DOT.format(a='e.embedding', b='c.cv')} DESC, c.cell
+                  ) AS rn
+           FROM embeddings e CROSS JOIN cent c) t
+         WHERE rn = 1),
+       lng AS (
+         SELECT CAST(a.cell AS INT) AS cell, CAST(i - 1 AS INT) AS dim,
+                e.embedding[CAST(i AS INT)] AS val
+         FROM embeddings e JOIN asn a USING (vec_id),
+              UNNEST(range(1, len(e.embedding) + 1)) AS t(i))
+       SELECT cell, dim, ROUND(AVG(val), 6) AS centroid_val,
+              COUNT(*) AS n_members
+       FROM lng GROUP BY cell, dim""",
+)
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration over the embeddings (deterministic vec_id<16
+    seed centroids): map-side argmax assign + long-form mean recompute."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.kmeans_step(emb, n_cells=16)
