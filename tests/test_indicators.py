@@ -125,3 +125,54 @@ def test_wma_golden(spark):
     got = {r.event_id: r.wma_3 for r in with_wma(df, 3).collect()}
     assert got[1] is None and got[2] is None
     assert got[3] == round(14.0 / 6.0, 4)
+
+
+def _flat_bars(spark, closes, symbol=1):
+    """Bars where high=low=close (degenerate range) for hand-math."""
+    import datetime as dt
+
+    rows = [
+        (symbol, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), i, c, c, c)
+        for i, c in enumerate(closes)
+    ]
+    return spark.createDataFrame(
+        rows, "symbol long, time timestamp, event_id long, high double, low double, close double"
+    )
+
+
+def test_roc_hand_values(spark):
+    from trading_etl_python_spark.operators.windows import with_roc
+
+    df = _flat_bars(spark, [float(i) for i in range(1, 13)])
+    out = sorted(with_roc(df, 10).collect(), key=lambda r: r.event_id)
+    assert out[9].roc_10 is None  # only 10 rows so far: lag(10) null
+    assert out[10].roc_10 == 1000.0  # 100*(11-1)/1
+    assert out[11].roc_10 == 500.0  # 100*(12-2)/2
+
+
+def test_donchian_hand_values(spark):
+    from trading_etl_python_spark.operators.windows import with_donchian
+
+    df = _flat_bars(spark, [5.0, 9.0, 1.0, 4.0])
+    out = sorted(with_donchian(df, 3).collect(), key=lambda r: r.event_id)
+    assert out[1].dc_upper is None  # warmup
+    assert (out[2].dc_upper, out[2].dc_lower, out[2].dc_mid) == (9.0, 1.0, 5.0)
+    assert (out[3].dc_upper, out[3].dc_lower, out[3].dc_mid) == (9.0, 1.0, 5.0)
+
+
+def test_cci_hand_values(spark):
+    from trading_etl_python_spark.operators.windows import with_cci
+
+    # tp == close; window [1,2,3]: mean 2, mean_dev 2/3, cci = 1/(0.015*2/3)
+    df = _flat_bars(spark, [1.0, 2.0, 3.0])
+    out = sorted(with_cci(df, 3).collect(), key=lambda r: r.event_id)
+    assert out[0].cci_3 is None and out[1].cci_3 is None
+    assert out[2].cci_3 == 100.0
+
+
+def test_cci_constant_window_is_null(spark):
+    from trading_etl_python_spark.operators.windows import with_cci
+
+    df = _flat_bars(spark, [2.0, 2.0, 2.0])
+    out = sorted(with_cci(df, 3).collect(), key=lambda r: r.event_id)
+    assert out[2].cci_3 is None  # zero mean-deviation -> NULL, not inf

@@ -207,3 +207,53 @@ def with_rolling_median(df: DataFrame, n: int = 20, col: str = "close", out: str
         (mid_lo + mid_hi) / 2.0
     )
     return df.withColumn(out, F.round(med, ROUND_DP))
+
+
+def with_roc(df: DataFrame, n: int = 10, col: str = "close", out: str | None = None) -> DataFrame:
+    """ROC(n) — rate of change: 100 * (close - close[n back]) / close[n
+    back] (pandas-ta roc family; beyond the reference's 13, same window
+    spec).  NULL through warmup via the LAG null, zero-guard via NULLIF."""
+    prev = F.lag(col, n).over(by_key())
+    expr = (F.lit(100.0) * (F.col(col) - prev)) / F.nullif(prev, F.lit(0.0))
+    return df.withColumn(out or f"roc_{n}", F.round(expr, ROUND_DP))
+
+
+def with_donchian(df: DataFrame, n: int = 20) -> DataFrame:
+    """Donchian channel(n): upper = rolling max(high), lower = rolling
+    min(low), mid = their mean — warmup-gated like every other bounded
+    window indicator."""
+    w = by_key().rowsBetween(-(n - 1), 0)
+    cnt = F.count("close").over(w)
+    u, lo = F.max("high").over(w), F.min("low").over(w)
+    return (
+        df.withColumn("dc_upper", _guarded(u, cnt, n))
+        .withColumn("dc_lower", _guarded(lo, cnt, n))
+        .withColumn("dc_mid", _guarded((u + lo) / F.lit(2.0), cnt, n))
+    )
+
+
+def with_cci(df: DataFrame, n: int = 20, out: str | None = None) -> DataFrame:
+    """CCI(n) — Commodity Channel Index: (tp - SMA_n(tp)) / (0.015 *
+    mean_deviation), tp = (high+low+close)/3, mean_deviation = avg |tp_i -
+    SMA_n(tp)| over the SAME window.  The mean-deviation needs every
+    window member's distance from the window's own mean — the bounded
+    collect_list + aggregate() HOF pattern again (O(n) per row, JVM-side,
+    left-to-right fold for oracle parity)."""
+    out = out or f"cci_{n}"
+    w = by_key().rowsBetween(-(n - 1), 0)
+    tmp = (
+        df.withColumn("_tp", (F.col("high") + F.col("low") + F.col("close")) / F.lit(3.0))
+        .withColumn("_tp_mean", F.avg("_tp").over(w))
+        .withColumn("_cnt", F.count("_tp").over(w))
+        .withColumn("_lst", F.collect_list("_tp").over(w))
+    )
+    dev_sum = F.aggregate(
+        F.transform(F.col("_lst"), lambda x: F.abs(x - F.col("_tp_mean"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    md = dev_sum / F.col("_cnt")
+    cci = (F.col("_tp") - F.col("_tp_mean")) / F.nullif(F.lit(0.015) * md, F.lit(0.0))
+    return tmp.withColumn(
+        out, F.when(F.col("_cnt") >= n, F.round(cci, ROUND_DP))
+    ).drop("_tp", "_tp_mean", "_cnt", "_lst")

@@ -335,3 +335,65 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average price per (symbol, day) — holding-time
     weights (micros until next tick), TimescaleDB time_weight shape."""
     return AN.twap(bars(spark, sf_dir))
+
+
+@q(
+    "q_roc",
+    f"""WITH {BARS_CTE}
+    SELECT symbol, time, event_id,
+      ROUND(100 * (close - LAG(close, 10) OVER ({KW}))
+            / NULLIF(LAG(close, 10) OVER ({KW}), 0.0), 4) AS roc_10
+    FROM bars""",
+)
+def q_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate of change (10): lag-based momentum, zero-guarded."""
+    from ..operators.windows import with_roc
+
+    return with_roc(bars(spark, sf_dir), 10).select("symbol", "time", "event_id", "roc_10")
+
+
+@q(
+    "q_donchian",
+    f"""WITH {BARS_CTE},
+    l AS (SELECT symbol, time, event_id,
+            MAX(high) OVER w AS u, MIN(low) OVER w AS lo, COUNT(close) OVER w AS cnt
+          FROM bars WINDOW w AS ({KW} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+    SELECT symbol, time, event_id,
+      CASE WHEN cnt >= 20 THEN ROUND(u, 4) END AS dc_upper,
+      CASE WHEN cnt >= 20 THEN ROUND(lo, 4) END AS dc_lower,
+      CASE WHEN cnt >= 20 THEN ROUND((u + lo) / 2.0, 4) END AS dc_mid
+    FROM l""",
+)
+def q_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian channel (20): rolling extremes + midline."""
+    from ..operators.windows import with_donchian
+
+    return with_donchian(bars(spark, sf_dir), 20).select(
+        "symbol", "time", "event_id", "dc_upper", "dc_lower", "dc_mid"
+    )
+
+
+@q(
+    "q_cci",
+    f"""WITH {BARS_CTE},
+    t AS (SELECT symbol, time, event_id, (high + low + close) / 3.0 AS tp FROM bars),
+    m AS (SELECT symbol, time, event_id, tp,
+            AVG(tp) OVER w AS mean_tp, COUNT(tp) OVER w AS cnt, list(tp) OVER w AS lst
+          FROM t WINDOW w AS ({KW} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+    SELECT symbol, time, event_id,
+      CASE WHEN cnt >= 20 THEN ROUND(
+        (tp - mean_tp) / NULLIF(0.015 * (
+          list_reduce(
+            list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(lst, x -> abs(x - mean_tp))),
+            (a, b) -> a + b) / cnt), 0.0), 4) END AS cci_20
+    FROM m""",
+)
+def q_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCI (20): typical-price deviation vs the window's own mean — the
+    bounded-list HOF mean-deviation."""
+    from ..operators.windows import with_cci
+
+    return with_cci(bars(spark, sf_dir), 20).select(
+        "symbol", "time", "event_id", "cci_20"
+    )
