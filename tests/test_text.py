@@ -91,3 +91,21 @@ def test_curate_corpus_stage_policies(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
     kept = sorted(r.doc_id for r in curate_corpus(docs).collect())
     assert kept == [1, 5]
+
+
+def test_normalize_text_canonical_form(spark):
+    from trading_etl_python_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "  Hello,   WORLD!! The  end.  "), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in normalize_text(df).collect()}
+    assert out[1].norm_text == "hello world the end"
+    assert out[1].content_text == "hello world end"  # 'the' stripped
+    assert out[1].n_norm_chars == len("hello world the end")
+    assert out[2].content_text == "b c"  # leading stopword 'a' stripped
+    # md5 of the normal form is the dedup key
+    import hashlib
+
+    assert out[1].norm_hash == hashlib.md5(b"hello world the end").hexdigest()

@@ -240,3 +240,27 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.round(F.col("_topbg") / F.col("_nbg"), 6).alias("top_bigram_frac"),
         F.round("_ent", 6).alias("token_entropy"),
     )
+
+
+def normalize_text(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Canonical text normalization (the pre-dedup pass every corpus
+    pipeline runs): lowercase, non-alphanumerics -> space, whitespace
+    runs collapsed, trimmed; plus a stopword-stripped content variant and
+    the md5 of the normal form (the exact-dedup key after normalization).
+    Pure codegen expressions — regexp_replace/HOFs, no Python row path."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "), " +", " "
+        )
+    )
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    content = F.array_join(
+        F.filter(F.split(norm, " "), lambda x: ~F.array_contains(sw, x)), " "
+    )
+    return df.select(
+        F.col(id_col),
+        norm.alias("norm_text"),
+        F.md5(norm).alias("norm_hash"),
+        F.length(norm).alias("n_norm_chars"),
+        content.alias("content_text"),
+    )

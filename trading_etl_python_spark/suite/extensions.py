@@ -829,3 +829,25 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed centroids): map-side argmax assign + long-form mean recompute."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.kmeans_step(emb, n_cells=16)
+
+
+@q(
+    "q_text_normalize",
+    """WITH n AS (
+         SELECT doc_id,
+                trim(regexp_replace(
+                  regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                  ' +', ' ', 'g')) AS norm_text
+         FROM documents)
+       SELECT doc_id, norm_text, md5(norm_text) AS norm_hash,
+              CAST(length(norm_text) AS INT) AS n_norm_chars,
+              list_aggregate(
+                list_filter(string_split(norm_text, ' '),
+                  x -> NOT list_contains(['the','a','of','and','to','in','is'], x)),
+                'string_agg', ' ') AS content_text
+       FROM n""",
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization + md5 dedup key + stopword-stripped
+    content variant."""
+    return TX.normalize_text(load_table(spark, sf_dir, "documents"))
