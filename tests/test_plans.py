@@ -165,3 +165,31 @@ def test_sql_q3_pushes_both_filters(spark, sf_dir):
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     joined = " ".join(pushed)
     assert "o_orderdate" in joined and "l_shipdate" in joined, pushed
+
+
+def test_gapfill_windows_share_one_sort(spark, sf_dir):
+    """The three fill windows (locf/next/interp) run over the same
+    (symbol, bucket) order: exactly one Sort node, no exchange between
+    the Window nodes, and the scaffold join is a broadcast."""
+    plan = _explain_formatted(QUERIES["q_gapfill_locf"](spark, sf_dir))
+    assert plan.count("Sort (") == 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Window (") == 3
+    # shuffle budget: the two rollup aggs only — nothing between windows
+    assert plan.count("- Exchange (") == 2, plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The eval shingle set is benchmark-sized: the contamination join
+    must broadcast it so the train corpus never shuffles for the join."""
+    plan = _executed(QUERIES["q_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_kmeans_step_single_exchange_no_sort(spark, sf_dir):
+    """Lloyd step = map-side assign + partial-aggregated mean recompute:
+    exactly one exchange (the KxD-keyed agg), no join, no sort."""
+    plan = _explain_formatted(QUERIES["q_kmeans_step"](spark, sf_dir))
+    assert plan.count("Exchange (") == 1, plan
+    assert "Join" not in plan and "Sort (" not in plan
+    assert "partial_avg" in plan or "partial_average" in plan.lower(), plan
