@@ -102,3 +102,20 @@ def test_basket_beta_proportional_returns(spark):
     assert abs(got[1] + got[2] - 2.0) < 1e-3        # betas average to 1
     assert abs(got[2] - 2.0 * got[1]) < 1e-3        # linearity
     assert got[2] > got[1]
+
+
+def test_winsorize_clips_to_percentiles(spark):
+    import datetime as dt
+
+    from trading_etl_python_spark.operators.analytics import winsorize
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), i, float(c))
+        for i, c in enumerate([1, 2, 3, 4, 100])  # 100 is the outlier
+    ]
+    df = spark.createDataFrame(rows, "symbol long, time timestamp, event_id long, close double")
+    out = {r.event_id: r for r in winsorize(df, lo=0.0, hi=0.75).collect()}
+    # p75 (type-7 interpolated) of [1,2,3,4,100] = 4
+    assert out[4].p_hi == 4.0
+    assert out[4].close_wins == 4.0  # outlier clipped
+    assert out[1].close_wins == 2.0  # interior values untouched

@@ -103,3 +103,17 @@ def test_kmeans_fit_reaches_fixpoint(spark):
     again = {(r.cell, r.dim): r.centroid_val for r in kmeans_step(df, cents).collect()}
     for (cell, dim), v in again.items():
         assert abs(cents[cell][dim] - v) < 1e-9
+
+
+def test_gram_matrix_hand_values(spark):
+    from trading_etl_python_spark.operators.similarity import gram_matrix
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])], "vec_id long, embedding array<float>"
+    )
+    out = {(r.i, r.j): r for r in gram_matrix(df).collect()}
+    assert set(out) == {(0, 0), (0, 1), (1, 1)}  # upper triangle only
+    assert out[(0, 0)].g == 1 + 9  # 1*1 + 3*3
+    assert out[(0, 1)].g == 2 + 12
+    assert out[(1, 1)].g == 4 + 16
+    assert all(r.n == 2 for r in out.values())

@@ -144,3 +144,24 @@ def twap(df: DataFrame, col: str = "close") -> DataFrame:
         ).alias("twap"),
         F.count(F.lit(1)).alias("n_ticks"),
     )
+
+
+def winsorize(
+    df: DataFrame, col: str = "close", lo: float = 0.05, hi: float = 0.95
+) -> DataFrame:
+    """Per-symbol winsorization: clip ``col`` to its own [p_lo, p_hi]
+    interpolated percentiles (outlier taming before risk stats).  The
+    percentiles are unbounded-frame window aggregates — one hash exchange
+    on symbol, no sort (no ORDER BY in the spec), values computed once
+    per partition and broadcast to every row by the window operator."""
+    w = Window.partitionBy("symbol")
+    plo = F.expr(f"percentile({col}, {lo})").over(w)
+    phi = F.expr(f"percentile({col}, {hi})").over(w)
+    return (
+        df.withColumn("p_lo", F.round(plo, 4))
+        .withColumn("p_hi", F.round(phi, 4))
+        .withColumn(
+            f"{col}_wins",
+            F.round(F.least(F.greatest(F.col(col), plo), phi), 4),
+        )
+    )

@@ -294,3 +294,25 @@ def kmeans_fit(
             break
         cents = nxt
     return cents
+
+
+def gram_matrix(embeddings: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Gram / scatter matrix X^T X in coordinate form — the building block
+    for covariance, PCA, and linear probes over an embedding corpus,
+    computed WITHOUT a self-join: each row emits its own outer product
+    (two chained posexplodes, upper triangle only) and the per-partition
+    partial aggregation collapses everything to d*(d+1)/2 keys before the
+    single shuffle.  Shuffle bytes are O(d^2 x partitions), independent
+    of corpus size — the map-reduce outer-product-sum.
+
+    Returns (i, j, g, n) with j >= i: g = sum over rows of x_i * x_j."""
+    lng = embeddings.select(
+        F.col("embedding").cast("array<double>").alias("_v")
+    ).select("_v", F.posexplode("_v").alias("i", "xi"))
+    pairs = lng.select("i", "xi", F.posexplode("_v").alias("j", "xj")).filter(
+        F.col("j") >= F.col("i")
+    )
+    return pairs.groupBy("i", "j").agg(
+        F.round(F.sum(F.col("xi") * F.col("xj")), 6).alias("g"),
+        F.count(F.lit(1)).alias("n"),
+    )

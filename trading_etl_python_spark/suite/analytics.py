@@ -397,3 +397,23 @@ def q_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_cci(bars(spark, sf_dir), 20).select(
         "symbol", "time", "event_id", "cci_20"
     )
+
+
+@q(
+    "q_winsorize",
+    f"""WITH {BARS_CTE},
+    p AS (SELECT symbol, time, event_id, close,
+            quantile_cont(close, 0.05) OVER (PARTITION BY symbol) AS plo,
+            quantile_cont(close, 0.95) OVER (PARTITION BY symbol) AS phi
+          FROM bars)
+    SELECT symbol, time, event_id, close,
+      ROUND(plo, 4) AS p_lo, ROUND(phi, 4) AS p_hi,
+      ROUND(LEAST(GREATEST(close, plo), phi), 4) AS close_wins
+    FROM p""",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol winsorized closes: clip to interpolated [p05, p95]
+    (Spark percentile == DuckDB quantile_cont, both type-7)."""
+    return AN.winsorize(bars(spark, sf_dir)).select(
+        "symbol", "time", "event_id", "close", "p_lo", "p_hi", "close_wins"
+    )

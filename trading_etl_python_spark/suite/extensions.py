@@ -851,3 +851,21 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical normalization + md5 dedup key + stopword-stripped
     content variant."""
     return TX.normalize_text(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "q_gram_matrix",
+    """WITH lng AS (
+         SELECT vec_id, CAST(i - 1 AS INT) AS i,
+                CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+         FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i))
+       SELECT a.i AS i, b.i AS j, ROUND(SUM(a.x * b.x), 6) AS g, COUNT(*) AS n
+       FROM lng a JOIN lng b USING (vec_id)
+       WHERE b.i >= a.i
+       GROUP BY a.i, b.i""",
+)
+def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding gram matrix X^T X (upper triangle, coordinate form):
+    per-row outer products partial-aggregated to d^2 keys, no self-join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.gram_matrix(emb)

@@ -88,3 +88,75 @@ def q_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 (shipping priority, top-10) as raw SQL through spark.sql."""
     return _sql(spark, sf_dir, TPCH_Q3)
+
+
+TPCH_Q5 = """SELECT n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name"""
+
+TPCH_Q10 = """SELECT c.c_custkey, c.c_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       ROUND(c.c_acctbal, 4) AS c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20"""
+
+TPCH_Q14 = """SELECT ROUND(
+         100.00 * SUM(CASE WHEN p.p_type = 'PROMO'
+                           THEN l.l_extendedprice * (1 - l.l_discount)
+                           ELSE 0 END)
+         / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00'"""
+
+TPCH_Q4 = """SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority"""
+
+
+@q("q_sql_tpch_q5", TPCH_Q5)
+def q_sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier revenue, 6-table join): dims
+    broadcast, the one big shuffle is orders x lineitem."""
+    return _sql(spark, sf_dir, TPCH_Q5)
+
+
+@q("q_sql_tpch_q10", TPCH_Q10)
+def q_sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item revenue, top-20 customers)."""
+    return _sql(spark, sf_dir, TPCH_Q10)
+
+
+@q("q_sql_tpch_q14", TPCH_Q14)
+def q_sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promo revenue share; part is the broadcast dim)."""
+    return _sql(spark, sf_dir, TPCH_Q14)
+
+
+@q("q_sql_tpch_q4", TPCH_Q4)
+def q_sql_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS -> left-semi join in both engines)."""
+    return _sql(spark, sf_dir, TPCH_Q4)
