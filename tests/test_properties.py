@@ -196,3 +196,79 @@ def test_sessionize_matches_naive(spark, rows):
     got = {(r.user_id, r.event_id): r.session_id for r in sessionize(df, gap_minutes=30).collect()}
     want = naive_sessionize(rows)
     assert got == want
+
+
+gap_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # symbol
+        st.integers(min_value=0, max_value=200),  # hours offset (can gap/dup)
+        st.floats(min_value=0.1, max_value=100, allow_nan=False, allow_infinity=False),
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@given(gap_events)
+@settings(max_examples=12, deadline=None)
+def test_gapfill_output_is_dense_and_bounded(spark, events):
+    """Invariants for any input: per symbol the output buckets form a
+    dense 6h grid over [min, max]; LOCF is never NULL; interp lies
+    between the neighboring real values (monotone envelope)."""
+    from trading_etl_python_spark.operators.temporal import gapfill_locf
+
+    rows = [
+        (s, dt.datetime(2024, 3, 1) + dt.timedelta(hours=h), i, float(c))
+        for i, (s, h, c) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol long, time timestamp, event_id long, close double"
+    )
+    out = gapfill_locf(df, 6).collect()
+    by_sym: dict[int, list] = {}
+    for r in out:
+        by_sym.setdefault(r.symbol, []).append(r)
+    src_extent = {}
+    for s, h, _ in events:
+        lo, hi = src_extent.get(s, (10**9, -1))
+        src_extent[s] = (min(lo, (h // 6) * 6), max(hi, (h // 6) * 6))
+    for s, rs in by_sym.items():
+        rs.sort(key=lambda r: r.bucket_start)
+        # dense grid: consecutive buckets are exactly 6h apart
+        for a, b in zip(rs, rs[1:]):
+            assert (b.bucket_start - a.bucket_start) == dt.timedelta(hours=6)
+        lo, hi = src_extent[s]
+        assert rs[0].bucket_start.hour % 6 == 0
+        assert (rs[-1].bucket_start - rs[0].bucket_start) == dt.timedelta(hours=hi - lo)
+        vals = [c for sym, h, c in events if sym == s]
+        vmin, vmax = min(vals), max(vals)
+        for r in rs:
+            assert r.close_locf is not None
+            assert vmin - 1e-6 <= r.close_interp <= vmax + 1e-6
+            assert vmin - 1e-6 <= r.close_locf <= vmax + 1e-6
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False, allow_infinity=False),
+        min_size=2,
+        max_size=30,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_winsorize_bounds_and_identity_inside(spark, closes):
+    from trading_etl_python_spark.operators.analytics import winsorize
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), i, c)
+        for i, c in enumerate(closes)
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol long, time timestamp, event_id long, close double"
+    )
+    out = winsorize(df).collect()
+    for r in out:
+        assert r.p_lo - 1e-4 <= r.close_wins <= r.p_hi + 1e-4
+        if r.p_lo <= r.close <= r.p_hi:
+            assert abs(r.close_wins - round(r.close, 4)) < 1e-9
