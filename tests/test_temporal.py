@@ -182,3 +182,26 @@ def test_twap_single_tick_is_null(spark):
     )
     r = twap(df).collect()[0]
     assert r.twap is None and r.n_ticks == 1
+
+
+def test_candles_rollup_equals_direct_daily(spark, sf_dir):
+    """Hierarchy consistency: daily candles rolled up from 6h candles must
+    be IDENTICAL to daily candles computed directly from ticks."""
+    from trading_etl_python_spark.operators.temporal import candles, candles_rollup
+    from trading_etl_python_spark.sources.tables import bars
+
+    b = bars(spark, sf_dir)
+    direct = {
+        (r.symbol, r.bucket_start): r for r in candles(b, "1 day").collect()
+    }
+    rolled = {
+        (r.symbol, r.bucket_start): r
+        for r in candles_rollup(candles(b, "6 hours"), "1 day").collect()
+    }
+    assert set(direct) == set(rolled)
+    for k, d in direct.items():
+        r = rolled[k]
+        assert (d.open_px, d.high_px, d.low_px, d.close_px) == (
+            r.open_px, r.high_px, r.low_px, r.close_px
+        ), k
+        assert d.volume == r.volume and d.n_ticks == r.n_ticks

@@ -229,3 +229,31 @@ def gapfill_locf(
         F.round("locf", 6).alias("close_locf"),
         F.round(interp, 6).alias("close_interp"),
     )
+
+
+def candles_rollup(candles_df: DataFrame, bucket: str = "1 day") -> DataFrame:
+    """Hierarchical candle rollup: coarser OHLCV candles from FINER
+    candles, never re-reading the tick stream — the continuous-aggregate
+    hierarchy (1m -> 1h -> 1d) every hypertable deployment maintains.
+    Correct OHLC composition: open = earliest child's open, close =
+    latest child's close, high/low = extrema, volume/n_ticks = sums.
+    Exactly the same single map-side-combinable aggregation shape as
+    ``candles`` but over the (already tiny) child-candle table, so a full
+    resolution pyramid costs one cheap pass per level."""
+    w = F.window("bucket_start", bucket)
+    return (
+        candles_df.groupBy("symbol", w.alias("w"))
+        .agg(
+            F.min_by("open_px", "bucket_start").alias("open_px"),
+            F.max("high_px").alias("high_px"),
+            F.min("low_px").alias("low_px"),
+            F.max_by("close_px", "bucket_start").alias("close_px"),
+            F.sum("volume").alias("volume"),
+            F.sum("n_ticks").alias("n_ticks"),
+        )
+        .select(
+            "symbol",
+            F.col("w.start").alias("bucket_start"),
+            "open_px", "high_px", "low_px", "close_px", "volume", "n_ticks",
+        )
+    )

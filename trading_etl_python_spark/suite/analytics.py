@@ -417,3 +417,31 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AN.winsorize(bars(spark, sf_dir)).select(
         "symbol", "time", "event_id", "close", "p_lo", "p_hi", "close_wins"
     )
+
+
+@q(
+    "q_candles_rollup",
+    f"""WITH {BARS_CTE},
+    c6 AS (SELECT symbol,
+             date_trunc('day', time) + to_hours(6 * (hour(time) // 6)) AS bucket_start,
+             arg_min(open, time) AS open_px, MAX(high) AS high_px,
+             MIN(low) AS low_px, arg_max(close, time) AS close_px,
+             CAST(SUM(volume) AS BIGINT) AS volume, COUNT(*) AS n_ticks
+           FROM bars GROUP BY 1, 2)
+    SELECT symbol, date_trunc('day', bucket_start) AS bucket_start,
+      arg_min(open_px, bucket_start) AS open_px,
+      MAX(high_px) AS high_px,
+      MIN(low_px) AS low_px,
+      arg_max(close_px, bucket_start) AS close_px,
+      CAST(SUM(volume) AS BIGINT) AS volume,
+      CAST(SUM(n_ticks) AS BIGINT) AS n_ticks
+    FROM c6 GROUP BY symbol, date_trunc('day', bucket_start)""",
+)
+def q_candles_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily candles rolled up from 6-hour candles (hierarchical
+    continuous aggregate — never re-reads ticks)."""
+    from ..operators.temporal import candles, candles_rollup
+
+    b = bars(spark, sf_dir)
+    c6 = candles(b, "6 hours")
+    return candles_rollup(c6, "1 day")
