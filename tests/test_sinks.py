@@ -130,3 +130,46 @@ def test_upsert_replace_touches_only_present_partitions(spark, tmp_path):
         (1, "2024-01-01 11:00:00", 11.0),
         (1, "2024-01-02 10:00:00", 99.0),
     }
+
+
+def test_compact_partitions_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    import glob
+
+    from trading_etl_python_spark.sinks.parquet import compact_partitions
+
+    df = _sample(spark, sf_dir).repartition(8)  # 8 files per date partition
+    path = str(tmp_path / "frag")
+    from trading_etl_python_spark.sinks.parquet import with_partition_col
+
+    with_partition_col(df).write.partitionBy("trade_date").parquet(path)
+    before = glob.glob(f"{path}/trade_date=*/*.parquet")
+    per_part_before = len(before) / len(glob.glob(f"{path}/trade_date=*"))
+    assert per_part_before > 1  # genuinely fragmented
+
+    rows_before = sorted(
+        tuple(r) for r in spark.read.parquet(path).drop("trade_date").collect()
+    )
+    compact_partitions(spark, path)
+    after = glob.glob(f"{path}/trade_date=*/*.parquet")
+    assert len(after) == len(glob.glob(f"{path}/trade_date=*"))  # 1 file each
+    rows_after = sorted(
+        tuple(r) for r in spark.read.parquet(path).drop("trade_date").collect()
+    )
+    assert rows_after == rows_before  # lossless
+
+
+def test_write_sorted_rowgroups_are_ordered(spark, sf_dir, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from trading_etl_python_spark.sinks.parquet import write_sorted
+
+    df = _sample(spark, sf_dir).repartition(4)  # deliberately unordered input
+    path = str(tmp_path / "sorted")
+    write_sorted(df, path)
+    for f in glob.glob(f"{path}/trade_date=*/*.parquet"):
+        t = pq.read_table(f, columns=["symbol", "time"]).to_pandas()
+        assert list(t.itertuples(index=False)) == sorted(
+            t.itertuples(index=False), key=lambda r: (r.symbol, r.time)
+        ), f"file {f} not sorted"

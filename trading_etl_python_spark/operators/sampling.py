@@ -51,3 +51,23 @@ def split_assign(
         .when(b < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    stratum_col: str = "lang",
+    default_pct: int = 10,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-rebalancing move
+    (upsample scarce languages / downsample dominant sources) done with
+    the same stable hash-threshold as ``deterministic_sample``: rates
+    differ per stratum but assignment stays map-side, reproducible, and
+    engine-portable.  ``rates`` maps stratum value -> keep percentage;
+    unlisted strata use ``default_pct``."""
+    b = hash_bucket(key_col)
+    rate = F.lit(default_pct)
+    for val, pct in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == val, F.lit(pct)).otherwise(rate)
+    return df.filter(b < rate)

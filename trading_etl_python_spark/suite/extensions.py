@@ -869,3 +869,23 @@ def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row outer products partial-aggregated to d^2 keys, no self-join."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.gram_matrix(emb)
+
+
+@q(
+    "q_stratified_sample",
+    """WITH b AS (
+         SELECT doc_id, lang, source, n_chars,
+                ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bkt
+         FROM documents)
+       SELECT doc_id, lang, source, n_chars FROM b
+       WHERE bkt < (CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END)""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: en@50%, de@25%, rest@10% —
+    per-language rebalancing, map-side only."""
+    from ..operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, {"en": 50, "de": 25}, "lang", 10).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
