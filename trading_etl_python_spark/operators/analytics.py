@@ -165,3 +165,24 @@ def winsorize(
             F.round(F.least(F.greatest(F.col(col), plo), phi), 4),
         )
     )
+
+
+def rolling_market_corr(
+    df: DataFrame, basket_max_symbol: int = 50, n: int = 10
+) -> DataFrame:
+    """Rolling n-day Pearson correlation of each basket symbol's daily
+    log return against the equal-weight basket return.  All heavy lineage
+    is the one hash(symbol, day) pre-aggregation; the windowed corr runs
+    on the tiny |basket| x |days| grid (same posture as basket_beta)."""
+    d = daily_close(df.filter(F.col("symbol") < basket_max_symbol))
+    wd = Window.partitionBy("symbol").orderBy("day")
+    r = d.withColumn(
+        "r", F.round(F.log(F.col("close_d") / F.lag("close_d", 1).over(wd)), 6)
+    ).filter(F.col("r").isNotNull())
+    mkt = r.groupBy("day").agg(F.round(F.avg("r"), 6).alias("r_mkt"))
+    j = r.join(mkt, "day").select("symbol", "day", "r", "r_mkt")
+    w = Window.partitionBy("symbol").orderBy("day").rowsBetween(-(n - 1), 0)
+    corr = F.when(F.count(F.lit(1)).over(w) >= n, F.round(F.corr("r", "r_mkt").over(w), 4))
+    return j.select(
+        "symbol", F.col("day").cast("timestamp").alias("day"), corr.alias(f"corr_{n}")
+    )

@@ -445,3 +445,52 @@ def q_candles_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = bars(spark, sf_dir)
     c6 = candles(b, "6 hours")
     return candles_rollup(c6, "1 day")
+
+
+@q(
+    "q_unpivot",
+    f"""WITH {BARS_CTE},
+    c AS (SELECT symbol, CAST(CAST(time AS DATE) AS TIMESTAMP) AS bucket_start,
+            arg_min(open, time) AS open_px, MAX(high) AS high_px,
+            MIN(low) AS low_px, arg_max(close, time) AS close_px
+          FROM bars GROUP BY 1, 2)
+    SELECT symbol, bucket_start, field, value FROM (
+      SELECT symbol, bucket_start, 'open_px' AS field, open_px AS value FROM c
+      UNION ALL SELECT symbol, bucket_start, 'high_px', high_px FROM c
+      UNION ALL SELECT symbol, bucket_start, 'low_px', low_px FROM c
+      UNION ALL SELECT symbol, bucket_start, 'close_px', close_px FROM c) t""",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (inverse of q_pivot): daily OHLC candles to long
+    (symbol, bucket, field, value) — Spark's native unpivot operator,
+    zero shuffle beyond the candle rollup itself."""
+    from ..operators.temporal import candles
+
+    c = candles(bars(spark, sf_dir), "1 day")
+    return c.unpivot(
+        ["symbol", "bucket_start"],
+        ["open_px", "high_px", "low_px", "close_px"],
+        "field",
+        "value",
+    )
+
+
+@q(
+    "q_rolling_corr",
+    f"""WITH {BARS_CTE},
+    d AS (SELECT symbol, CAST(time AS DATE) AS day, AVG(close) AS close_d
+          FROM bars WHERE symbol < 50 GROUP BY symbol, CAST(time AS DATE)),
+    r AS (SELECT symbol, day,
+            ROUND(LN(close_d / LAG(close_d) OVER (PARTITION BY symbol ORDER BY day)), 6) AS r
+          FROM d QUALIFY r IS NOT NULL),
+    mkt AS (SELECT day, ROUND(AVG(r), 6) AS r_mkt FROM r GROUP BY day),
+    j AS (SELECT r.symbol, r.day, r.r, mkt.r_mkt FROM r JOIN mkt USING (day))
+    SELECT symbol, CAST(day AS TIMESTAMP) AS day,
+      CASE WHEN COUNT(*) OVER w >= 10 THEN ROUND(CORR(r, r_mkt) OVER w, 4) END AS corr_10
+    FROM j
+    WINDOW w AS (PARTITION BY symbol ORDER BY day ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""",
+)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 10-day correlation of each basket symbol vs the
+    equal-weight market return (windowed CORR over the day grid)."""
+    return AN.rolling_market_corr(bars(spark, sf_dir), basket_max_symbol=50, n=10)
