@@ -132,3 +132,17 @@ def test_contamination_flags_shared_ngrams(spark):
     r = out[0]
     # shared 5-grams: "alpha beta gamma delta epsilon" only
     assert r.doc_id == 2 and r.n_shared == 1 and r.n_eval_docs == 1
+
+
+def test_corpus_full_holds_out_eval_source(spark, sf_dir):
+    from trading_etl_python_spark.operators.curation import curate_corpus_full
+    from trading_etl_python_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = curate_corpus_full(docs).collect()
+    assert out, "pipeline produced no strata"
+    assert {r.split for r in out} <= {"train", "val", "test"}
+    assert all(r.n_docs > 0 and r.sum_tokens > 0 for r in out)
+    # determinism: same input -> identical stats
+    again = curate_corpus_full(docs).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

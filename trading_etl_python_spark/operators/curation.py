@@ -44,3 +44,54 @@ def curate_corpus(
     return uniq.join(losers, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_tokens", "quality"
     )
+
+
+def curate_corpus_full(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    neardup_threshold: float = 0.8,
+    eval_source: str = "src0",
+) -> DataFrame:
+    """The COMPLETE training-corpus curation DAG, every stage an
+    already-oracle-verified operator, wired as one pipeline:
+
+        quality filter -> normal-form exact dedup -> connected-component
+        near-dup clustering (keep canonical) -> benchmark decontamination
+        (hold out ``eval_source``) -> deterministic split assignment
+        -> per-(lang, split) corpus stats
+
+    Stage order is the optimization (each stage strictly shrinks the
+    corpus before the next, and the only quadratic-risk stages — pair
+    generation and clustering — run on the smallest set).  Returns
+    (lang, split, n_docs, avg_quality, sum_tokens)."""
+    from pyspark.sql import Window
+
+    from .dedup import contamination, dedup_clusters
+    from .sampling import split_assign
+    from .text import norm_expr, quality_score
+
+    scored = quality_score(docs, keep=("text", "lang", "source"))
+    kept = scored.filter(F.col("quality") >= min_quality)
+    nrm = kept.withColumn("norm_hash", F.md5(norm_expr("text")))
+    w = Window.partitionBy("norm_hash").orderBy(F.col("doc_id").asc())
+    uniq = (
+        nrm.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "norm_hash")
+    )
+    clusters = dedup_clusters(
+        uniq.select("doc_id", "text"), n=3, threshold=neardup_threshold
+    )
+    surv = uniq.join(clusters.filter("is_canonical").select("doc_id"), "doc_id")
+    train = surv.filter(F.col("source") != eval_source)
+    probe = train.select("doc_id", "text", "source").unionByName(
+        docs.filter(F.col("source") == eval_source).select("doc_id", "text", "source")
+    )
+    flagged = contamination(probe, F.col("source") == eval_source, n=5).select("doc_id")
+    final = train.join(flagged, "doc_id", "left_anti")
+    sp = split_assign(final)
+    return sp.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )

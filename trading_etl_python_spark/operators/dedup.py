@@ -371,7 +371,13 @@ def dedup_clusters(
     MapReduce" — same driver loop, fewer rounds on long chains.
 
     Returns (id_col, cluster_id, is_canonical) for EVERY input doc;
-    isolated docs are their own singleton cluster."""
+    isolated docs are their own singleton cluster.
+
+    The propagation loop runs ONLY over nodes that touch an edge — in a
+    deduped corpus that working set is orders of magnitude smaller than
+    the corpus (most docs are isolated singletons), so each round's join
+    and min-agg are sized by the near-dup graph, not the data.  Isolated
+    docs get their singleton label via one final left join."""
     if pairs is None:
         pairs = ngram_jaccard_pairs(df, n, threshold, id_col=id_col).select(
             "doc_a", "doc_b"
@@ -380,7 +386,9 @@ def dedup_clusters(
     edges = fwd.unionAll(
         pairs.select(F.col("doc_b").alias("e_a"), F.col("doc_a").alias("e_b"))
     ).localCheckpoint()
-    labels = df.select(F.col(id_col).alias("v"), F.col(id_col).alias("l"))
+    labels = edges.select(F.col("e_a").alias("v")).distinct().withColumn(
+        "l", F.col("v")
+    )
     for _ in range(max_iter):
         nbr = edges.join(labels, edges.e_b == labels.v).select(
             F.col("e_a").alias("v"), F.col("l")
@@ -397,8 +405,12 @@ def dedup_clusters(
         labels = new_labels
         if n_changed == 0:
             break
-    return labels.select(
-        F.col("v").alias(id_col),
-        F.col("l").alias("cluster_id"),
-        (F.col("l") == F.col("v")).alias("is_canonical"),
+    out = df.select(F.col(id_col)).join(
+        labels.withColumnRenamed("v", id_col), id_col, "left"
+    )
+    cluster = F.coalesce(F.col("l"), F.col(id_col))
+    return out.select(
+        F.col(id_col),
+        cluster.alias("cluster_id"),
+        (cluster == F.col(id_col)).alias("is_canonical"),
     )

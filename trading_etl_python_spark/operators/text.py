@@ -242,17 +242,23 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def norm_expr(text_col: str = "text"):
+    """The canonical normal form as a column expression (reused by the
+    full curation pipeline for normal-form exact dedup)."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "), " +", " "
+        )
+    )
+
+
 def normalize_text(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Canonical text normalization (the pre-dedup pass every corpus
     pipeline runs): lowercase, non-alphanumerics -> space, whitespace
     runs collapsed, trimmed; plus a stopword-stripped content variant and
     the md5 of the normal form (the exact-dedup key after normalization).
     Pure codegen expressions — regexp_replace/HOFs, no Python row path."""
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "), " +", " "
-        )
-    )
+    norm = norm_expr(text_col)
     sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     content = F.array_join(
         F.filter(F.split(norm, " "), lambda x: ~F.array_contains(sw, x)), " "

@@ -889,3 +889,81 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, {"en": 50, "de": 25}, "lang", 10).select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+@q(
+    "q_corpus_full",
+    f"""WITH RECURSIVE m AS (
+         SELECT doc_id, text, lang, source,
+           CAST(len({TOKS}) AS DOUBLE) AS n_tok,
+           CAST(len(list_distinct({TOKS})) AS DOUBLE) AS n_dis,
+           CAST(len(list_filter({TOKS},
+                t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) AS n_stop
+         FROM documents),
+       scored AS (
+         SELECT doc_id, text, lang, source, CAST(n_tok AS BIGINT) AS n_tokens,
+           ROUND(0.4 * LEAST(n_tok / 100.0, 1.0)
+               + 0.3 * (n_dis / NULLIF(n_tok, 0.0))
+               + 0.3 * LEAST(n_stop / NULLIF(0.1 * n_tok, 0.0), 1.0), 6) AS quality
+         FROM m),
+       kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+       nrm AS (
+         SELECT *, md5(trim(regexp_replace(
+                  regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                  ' +', ' ', 'g'))) AS norm_hash
+         FROM kept),
+       uniq AS (
+         SELECT doc_id, text, lang, source, n_tokens, quality FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY norm_hash ORDER BY doc_id) AS rn
+           FROM nrm) t WHERE rn = 1),
+       tok AS (SELECT doc_id, {TOKS} AS toks FROM uniq),
+       sh AS (
+         SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+         FROM tok, UNNEST(range(1, len(toks) - 1)) AS t(i)
+         WHERE len(toks) >= 3),
+       cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+       pairs AS (SELECT doc_a, doc_b FROM p
+                 JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+                 WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.8),
+       edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+       reach(v, r) AS (
+         SELECT doc_id, doc_id FROM uniq
+         UNION
+         SELECT reach.v, e.b FROM reach JOIN edges e ON e.a = reach.r),
+       canon AS (SELECT v AS doc_id FROM reach GROUP BY v HAVING MIN(r) = v),
+       surv AS (SELECT u.* FROM uniq u JOIN canon USING (doc_id)),
+       tr_tok AS (SELECT doc_id, {TOKS} AS toks FROM surv WHERE source <> 'src0'),
+       tr_sh AS (SELECT DISTINCT doc_id,
+                   list_aggregate(toks[i:i+4], 'string_agg', ' ') AS shingle
+                 FROM tr_tok, UNNEST(range(1, len(toks) - 3)) AS t(i)
+                 WHERE len(toks) >= 5),
+       ev_tok AS (SELECT doc_id, {TOKS} AS toks FROM documents WHERE source = 'src0'),
+       ev_sh AS (SELECT DISTINCT list_aggregate(toks[i:i+4], 'string_agg', ' ') AS shingle
+                 FROM ev_tok, UNNEST(range(1, len(toks) - 3)) AS t(i)
+                 WHERE len(toks) >= 5),
+       contaminated AS (SELECT DISTINCT t.doc_id FROM tr_sh t JOIN ev_sh e USING (shingle)),
+       final AS (SELECT s.* FROM surv s
+                 WHERE s.source <> 'src0'
+                   AND s.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       sp AS (SELECT *,
+                CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+              FROM (SELECT *,
+                      ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+                    FROM final) t)
+       SELECT lang, split, COUNT(*) AS n_docs,
+              ROUND(AVG(quality), 4) AS avg_quality,
+              CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+       FROM sp GROUP BY lang, split""",
+)
+def q_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete curation DAG: quality -> normal-form dedup ->
+    cluster near-dup (canonical keep) -> decontaminate vs the held-out
+    src0 benchmark -> hash split -> per-(lang, split) stats
+    (operators/curation.curate_corpus_full)."""
+    from ..operators.curation import curate_corpus_full
+
+    return curate_corpus_full(load_table(spark, sf_dir, "documents"))
