@@ -44,3 +44,27 @@ def test_nan_to_null(spark):
     df = spark.createDataFrame([(float("nan"),), (1.5,)], "v double")
     vals = [r.v for r in X.nan_to_null(df).collect()]
     assert vals == [None, 1.5]
+
+
+def test_dq_report_counts_violations(spark):
+    import datetime as dt
+
+    from trading_etl_python_spark.operators.transforms import dq_report
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t, 5.0),
+        (1, t, 7.0),          # duplicate (user_id, ts)
+        (2, None, -3.0),      # null ts + out-of-range
+        (3, t, None),         # null value
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {r.constraint: r for r in dq_report(
+        df, not_null=("ts", "value"), unique_key=("user_id", "ts"),
+        ranges={"value": (0.0, 1000.0)},
+    ).collect()}
+    assert out["null:ts"].violations == 1
+    assert out["null:value"].violations == 1
+    assert out["range:value"].violations == 1  # NULL value is not a range violation
+    assert out["unique:user_id,ts"].violations == 1
+    assert all(r.n_rows == 4 for r in out.values())

@@ -106,3 +106,54 @@ def upsert_ignore(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def dq_report(
+    df: DataFrame,
+    not_null: tuple[str, ...] = (),
+    unique_key: tuple[str, ...] = (),
+    ranges: dict[str, tuple[float, float]] | None = None,
+) -> DataFrame:
+    """Data-quality constraint report (the expectations pass a production
+    pipeline runs before publishing a table): null-counts, duplicate-key
+    count, and out-of-range counts, ALL in one aggregation pass over the
+    data — one job, map-side partial aggregation, no per-constraint scans.
+    The duplicate-key check is the only part needing a shuffle (count
+    distinct over the key); everything else is conditional counting.
+
+    Returns one row per constraint: (constraint, violations, n_rows)."""
+    aggs = [
+        F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"null:{c}")
+        for c in not_null
+    ]
+    for c, (lo, hi) in (ranges or {}).items():
+        aggs.append(
+            F.sum(
+                F.when((F.col(c) < lo) | (F.col(c) > hi), 1).otherwise(0)
+            ).alias(f"range:{c}")
+        )
+    if unique_key:
+        key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in unique_key])
+        aggs.append(
+            (F.count(F.lit(1)) - F.count_distinct(key)).alias(
+                "unique:" + ",".join(unique_key)
+            )
+        )
+    aggs.append(F.count(F.lit(1)).alias("n_rows"))
+    wide = df.agg(*aggs)
+    checks = [c for c in wide.columns if c != "n_rows"]
+    long = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("constraint"),
+                        F.col(f"`{c}`").cast("long").alias("violations"),
+                    )
+                    for c in checks
+                ]
+            )
+        ).alias("kv"),
+        F.col("n_rows"),
+    )
+    return long.select("kv.constraint", "kv.violations", "n_rows")

@@ -10,6 +10,7 @@ with time predicates), so the oracles are direct transliterations.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import eventflow as EV
 from ..sources.tables import load_events
@@ -91,3 +92,41 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     window opened by the same user's error events (equi-key + range
     predicate -> co-located hash join, never a cartesian)."""
     return EV.events_in_windows(load_events(spark, sf_dir))
+
+
+@q(
+    "q_session_window",
+    """WITH s AS (
+         SELECT user_id, ts, value,
+           SUM(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         FROM (SELECT user_id, ts, event_id, value,
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM events) t)
+       SELECT user_id, MIN(ts) AS session_start,
+              MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+              COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+       FROM s GROUP BY user_id, session_id""",
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation (gap 30 min) — the same
+    gap semantics as operators/temporal.sessionize (exact-gap events
+    merge), but as one groupBy the engine executes with session-merge
+    state, streaming-ready as-is.  Oracle reconstructs sessions via the
+    lag + conditional-sum window (the verified sessionize shape)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -565,3 +565,31 @@ def q_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_adx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.with_adx(bars(spark, sf_dir), 14).select("symbol", "time", "event_id", "adx_14")
+
+
+@q(
+    "q_dq_report",
+    """WITH w AS (
+         SELECT
+           SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS a1,
+           SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS a2,
+           SUM(CASE WHEN value < 0 OR value > 1000 THEN 1 ELSE 0 END) AS a3,
+           COUNT(*) - COUNT(DISTINCT (CAST(user_id AS VARCHAR) || chr(31) || CAST(ts AS VARCHAR))) AS a4,
+           COUNT(*) AS n_rows
+         FROM events)
+       SELECT 'null:ts' AS constraint, CAST(a1 AS BIGINT) AS violations, n_rows FROM w
+       UNION ALL SELECT 'null:value', CAST(a2 AS BIGINT), n_rows FROM w
+       UNION ALL SELECT 'range:value', CAST(a3 AS BIGINT), n_rows FROM w
+       UNION ALL SELECT 'unique:user_id,ts', CAST(a4 AS BIGINT), n_rows FROM w""",
+)
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality expectations over the events stream:
+    null / range / key-uniqueness violation counts
+    (operators/transforms.dq_report)."""
+    ev = load_events(spark, sf_dir)
+    return X.dq_report(
+        ev,
+        not_null=("ts", "value"),
+        unique_key=("user_id", "ts"),
+        ranges={"value": (0.0, 1000.0)},
+    )
