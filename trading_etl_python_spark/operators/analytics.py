@@ -186,3 +186,30 @@ def rolling_market_corr(
     return j.select(
         "symbol", F.col("day").cast("timestamp").alias("day"), corr.alias(f"corr_{n}")
     )
+
+
+def mad_outliers(df: DataFrame, col: str = "close", k: float = 3.0) -> DataFrame:
+    """Robust outlier detection per symbol: flag ticks whose deviation
+    from the symbol's median exceeds ``k`` x MAD (median absolute
+    deviation).  Two stacked unbounded-frame window aggregates over the
+    SAME hash(symbol) distribution — the median pass and the MAD pass
+    share one exchange; no joins.  The deviation ratio is rounded before
+    the threshold compare so the flag is engine-portable."""
+    w = Window.partitionBy("symbol")
+    med = F.expr(f"percentile({col}, 0.5)").over(w)
+    step = df.withColumn("_med", med)
+    mad = F.expr("percentile(abs(close - _med), 0.5)").over(w)
+    step = step.withColumn("_mad", mad)
+    ratio = F.round(
+        F.abs(F.col(col) - F.col("_med")) / F.nullif(F.col("_mad"), F.lit(0.0)), 6
+    )
+    return (
+        step.withColumn("dev_ratio", ratio)
+        .filter(F.col("dev_ratio") > k)
+        .select(
+            "symbol", "time", "event_id", col,
+            F.round("_med", 4).alias("med"),
+            F.round("_mad", 4).alias("mad"),
+            "dev_ratio",
+        )
+    )

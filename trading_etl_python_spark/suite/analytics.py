@@ -494,3 +494,21 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 10-day correlation of each basket symbol vs the
     equal-weight market return (windowed CORR over the day grid)."""
     return AN.rolling_market_corr(bars(spark, sf_dir), basket_max_symbol=50, n=10)
+
+
+@q(
+    "q_mad_outliers",
+    f"""WITH {BARS_CTE},
+    m AS (SELECT symbol, time, event_id, close,
+            quantile_cont(close, 0.5) OVER (PARTITION BY symbol) AS med
+          FROM bars),
+    d AS (SELECT *, quantile_cont(abs(close - med), 0.5) OVER (PARTITION BY symbol) AS mad
+          FROM m),
+    r AS (SELECT *, ROUND(abs(close - med) / NULLIF(mad, 0.0), 6) AS dev_ratio FROM d)
+    SELECT symbol, time, event_id, close,
+      ROUND(med, 4) AS med, ROUND(mad, 4) AS mad, dev_ratio
+    FROM r WHERE dev_ratio > 3.0""",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-symbol outlier flags: |close - median| > 3 x MAD."""
+    return AN.mad_outliers(bars(spark, sf_dir), k=3.0)
