@@ -205,3 +205,21 @@ def test_candles_rollup_equals_direct_daily(spark, sf_dir):
             r.open_px, r.high_px, r.low_px, r.close_px
         ), k
         assert d.volume == r.volume and d.n_ticks == r.n_ticks
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    quotes = spark.createDataFrame(
+        [(1, _ts(0), 100.0)], "sym long, time timestamp, px double"
+    )
+    trades = spark.createDataFrame(
+        [(1, _ts(5), "near"), (1, _ts(40), "far")],
+        "sym long, time timestamp, tid string",
+    )
+    out = {
+        r.tid: r.asof_px
+        for r in asof_join(
+            trades, quotes, on="sym", value_cols=("px",), tolerance="10 MINUTES"
+        ).collect()
+    }
+    assert out["near"] == 100.0
+    assert out["far"] is None  # 40 min old: outside tolerance

@@ -26,11 +26,17 @@ def asof_join(
     right_time: str = "time",
     value_cols: tuple[str, ...] = ("value",),
     prefix: str = "asof_",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For every left row, attach the most recent right row of the same
     key with right.time <= left.time (inclusive — DuckDB/pandas
     ``merge_asof`` 'backward' semantics).  LEFT-join behavior: left rows
     with no prior right row get NULLs.
+
+    ``tolerance`` (SQL interval text, e.g. ``"2 HOURS"``) nulls out
+    matches older than left.time - tolerance — pandas ``merge_asof``'s
+    tolerance semantics — computed from the same window pass (the
+    matched right time rides along as one more last() column).
 
     Plan: tag right=0 / left=1, union, one window
     ``last(value, ignorenulls=True)`` over (key ORDER BY time, tag) with
@@ -74,8 +80,18 @@ def asof_join(
         r.select(on, "_t", "_rv", "_src", "_lrow")
         .unionByName(l)
         .withColumn("_m", F.last("_rv", ignorenulls=True).over(w))
-        .filter(F.col("_src") == 1)
     )
+    if tolerance is not None:
+        mt = F.last(
+            F.when(F.col("_src") == 0, F.col("_t")), ignorenulls=True
+        ).over(w)
+        matched = matched.withColumn(
+            "_m",
+            F.when(
+                F.col("_t") - mt <= F.expr(f"INTERVAL {tolerance}"), F.col("_m")
+            ),
+        )
+    matched = matched.filter(F.col("_src") == 1)
     out = matched.select(
         *[F.col("_lrow")[c].alias(c) for c in lcols],
         *[F.col("_m")[c].alias(f"{prefix}{c}") for c in value_cols],

@@ -259,3 +259,31 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide conditional-count pivot (declared value set -> single agg pass)."""
     return REL.pivot_orders_by_priority(load_table(spark, sf_dir, "orders"))
+
+
+@q(
+    "q_asof_tolerance",
+    """WITH c AS (
+         SELECT user_id, ts, MAX(value) AS value
+         FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+       p AS (
+         SELECT event_id, user_id, ts, value
+         FROM events WHERE event_type = 'purchase')
+       SELECT p.event_id, p.user_id, p.ts, p.value,
+              c.ts AS asof_ts, c.value AS asof_value
+       FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+       WHERE p.ts - c.ts <= INTERVAL 2 HOUR""",
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with merge_asof tolerance: matches older than 2 hours
+    are nulled (here: dropped) — same single-shuffle window plan, the
+    matched right time rides the same window pass."""
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return TMP.asof_join(
+        purchases, clicks, on="user_id", left_time="ts", right_time="ts",
+        value_cols=("ts", "value"), prefix="asof_", tolerance="2 HOURS",
+    ).filter(F.col("asof_ts").isNotNull())
