@@ -29,9 +29,16 @@ from . import windows as W
 
 
 def with_log_return(df: DataFrame, col: str = "close", out: str = "log_ret") -> DataFrame:
-    """ln(close_t / close_{t-1}) per symbol; NULL on each symbol's first row."""
+    """ln(close_t / close_{t-1}) per symbol; NULL on each symbol's first
+    row and wherever either close is non-positive (a zero tick would be a
+    DIVIDE_BY_ZERO under ANSI mode and -inf math otherwise — the guard is
+    mirrored verbatim in the oracles)."""
     w = W.by_key()
-    return df.withColumn(out, F.round(F.log(F.col(col) / F.lag(col, 1).over(w)), 6))
+    prev = F.lag(col, 1).over(w)
+    ret = F.when(
+        (prev > 0) & (F.col(col) > 0), F.round(F.log(F.col(col) / prev), 6)
+    )
+    return df.withColumn(out, ret)
 
 
 def with_rolling_vol(df: DataFrame, n: int = 20, ret_col: str = "log_ret") -> DataFrame:
@@ -50,7 +57,7 @@ def with_drawdown(df: DataFrame, col: str = "close") -> DataFrame:
     w = W.by_key().rowsBetween(Window.unboundedPreceding, Window.currentRow)
     peak = F.max(col).over(w)
     return df.withColumn("peak", F.round(peak, 4)).withColumn(
-        "drawdown", F.round(F.col(col) / peak - 1.0, 6)
+        "drawdown", F.round(F.col(col) / F.nullif(peak, F.lit(0.0)) - 1.0, 6)
     )
 
 
@@ -108,8 +115,13 @@ def basket_beta(
     |basket| x |days| grid."""
     d = daily_close(df.filter(F.col("symbol") < basket_max_symbol))
     wd = Window.partitionBy("symbol").orderBy("day")
+    prev_d = F.lag("close_d", 1).over(wd)
     r = d.withColumn(
-        "r", F.round(F.log(F.col("close_d") / F.lag("close_d", 1).over(wd)), 6)
+        "r",
+        F.when(
+            (prev_d > 0) & (F.col("close_d") > 0),
+            F.round(F.log(F.col("close_d") / prev_d), 6),
+        ),
     ).filter(F.col("r").isNotNull())
     mkt = r.groupBy("day").agg(F.round(F.avg("r"), 6).alias("r_mkt"))
     return (
@@ -176,8 +188,13 @@ def rolling_market_corr(
     on the tiny |basket| x |days| grid (same posture as basket_beta)."""
     d = daily_close(df.filter(F.col("symbol") < basket_max_symbol))
     wd = Window.partitionBy("symbol").orderBy("day")
+    prev_d = F.lag("close_d", 1).over(wd)
     r = d.withColumn(
-        "r", F.round(F.log(F.col("close_d") / F.lag("close_d", 1).over(wd)), 6)
+        "r",
+        F.when(
+            (prev_d > 0) & (F.col("close_d") > 0),
+            F.round(F.log(F.col("close_d") / prev_d), 6),
+        ),
     ).filter(F.col("r").isNotNull())
     mkt = r.groupBy("day").agg(F.round(F.avg("r"), 6).alias("r_mkt"))
     j = r.join(mkt, "day").select("symbol", "day", "r", "r_mkt")

@@ -40,6 +40,32 @@ from pyspark.sql import functions as F
 ROUND_DP = 4
 
 
+def round_half_up(x: np.ndarray, dp: int = 4) -> np.ndarray:
+    """Half-UP (away-from-zero) rounding on the scaled double — the exact
+    behavior of DuckDB ROUND and (for these magnitudes) Spark ROUND.
+    numpy's np.round is half-EVEN: on series whose recurrences land
+    exactly on .xxxx5 halves (common with 2dp-ish price inputs) the two
+    modes diverge and the value-hash flips (seen at sf0.1: ATR hit
+    exactly 35.91465).  Verified bit-for-bit against DuckDB on boundary
+    neighbors in both directions and signs."""
+    m = 10.0 ** dp
+    with np.errstate(invalid="ignore"):
+        return np.copysign(np.floor(np.abs(x) * m + 0.5), x) / m
+
+
+def _seqmean(x: np.ndarray) -> float:
+    """Strict left-to-right mean — numpy's .mean() uses PAIRWISE summation,
+    which can differ from a sequential accumulator by ~1 ulp; DuckDB's
+    frame AVG (the oracle's recurrence seed) accumulates in frame order.
+    A 1-ulp seed difference survives the Wilder recurrence long enough to
+    flip a 4dp rounding boundary ~2e-5/row at sf0.1, so every recurrence
+    seed uses this sequential fold on BOTH engines' accumulation order."""
+    acc = 0.0
+    for v in x:
+        acc += float(v)
+    return acc / len(x)
+
+
 # ---------------------------------------------------------------- numpy core
 
 
@@ -49,7 +75,7 @@ def ema_rec(x: np.ndarray, n: int, alpha: float | None = None) -> np.ndarray:
     out = np.full(len(x), np.nan)
     if len(x) < n:
         return out
-    out[n - 1] = x[:n].mean()
+    out[n - 1] = _seqmean(x[:n])
     for i in range(n, len(x)):
         out[i] = alpha * x[i] + (1.0 - alpha) * out[i - 1]
     return out
@@ -62,7 +88,7 @@ def rma_rec(x: np.ndarray, n: int, start: int) -> np.ndarray:
     if len(x) - start < n:
         return out
     s = start + n - 1
-    out[s] = x[start : start + n].mean()
+    out[s] = _seqmean(x[start : start + n])
     a = 1.0 / n
     for i in range(s + 1, len(x)):
         out[i] = a * x[i] + (1.0 - a) * out[i - 1]
@@ -89,7 +115,7 @@ def rsi_rec(c: np.ndarray, n: int = 14) -> np.ndarray:
     d = np.diff(c)  # d[i-1] = delta at row i
     g = np.where(d > 0, d, 0.0)
     l = np.where(d < 0, -d, 0.0)
-    ag, al = g[:n].mean(), l[:n].mean()
+    ag, al = _seqmean(g[:n]), _seqmean(l[:n])
     if ag + al > 0:
         out[n] = 100.0 * ag / (ag + al)
     a = 1.0 / n
@@ -118,7 +144,7 @@ def adx_rec(h: np.ndarray, lo: np.ndarray, c: np.ndarray, n: int = 14) -> np.nda
     mdm = np.where((dn > up) & (dn > 0), dn, 0.0)
     tr = true_range(h, lo, c)[1:]  # deltas exist from row 1
     a = 1.0 / n
-    sp, sm, st = pdm[:n].mean(), mdm[:n].mean(), tr[:n].mean()
+    sp, sm, st = _seqmean(pdm[:n]), _seqmean(mdm[:n]), _seqmean(tr[:n])
 
     def dx(sp: float, sm: float, st: float) -> float:
         if st <= 0:
@@ -133,7 +159,8 @@ def adx_rec(h: np.ndarray, lo: np.ndarray, c: np.ndarray, n: int = 14) -> np.nda
         st = a * tr[i] + (1.0 - a) * st
         dxs.append(dx(sp, sm, st))
     dxa = np.array(dxs)  # dxa[j] = DX at row index n+j
-    adx = np.nanmean(dxa[:n]) if not np.all(np.isnan(dxa[:n])) else np.nan
+    _dx_ok = dxa[:n][~np.isnan(dxa[:n])]
+    adx = _seqmean(_dx_ok) if len(_dx_ok) else np.nan
     out[2 * n - 1] = adx
     for j in range(n, len(dxa)):
         adx = a * dxa[j] + (1.0 - a) * adx if not np.isnan(dxa[j]) else adx
@@ -159,7 +186,7 @@ def _indicator_apply(df: DataFrame, out_cols: dict[str, str], fn) -> DataFrame:
     def compute(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["time", "event_id"], kind="mergesort").reset_index(drop=True)
         for col, arr in fn(pdf).items():
-            pdf[col] = np.round(arr, ROUND_DP)
+            pdf[col] = round_half_up(arr, ROUND_DP)
         return pdf
 
     return df.groupBy("symbol").applyInPandas(compute, schema=schema)
@@ -199,7 +226,7 @@ def _indicator_map(df: DataFrame, out_cols: dict[str, str], fn, repartition: boo
             for c, arr in fn(pdf.iloc[s:e]).items():
                 outs[c][s:e] = arr
         for c in out_cols:
-            pdf[c] = np.round(outs[c], ROUND_DP)
+            pdf[c] = round_half_up(outs[c], ROUND_DP)
         yield pdf
 
     if repartition:

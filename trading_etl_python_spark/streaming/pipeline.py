@@ -38,6 +38,7 @@ from pyspark.sql.streaming import StatefulProcessor
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators import recursive as R
+from ..operators.recursive import round_half_up
 
 LOOKBACK = 60  # consumer.py:33
 WARMUP = 26  # consumer.py:165
@@ -103,12 +104,12 @@ def _indicators_from_buffer(
             "time": pd.to_datetime(ts_us, unit="us"),
             "event_id": eids,
             "close": closes,
-            "sma_20": np.round(out["sma_20"], 4),
-            "ema_10": np.round(ema10, 4),
-            "ema_20": np.round(ema20, 4),
-            "rsi_14": np.round(rsi, 4),
-            "bb_upper": np.round(out["bb_upper"], 4),
-            "bb_lower": np.round(out["bb_lower"], 4),
+            "sma_20": round_half_up(out["sma_20"], 4),
+            "ema_10": round_half_up(ema10, 4),
+            "ema_20": round_half_up(ema20, 4),
+            "rsi_14": round_half_up(rsi, 4),
+            "bb_upper": round_half_up(out["bb_upper"], 4),
+            "bb_lower": round_half_up(out["bb_lower"], 4),
         }
     )
     emit = emit.iloc[n - n_new :]

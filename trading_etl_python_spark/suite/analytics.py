@@ -29,7 +29,10 @@ def q(name: str, oracle: str | None = None):
     return deco
 
 
-RET = f"ROUND(LN(close / LAG(close) OVER ({KW})), 6)"
+RET = (
+    f"CASE WHEN LAG(close) OVER ({KW}) > 0 AND close > 0 "
+    f"THEN ROUND(LN(close / LAG(close) OVER ({KW})), 6) END"
+)
 
 
 @q(
@@ -65,7 +68,7 @@ def q_rolling_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
             MAX(close) OVER ({KW} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
           FROM bars)
     SELECT symbol,
-      ROUND(MIN(close / peak - 1.0), 6) AS max_drawdown,
+      ROUND(MIN(close / NULLIF(peak, 0.0) - 1.0), 6) AS max_drawdown,
       ROUND(MAX(peak), 4) AS peak_close,
       COUNT(*) AS n_bars
     FROM d GROUP BY symbol""",
@@ -115,7 +118,8 @@ def q_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     d AS (SELECT symbol, CAST(time AS DATE) AS day, AVG(close) AS close_d
           FROM bars WHERE symbol < 50 GROUP BY symbol, CAST(time AS DATE)),
     r AS (SELECT symbol, day,
-            ROUND(LN(close_d / LAG(close_d) OVER (PARTITION BY symbol ORDER BY day)), 6) AS r
+            CASE WHEN LAG(close_d) OVER (PARTITION BY symbol ORDER BY day) > 0 AND close_d > 0
+                 THEN ROUND(LN(close_d / LAG(close_d) OVER (PARTITION BY symbol ORDER BY day)), 6) END AS r
           FROM d QUALIFY r IS NOT NULL),
     mkt AS (SELECT day, ROUND(AVG(r), 6) AS r_mkt FROM r GROUP BY day)
     SELECT r.symbol, COUNT(*) AS n_days,
@@ -481,7 +485,8 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     d AS (SELECT symbol, CAST(time AS DATE) AS day, AVG(close) AS close_d
           FROM bars WHERE symbol < 50 GROUP BY symbol, CAST(time AS DATE)),
     r AS (SELECT symbol, day,
-            ROUND(LN(close_d / LAG(close_d) OVER (PARTITION BY symbol ORDER BY day)), 6) AS r
+            CASE WHEN LAG(close_d) OVER (PARTITION BY symbol ORDER BY day) > 0 AND close_d > 0
+                 THEN ROUND(LN(close_d / LAG(close_d) OVER (PARTITION BY symbol ORDER BY day)), 6) END AS r
           FROM d QUALIFY r IS NOT NULL),
     mkt AS (SELECT day, ROUND(AVG(r), 6) AS r_mkt FROM r GROUP BY day),
     j AS (SELECT r.symbol, r.day, r.r, mkt.r_mkt FROM r JOIN mkt USING (day))

@@ -967,3 +967,25 @@ def q_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import curate_corpus_full
 
     return curate_corpus_full(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "q_regex_extract",
+    r"""SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
+         CAST(len(regexp_extract_all(lower(text), '\b[a-z]{5,}\b')) AS BIGINT) AS n_long_words,
+         regexp_extract(lower(text), '\b(spark|table|row|key)\b', 1) AS first_kw
+       FROM documents""",
+)
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction over text (the PII-scan / pattern-mining shape):
+    all-match counts + first keyword, pure codegen regexp expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0))).cast("long").alias("n_numbers"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"\b[a-z]{5,}\b"), F.lit(0))
+        ).cast("long").alias("n_long_words"),
+        F.regexp_extract(F.lower("text"), r"\b(spark|table|row|key)\b", 1).alias("first_kw"),
+    )
