@@ -193,3 +193,39 @@ def test_kmeans_step_single_exchange_no_sort(spark, sf_dir):
     assert plan.count("Exchange (") == 1, plan
     assert "Join" not in plan and "Sort (" not in plan
     assert "partial_avg" in plan or "partial_average" in plan.lower(), plan
+
+
+def test_sql_q18_semi_join_not_cartesian(spark, sf_dir):
+    """Q18's IN-over-HAVING subquery must plan as a semi join on
+    l_orderkey — a nested-loop fallback would be O(N*M) at scale."""
+    plan = _executed(QUERIES["q_sql_tpch_q18"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sql_q22_anti_join(spark, sf_dir):
+    """Q22's NOT EXISTS must decorrelate to a left-anti join on
+    o_custkey with the date filter pushed below it."""
+    plan = _executed(QUERIES["q_sql_tpch_q22"](spark, sf_dir))
+    assert "LeftAnti" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_sql_q8_broadcasts_all_dims(spark, sf_dir):
+    """Q8 joins six dimension legs (part, supplier, customer, nation x2,
+    region) onto the lineitem x orders spine; every dim leg must
+    broadcast so the spine shuffles at most once per side."""
+    plan = _executed(QUERIES["q_sql_tpch_q8"](spark, sf_dir))
+    n_bhj = len(re.findall(r"BroadcastHashJoin", plan))
+    assert n_bhj >= 5, f"only {n_bhj} broadcast joins:\n{plan[:3000]}"
+
+
+def test_sql_q17_decorrelates_scalar_avg(spark, sf_dir):
+    """Q17's correlated 0.2*AVG subquery must decorrelate into an
+    aggregate-then-join on l_partkey (no per-row re-execution shape),
+    with the Brand filter pushed into the part scan."""
+    plan = _explain_formatted(QUERIES["q_sql_tpch_q17"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "p_brand" in pushed, pushed

@@ -160,3 +160,193 @@ def q_sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sql_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (EXISTS -> left-semi join in both engines)."""
     return _sql(spark, sf_dir, TPCH_Q4)
+
+
+# ---------------------------------------------------------------------------
+# Remaining TPC-H shapes expressible on the reduced testdata schema.
+#
+# The driver's tables carry no partsupp table and drop several TPC-H
+# columns (o_comment, c_phone, p_container, l_shipmode, l_commitdate,
+# l_receiptdate), so Q2/Q9/Q11/Q16/Q20 are out of reach and Q13/Q17/
+# Q19/Q22 swap the missing predicate columns for present ones while
+# keeping the canonical plan shape (noted per query).  Every text below
+# is still ONE ANSI string run verbatim on both engines.
+#
+# Scale notes:
+# - Q7/Q8: nation/region/customer/supplier are broadcast dims; the only
+#   big exchange is orders x lineitem on orderkey.
+# - Q13: left outer join fans out then double-aggregates; the second
+#   GROUP BY is on a tiny domain (distinct order counts).
+# - Q15: the revenue CTE is computed once; RANK()=1 replaces the
+#   classic MAX() equality so float sums are never compared across two
+#   independent materializations of the same aggregate.
+# - Q17: correlated scalar AVG decorrelates to an aggregate + re-join
+#   on partkey in both engines; part is broadcast.
+# - Q18: HAVING on SUM(l_quantity) pushes a partial agg map-side before
+#   the semi-join back onto orders/customer.
+# - Q22: NOT EXISTS -> left-anti join; the scalar AVG subquery is a
+#   one-row broadcast.
+# ---------------------------------------------------------------------------
+
+TPCH_Q7 = """SELECT supp_nation, cust_nation, l_year,
+       ROUND(SUM(volume), 4) AS revenue
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                             AND TIMESTAMP '1997-12-31 00:00:00') shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year"""
+
+TPCH_Q8 = """SELECT o_year,
+       ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+             / SUM(volume), 6) AS mkt_share
+FROM (SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA'
+        AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                              AND TIMESTAMP '1997-12-31 00:00:00'
+        AND p.p_type = 'ECONOMY') all_nations
+GROUP BY o_year
+ORDER BY o_year"""
+
+TPCH_Q13 = """SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC"""
+
+TPCH_Q15 = """WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN (SELECT supplier_no, total_revenue,
+             RANK() OVER (ORDER BY total_revenue DESC) AS rnk
+      FROM revenue) r
+  ON r.supplier_no = s.s_suppkey
+WHERE r.rnk = 1
+ORDER BY s.s_suppkey"""
+
+TPCH_Q17 = """SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                      FROM lineitem l2
+                      WHERE l2.l_partkey = p.p_partkey)"""
+
+TPCH_Q18 = """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       ROUND(o.o_totalprice, 4) AS o_totalprice,
+       ROUND(SUM(l.l_quantity), 4) AS sum_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                       GROUP BY l_orderkey
+                       HAVING SUM(l_quantity) > 300)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o_totalprice DESC, o.o_orderkey
+LIMIT 100"""
+
+TPCH_Q19 = """SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)"""
+
+TPCH_Q22 = """SELECT c.c_nationkey AS cntrycode, COUNT(*) AS numcust,
+       ROUND(SUM(c.c_acctbal), 4) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                     WHERE c2.c_acctbal > 0.00)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1997-06-01 00:00:00')
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey"""
+
+
+@q("q_sql_tpch_q7", TPCH_Q7)
+def q_sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping between two nations, by year)."""
+    return _sql(spark, sf_dir, TPCH_Q7)
+
+
+@q("q_sql_tpch_q8", TPCH_Q8)
+def q_sql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share inside one region, 8-table join)."""
+    return _sql(spark, sf_dir, TPCH_Q8)
+
+
+@q("q_sql_tpch_q13", TPCH_Q13)
+def q_sql_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution; the o_comment
+    NOT LIKE filter becomes an o_orderpriority filter — same left-outer
+    + double-aggregation shape)."""
+    return _sql(spark, sf_dir, TPCH_Q13)
+
+
+@q("q_sql_tpch_q15", TPCH_Q15)
+def q_sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier; RANK()=1 instead of MAX() equality so
+    the float revenue sum is materialized exactly once per engine)."""
+    return _sql(spark, sf_dir, TPCH_Q15)
+
+
+@q("q_sql_tpch_q17", TPCH_Q17)
+def q_sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity orders vs 20% of per-part average;
+    p_container predicate dropped — column absent from testdata)."""
+    return _sql(spark, sf_dir, TPCH_Q17)
+
+
+@q("q_sql_tpch_q18", TPCH_Q18)
+def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers: IN over a HAVING subquery)."""
+    return _sql(spark, sf_dir, TPCH_Q18)
+
+
+@q("q_sql_tpch_q19", TPCH_Q19)
+def q_sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (disjunctive brand/size/quantity predicate; the
+    p_container / l_shipmode terms become p_size bands — same OR-of-ANDs
+    join-filter shape Catalyst splits into a common join + residual)."""
+    return _sql(spark, sf_dir, TPCH_Q19)
+
+
+@q("q_sql_tpch_q22", TPCH_Q22)
+def q_sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (idle above-average-balance customers; cntrycode is
+    c_nationkey since c_phone is absent; the no-recent-orders NOT EXISTS
+    keeps the anti-join + scalar-average shape)."""
+    return _sql(spark, sf_dir, TPCH_Q22)
