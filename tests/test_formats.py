@@ -56,3 +56,29 @@ def test_malformed_jsonl_rows_become_nulls(spark):
         assert back.count() == 3
         assert back.filter(F.col("event_id").isNull()).count() == 1
         assert back.filter(F.col("event_id").isNotNull()).count() == 2
+
+
+def test_schema_evolution_merged_read(spark, tmp_path):
+    """Old files (no `quality` column) and new files (with it) read as
+    one table: mergeSchema surfaces the column, old rows yield NULL."""
+    from trading_etl_python_spark.sources.formats import (
+        align_union,
+        read_merged_schema,
+    )
+
+    root = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    v1.write.parquet(root + "/gen=1")
+    v2 = spark.createDataFrame(
+        [(3, "c", 0.9)], "doc_id long, text string, quality double"
+    )
+    v2.write.parquet(root + "/gen=2")
+
+    merged = read_merged_schema(spark, root)
+    assert set(merged.columns) == {"doc_id", "text", "quality", "gen"}
+    rows = {r.doc_id: r.quality for r in merged.collect()}
+    assert rows[1] is None and rows[2] is None and rows[3] == 0.9
+
+    unioned = align_union(v1, v2)
+    assert set(unioned.columns) == {"doc_id", "text", "quality"}
+    assert unioned.where("quality IS NULL").count() == 2

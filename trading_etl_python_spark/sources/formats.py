@@ -97,3 +97,31 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan.  Columnar + statistics like parquet; schema travels with
     the file so no declared schema is needed."""
     return spark.read.orc(path)
+
+
+def read_merged_schema(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan across schema generations: ``mergeSchema`` unions
+    the footer schemas of every file, so rows written before a column
+    existed surface it as NULL.
+
+    The reference freezes one 21-column DDL forever (setup.py drops and
+    recreates the table, SURVEY.md §2.1 S6); a long-lived 100 TB dataset
+    instead ACCRETES columns — new files carry them, old files don't.
+    Per-file footer merging is metadata-only: no data rewrite, no extra
+    scan pass, and column pruning still reaches every file (a file
+    lacking a pruned column just yields NULLs without being read).
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def align_union(older: DataFrame, newer: DataFrame) -> DataFrame:
+    """Union two schema generations by COLUMN NAME, filling columns
+    missing on either side with NULL (``allowMissingColumns``) — the
+    in-plan equivalent of ``read_merged_schema`` for DataFrames that
+    did not come from the same parquet root.
+
+    Positional ``UNION ALL`` silently mis-binds when generations
+    reordered or inserted columns; by-name alignment is the only safe
+    union across schema drift. Pure narrow op — no shuffle.
+    """
+    return older.unionByName(newer, allowMissingColumns=True)
