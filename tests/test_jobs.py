@@ -33,3 +33,42 @@ def test_latest_and_range_reads(spark, sf_dir, tmp_path):
     sliced = range_query_job(spark, out, lo, hi)
     dates = [r.trade_date.isoformat() for r in sliced.select("trade_date").distinct().collect()]
     assert dates and all(lo <= d <= hi for d in dates)
+
+
+def test_incremental_backfill_parity_and_idempotence(spark, sf_dir, tmp_path):
+    """Incremental append over a 60-row tail context: window-family
+    columns (frames <= 20 rows) must EXACTLY match the full-history
+    recompute for the appended rows; re-running the same increment
+    appends nothing; and full+incremental covers every post-cut row."""
+    from pyspark.sql import functions as F
+
+    from trading_etl_python_spark.jobs import incremental_backfill_job
+    from trading_etl_python_spark.operators.indicators import indicator_table
+    from trading_etl_python_spark.sources.tables import bars
+
+    cut = "2024-01-24 04:09:15"
+    out = str(tmp_path / "tbl")
+
+    b = bars(spark, sf_dir)
+    # seed the table with everything before the cut (full batch path)
+    from trading_etl_python_spark.sinks import upsert_ignore
+
+    pre = indicator_table(b.filter(F.col("time") < F.lit(cut)), warmup=None)
+    upsert_ignore(pre, out, keys=("time", "symbol"))
+
+    written = incremental_backfill_job(spark, sf_dir, out, since=cut)
+    assert written > 0
+    assert incremental_backfill_job(spark, sf_dir, out, since=cut) == 0  # idempotent
+
+    got = spark.read.parquet(out).filter(F.col("time") >= F.lit(cut))
+    want = indicator_table(b, warmup=None).filter(F.col("time") >= F.lit(cut))
+    assert got.count() == want.count()
+
+    bounded = ["time", "symbol", "sma_20", "bb_upper", "bb_lower", "stoch_k_14", "mfi_14"]
+    g = {(r.time, r.symbol): r for r in got.select(*bounded).collect()}
+    w = {(r.time, r.symbol): r for r in want.select(*bounded).collect()}
+    assert g.keys() == w.keys()
+    for k in w:
+        for c in bounded[2:]:
+            gv, wv = getattr(g[k], c), getattr(w[k], c)
+            assert (gv is None and wv is None) or abs(gv - wv) < 1e-9, (k, c, gv, wv)
