@@ -173,3 +173,42 @@ def test_write_sorted_rowgroups_are_ordered(spark, sf_dir, tmp_path):
         assert list(t.itertuples(index=False)) == sorted(
             t.itertuples(index=False), key=lambda r: (r.symbol, r.time)
         ), f"file {f} not sorted"
+
+
+def test_zorder_write_bounds_both_columns(spark, sf_dir, tmp_path):
+    """Z-order layout: every output file covers a small hypercube of the
+    (user_id, value) key space — per-file min/max spread must be well
+    under the global range on BOTH columns (a linear sort can only
+    achieve this on its leading column), so parquet stats prune files
+    for filters on either column."""
+    import pyarrow.parquet as pq
+
+    from trading_etl_python_spark.sinks.parquet import write_zordered
+    from trading_etl_python_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select("event_id", "ts", "user_id", "value")
+    out = str(tmp_path / "z")
+    write_zordered(ev, out, cols=("user_id", "value"), num_files=8)
+
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+
+    import glob
+
+    spans = {"user_id": [], "value": []}
+    globals_ = {}
+    for c in spans:
+        row = ev.agg(F.min(c), F.max(c)).collect()[0]
+        globals_[c] = float(row[1]) - float(row[0])
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) >= 4
+    for f in files:
+        md = pq.read_metadata(f)
+        for c in spans:
+            idx = md.schema.names.index(c)
+            mn = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            mx = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            spans[c].append((float(mx) - float(mn)) / globals_[c])
+    for c, fr in spans.items():
+        avg = sum(fr) / len(fr)
+        assert avg <= 0.6, (c, fr)
