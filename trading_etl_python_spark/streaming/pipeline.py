@@ -252,22 +252,29 @@ def stream_windowed_stats(
 
 def events_file_stream(spark: SparkSession, sf_dir: str, max_files: int = 1) -> DataFrame:
     """Replay the events parquet as a micro-batched file stream (the
-    offline stand-in for the Kafka source, per SURVEY.md §3.3).  The raw
-    file carries TIMESTAMP(NANOS) -> read ts as long (nanosAsLong) and
-    convert with integer division, same as the batch loader."""
+    offline stand-in for the Kafka source, per SURVEY.md §3.3).
+
+    The file's physical ``ts`` encoding has varied across testdata
+    generations (TIMESTAMP(NANOS) read as long via nanosAsLong vs native
+    TIMESTAMP(MICROS)), so the streaming schema is derived from a one-off
+    batch read of the same file and normalized to TimestampType the same
+    way the batch loader does — a schema-drift-proof wire decode (the
+    file-format analogue of versioned JSON wire schemas, SURVEY.md §1.3)."""
     from ..session import ensure_session_compat
 
     ensure_session_compat(spark)
-    raw_schema = (
-        "event_id long, ts long, user_id long, event_type string, value double, props string"
-    )
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", max_files)
         .option("pathGlobFilter", "events.parquet")  # file source needs a dir
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_kind = raw.schema["ts"].dataType.typeName()
+    if ts_kind == "long":  # nanosAsLong generation: integer-divide ns -> us
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # native timestamp generation: align with the batch loader's NTZ->TS view
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_replay_pipeline(
