@@ -229,3 +229,25 @@ def test_sql_q17_decorrelates_scalar_avg(spark, sf_dir):
     assert "CartesianProduct" not in plan
     pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
     assert "p_brand" in pushed, pushed
+
+
+def test_sql_q12_pushes_date_bounds(spark, sf_dir):
+    """Q12-shape's lineitem date band and returnflag filter must reach
+    the parquet scan; the 2-group conditional aggregate must be partial
+    (map-side) so the final shuffle moves bytes, not rows."""
+    plan = _explain_formatted(QUERIES["q_sql_tpch_q12"](spark, sf_dir))
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "l_shipdate" in pushed and "l_returnflag" in pushed, pushed
+    assert "partial_sum" in plan.lower() or "HashAggregate" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_sql_q21_double_anti_semi_join(spark, sf_dir):
+    """Q21-shape's EXISTS must plan as a left-semi and its NOT EXISTS
+    as a left-anti join, both equi-joins on l_orderkey — a correlated
+    re-execution or nested-loop fallback would be quadratic at scale."""
+    plan = _executed(QUERIES["q_sql_tpch_q21"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "LeftAnti" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -71,7 +71,7 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "d
     Repartitions the (narrow) doc rows first so the explode fans out
     across cores — a single-file corpus scan would otherwise pin the
     whole shingle generation to one task."""
-    df = spread(df.select(F.col(id_col), F.col(text_col)), id_col)
+    df = spread(df.select(F.col(id_col), F.col(text_col)), id_col, factor=16)
     toks = tokens_col(text_col)
     df = df.select(F.col(id_col), toks.alias("_toks")).filter(F.size("_toks") >= n)
     grams = F.transform(

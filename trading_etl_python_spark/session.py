@@ -56,5 +56,15 @@ def ensure_session_compat(spark: SparkSession) -> SparkSession:
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
-        pass
+        # UTC is load-bearing for LTZ<->NTZ casts (the reference enforces
+        # UTC end-to-end); if the external session pins another zone at a
+        # non-modifiable level, say so instead of silently diverging
+        import warnings
+
+        warnings.warn(
+            "could not set spark.sql.session.timeZone=UTC; timestamp values "
+            f"will follow the session zone {spark.conf.get('spark.sql.session.timeZone', '?')!r}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return spark

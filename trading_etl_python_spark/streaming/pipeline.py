@@ -273,8 +273,19 @@ def events_file_stream(spark: SparkSession, sf_dir: str, max_files: int = 1) -> 
     ts_kind = raw.schema["ts"].dataType.typeName()
     if ts_kind == "long":  # nanosAsLong generation: integer-divide ns -> us
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    # native timestamp generation: align with the batch loader's NTZ->TS view
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    if ts_kind in ("timestamp", "timestamp_ntz"):
+        # native timestamp generation.  Streaming event time must be
+        # TIMESTAMP (LTZ) — Spark rejects NTZ watermark columns
+        # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — while the batch loader
+        # normalizes to TIMESTAMP_NTZ; the two representations carry
+        # identical values ONLY under a UTC session timezone, which
+        # ensure_session_compat pins (and warns about when it cannot).
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    # schema drift (e.g. string or int32 ts in a future testdata
+    # generation) must fail loudly here — a blind cast would produce
+    # NULLs that the pipeline's isNotNull filter silently drops,
+    # yielding an empty stream instead of an error
+    raise ValueError(f"unsupported ts physical type {ts_kind!r} in {sf_dir}/events.parquet")
 
 
 def run_replay_pipeline(

@@ -15,6 +15,8 @@ stateful streaming in q_stream_replay).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -562,15 +564,21 @@ def q_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded 60-row keyed buffers) -> warmup-gated indicator rows ->
     idempotent upsert-ignore sink.  Declared rows-only: the driver checks
     row count/schema stability; value parity with batch semantics is
-    covered by tests/test_streaming.py."""
+    covered by tests/test_streaming.py.
+
+    Production shape: the SINK outlives the query — rows land in a
+    parquet path and the result is read back lazily, nothing is
+    materialized on the driver.  Only the checkpoint is temp-scoped
+    (this is a one-shot availableNow replay; a restartable deployment
+    keeps the checkpoint alongside the sink, as tests/test_streaming.py's
+    restart case exercises)."""
     import tempfile
 
     from ..streaming.pipeline import run_replay_pipeline
 
+    sink = os.path.join(tempfile.mkdtemp(prefix="sink_q_"), "out")
     with tempfile.TemporaryDirectory(prefix="ckpt_q_") as ckpt:
-        out = run_replay_pipeline(spark, sf_dir, ckpt)
-        # materialize before the checkpoint dir vanishes
-        return spark.createDataFrame(out.collect(), out.schema)
+        return run_replay_pipeline(spark, sf_dir, ckpt, sink_path=sink)
 
 
 @q("q_approx_stats")  # rows-only: HLL/quantile sketches are engine-specific

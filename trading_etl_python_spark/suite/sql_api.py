@@ -344,6 +344,63 @@ def q_sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, TPCH_Q19)
 
 
+TPCH_Q12 = """SELECT l.l_linestatus,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_returnflag IN ('A', 'R')
+  AND l.l_shipdate > o.o_orderdate
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l.l_linestatus
+ORDER BY l.l_linestatus"""
+
+TPCH_Q21 = """SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 100"""
+
+
+@q("q_sql_tpch_q12", TPCH_Q12)
+def q_sql_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority split).  l_shipmode /
+    l_commitdate / l_receiptdate are absent from the testdata, so the
+    group key becomes l_linestatus and the late-delivery chain becomes
+    shipped-after-order + returnflag band — preserving the canonical
+    shape: one orders x lineitem equi-join with a two-way conditional
+    aggregation (CASE on o_orderpriority) on top.  Catalyst pushes both
+    date bounds to the lineitem scan; the 2-group aggregate is map-side
+    partial so the final shuffle is bytes."""
+    return _sql(spark, sf_dir, TPCH_Q12)
+
+
+@q("q_sql_tpch_q21", TPCH_Q21)
+def q_sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting).  The
+    l_receiptdate > l_commitdate lateness predicate becomes
+    l_returnflag = 'R' (columns absent), keeping the canonical
+    EXISTS + NOT EXISTS double-correlated-subquery shape: Catalyst
+    plans the EXISTS as a left-semi join and the NOT EXISTS as a
+    left-anti join, both on l_orderkey — the same fixed-width-key
+    shuffles at any scale, no correlated re-execution."""
+    return _sql(spark, sf_dir, TPCH_Q21)
+
+
 @q("q_sql_tpch_q22", TPCH_Q22)
 def q_sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 (idle above-average-balance customers; cntrycode is
