@@ -74,6 +74,18 @@ def main() -> None:
         .groupBy("k")
         .count()
     )
+    # compile every headline query's exact plan shape once at the tiny SF:
+    # whole-stage-codegen compilation is per-plan-shape and costs 0.3-1s —
+    # without this, each query's first measured run pays it and best-of-3
+    # has only 2 steady-state samples (the source of r1/r2's ±0.3s
+    # round-over-round "regressions" on sub-second queries)
+    tiny = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+    if os.path.isdir(tiny):
+        for name in HEADLINE:
+            try:
+                consume(QUERIES[name](spark, tiny))
+            except Exception:
+                pass  # warmup is best-effort; the measured run will surface real errors
 
     def timed(make_df) -> float:
         # best-of-3: report steady-state, not scheduler/GC noise (each run

@@ -117,3 +117,52 @@ def test_gram_matrix_hand_values(spark):
     assert out[(0, 1)].g == 2 + 12
     assert out[(1, 1)].g == 4 + 16
     assert all(r.n == 2 for r in out.values())
+
+
+def test_ivf_assign_join_matches_inline(spark, sf_dir):
+    """The broadcast-join assignment (large-K path) must produce the
+    exact same cell per vector — including the smaller-cell-id
+    tie-break — as the literal-inline argmax."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.collect_centroids(emb, 16)
+    via_inline = {
+        r.vec_id: r._cell for r in S.ivf_assign(emb, cents).select("vec_id", "_cell").collect()
+    }
+    cdf = S.centroids_to_df(spark, cents)
+    via_join = {
+        r.vec_id: r._cell
+        for r in S.ivf_assign_join(emb, cdf).select("vec_id", "_cell").collect()
+    }
+    assert via_inline == via_join
+    # schema parity: join path carries every input column through
+    assert set(S.ivf_assign_join(emb, cdf).columns) == set(S.ivf_assign(emb, cents).columns)
+
+
+def test_kmeans_step_switches_to_join_past_crossover(spark, sf_dir):
+    """kmeans_step at K > IVF_INLINE_MAX_CELLS must route through the
+    broadcast-join assignment (constant plan size) and still produce
+    per-cell means consistent with the inline path on the same
+    centroids."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(400)
+    # 300 centroids: real vectors for the first 16 cells, tiny distinct
+    # offsets for the rest so assignment is still deterministic
+    base = S.collect_centroids(emb, 16)
+    dim = len(next(iter(base.values())))
+    cents = dict(base)
+    for c in range(16, 300):
+        cents[c] = [10.0 + c] + [0.0] * (dim - 1)
+    assert len(cents) > S.IVF_INLINE_MAX_CELLS
+    got = {
+        (r.cell, r.dim): (r.centroid_val, r.n_members)
+        for r in S.kmeans_step(emb, cents).collect()
+    }
+    # direct inline assignment on the same centroids gives the expected means
+    asn = S.ivf_assign(emb, cents, "_cell")
+    exp = {
+        (r.cell, r.dim): (r.centroid_val, r.n_members)
+        for r in asn.select(F.col("_cell").alias("cell"), F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("cell", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("centroid_val"), F.count(F.lit(1)).alias("n_members"))
+        .collect()
+    }
+    assert got == exp

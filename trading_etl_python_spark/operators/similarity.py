@@ -152,6 +152,57 @@ def ivf_assign(
     return embeddings.withColumn(cell_col, (-best["negcell"]).cast("int"))
 
 
+def centroids_to_df(spark, centroids: dict[int, list[float]]) -> DataFrame:
+    """Materialize a centroid dict as a (cell int, cv array<double>)
+    DataFrame — the broadcast side of ``ivf_assign_join``."""
+    return spark.createDataFrame(
+        [(int(c), [float(v) for v in vec]) for c, vec in sorted(centroids.items())],
+        "cell int, cv array<double>",
+    )
+
+
+def ivf_assign_join(
+    embeddings: DataFrame, centroids_df: DataFrame, cell_col: str = "_cell", id_col: str = "vec_id"
+) -> DataFrame:
+    """Nearest-centroid assignment via broadcast hash join + ``max_by``
+    argmax — the LARGE-K companion to ``ivf_assign``.
+
+    Crossover: the literal-inline path embeds K x dim doubles in the
+    plan; past K ~ 256 (dim 64) that bloats analysis/codegen and the
+    task binary, and at production K (~2^16 cells) it is unworkable.
+    This variant ships the centroid table as a broadcast relation
+    (torrent-distributed once per executor, constant plan size): each
+    row fans out to K scored candidates INSIDE its partition, and the
+    groupBy(id) argmax collapses them map-side via partial aggregation
+    — the final exchange carries one row per input row, and that
+    exchange is exactly the hash(id) distribution the k-means mean
+    recompute or a write-time ``partitionBy(cell)`` wants next.
+    Identical assignment (incl. the smaller-cell-id tie-break) to
+    ``ivf_assign``; proven by tests/test_similarity.py."""
+    carry = [c for c in embeddings.columns if c != id_col]
+    sim = dot(F.col("embedding"), F.col("cv"))
+    best = (
+        embeddings.join(F.broadcast(centroids_df), how="cross")
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct(*carry, F.col("cell")),
+                F.struct(sim.alias("sim"), (-F.col("cell")).alias("negcell")),
+            ).alias("_b")
+        )
+    )
+    return best.select(
+        id_col,
+        *[F.col(f"_b.{c}").alias(c) for c in carry],
+        F.col("_b.cell").cast("int").alias(cell_col),
+    )
+
+
+#: above this many cells the literal-inline assignment path gives way to
+#: the broadcast-join path (plan-size / codegen crossover, dim ~64)
+IVF_INLINE_MAX_CELLS = 256
+
+
 def ann_ivf_topk(
     embeddings: DataFrame,
     query_vec_id: int = 0,
@@ -261,7 +312,11 @@ def kmeans_step(
         if centroids is not None
         else collect_centroids(embeddings, n_cells, id_col)
     )
-    asn = ivf_assign(embeddings, cents, "_cell")
+    if len(cents) > IVF_INLINE_MAX_CELLS:
+        cdf = centroids_to_df(embeddings.sparkSession, cents)
+        asn = ivf_assign_join(embeddings, cdf, "_cell", id_col)
+    else:
+        asn = ivf_assign(embeddings, cents, "_cell")
     long = asn.select(
         F.col("_cell").alias("cell"),
         F.posexplode("embedding").alias("dim", "val"),
