@@ -251,3 +251,21 @@ def test_sql_q21_double_anti_semi_join(spark, sf_dir):
     assert "LeftAnti" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_spread_keyless_noop_when_already_wide(spark):
+    """Keyless spread is pure fan-out: at or above shuffle-width it must
+    be a no-op (no pure-overhead exchange); below, it widens, capped by
+    factor; keyed spread always repartitions (co-location is semantic)."""
+    from trading_etl_python_spark.util import spread
+
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    wide = spark.range(1000).repartition(n)
+    assert spread(wide) is wide  # no-op, not even a new plan node
+    narrow = spark.range(1000).coalesce(1)
+    assert spread(narrow).rdd.getNumPartitions() == n
+    assert spread(narrow, factor=4).rdd.getNumPartitions() == min(n, 4)
+    # keyed: repartitions even when already wide (hash distribution on
+    # the key is what mapInPandas kernels rely on)
+    keyed = spread(wide.withColumn("k", wide.id % 7), "k")
+    assert "hashpartitioning(k" in keyed._jdf.queryExecution().executedPlan().toString()

@@ -85,14 +85,23 @@ def ngram_jaccard_pairs(
     df: DataFrame, n: int = 3, threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """X2 (exact variant) — doc pairs with shingle-set Jaccard >= threshold.
-    Join on shared shingles -> count intersections -> |A|+|B|-|A∩B|."""
+    Join on shared shingles -> count intersections -> |A|+|B|-|A∩B|.
+
+    Plan shape (measured against two alternatives): ``n_sh`` is a window
+    COUNT over doc_id riding the distribution ``shingles`` already
+    produced — no count aggregate joined back, so the shingle pipeline
+    computes once per join side (2x total) instead of 4x, and the two
+    self-join sides are the SAME subtree (exchange-reusable at shuffle-
+    join scale).  The tempting zero-pass variant — size(array) carried
+    through the explode — is a trap: the join's inferred
+    isnotnull(n_sh) predicate substitutes the whole shingle expression
+    below the tokenization projection, where per-shingle slice() calls
+    re-tokenize the document per index (quadratic per doc, 5x slower
+    end-to-end)."""
     # join on the 64-bit shingle hash, not the string: fixed-width shuffle
     # keys; collision odds at 64 bits are negligible for any corpus size
     sh = shingles(df, n, text_col, id_col).select(id_col, F.xxhash64("shingle").alias("h"))
-    cnt = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    # NOT force-broadcast: cnt is one row per document (unbounded); let
-    # Catalyst broadcast small corpora and shuffle-join large ones
-    side = sh.join(cnt, id_col)
+    side = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
     a, b = side.alias("a"), side.alias("b")
     # length-ratio prefilter inside the join condition: jaccard >= t forces
     # min(|A|,|B|) >= t*max(|A|,|B|) — provably output-preserving, and it
