@@ -203,6 +203,57 @@ def ivf_assign_join(
 IVF_INLINE_MAX_CELLS = 256
 
 
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    centroids: dict[int, list[float]],
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the IVF index as a cell-partitioned parquet table —
+    the write-time half of the 100 TB ANN posture: assignment cost is
+    paid ONCE at ingest (map-side argmax, or broadcast-join past the
+    crossover), and every subsequent probe becomes a partition-PRUNED
+    scan of n_probe/n_cells of the data instead of a full pass.
+    ``maxRecordsPerFile`` would bound file sizes at production volume;
+    cells are the physical partition key so the probe filter prunes at
+    the file-index level, before any IO."""
+    if len(centroids) > IVF_INLINE_MAX_CELLS:
+        cdf = centroids_to_df(embeddings.sparkSession, centroids)
+        asn = ivf_assign_join(embeddings, cdf, "cell", id_col)
+    else:
+        asn = ivf_assign(embeddings, centroids, "cell")
+    asn.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ann_ivf_topk_pruned(
+    spark,
+    index_path: str,
+    centroids: dict[int, list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe an ``write_ivf_index`` table: select the ``n_probe`` cells
+    whose centroids are nearest the query (driver-side over the tiny
+    centroid dict), scan ONLY those partitions (the ``cell`` filter is a
+    partition filter — pruning happens in the file index, verified by
+    tests), exact-rerank the members.  Identical results to the scan-
+    time ``ann_ivf_topk`` on the same centroids."""
+    qvec = [float(v) for v in query_vec]
+    probe = sorted(centroids, key=lambda cid: (-_seq_dot(qvec, centroids[cid]), cid))[:n_probe]
+    qlit = F.array(*[F.lit(v) for v in qvec])
+    cands = spark.read.parquet(index_path).filter(
+        F.col("cell").isin([int(p) for p in probe])
+    )
+    return (
+        cands.select(id_col, "label", dot("embedding", qlit).alias("_sim"))
+        .orderBy(F.col("_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "label", F.round("_sim", 6).alias("cos_sim"))
+    )
+
+
 def ann_ivf_topk(
     embeddings: DataFrame,
     query_vec_id: int = 0,
