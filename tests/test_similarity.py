@@ -191,3 +191,24 @@ def test_ivf_index_probe_is_partition_pruned_and_exact(spark, sf_dir, tmp_path):
     scan = pruned._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
     n_parts = scan.metrics().get("numPartitions").get().value()
     assert n_parts == 4  # n_probe of 16 cells
+
+
+def test_lsh_index_probe_is_partition_pruned_and_exact(spark, sf_dir, tmp_path):
+    """Write-time LSH: the Hamming-ball multi-probe over the signature-
+    partitioned index must return exactly the scan-time ann_lsh_topk
+    results and prune to fewer partitions than the table holds."""
+    import glob
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "lsh_index")
+    S.write_lsh_index(emb, path)
+
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    pruned = S.ann_lsh_topk_pruned(spark, path, qvec, k=10)
+    baseline = S.ann_lsh_topk(emb, query_vec_id=0, k=10)
+    assert [tuple(r) for r in pruned.collect()] == [tuple(r) for r in baseline.collect()]
+
+    scan = pruned._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    n_parts = scan.metrics().get("numPartitions").get().value()
+    total = len(glob.glob(f"{path}/sig=*"))
+    assert 0 < n_parts < total  # the Hamming ball pruned real cells

@@ -341,6 +341,65 @@ def ann_lsh_topk(
     )
 
 
+def write_lsh_index(
+    embeddings: DataFrame, path: str, n_planes: int = 12, dim: int = 64
+) -> None:
+    """Write-time half of the LSH posture: signatures are computed once
+    at ingest and become the physical partition key, so a probe is a
+    partition-pruned multi-probe lookup (the Hamming ball around the
+    query signature) instead of a full scan + signature recompute.
+    2^n_planes cells; at production volume pick n_planes so cells stay
+    file-sized (the same knob as IVF's n_cells)."""
+    sig = _lsh_signature(F.col("embedding"), lsh_planes(n_planes, dim))
+    embeddings.withColumn("sig", sig).write.mode("overwrite").partitionBy("sig").parquet(path)
+
+
+def _hamming_ball(sig: int, n_bits: int, radius: int) -> list[int]:
+    """All signatures within Hamming distance ``radius`` of ``sig`` —
+    the multi-probe set.  Σ_{r<=radius} C(n_bits, r) values (79 for
+    12 bits, radius 2): a literal IN-list, small enough to prune
+    partitions at the file index."""
+    from itertools import combinations
+
+    out = []
+    for r in range(radius + 1):
+        for bits in combinations(range(n_bits), r):
+            flipped = sig
+            for b in bits:
+                flipped ^= 1 << b
+            out.append(flipped)
+    return out
+
+
+def ann_lsh_topk_pruned(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    max_hamming: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a ``write_lsh_index`` table: the query signature and its
+    Hamming ball are computed driver-side (same ±1 planes, same
+    left-fold dot as the engine), the ball becomes a partition filter,
+    and only matching cells are scanned and exact-reranked.  Identical
+    results to the scan-time ``ann_lsh_topk`` for the same planes."""
+    qvec = [float(v) for v in query_vec]
+    planes = lsh_planes(n_planes, dim)
+    qsig = sum(1 << p for p, w in enumerate(planes) if _seq_dot(qvec, w) > 0)
+    probe = _hamming_ball(qsig, n_planes, max_hamming)
+    qlit = F.array(*[F.lit(v) for v in qvec])
+    cands = spark.read.parquet(index_path).filter(F.col("sig").isin(probe))
+    return (
+        cands.select(id_col, "label", dot("embedding", qlit).alias("_sim"))
+        .orderBy(F.col("_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "label", F.round("_sim", 6).alias("cos_sim"))
+    )
+
+
 def kmeans_step(
     embeddings: DataFrame,
     centroids: dict[int, list[float]] | None = None,
