@@ -205,17 +205,28 @@ def minhash_banded_pairs(
     assert num_perm % bands == 0, "bands must divide num_perm"
     r = num_perm // bands
     sig = minhash_signatures(df, num_perm, n, seed, text_col, id_col)
+    # Carry the whole signature (as one array) THROUGH the banding, so
+    # the signature pipeline is referenced exactly twice (the two band-
+    # join sides — identical subtrees, exchange-reusable) instead of
+    # four (band join x2 + a verification join per pair side).  The
+    # collision dedup then rides the same groupBy that would have been
+    # the distinct, with first() carrying the arrays — no join back.
+    sig_arr = sig.select(
+        F.col(id_col), F.array(*[F.col(f"m{k}") for k in range(num_perm)]).alias("sig")
+    )
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band"),
-                F.concat_ws("_", *[F.col(f"m{i * r + j}") for j in range(r)]).alias("key"),
+                F.concat_ws(
+                    "_", *[F.col("sig")[i * r + j].cast("string") for j in range(r)]
+                ).alias("key"),
             )
             for i in range(bands)
         ]
     )
-    banded = sig.select(id_col, F.explode(band_structs).alias("bk")).select(
-        id_col, "bk.band", "bk.key"
+    banded = sig_arr.select(id_col, "sig", F.explode(band_structs).alias("bk")).select(
+        id_col, "sig", "bk.band", "bk.key"
     )
     ba, bb = banded.alias("a"), banded.alias("b")
     cand = (
@@ -225,18 +236,23 @@ def minhash_banded_pairs(
             & (F.col("a.key") == F.col("b.key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .distinct()
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.sig").alias("sa"),
+            F.col("b.sig").alias("sb"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("sa").alias("sa"), F.first("sb").alias("sb"))
     )
-    sa = sig.select(F.col(id_col).alias("doc_a"), *[F.col(f"m{k}").alias(f"a{k}") for k in range(num_perm)])
-    sb = sig.select(F.col(id_col).alias("doc_b"), *[F.col(f"m{k}").alias(f"b{k}") for k in range(num_perm)])
-    match_frac = sum(
-        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0) for k in range(num_perm)
-    ) / F.lit(float(num_perm))
+    matches = F.aggregate(
+        F.zip_with("sa", "sb", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    match_frac = matches / F.lit(float(num_perm))
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("approx_jaccard", match_frac)
+        cand.withColumn("approx_jaccard", match_frac)
         .filter(F.col("approx_jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("approx_jaccard", 6).alias("approx_jaccard"))
     )
