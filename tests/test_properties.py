@@ -272,3 +272,43 @@ def test_winsorize_bounds_and_identity_inside(spark, closes):
         assert r.p_lo - 1e-4 <= r.close_wins <= r.p_hi + 1e-4
         if r.p_lo <= r.close <= r.p_hi:
             assert abs(r.close_wins - round(r.close, 4)) < 1e-9
+
+
+@given(
+    sig=st.integers(min_value=0, max_value=(1 << 12) - 1),
+    radius=st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=50, deadline=None)
+def test_hamming_ball_size_and_membership(sig, radius):
+    """The multi-probe set is exactly the Hamming ball: Σ C(n, r)
+    distinct members, every member within radius, sig itself included."""
+    from trading_etl_python_spark.operators.similarity import _hamming_ball
+
+    ball = _hamming_ball(sig, 12, radius)
+    expected = sum(math.comb(12, r) for r in range(radius + 1))
+    assert len(ball) == len(set(ball)) == expected
+    assert sig in ball
+    assert all(bin(sig ^ m).count("1") <= radius for m in ball)
+    assert all(0 <= m < (1 << 12) for m in ball)
+
+
+@given(
+    table=st.text(alphabet="abc_", min_size=1, max_size=8),
+    cols=st.lists(
+        st.text(alphabet="xyz_", min_size=1, max_size=6), min_size=1, max_size=5, unique=True
+    ),
+    nkeys=st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=50, deadline=None)
+def test_insert_ignore_sql_all_dialects_wellformed(table, cols, nkeys):
+    """Every dialect's statement quotes all identifiers and references
+    the staging table; key columns are always a subset of columns."""
+    from trading_etl_python_spark.sinks.jdbc import insert_ignore_sql, stage_table_name
+
+    keys = tuple(cols[:nkeys])
+    stage = stage_table_name(table, 7)
+    for dialect in ("postgresql", "mysql", "ansi"):
+        sql = insert_ignore_sql(table, stage, cols, keys, dialect)
+        assert f'"{stage}"' in sql and f'"{table}"' in sql
+        for c in cols:
+            assert f'"{c}"' in sql
