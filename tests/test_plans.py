@@ -66,13 +66,14 @@ def test_topk_cosine_uses_take_ordered(spark, sf_dir):
 
 
 def test_indicator_pipeline_exchange_budget(spark, sf_dir):
-    """The full 13-indicator table must run in exactly 2 exchanges:
-    hash(symbol) for the window+recursive stages and hash(symbol, day)
-    for VWAP — NOT one shuffle per indicator, and no re-exchange for the
-    warmup gate (its history count rides the first window stage)."""
+    """The full 13-indicator table must run in exactly ONE exchange:
+    hash(symbol) serves the window stage, the VWAP (symbol, day) window
+    (day refines symbol clustering, so it costs only a local sort), the
+    Arrow recursive stage, and the warmup gate (its history count rides
+    the window stage) — NOT one shuffle per indicator."""
     plan = _executed(indicator_table(bars(spark, sf_dir), warmup=26))
     n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
-    assert n_exchanges <= 2, f"expected <=2 exchanges, got {n_exchanges}:\n{plan[:2000]}"
+    assert n_exchanges == 1, f"expected 1 exchange, got {n_exchanges}:\n{plan[:2000]}"
 
 
 def test_latest_per_key_no_global_sort(spark, sf_dir):

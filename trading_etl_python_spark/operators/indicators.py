@@ -2,15 +2,18 @@
 /root/reference/trading-etl-python/src/db/setup.py:55-89), composed
 Spark-first.
 
-Pipeline shape (2 exchanges for the whole 13-indicator suite):
+Pipeline shape (ONE exchange for the whole 13-indicator suite):
 
     scan (column-pruned)
       -> exchange hash(symbol) -> sort(symbol, time, event_id)
       -> all symbol-keyed window indicators  (SMA/BB/Stoch/MFI/OBV, gates)
-      -> applyInPandas per symbol            (EMA/RSI/MACD/ATR/ADX — reuses
+      -> VWAP window                         ((symbol, day) clustering is
+                                              satisfied by hash(symbol);
+                                              day refines symbol, so only
+                                              a local sort is added)
+      -> mapInPandas per partition           (EMA/RSI/MACD/ATR/ADX — reuses
                                               the hash(symbol) distribution,
                                               no new shuffle)
-      -> exchange hash(symbol, day) -> VWAP window
 
 The reference computes the same 13 columns one symbol at a time in a
 Python loop (backfill.py:101-139) or one message at a time
@@ -93,8 +96,13 @@ def indicator_table(bars: DataFrame, warmup: int | None = 26) -> DataFrame:
 
         whist = W.by_key().rowsBetween(Window.unboundedPreceding, Window.currentRow)
         df = df.withColumn("_hist", F.count(F.lit(1)).over(whist))
-    df = with_recursive_suite(df)
+    # VWAP before the Arrow stage: its (symbol, day) window clustering is
+    # satisfied by the hash(symbol) distribution already in place (day is
+    # a refinement of symbol clustering), so it costs only a local sort —
+    # the whole 21-column table now runs in ONE exchange, and the Arrow
+    # stage still rides the same distribution afterward.
     df = W.with_vwap(df)
+    df = with_recursive_suite(df)
     if warmup is not None:
         df = df.filter((F.col("_hist") >= warmup) & F.col("sma_20").isNotNull())
     return df.select(*FINAL_COLS)
