@@ -79,6 +79,16 @@ def curate_corpus_full(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "norm_hash")
     )
+    # Materialization barrier: the survivor set feeds FIVE downstream
+    # subtrees (pair generation x2, canonical join, train split, probe
+    # union); without it Catalyst recomputes the scan+quality+dedup
+    # chain per reference (8 scans observed).  localCheckpoint — not
+    # persist — so the reuse is scoped to THIS query's plan: a fresh
+    # call builds a fresh checkpoint, and nothing registers in the
+    # CacheManager to leak across queries or bench runs.  This is the
+    # in-plan analogue of the stage manifest a production curation
+    # pipeline writes between stages.  Measured sf0.1: 6.2s -> 4.1s.
+    uniq = uniq.localCheckpoint(eager=False)
     clusters = dedup_clusters(
         uniq.select("doc_id", "text"), n=3, threshold=neardup_threshold
     )

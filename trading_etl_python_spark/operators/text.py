@@ -163,22 +163,33 @@ def winnow_fingerprints(
 
     Entirely HOF expressions (JVM, one explode + one distinct shuffle);
     the polynomial hash folds left-to-right mod 1e9+7, which both engines
-    compute identically on ASCII codes (non-alphanumerics are stripped)."""
+    compute identically on ASCII codes (non-alphanumerics are stripped).
+
+    Plan note: the char-code array is materialized as a COLUMN first and
+    the gram lambdas index it with element_at.  HOF lambdas are
+    interpreted (outside whole-stage codegen) and hoist nothing: an
+    inline `substr(regexp_replace(...), i+j, 1)` re-runs the full-text
+    regex per character access — O(k·len²) per doc, measured 65 s for
+    the sf0.1 corpus vs ~1 s for this shape.  CollapseProject cannot
+    re-inline the array because non-cheap aliases referenced more than
+    once are never collapsed."""
     mod = F.lit(1_000_000_007).cast("long")
     s = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
-    n_grams = F.length(s) - k + 1
+    df = df.filter(F.length(s) >= k + w - 1).withColumn(
+        "_codes", F.transform(F.split(s, ""), lambda c: F.ascii(c).cast("long"))
+    )
     hs = F.transform(
-        F.sequence(F.lit(1), n_grams),
+        F.sequence(F.lit(1), F.size("_codes") - k + 1),
         lambda i: F.aggregate(
             F.sequence(F.lit(0), F.lit(k - 1)),
             F.lit(0).cast("long"),
             lambda acc, j: F.pmod(
-                acc * F.lit(31) + F.ascii(s.substr(i + j, F.lit(1))).cast("long"),
+                acc * F.lit(31) + F.element_at("_codes", (i + j).cast("int")),
                 mod,
             ),
         ),
     )
-    df = df.filter(F.length(s) >= k + w - 1).withColumn("_h", hs)
+    df = df.withColumn("_h", hs)
     win_min = F.transform(
         F.sequence(F.lit(1), F.size("_h") - w + 1),
         lambda j: F.aggregate(
