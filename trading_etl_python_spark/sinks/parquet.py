@@ -146,9 +146,17 @@ def upsert_replace(
     the buckets new data touched, atomically swap just those partitions.
     Unlike ``upsert_ignore`` (first-writer-wins, for idempotent fact
     appends) this is last-writer-wins at partition granularity — the
-    right semantics when the new write IS the recomputed truth."""
+    right semantics when the new write IS the recomputed truth.
+
+    The pre-write repartition on the partition column is load-bearing:
+    without it every shuffle task holding rows for a date writes its own
+    file there (tasks x dates tiny files — the classic small-file
+    explosion); with it each date is written by one task as one file.
+    At production volume add ``maxRecordsPerFile`` (or repartition by
+    (partition, bucket) for parallelism within giant partitions)."""
     (
         with_partition_col(df, partition_col, time_col)
+        .repartition(F.col(partition_col))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
