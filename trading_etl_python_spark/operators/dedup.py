@@ -211,9 +211,14 @@ def minhash_banded_pairs(
     # four (band join x2 + a verification join per pair side).  The
     # collision dedup then rides the same groupBy that would have been
     # the distinct, with first() carrying the arrays — no join back.
+    # localCheckpoint: the signature table (1 row/doc, K longs — tiny
+    # next to the shingle explode that builds it) is the self-join's
+    # both sides; materializing it once is the textbook batch-LSH move
+    # (compute signatures, store them, then band).  Scoped to this
+    # query's plan — nothing registers in the CacheManager.
     sig_arr = sig.select(
         F.col(id_col), F.array(*[F.col(f"m{k}") for k in range(num_perm)]).alias("sig")
-    )
+    ).localCheckpoint(eager=False)
     band_structs = F.array(
         *[
             F.struct(
@@ -297,8 +302,12 @@ def simhash_pairs(
     """SimHash near-dup pairs: band the 64-bit signature into 4 x 16-bit
     sub-keys (pigeonhole: hamming<=3 => >=1 identical band), join per
     band, verify hamming = sum of per-band bit_count(xor) — all JVM
-    expressions, and exactly reproducible in the SQL oracle."""
-    sig = simhash_signatures(df, text_col, id_col)
+    expressions, and exactly reproducible in the SQL oracle.
+
+    The signature table (1 row/doc, 4 shorts) is localCheckpoint'd so
+    the 64-aggregate pipeline that builds it runs once, not once per
+    self-join side; plan-scoped, no CacheManager entry."""
+    sig = simhash_signatures(df, text_col, id_col).localCheckpoint(eager=False)
     banded = sig.select(
         id_col,
         *[f"k{i}" for i in range(4)],
