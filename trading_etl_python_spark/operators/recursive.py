@@ -11,9 +11,11 @@ Primary implementation: grouped-map ``applyInPandas`` per symbol — Arrow
 batch transfer, numpy recurrences, one shuffle on the key.  This mirrors
 the reference's per-symbol pandas frames exactly, and scales the same way
 Spark's own window exec does (one key's series processed by one task; keys
-are the parallelism unit).  For very long per-key histories, chunk by the
-warmup-carry trick (seed each chunk with the previous chunk's tail state) —
-not needed at the harness scales.
+are the parallelism unit).  For very long per-key histories — the one
+growth axis key-parallelism does not cover — ``recursive_chunked.py``
+implements the warmup-carry chunk path: global time-range chunks with a
+36-double state vector carried per key, exact to the bit at every chunk
+count (tests/test_chunked.py).
 
 A secondary, Catalyst-visible formulation via the SQL ``aggregate()``
 higher-order function over a per-key ``collect_list`` lives in

@@ -1,0 +1,302 @@
+"""Chunked warmup-carry evaluation of the recurrence indicator family —
+the long-history scale path documented in ``recursive.py``.
+
+Why: the grouped-map kernels hold ONE KEY'S WHOLE HISTORY in a pandas
+frame.  Symbol count is the parallelism axis and scales horizontally;
+per-key history length is the only growth axis that does not.  This
+module removes it: the stream is cut into global time-range chunks,
+each chunk is one parallel `applyInPandas` pass over all keys, and a
+tiny per-(key, indicator) STATE VECTOR (36 doubles) carries the
+recurrence seeds across chunks — per-task memory is bounded by the
+chunk length, never the history length.
+
+Exactness, not approximation: the carried state reproduces the
+sequential kernels bit-for-bit (the seed phases carry the same
+left-fold partial sums `_seqmean` uses, Wilder updates carry the same
+smoothed values), so ``chunked(N) == unchunked`` for every chunk count
+— pinned by tests/test_chunked.py.  Contrast with tail-context
+re-computation (windows.py incremental maintenance), which is exact
+only for the bounded-frame family.
+
+Cost model: C chunks = C sequential Spark jobs (each fully parallel
+across keys) + C tiny driver collects (|symbols| state rows).  The
+per-row recurrence work is identical to the unchunked kernels (they
+are sequential Python/numpy loops either way).  Choose C so that
+(rows / C) fits a task; C=1 degenerates to the unchunked layout.
+
+Reference parity: same pandas-ta 0.4.71b0 semantics as recursive.py
+(/root/reference/trading-etl-python/src/db/backfill.py:18-55).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .recursive import ROUND_DP, round_half_up
+
+NAN = float("nan")
+
+#: state-vector layout: [seen, acc, prev] per EMA(10, 20, 12, 26) = 12,
+#: then RSI [nd, gacc, lacc, ag, al, prevc] = 6, ATR [nt, tacc, atr,
+#: prevc] = 4, ADX [ph, pl, pc, ndm, pacc, macc, tacc, sp, sm, st,
+#: ndx, dxacc, dxnn, adx] = 14.
+STATE_LEN = 12 + 6 + 4 + 14
+_EMA0, _RSI0, _ATR0, _ADX0 = 0, 12, 18, 22
+EMA_PERIODS = (10, 20, 12, 26)
+
+
+def fresh_state() -> list[float]:
+    st = [NAN] * STATE_LEN
+    for k in range(4):  # EMA seen/acc start at 0
+        st[_EMA0 + 3 * k] = 0.0
+        st[_EMA0 + 3 * k + 1] = 0.0
+    st[_RSI0] = 0.0  # nd
+    st[_RSI0 + 1] = 0.0  # gacc
+    st[_RSI0 + 2] = 0.0  # lacc
+    st[_ATR0] = 0.0  # nt
+    st[_ATR0 + 1] = 0.0  # tacc
+    st[_ADX0 + 3] = 0.0  # ndm
+    st[_ADX0 + 4] = 0.0  # pacc
+    st[_ADX0 + 5] = 0.0  # macc
+    st[_ADX0 + 6] = 0.0  # tacc
+    st[_ADX0 + 10] = 0.0  # ndx
+    st[_ADX0 + 11] = 0.0  # dxacc
+    st[_ADX0 + 12] = 0.0  # dxnn
+    return st
+
+
+def _ema_chunk(x: np.ndarray, st: list[float], base: int, n: int) -> np.ndarray:
+    """SMA-seeded EMA over one chunk; state [seen, acc, prev] at
+    ``base``.  The seed accumulator is the same left fold `_seqmean`
+    performs, so chunk boundaries cannot perturb the seed."""
+    a = 2.0 / (n + 1.0)
+    seen, acc, prev = st[base], st[base + 1], st[base + 2]
+    out = np.full(len(x), np.nan)
+    for i, v in enumerate(x):
+        v = float(v)
+        seen += 1
+        if seen < n:
+            acc += v
+        elif seen == n:
+            acc += v
+            prev = acc / n
+            out[i] = prev
+        else:
+            prev = a * v + (1.0 - a) * prev
+            out[i] = prev
+    st[base], st[base + 1], st[base + 2] = seen, acc, prev
+    return out
+
+
+def _rsi_chunk(c: np.ndarray, st: list[float], n: int = 14) -> np.ndarray:
+    b = _RSI0
+    nd, gacc, lacc, ag, al, prevc = (st[b + k] for k in range(6))
+    a = 1.0 / n
+    out = np.full(len(c), np.nan)
+    for i, v in enumerate(c):
+        v = float(v)
+        if math.isnan(prevc):  # very first row globally: no delta yet
+            prevc = v
+            continue
+        d = v - prevc
+        g = d if d > 0 else 0.0
+        l = -d if d < 0 else 0.0
+        nd += 1
+        if nd < n:
+            gacc += g
+            lacc += l
+        elif nd == n:
+            gacc += g
+            lacc += l
+            ag, al = gacc / n, lacc / n
+            if ag + al > 0:
+                out[i] = 100.0 * ag / (ag + al)
+        else:
+            ag = a * g + (1.0 - a) * ag
+            al = a * l + (1.0 - a) * al
+            out[i] = 100.0 * ag / (ag + al) if (ag + al) > 0 else np.nan
+        prevc = v
+    st[b : b + 6] = [nd, gacc, lacc, ag, al, prevc]
+    return out
+
+
+def _atr_chunk(
+    h: np.ndarray, lo: np.ndarray, c: np.ndarray, st: list[float], n: int = 14
+) -> np.ndarray:
+    b = _ATR0
+    nt, tacc, atr, prevc = (st[b + k] for k in range(4))
+    a = 1.0 / n
+    out = np.full(len(c), np.nan)
+    for i in range(len(c)):
+        hi, li, ci = float(h[i]), float(lo[i]), float(c[i])
+        if math.isnan(prevc):
+            tr = hi - li
+        else:
+            tr = max(hi - li, abs(hi - prevc), abs(li - prevc))
+        nt += 1
+        if nt < n:
+            tacc += tr
+        elif nt == n:
+            tacc += tr
+            atr = tacc / n
+            out[i] = atr
+        else:
+            atr = a * tr + (1.0 - a) * atr
+            out[i] = atr
+        prevc = ci
+    st[b : b + 4] = [nt, tacc, atr, prevc]
+    return out
+
+
+def _adx_chunk(
+    h: np.ndarray, lo: np.ndarray, c: np.ndarray, st: list[float], n: int = 14
+) -> np.ndarray:
+    b = _ADX0
+    ph, pl, pc = st[b], st[b + 1], st[b + 2]
+    ndm, pacc, macc, tacc = st[b + 3], st[b + 4], st[b + 5], st[b + 6]
+    sp, sm, stt = st[b + 7], st[b + 8], st[b + 9]
+    ndx, dxacc, dxnn, adx = st[b + 10], st[b + 11], st[b + 12], st[b + 13]
+    a = 1.0 / n
+    out = np.full(len(c), np.nan)
+
+    def dx_of(sp: float, sm: float, stt: float) -> float:
+        if stt <= 0:
+            return NAN
+        dip, dim = 100.0 * sp / stt, 100.0 * sm / stt
+        return 100.0 * abs(dip - dim) / (dip + dim) if (dip + dim) > 0 else NAN
+
+    for i in range(len(c)):
+        hi, li, ci = float(h[i]), float(lo[i]), float(c[i])
+        if math.isnan(ph):  # very first row globally: no DM yet
+            ph, pl, pc = hi, li, ci
+            continue
+        up, dn = hi - ph, pl - li
+        pdm = up if (up > dn and up > 0) else 0.0
+        mdm = dn if (dn > up and dn > 0) else 0.0
+        tr = max(hi - li, abs(hi - pc), abs(li - pc))
+        ndm += 1
+        dx = None
+        if ndm < n:
+            pacc += pdm
+            macc += mdm
+            tacc += tr
+        elif ndm == n:
+            pacc += pdm
+            macc += mdm
+            tacc += tr
+            sp, sm, stt = pacc / n, macc / n, tacc / n
+            dx = dx_of(sp, sm, stt)
+        else:
+            sp = a * pdm + (1.0 - a) * sp
+            sm = a * mdm + (1.0 - a) * sm
+            stt = a * tr + (1.0 - a) * stt
+            dx = dx_of(sp, sm, stt)
+        if dx is not None:
+            ndx += 1
+            if ndx <= n:
+                if not math.isnan(dx):
+                    dxacc += dx
+                    dxnn += 1
+                if ndx == n:
+                    adx = dxacc / dxnn if dxnn > 0 else NAN
+                    out[i] = adx
+            else:
+                if not math.isnan(dx):
+                    adx = a * dx + (1.0 - a) * adx
+                out[i] = adx
+        ph, pl, pc = hi, li, ci
+    st[b : b + 14] = [ph, pl, pc, ndm, pacc, macc, tacc, sp, sm, stt, ndx, dxacc, dxnn, adx]
+    return out
+
+
+def _run_chunk(pdf: pd.DataFrame, st: list[float]) -> pd.DataFrame:
+    """All five recurrences over one key's chunk, mutating ``st``."""
+    pdf = pdf.sort_values(["time", "event_id"], kind="mergesort").reset_index(drop=True)
+    c = pdf["close"].to_numpy(np.float64)
+    h = pdf["high"].to_numpy(np.float64)
+    lo = pdf["low"].to_numpy(np.float64)
+    emas = {n: _ema_chunk(c, st, _EMA0 + 3 * k, n) for k, n in enumerate(EMA_PERIODS)}
+    outs = {
+        "ema_10": emas[10],
+        "ema_20": emas[20],
+        "macd_line": emas[12] - emas[26],
+        "rsi_14": _rsi_chunk(c, st),
+        "atr_14": _atr_chunk(h, lo, c, st),
+        "adx_14": _adx_chunk(h, lo, c, st),
+    }
+    for col, arr in outs.items():
+        pdf[col] = round_half_up(arr, ROUND_DP)
+    return pdf
+
+
+OUT_COLS = ["ema_10", "ema_20", "macd_line", "rsi_14", "atr_14", "adx_14"]
+
+
+def recursive_suite_chunked(df: DataFrame, num_chunks: int = 4) -> DataFrame:
+    """Exact chunked evaluation of the 5-recurrence suite (module
+    docstring).  Global time-range chunk boundaries (approx-percentile
+    cut points, ties kept together), sequential driver loop; each chunk
+    is a localCheckpoint'd parallel pass and the per-symbol state rides
+    a broadcast dict (|symbols| x 36 doubles)."""
+    spark = df.sparkSession
+    in_cols = df.columns
+    schema = ", ".join(
+        [f"`{c}` {t}" for c, t in df.dtypes]
+        + [f"`{c}` double" for c in OUT_COLS]
+        + ["`_state` array<double>"]
+    )
+
+    if num_chunks > 1:
+        cuts = df.select(
+            F.percentile_approx(
+                "time", [i / num_chunks for i in range(1, num_chunks)], 10_000
+            ).alias("p")
+        ).collect()[0]["p"]
+        bounds = [None, *cuts, None]
+    else:
+        bounds = [None, None]
+
+    carry: dict[int, list[float]] = {}
+    parts = []
+    for ci in range(num_chunks):
+        lo_b, hi_b = bounds[ci], bounds[ci + 1]
+        part = df
+        if lo_b is not None:
+            part = part.filter(F.col("time") > F.lit(lo_b))
+        if hi_b is not None:
+            part = part.filter(F.col("time") <= F.lit(hi_b))
+        bcarry = spark.sparkContext.broadcast(carry)
+
+        def make_compute(_bc):
+            def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+                if len(pdf) == 0:
+                    return pdf.assign(
+                        **{c: pd.Series(dtype="float64") for c in OUT_COLS},
+                        _state=pd.Series(dtype="object"),
+                    )
+                sym = int(pdf["symbol"].iloc[0])
+                st = list(_bc.value.get(sym, fresh_state()))
+                out = _run_chunk(pdf, st)
+                out["_state"] = [None] * (len(out) - 1) + [st]
+                return out
+
+            return compute
+
+        res = part.groupBy("symbol").applyInPandas(make_compute(bcarry), schema=schema)
+        # materialize this chunk once: the state collect and the final
+        # union both read it, and the next chunk's carry depends on it
+        res = res.localCheckpoint(eager=True)
+        for row in res.filter(F.col("_state").isNotNull()).select("symbol", "_state").collect():
+            # Arrow nulls NaN slots in array<double>; NaN means "unset" here
+            carry[int(row["symbol"])] = [NAN if v is None else float(v) for v in row["_state"]]
+        parts.append(res.drop("_state"))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(*in_cols, *OUT_COLS)
