@@ -146,3 +146,45 @@ def test_corpus_full_holds_out_eval_source(spark, sf_dir):
     # determinism: same input -> identical stats
     again = curate_corpus_full(docs).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_cc_star_equals_propagation_on_adversarial_graphs(spark):
+    """The large-star/small-star labels must equal min-label propagation
+    on shapes that stress each: a long chain (propagation's worst case),
+    a star, a triangle+tail, singleton pairs, and a random graph."""
+    import random
+
+    from trading_etl_python_spark.operators import dedup as D
+    from pyspark.sql import functions as F
+
+    rnd = random.Random(7)
+    graphs = {
+        "chain": [(i, i + 1) for i in range(40)],
+        "star": [(0, i) for i in range(1, 20)],
+        "tri_tail": [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)],
+        "pairs": [(10, 11), (20, 21), (30, 31)],
+        "random": [(rnd.randrange(60), rnd.randrange(60)) for _ in range(80)],
+    }
+    for name, es in graphs.items():
+        es = [(a, b) for a, b in es if a != b]
+        pairs = spark.createDataFrame(es, "doc_a long, doc_b long")
+        docs = pairs.select(F.col("doc_a").alias("doc_id")).unionByName(
+            pairs.select(F.col("doc_b").alias("doc_id"))
+        ).distinct()
+        star = {
+            r.doc_id: r.cluster_id
+            for r in D.dedup_clusters(docs, pairs=pairs, algorithm="star").collect()
+        }
+        # propagation needs >= diameter rounds (star needs ~log^2): give
+        # it enough for the 40-edge chain so the cross-check is fair —
+        # at the DEFAULT max_iter=30 propagation would be wrong here,
+        # which is precisely why star is the default algorithm
+        prop = {
+            r.doc_id: r.cluster_id
+            for r in D.dedup_clusters(
+                docs, pairs=pairs, algorithm="propagation", max_iter=80
+            ).collect()
+        }
+        assert star == prop, name
+        # labels are component MINIMA (canonical survivor is smallest id)
+        assert all(l <= v for v, l in star.items()), name

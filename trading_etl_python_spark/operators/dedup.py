@@ -379,6 +379,69 @@ def contamination(
     )
 
 
+def _cc_star_labels(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", 2014) — O(log^2 n) rounds worst case vs O(diameter) for
+    plain label propagation, the difference that matters on chain-shaped
+    components.  Each round is one groupBy-min plus one join, all keys
+    fixed-width node ids; ``localCheckpoint`` truncates lineage per
+    round.
+
+    ``edges``: (e_a, e_b) pairs, any orientation.  Returns (v, l) with
+    l = component-minimum node id, for every node incident to an edge."""
+    # canonical orientation: big -> small, no self-loops
+    C = (
+        edges.select(
+            F.greatest("e_a", "e_b").alias("u"), F.least("e_a", "e_b").alias("w")
+        )
+        .filter(F.col("u") != F.col("w"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def checksum(c: DataFrame):
+        # bit_xor, not sum: ANSI mode raises on long-sum overflow
+        return c.agg(
+            F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64("u", "w")).alias("h")
+        ).collect()[0]
+
+    prev = checksum(C)
+    for _ in range(max_iter):
+        # --- large-star: ∀ v ∈ N(u) with v > u, connect v to
+        #     min(N(u) ∪ {u}) (computed over BOTH directions)
+        both = C.unionAll(C.select(F.col("w").alias("u"), F.col("u").alias("w")))
+        mins = both.groupBy("u").agg(F.min("w").alias("_mn"))
+        mins = mins.select("u", F.least("_mn", F.col("u")).alias("m"))
+        C = (
+            both.join(mins, "u")
+            .filter(F.col("w") > F.col("u"))
+            .select(F.col("w").alias("u"), F.col("m").alias("w"))
+            .filter(F.col("u") != F.col("w"))
+            .distinct()
+        )
+        # --- small-star: connect every small neighbor (and u itself)
+        #     to the minimum small neighbor
+        mins2 = C.groupBy("u").agg(F.min("w").alias("m"))
+        C = (
+            C.join(mins2, "u")
+            .select(F.col("w").alias("u"), F.col("m").alias("w"))
+            .unionAll(mins2.select("u", F.col("m").alias("w")))
+            .filter(F.col("u") != F.col("w"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = checksum(C)
+        if (cur["n"], cur["h"]) == (prev["n"], prev["h"]):
+            break
+        prev = cur
+    # fixpoint is a star forest: every non-root points at its component
+    # min; roots are the labels themselves
+    return C.select(F.col("u").alias("v"), F.col("w").alias("l")).unionByName(
+        C.select(F.col("w").alias("v"), F.col("w").alias("l"))
+    ).distinct()
+
+
 def dedup_clusters(
     df: DataFrame,
     pairs: DataFrame | None = None,
@@ -386,6 +449,7 @@ def dedup_clusters(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     max_iter: int = 30,
+    algorithm: str = "star",
 ) -> DataFrame:
     """Near-dup CLUSTERING: connected components over the pairwise
     near-dup graph, labeling every doc with the min doc id of its
@@ -394,15 +458,15 @@ def dedup_clusters(
     keeping one doc per *component*, not per pair, so A~B, B~C collapses
     to {A} even when A!~C directly.
 
-    Iterative min-label propagation: labels converge in <= graph-diameter
-    rounds; each round is one shuffle join (edges x labels) + one
-    map-side-combinable min-agg, with ``localCheckpoint`` truncating the
-    lineage so plans don't grow per round.  Near-dup graphs are
-    overwhelmingly tiny components (pairs, triangles), so diameter is
-    small and the loop exits via the monotone changed-count reaching 0.
-    At extreme scale swap the propagation body for the large-star/
-    small-star rounds of Kiveris et al. "Connected Components in
-    MapReduce" — same driver loop, fewer rounds on long chains.
+    Two algorithms, identical labels (cross-checked by tests):
+
+    - ``algorithm="star"`` (default, the scale path): alternating
+      large-star/small-star rounds (``_cc_star_labels``) — O(log^2 n)
+      rounds regardless of component shape.
+    - ``algorithm="propagation"``: iterative min-label propagation,
+      <= graph-diameter rounds; kept as the independent cross-check
+      implementation (near-dup graphs are overwhelmingly tiny
+      components, where its constant factor wins).
 
     Returns (id_col, cluster_id, is_canonical) for EVERY input doc;
     isolated docs are their own singleton cluster.
@@ -417,28 +481,33 @@ def dedup_clusters(
             "doc_a", "doc_b"
         )
     fwd = pairs.select(F.col("doc_a").alias("e_a"), F.col("doc_b").alias("e_b"))
-    edges = fwd.unionAll(
-        pairs.select(F.col("doc_b").alias("e_a"), F.col("doc_a").alias("e_b"))
-    ).localCheckpoint()
-    labels = edges.select(F.col("e_a").alias("v")).distinct().withColumn(
-        "l", F.col("v")
-    )
-    for _ in range(max_iter):
-        nbr = edges.join(labels, edges.e_b == labels.v).select(
-            F.col("e_a").alias("v"), F.col("l")
-        )
-        new_labels = (
-            labels.unionByName(nbr).groupBy("v").agg(F.min("l").alias("l"))
+    if algorithm == "star":
+        labels = _cc_star_labels(fwd, max_iter)
+    elif algorithm == "propagation":
+        edges = fwd.unionAll(
+            pairs.select(F.col("doc_b").alias("e_a"), F.col("doc_a").alias("e_b"))
         ).localCheckpoint()
-        n_changed = (
-            new_labels.alias("nw")
-            .join(labels.alias("old"), "v")
-            .filter(F.col("nw.l") < F.col("old.l"))
-            .count()
+        labels = edges.select(F.col("e_a").alias("v")).distinct().withColumn(
+            "l", F.col("v")
         )
-        labels = new_labels
-        if n_changed == 0:
-            break
+        for _ in range(max_iter):
+            nbr = edges.join(labels, edges.e_b == labels.v).select(
+                F.col("e_a").alias("v"), F.col("l")
+            )
+            new_labels = (
+                labels.unionByName(nbr).groupBy("v").agg(F.min("l").alias("l"))
+            ).localCheckpoint()
+            n_changed = (
+                new_labels.alias("nw")
+                .join(labels.alias("old"), "v")
+                .filter(F.col("nw.l") < F.col("old.l"))
+                .count()
+            )
+            labels = new_labels
+            if n_changed == 0:
+                break
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     out = df.select(F.col(id_col)).join(
         labels.withColumnRenamed("v", id_col), id_col, "left"
     )
