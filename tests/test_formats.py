@@ -82,3 +82,35 @@ def test_schema_evolution_merged_read(spark, tmp_path):
     unioned = align_union(v1, v2)
     assert set(unioned.columns) == {"doc_id", "text", "quality"}
     assert unioned.where("quality IS NULL").count() == 2
+
+
+def test_read_media_files_binary_source(spark, tmp_path):
+    """binaryFile ingestion: bytes arrive intact, glob prunes at the
+    listing, ids are stable across re-reads, and the result plugs into
+    the multimodal decode plumbing."""
+    import os
+
+    from trading_etl_python_spark.operators.multimodal import decode_media
+    from trading_etl_python_spark.sources.formats import read_media_files
+
+    d = tmp_path / "media"
+    os.makedirs(d)
+    payloads = {f"img_{i}.png": bytes([i] * (10 + i)) for i in range(5)}
+    (d / "notes.txt").write_bytes(b"not media")
+    for name, data in payloads.items():
+        (d / name).write_bytes(data)
+
+    media = read_media_files(spark, str(d), glob="*.png")
+    rows = media.collect()
+    assert len(rows) == 5  # the .txt never entered the scan
+    by_path = {os.path.basename(r.source_path): r for r in rows}
+    for name, data in payloads.items():
+        assert bytes(by_path[name].payload) == data
+        assert by_path[name].n_bytes == len(data)
+        assert by_path[name].meta.format == "png"
+    # stable ids across re-ingest
+    again = {r.media_id for r in read_media_files(spark, str(d), glob="*.png").collect()}
+    assert again == {r.media_id for r in rows}
+    # plugs into the decode pipeline (fake codec — no media libs here)
+    feats = decode_media(media.select("media_id", "payload", "meta")).collect()
+    assert len(feats) == 5 and all(len(f.feat) == 8 for f in feats)

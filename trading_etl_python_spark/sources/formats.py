@@ -125,3 +125,46 @@ def align_union(older: DataFrame, newer: DataFrame) -> DataFrame:
     union across schema drift. Pure narrow op — no shuffle.
     """
     return older.unionByName(newer, allowMissingColumns=True)
+
+
+def read_media_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    media_type: str = "image",
+    fmt: str | None = None,
+) -> DataFrame:
+    """Ingest raw media files with Spark's built-in ``binaryFile``
+    source into the multimodal MEDIA shape (operators/multimodal.py):
+    (media_id, payload, meta) with the file path carried in meta.source
+    — the on-ramp from an object-store prefix of images/audio into the
+    opaque-binary-column pipeline.
+
+    Scale posture: binaryFile lists files on executors and each file is
+    one row read WHOLE (no splitting), so parallelism = file count and
+    per-task memory is bounded by the largest file — right for media
+    objects, wrong for large archives (shard those upstream).
+    ``pathGlobFilter`` prunes at the LISTING, before any bytes move;
+    ``spark.sql.files.maxPartitionBytes`` packs small files per task.
+    media_id = xxhash64(path): stable across re-ingests of the same
+    layout, so downstream dedup/upserts are idempotent."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    from pyspark.sql import functions as F
+
+    ext = F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1)
+    return raw.select(
+        F.xxhash64("path").alias("media_id"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            (F.lit(fmt) if fmt is not None else F.lower(ext)).alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+        F.col("path").alias("source_path"),
+        F.col("length").alias("n_bytes"),
+    )
