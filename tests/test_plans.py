@@ -270,3 +270,44 @@ def test_spread_keyless_noop_when_already_wide(spark):
     # the key is what mapInPandas kernels rely on)
     keyed = spread(wide.withColumn("k", wide.id % 7), "k")
     assert "hashpartitioning(k" in keyed._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ngram_pairs_shingle_subtree_computes_twice(spark, sf_dir):
+    """The pair self-join's sides must be the same shingle subtree —
+    exactly 2 document scans in the executed plan, not the 4 the old
+    count-aggregate-join shape produced."""
+    df = QUERIES["q_dedup_ngram"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 2, plan[:1500]
+
+
+def test_minhash_banding_signature_computes_once(spark, sf_dir):
+    """Signatures ride the band join via the checkpoint: at most the two
+    checkpoint reads appear, never a re-derivation from the documents
+    scan per verification side."""
+    df = QUERIES["q_dedup_minhash"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0, plan[:1500]  # only checkpoint scans
+    assert plan.count("Scan ExistingRDD") <= 2, plan[:1500]
+
+
+def test_upsert_replace_one_file_per_partition(spark, tmp_path):
+    """The pre-write repartition must land each date partition as ONE
+    file — the guard against the tasks x dates small-file explosion."""
+    import glob
+    import os
+
+    from trading_etl_python_spark.sinks.parquet import upsert_replace
+
+    df = spark.range(2000).selectExpr(
+        "id AS k",
+        "timestamp_millis(1700000000000 + (id % 5) * 86400000) AS time",
+        "CAST(id AS DOUBLE) AS v",
+    )
+    path = str(tmp_path / "t")
+    upsert_replace(df, path, "d", "time")
+    for part in glob.glob(os.path.join(path, "d=*")):
+        files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        assert len(files) == 1, (part, files)
