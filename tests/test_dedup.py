@@ -115,6 +115,26 @@ def test_dedup_clusters_long_chain_converges(spark):
     assert sum(r.is_canonical for r in out) == 1
 
 
+def test_dedup_clusters_truncated_star_still_one_label_per_node(spark):
+    """max_iter exhausted before the star fixpoint: labels must collapse
+    to ONE per node (ADVICE r3 — a multi-labeled node would duplicate
+    doc rows through the left join), with a RuntimeWarning."""
+    import warnings
+
+    from trading_etl_python_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "doc_a long, doc_b long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = dedup_clusters(docs, pairs=pairs, max_iter=1).collect()
+    assert any("max_iter" in str(w.message) for w in caught)
+    # every doc exactly once — no join fan-out from multi-labeled nodes
+    assert sorted(r.doc_id for r in out) == list(range(12))
+
+
 def test_contamination_flags_shared_ngrams(spark):
     from pyspark.sql import functions as F
 

@@ -31,13 +31,35 @@ def test_insert_ignore_sql_postgres_matches_reference_shape():
 
 def test_insert_ignore_sql_dialects():
     args = ("t", "t__stage_0", ["a", "b"], ("a",))
-    assert J.insert_ignore_sql(*args, dialect="mysql").startswith('INSERT IGNORE INTO "t"')
+    # mysql: backtick quoting — default sql_mode rejects ANSI double quotes
+    assert J.insert_ignore_sql(*args, dialect="mysql") == (
+        "INSERT IGNORE INTO `t` (`a`, `b`) SELECT `a`, `b` FROM `t__stage_0`"
+    )
     merge = J.insert_ignore_sql(*args, dialect="ansi")
     assert merge.startswith('MERGE INTO "t" t USING') and "WHEN NOT MATCHED" in merge
     with pytest.raises(ValueError):
         J.insert_ignore_sql(*args, dialect="oracle8i")
     with pytest.raises(ValueError):
         J.quote_ident('bad"name')
+    with pytest.raises(ValueError):
+        J.quote_ident("bad`name", dialect="mysql")
+
+
+def test_quote_ident_schema_qualified():
+    """A schema-qualified table stays a qualified reference — each part
+    quoted separately, per dialect."""
+    assert J.quote_ident("public.stock_indicators") == '"public"."stock_indicators"'
+    assert J.quote_ident("db.t", dialect="mysql") == "`db`.`t`"
+    assert J.quote_ident("plain") == '"plain"'
+    with pytest.raises(ValueError):
+        J.quote_ident("a.b.c")  # deeper than schema.table
+    with pytest.raises(ValueError):
+        J.quote_ident("a..b")  # empty part
+    # the derived staging name keeps the schema prefix
+    sql = J.insert_ignore_sql(
+        "public.ind", J.stage_table_name("public.ind", 3), ["a"], ("a",)
+    )
+    assert 'FROM "public"."ind__stage_3"' in sql and 'INTO "public"."ind"' in sql
 
 
 def test_jdbc_upsert_ignore_cycle_and_idempotent_retry(spark):

@@ -58,6 +58,21 @@ def test_upsert_ignore_null_partition_stays_idempotent(spark):
         assert spark.read.parquet(path).count() == 2
 
 
+def test_touched_partition_collect_is_capped(spark):
+    """The driver-side touched-partition list fails fast past the cap
+    (r3 VERDICT #7) instead of collecting an unbounded list — the 100x
+    posture for a mis-chosen (near-unique) partition column."""
+    import pytest
+
+    from trading_etl_python_spark.sinks.parquet import collect_touched_partitions
+
+    df = spark.range(10).select(F.col("id").alias("d"))
+    got = collect_touched_partitions(df, "d", max_partitions=10)
+    assert sorted(got) == list(range(10))
+    with pytest.raises(ValueError, match="distinct 'd' partitions"):
+        collect_touched_partitions(df, "d", max_partitions=3)
+
+
 def test_upsert_ignore_appends_only_new_keys(spark, sf_dir, tmp_path):
     path = str(tmp_path / "tbl")
     all_rows = _sample(spark, sf_dir, 300)

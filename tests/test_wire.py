@@ -34,6 +34,44 @@ def test_wire_key_preserves_symbol(spark):
     assert bytes(row.key) == b"FAKE"  # keyed by symbol (producer.py:89)
 
 
+def test_kafka_sink_contract(spark):
+    """S2 — exercise the ``format("kafka")`` write contract as far as the
+    environment allows (r3 VERDICT "Next round" #6).  The Kafka sink's
+    analysis rules require: a ``value`` column of string/binary, an
+    optional ``key`` of string/binary, nothing else mandatory — the wire
+    frame must satisfy that schema exactly.  Then attempt the write: with
+    no connector jar the ONLY acceptable failure is provider lookup
+    ("Failed to find data source: kafka"), never a schema/analysis error;
+    if a jar is present the attempt must get past lookup (and fails later
+    on the unreachable broker, also acceptable)."""
+    import pytest as _pytest
+
+    ticks = spark.createDataFrame(
+        [("TCS", 3501.5, 1731834000000, 1731834000500)],
+        "symbol string, price double, timestamp long, fetched_at long",
+    )
+    wire = json_encode_wire(ticks)
+    # the sink's required shape (KafkaWriter analysis rules)
+    kafka_writable = {"key", "value", "topic", "partition", "headers", "timestamp"}
+    assert set(wire.columns) <= kafka_writable and "value" in wire.columns
+    assert dict(wire.dtypes)["value"] == "binary"
+    assert dict(wire.dtypes).get("key", "binary") == "binary"
+    writer = (
+        wire.write.format("kafka")
+        .option("kafka.bootstrap.servers", "localhost:1")  # no broker here
+        .option("topic", "stock-ticks")
+    )
+    with _pytest.raises(Exception) as ei:
+        writer.save()
+    msg = str(ei.value)
+    assert (
+        "Failed to find data source: kafka" in msg  # jar absent (this container)
+        or "kafka" in msg.lower()  # jar present: broker/timeout class errors
+    )
+    # never a schema-contract failure: those mention the required columns
+    assert "value attribute" not in msg and "unsupported type" not in msg.lower()
+
+
 def test_decode_isolates_bad_messages(spark):
     """T7 — one corrupt message becomes a NULL struct, the batch survives."""
     raw = spark.createDataFrame(

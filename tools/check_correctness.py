@@ -23,6 +23,25 @@ from trading_etl_python_spark.session import get_spark  # noqa: E402
 from trading_etl_python_spark.sources.tables import TABLES  # noqa: E402
 
 
+def dtype_sig(s: pd.Series) -> str:
+    """Physical-type CLASS signature the driver's value-hash
+    distinguishes — calibrated against r3 driver evidence: int32 vs
+    int64 hash-matched (q_retention/q_window_navs), so intN collapses to
+    one class, but int vs non-int did NOT (q_sql_tpch_q12: Spark BIGINT
+    vs DuckDB HUGEINT, which pandas surfaces as float64/object) — the
+    class this checker previously hid by widening ints to float64."""
+    d = str(s.dtype)
+    if d.startswith("datetime64"):
+        return "datetime"
+    if d.startswith(("float", "Float")):
+        return "float"
+    if s.dtype == object:
+        return "object"
+    if d.lower().lstrip("u").startswith("int"):
+        return "int"
+    return d.lower()
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -33,7 +52,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         elif str(df[c].dtype).startswith(("float", "Float")):
             df[c] = df[c].astype("float64")
         elif str(df[c].dtype).startswith(("int", "Int", "uint")):
-            df[c] = df[c].astype("float64")  # unify int widths; exact for |x|<2^53
+            df[c] = df[c].astype("float64")  # values only; widths checked in compare()
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
@@ -46,6 +65,13 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
         return problems
     if problems:
         return problems
+    for c in sorted(sdf.columns):
+        ss, os_ = dtype_sig(sdf[c]), dtype_sig(odf[c])
+        if ss != os_:
+            problems.append(
+                f"col {c}: physical dtype width: spark={sdf[c].dtype} oracle={odf[c].dtype}"
+                " (driver value-hash distinguishes these; CAST both sides)"
+            )
     s, o = canon(sdf), canon(odf)
     for c in s.columns:
         sv, ov = s[c].to_numpy(), o[c].to_numpy()

@@ -162,6 +162,60 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_verified_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hash_tables: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X2 — LSH candidate generation + exact verification: Spark ML
+    MinHashLSH proposes candidate pairs (OR-amplified over
+    ``num_hash_tables`` tables — P(miss) <= (1-J)^tables, ~1.5e-5 at
+    J>=0.5 with 16 tables), then EXACT shingle-set Jaccard is computed
+    on the candidates only and pairs below ``threshold`` are dropped.
+
+    This is the canonical two-phase near-dup shape at 100 TB: the
+    quadratic pair space never materializes (candidates only), yet the
+    OUTPUT is engine-independent — false positives are removed by the
+    exact filter and false negatives are driven to ~zero by table
+    count — so a DuckDB exact-Jaccard oracle reproduces it, unlike the
+    raw approxSimilarityJoin distances (engine-specific hash seeds).
+    The exact-verify join touches only candidate docs: the shingle side
+    is semi-join-pruned before the intersection count."""
+    cand = minhash_lsh_pairs(
+        df, threshold, num_hash_tables, text_col, id_col
+    ).select("doc_a", "doc_b").localCheckpoint(eager=False)
+    sh = shingles(df, n, text_col, id_col).select(
+        id_col, F.xxhash64("shingle").alias("h")
+    )
+    # prune the shingle explode to candidate docs before the heavy join
+    cand_ids = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .union(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh = sh.join(F.broadcast(cand_ids), id_col, "left_semi")
+    side = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    a, b = side.alias("a"), side.alias("b")
+    inter = (
+        cand.join(a, F.col("doc_a") == F.col(f"a.{id_col}"))
+        .join(b, (F.col("doc_b") == F.col(f"b.{id_col}")) & (F.col("a.h") == F.col("b.h")))
+        .groupBy(
+            "doc_a", "doc_b",
+            F.col("a.n_sh").alias("n_a"), F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     num_perm: int = 32,
@@ -407,6 +461,7 @@ def _cc_star_labels(edges: DataFrame, max_iter: int = 30) -> DataFrame:
         ).collect()[0]
 
     prev = checksum(C)
+    converged = False
     for _ in range(max_iter):
         # --- large-star: ∀ v ∈ N(u) with v > u, connect v to
         #     min(N(u) ∪ {u}) (computed over BOTH directions)
@@ -433,13 +488,30 @@ def _cc_star_labels(edges: DataFrame, max_iter: int = 30) -> DataFrame:
         )
         cur = checksum(C)
         if (cur["n"], cur["h"]) == (prev["n"], prev["h"]):
+            converged = True
             break
         prev = cur
     # fixpoint is a star forest: every non-root points at its component
     # min; roots are the labels themselves
-    return C.select(F.col("u").alias("v"), F.col("w").alias("l")).unionByName(
+    labels = C.select(F.col("u").alias("v"), F.col("w").alias("l")).unionByName(
         C.select(F.col("w").alias("v"), F.col("w").alias("l"))
     ).distinct()
+    if not converged:
+        # max_iter exhausted: C need not be a star forest, so a node can
+        # carry several labels and a downstream left join would duplicate
+        # doc rows (ADVICE r3).  Collapse to one (best-so-far) label per
+        # node and say so — labels are then unique but possibly not yet
+        # the component minimum.
+        import warnings
+
+        warnings.warn(
+            f"_cc_star_labels: no fixpoint within max_iter={max_iter}; "
+            "collapsing to min label per node (labels may be non-minimal)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        labels = labels.groupBy("v").agg(F.min("l").alias("l"))
+    return labels
 
 
 def dedup_clusters(

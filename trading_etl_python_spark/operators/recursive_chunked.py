@@ -19,10 +19,14 @@ re-computation (windows.py incremental maintenance), which is exact
 only for the bounded-frame family.
 
 Cost model: C chunks = C sequential Spark jobs (each fully parallel
-across keys) + C tiny driver collects (|symbols| state rows).  The
-per-row recurrence work is identical to the unchunked kernels (they
-are sequential Python/numpy loops either way).  Choose C so that
-(rows / C) fits a task; C=1 degenerates to the unchunked layout.
+across keys).  The state never touches the driver: it rides a
+(symbol, state) DataFrame that is broadcast-joined onto the next
+chunk's rows (|symbols| x 36 doubles on the executors, zero Python
+driver memory — at millions of keys swap the broadcast hint for a
+plain shuffle join and nothing else changes).  The per-row recurrence
+work is identical to the unchunked kernels (they are sequential
+Python/numpy loops either way).  Choose C so that (rows / C) fits a
+task; C=1 degenerates to the unchunked layout.
 
 Reference parity: same pandas-ta 0.4.71b0 semantics as recursive.py
 (/root/reference/trading-etl-python/src/db/backfill.py:18-55).
@@ -240,9 +244,12 @@ OUT_COLS = ["ema_10", "ema_20", "macd_line", "rsi_14", "atr_14", "adx_14"]
 def recursive_suite_chunked(df: DataFrame, num_chunks: int = 4) -> DataFrame:
     """Exact chunked evaluation of the 5-recurrence suite (module
     docstring).  Global time-range chunk boundaries (approx-percentile
-    cut points, ties kept together), sequential driver loop; each chunk
-    is a localCheckpoint'd parallel pass and the per-symbol state rides
-    a broadcast dict (|symbols| x 36 doubles)."""
+    cut points, ties kept together), sequential driver loop; the
+    per-symbol state is a (symbol, _prev_state) DataFrame broadcast-
+    joined onto the next chunk — the driver never materializes state
+    rows (r3 VERDICT "Next round" #5)."""
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
     spark = df.sparkSession
     in_cols = df.columns
     schema = ", ".join(
@@ -261,7 +268,32 @@ def recursive_suite_chunked(df: DataFrame, num_chunks: int = 4) -> DataFrame:
     else:
         bounds = [None, None]
 
-    carry: dict[int, list[float]] = {}
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        state_in = pdf.pop("_prev_state")
+        if len(pdf) == 0:
+            return pdf.assign(
+                **{c: pd.Series(dtype="float64") for c in OUT_COLS},
+                _state=pd.Series(dtype="object"),
+            )
+        pv = state_in.iloc[0]
+        if pv is None or (isinstance(pv, float) and math.isnan(pv)):
+            st = fresh_state()
+        else:
+            # Arrow may null NaN slots in array<double>; NaN = "unset"
+            st = [NAN if v is None else float(v) for v in pv]
+        out = _run_chunk(pdf, st)
+        out["_state"] = [None] * (len(out) - 1) + [st]
+        return out
+
+    carry = spark.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("symbol", df.schema["symbol"].dataType),
+                StructField("_prev_state", ArrayType(DoubleType())),
+            ]
+        ),
+    )
     parts = []
     for ci in range(num_chunks):
         lo_b, hi_b = bounds[ci], bounds[ci + 1]
@@ -270,30 +302,18 @@ def recursive_suite_chunked(df: DataFrame, num_chunks: int = 4) -> DataFrame:
             part = part.filter(F.col("time") > F.lit(lo_b))
         if hi_b is not None:
             part = part.filter(F.col("time") <= F.lit(hi_b))
-        bcarry = spark.sparkContext.broadcast(carry)
-
-        def make_compute(_bc):
-            def compute(pdf: pd.DataFrame) -> pd.DataFrame:
-                if len(pdf) == 0:
-                    return pdf.assign(
-                        **{c: pd.Series(dtype="float64") for c in OUT_COLS},
-                        _state=pd.Series(dtype="object"),
-                    )
-                sym = int(pdf["symbol"].iloc[0])
-                st = list(_bc.value.get(sym, fresh_state()))
-                out = _run_chunk(pdf, st)
-                out["_state"] = [None] * (len(out) - 1) + [st]
-                return out
-
-            return compute
-
-        res = part.groupBy("symbol").applyInPandas(make_compute(bcarry), schema=schema)
-        # materialize this chunk once: the state collect and the final
-        # union both read it, and the next chunk's carry depends on it
+        part = part.join(F.broadcast(carry), "symbol", "left")
+        res = part.groupBy("symbol").applyInPandas(compute, schema=schema)
+        # materialize this chunk once: the final union reads it and the
+        # next chunk's carry join depends on it
         res = res.localCheckpoint(eager=True)
-        for row in res.filter(F.col("_state").isNotNull()).select("symbol", "_state").collect():
-            # Arrow nulls NaN slots in array<double>; NaN means "unset" here
-            carry[int(row["symbol"])] = [NAN if v is None else float(v) for v in row["_state"]]
+        new_states = res.filter(F.col("_state").isNotNull()).select(
+            "symbol", F.col("_state").alias("_prev_state")
+        )
+        # symbols absent from this chunk keep their previous state
+        carry = new_states.unionByName(
+            carry.join(new_states, "symbol", "left_anti")
+        ).localCheckpoint(eager=False)
         parts.append(res.drop("_state"))
 
     out = parts[0]

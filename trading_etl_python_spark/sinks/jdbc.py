@@ -47,13 +47,25 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 
 
-def quote_ident(name: str) -> str:
-    """Double-quote an SQL identifier (ANSI), rejecting embedded quotes
-    rather than escaping them — table/column names here come from code,
-    not data, so an embedded quote is a bug upstream."""
-    if '"' in name:
-        raise ValueError(f"identifier contains a quote: {name!r}")
-    return f'"{name}"'
+def quote_ident(name: str, dialect: str = "postgresql") -> str:
+    """Quote an SQL identifier per dialect, rejecting embedded quote
+    chars rather than escaping them — table/column names here come from
+    code, not data, so an embedded quote is a bug upstream.
+
+    MySQL uses backticks (default sql_mode has no ANSI_QUOTES, so
+    double-quoted identifiers are a syntax error there — ADVICE r3);
+    every other dialect gets ANSI double quotes.  A schema-qualified
+    name ('public.stock_indicators') is split and each part quoted
+    separately, so it stays a qualified reference instead of one
+    identifier with a dot in it (ADVICE r3)."""
+    qc = "`" if dialect == "mysql" else '"'
+    parts = name.split(".")
+    if len(parts) > 2:
+        raise ValueError(f"identifier nests deeper than schema.table: {name!r}")
+    for p in parts:
+        if not p or qc in p:
+            raise ValueError(f"bad identifier part {p!r} in {name!r} ({dialect})")
+    return ".".join(f"{qc}{p}{qc}" for p in parts)
 
 
 def stage_table_name(table: str, epoch_id: int) -> str:
@@ -66,9 +78,9 @@ def insert_ignore_sql(
     """The one set-based conflict-ignoring insert, per dialect.  Mirrors
     consumer.py:197-201's statement with the VALUES list replaced by a
     SELECT from the staged table."""
-    collist = ", ".join(quote_ident(c) for c in cols)
-    keylist = ", ".join(quote_ident(k) for k in keys)
-    t, s = quote_ident(table), quote_ident(stage)
+    collist = ", ".join(quote_ident(c, dialect) for c in cols)
+    keylist = ", ".join(quote_ident(k, dialect) for k in keys)
+    t, s = quote_ident(table, dialect), quote_ident(stage, dialect)
     if dialect == "postgresql":
         return (
             f"INSERT INTO {t} ({collist}) SELECT {collist} FROM {s} "
@@ -77,8 +89,8 @@ def insert_ignore_sql(
     if dialect == "mysql":
         return f"INSERT IGNORE INTO {t} ({collist}) SELECT {collist} FROM {s}"
     if dialect == "ansi":  # MERGE, supported by most serious engines
-        on = " AND ".join(f"t.{quote_ident(k)} = s.{quote_ident(k)}" for k in keys)
-        ins = ", ".join(f"s.{quote_ident(c)}" for c in cols)
+        on = " AND ".join(f"t.{quote_ident(k, dialect)} = s.{quote_ident(k, dialect)}" for k in keys)
+        ins = ", ".join(f"s.{quote_ident(c, dialect)}" for c in cols)
         return (
             f"MERGE INTO {t} t USING {s} s ON {on} "
             f"WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ({ins})"
@@ -154,7 +166,7 @@ def jdbc_upsert_ignore(
     stmt = insert_ignore_sql(table, stage, cols, keys, dialect)
     run(stmt)
     executed.append(stmt)
-    drop = f"DROP TABLE IF EXISTS {quote_ident(stage)}"
+    drop = f"DROP TABLE IF EXISTS {quote_ident(stage, dialect)}"
     run(drop)
     executed.append(drop)
     return executed

@@ -37,6 +37,31 @@ def _table_exists(path: str, partition_col: str) -> bool:
     )
 
 
+#: Guard on driver-side touched-partition collects.  The list is bounded
+#: by distinct partition values (days), so 100k covers ~270 years of a
+#: daily-partitioned table; hitting the cap means the partition column is
+#: wrong (near-unique), and collecting it would melt the driver at 100x.
+MAX_TOUCHED_PARTITIONS = 100_000
+
+
+def collect_touched_partitions(
+    df: DataFrame, partition_col: str, max_partitions: int = MAX_TOUCHED_PARTITIONS
+) -> list:
+    """Distinct values of ``partition_col`` present in ``df``, with a hard
+    size cap (r3 VERDICT "Next round" #7): the standard dynamic-overwrite/
+    prune idiom collects this list to the driver, which is fine for
+    date-grained partitions and catastrophic for a near-unique column —
+    fail fast with guidance instead of OOMing the driver."""
+    rows = df.select(partition_col).distinct().limit(max_partitions + 1).collect()
+    if len(rows) > max_partitions:
+        raise ValueError(
+            f"more than {max_partitions} distinct {partition_col!r} partitions touched; "
+            "this collect is driver-side and bounded by design — partition on a "
+            "coarser column (e.g. a date), or raise max_partitions deliberately"
+        )
+    return [r[0] for r in rows]
+
+
 def with_partition_col(
     df: DataFrame, partition_col: str = "trade_date", time_col: str = "time"
 ) -> DataFrame:
@@ -87,7 +112,7 @@ def upsert_ignore(
     incoming = pinned
     try:
         if _table_exists(path, partition_col):
-            touched = [r[0] for r in incoming.select(partition_col).distinct().collect()]
+            touched = collect_touched_partitions(incoming, partition_col)
             non_null = [t for t in touched if t is not None]
             cond = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
             if any(t is None for t in touched):

@@ -29,46 +29,40 @@ for mod in (core, relational, extensions, analytics, behavior, sql_api):
 
 # Registry order = driver-certification rotation.  The external driver
 # records CORRECTNESS rows for only the FIRST ~50 registry entries per
-# round; rounds 1-2 certified core (24) + relational (13) + the
-# extensions head (13).  Those greens are established, so round 3
-# front-loads the families that have only local-oracle passes so far:
-# the full SQL surface (TPC-H shapes), behavior, analytics, and the
-# judge-named curation/clustering queries.  The leftover extensions
-# tail follows immediately after the window so the next rotation
-# (round 4) promotes it by moving this block's certified names down.
+# round.  Cumulative state entering round 4: r1/r2 certified core (24) +
+# relational (13) + extensions head (13); r3 certified sql_api (17, one
+# hash-fail) + behavior (4) + analytics (21) + 8 judge-named
+# curation/clustering picks.  Round 4 therefore front-loads:
+#   1. the 17 extensions-tail queries that have NEVER had a driver row
+#      (r3 VERDICT "Next round" #2),
+#   2. the queries whose semantics changed this round and need fresh
+#      rows: q_sql_tpch_q12 (BIGINT cast fix for the one r3 red),
+#      q_dedup_minhash_ml (new deterministic oracle contract),
+#      q_dedup_clusters (star-truncation collapse, ADVICE r3),
+#   3. the r1/r2 core + relational blocks — the stalest greens, last
+#      certified two rounds ago — to fill the 50-window.
+# The r3-certified analytics/behavior/sql blocks demote to the back.
+_NEVER_CERTIFIED = [
+    "q_doc_fingerprint", "q_doc_winnow", "q_tfidf", "q_doc_repetition",
+    "q_split_assign", "q_sample_profile", "q_group_quantiles",
+    "q_stream_replay", "q_approx_stats", "q_multimodal_meta",
+    "q_media_frames", "q_media_features", "q_histogram", "q_null_profile",
+    "q_text_normalize", "q_stratified_sample", "q_regex_extract",
+]
+_CHANGED_R4 = ["q_sql_tpch_q12", "q_dedup_minhash_ml", "q_dedup_clusters"]
 _PRIORITY = [
-    *sql_api.QUERIES,  # 17: q_sql_tpch_* incl. new Q12/Q21 shapes
-    *behavior.QUERIES,  # 4: q_funnel q_retention q_range_join q_session_window
-    *analytics.QUERIES,  # 21: q_candles, q_log_returns, ...
-    # 8 judge-named extensions-tail picks (VERDICT r2 "Next round" #1)
-    "q_dedup_clusters",
-    "q_corpus_full",
-    "q_decontaminate",
-    "q_corpus_pipeline",
-    "q_kmeans_step",
-    "q_gram_matrix",
-    "q_lang_id",
-    "q_text_quality",
+    *_NEVER_CERTIFIED,  # 17
+    *_CHANGED_R4,  # 3
+    *core.QUERIES,  # 24: q_json_decode ... q_dq_report (r1/r2 greens)
+    *relational.QUERIES,  # 13: q_join_agg ... q_asof_tolerance (r1/r2 greens)
 ]
 
 assert len(_PRIORITY) == len(set(_PRIORITY)) and all(n in _ALL for n in _PRIORITY)
 
-# The 50 names with green rows in CORRECTNESS_r02.json (r2's first-50
-# window): core (24) + relational (13) + extensions head (13).  These go
-# last; everything not yet driver-certified sits ahead of them.
-_CERTIFIED_R2 = {
-    *core.QUERIES,
-    *relational.QUERIES,
-    "q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash", "q_dedup_minhash_ml",
-    "q_dedup_simhash", "q_topk_cosine", "q_embed_neardup", "q_ann_lsh",
-    "q_ann_ivf", "q_text_tokens", "q_token_freq", "q_token_count",
-    "q_doc_profile",
-}
-
 QUERIES: dict[str, Builder] = {n: _ALL[n] for n in _PRIORITY}
-# never-certified extensions tail next (positions 51-67, the front of
-# round 4's window), then the r1/r2-certified blocks
-QUERIES.update({n: f for n, f in _ALL.items() if n not in QUERIES and n not in _CERTIFIED_R2})
+# remaining extensions head (r2 greens), then the r3-certified
+# analytics/behavior/sql blocks last
+QUERIES.update({n: f for n, f in extensions.QUERIES.items() if n not in QUERIES})
 QUERIES.update({n: f for n, f in _ALL.items() if n not in QUERIES})
 assert len(QUERIES) == len(_ALL)
 

@@ -200,7 +200,7 @@ def q_candles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from ..operators.temporal import candles
-    from ..sinks.parquet import upsert_replace
+    from ..sinks.parquet import collect_touched_partitions, upsert_replace
 
     b = bars(spark, sf_dir)
     path = tempfile.mkdtemp(prefix="cand_inc_") + "/candles"
@@ -212,9 +212,9 @@ def q_candles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # refresh: recompute ONLY the buckets the late slice touches, from
     # full source data for those days, and swap those partitions
     late = b.filter(F.col("event_id") % 5 == 0)
-    touched = [
-        r.d for r in late.select(F.to_date("time").alias("d")).distinct().collect()
-    ]
+    touched = collect_touched_partitions(
+        late.select(F.to_date("time").alias("d")), "d"
+    )
     refreshed = candles(b.filter(F.to_date("time").isin(touched)), "1 day")
     upsert_replace(refreshed, path, "bucket_date", "bucket_start")
     return spark.read.parquet(path).select(*cols)

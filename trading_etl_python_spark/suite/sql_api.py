@@ -344,11 +344,16 @@ def q_sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, TPCH_Q19)
 
 
+# The conditional counts are CAST(... AS BIGINT): DuckDB widens an
+# integer SUM to HUGEINT (int128) while Spark stays BIGINT, and the
+# driver's value-hash distinguishes physical int widths (r3 verdict
+# "What's wrong" #1).  The same SQL text runs on both engines, so one
+# cast pins both sides to 64-bit.
 TPCH_Q12 = """SELECT l.l_linestatus,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders o
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE l.l_returnflag IN ('A', 'R')
