@@ -66,3 +66,97 @@ def test_resize_stub_updates_meta(spark, sf_dir):
     media = M.resize_stub(M.documents_as_media(docs), 256, 128)
     row = media.select("meta.width", "meta.height").collect()[0]
     assert (row.width, row.height) == (256, 128)
+
+
+# ------------------------------------------------- real stdlib codecs
+
+
+def _make_wav(freq_hz=440.0, sr=8000, n=4000, nch=1, amp=0.5):
+    """Synthesize a PCM16 sine WAV with the stdlib wave module."""
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        frames = b"".join(
+            struct.pack(
+                "<" + "h" * nch,
+                *([int(amp * 32767 * math.sin(2 * math.pi * freq_hz * i / sr))] * nch),
+            )
+            for i in range(n)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def _make_pgm(w=8, h=4):
+    """P5 grayscale gradient: pixel(r, c) = r * 10 + c."""
+    header = b"P5\n%d %d\n255\n" % (w, h)
+    return header + bytes(r * 10 + c for r in range(h) for c in range(w))
+
+
+def test_wav_codec_decodes_real_pcm(spark):
+    """The 'wav' codec is a REAL decoder: stdlib wave parse + numpy
+    features.  A 440 Hz half-amplitude sine must probe with exact
+    header values and produce RMS ~ amp/sqrt(2) per window."""
+    import math
+
+    payload = _make_wav(freq_hz=440.0, sr=8000, n=4000, amp=0.5)
+    df = spark.createDataFrame([(1, payload)], "media_id long, payload binary")
+    probe = M.probe_media(df).collect()[0]
+    assert (probe.format, probe.sample_rate, probe.n_channels) == ("wav", 8000, 1)
+    assert probe.duration_ms == 500  # 4000 frames @ 8 kHz
+    feat = M.decode_media(df, codec="wav").collect()[0].feat
+    rms, zcr = feat[:4], feat[4:]
+    for v in rms:
+        assert abs(v - 0.5 / math.sqrt(2)) < 0.01
+    # 440 Hz @ 8 kHz -> ~0.11 sign changes per sample
+    for v in zcr:
+        assert 0.08 < v < 0.14
+
+
+def test_wav_codec_stereo_and_8bit(spark):
+    payload = _make_wav(sr=4000, n=1000, nch=2)
+    row = M.probe_media(
+        spark.createDataFrame([(7, payload)], "media_id long, payload binary")
+    ).collect()[0]
+    assert (row.n_channels, row.sample_rate, row.duration_ms) == (2, 4000, 250)
+
+
+def test_netpbm_codec_probe_features_and_true_resize(spark):
+    """P5 parse, histogram features, and a REAL nearest-neighbor resize
+    whose output re-parses with exact expected pixels."""
+    import numpy as np
+
+    payload = _make_pgm(w=8, h=4)
+    df = spark.createDataFrame([(1, payload)], "media_id long, payload binary")
+    probe = M.probe_media(df).collect()[0]
+    assert (probe.format, probe.width, probe.height, probe.n_channels) == ("pgm", 8, 4, 1)
+    feat = M.decode_media(df, codec="pgm").collect()[0].feat
+    assert abs(sum(feat) - 1.0) < 1e-9
+    assert feat[0] > 0  # gradient starts at intensity 0
+    # true resize: downsample 8x4 -> 4x2 and check exact NN pixels
+    out = M.resize_media(df, width=4, height=2).collect()[0]
+    im = M.parse_netpbm(bytes(out.payload))
+    assert (im["width"], im["height"]) == (4, 2)
+    src = np.array([[r * 10 + c for c in range(8)] for r in range(4)])
+    rows = [min(int((i + 0.5) * 4 / 2), 3) for i in range(2)]
+    cols = [min(int((j + 0.5) * 8 / 4), 7) for j in range(4)]
+    assert im["pixels"][:, :, 0].tolist() == src[rows][:, cols].tolist()
+
+
+def test_probe_media_isolates_malformed_payloads(spark):
+    """Unknown/corrupt payloads probe as NULL format — one bad payload
+    never fails the batch (T7 contract at the codec layer)."""
+    good = _make_pgm()
+    df = spark.createDataFrame(
+        [(1, good), (2, b"P5\n9999 9999\n255\nshort"), (3, b"not media"), (4, None)],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r.format for r in M.probe_media(df).collect()}
+    assert got == {1: "pgm", 2: None, 3: None, 4: None}
