@@ -308,10 +308,11 @@ def test_insert_ignore_sql_all_dialects_wellformed(table, cols, nkeys):
     keys = tuple(cols[:nkeys])
     stage = stage_table_name(table, 7)
     for dialect in ("postgresql", "mysql", "ansi"):
+        qc = "`" if dialect == "mysql" else '"'  # mysql: backticks (ADVICE r3)
         sql = insert_ignore_sql(table, stage, cols, keys, dialect)
-        assert f'"{stage}"' in sql and f'"{table}"' in sql
+        assert f"{qc}{stage}{qc}" in sql and f"{qc}{table}{qc}" in sql
         for c in cols:
-            assert f'"{c}"' in sql
+            assert f"{qc}{c}{qc}" in sql
 
 
 @given(
