@@ -109,3 +109,48 @@ def test_normalize_text_canonical_form(spark):
     import hashlib
 
     assert out[1].norm_hash == hashlib.md5(b"hello world the end").hexdigest()
+
+
+def test_redact_pii_replaces_and_counts(spark):
+    from trading_etl_python_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@ex-ample.co.uk or call 415-555-1234 now"),
+            (2, "server at 10.0.255.7 logged 2 hits"),
+            (3, "clean text, no pii at all"),
+            (4, "two mails: a@b.io c@d.org and ip 1.2.3.4"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[1].red_text == "mail <EMAIL> or call <PHONE> now"
+    assert (out[1].n_email, out[1].n_phone, out[1].n_ip) == (1, 1, 0)
+    assert out[2].red_text == "server at <IP> logged 2 hits"
+    assert out[2].n_ip == 1
+    assert out[3].red_text == "clean text, no pii at all"
+    assert (out[3].n_email, out[3].n_ip, out[3].n_phone) == (0, 0, 0)
+    assert out[4].red_text == "two mails: <EMAIL> <EMAIL> and ip <IP>"
+    assert (out[4].n_email, out[4].n_ip) == (2, 1)
+
+
+def test_pack_sequences_budget_boundaries(spark):
+    """Packs cut at exclusive-cumsum budget boundaries in doc_id order:
+    pack_id changes exactly when the PRIOR docs' tokens reach the budget,
+    and a boundary doc may straddle (documented overrun)."""
+    from trading_etl_python_spark.operators.curation import pack_sequences
+
+    rows = [(i, "en", n) for i, n in enumerate([60, 60, 60, 30, 100, 10])]
+    rows += [(10, "fr", 250)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    out = {(r.lang, r.pack_id): r for r in pack_sequences(df, budget=100).collect()}
+    # en cumsums before each doc: 0,60,120,180,210,310 -> packs 0,0,1,1,2,3
+    assert out[("en", 0)].n_docs == 2 and out[("en", 0)].sum_tokens == 120
+    assert out[("en", 1)].n_docs == 2 and out[("en", 1)].first_id == 2
+    assert out[("en", 2)].sum_tokens == 100 and out[("en", 2)].first_id == 4
+    assert out[("en", 3)].n_docs == 1 and out[("en", 3)].last_id == 5
+    # fr is its own stream, packed independently
+    assert out[("fr", 0)].n_docs == 1 and out[("fr", 0)].sum_tokens == 250
+    # determinism: second run identical
+    again = {(r.lang, r.pack_id): r for r in pack_sequences(df, budget=100).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == {k: tuple(v) for k, v in again.items()}

@@ -105,3 +105,50 @@ def curate_corpus_full(
         F.round(F.avg("quality"), 4).alias("avg_quality"),
         F.sum("n_tokens").cast("long").alias("sum_tokens"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Token-budget sequence packing — the step that turns a curated
+    corpus into fixed-budget training rows: within each ``group_col``
+    stream, docs are taken in deterministic ``id_col`` order and cut
+    into packs at cumulative-token boundaries of ``budget``
+    (``pack_id = floor(exclusive_prefix_sum / budget)``).
+
+    This is the SCALABLE packing variant: one window cumsum per group
+    (groups are the parallelism axis — no global sort, no sequential
+    state), at the cost of letting a pack overrun its budget by at most
+    one document (boundary docs straddle).  Exact first-fit packing is
+    inherently sequential per stream; run this shape per-shard when
+    strict caps matter, with long docs pre-split upstream.  Contrast
+    with salting/AQE notes in operators/skew.py if one group dominates.
+
+    Returns one row per pack: (group, pack_id, n_docs, sum_tokens,
+    first_id, last_id) — deterministic, so packs are reproducible across
+    runs and engines (the property that makes data ordering auditable
+    for a training run)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("long")
+    packed = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.col(tokens_col),
+        F.floor(cum_before / F.lit(budget)).cast("long").alias("pack_id"),
+    )
+    return packed.groupBy(group_col, "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tokens_col).cast("long").alias("sum_tokens"),
+        F.min(id_col).alias("first_id"),
+        F.max(id_col).alias("last_id"),
+    )

@@ -247,7 +247,13 @@ def recursive_suite_chunked(df: DataFrame, num_chunks: int = 4) -> DataFrame:
     cut points, ties kept together), sequential driver loop; the
     per-symbol state is a (symbol, _prev_state) DataFrame broadcast-
     joined onto the next chunk — the driver never materializes state
-    rows (r3 VERDICT "Next round" #5)."""
+    rows (r3 VERDICT "Next round" #5).
+
+    ``df`` is re-evaluated once per chunk (plus the percentile pass), so
+    it must be DETERMINISTIC — a parquet scan + filters is; an unordered
+    ``limit()`` / unseeded ``sample()`` is not and would send different
+    rows to different chunks.  Same recomputation contract as any Spark
+    lineage replay."""
     from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
     spark = df.sparkSession

@@ -1072,3 +1072,60 @@ def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_long_words"),
         F.regexp_extract(F.lower("text"), r"\b(spark|table|row|key)\b", 1).alias("first_kw"),
     )
+
+
+def _redact_oracle() -> str:
+    """Oracle built from the SAME PII_PATTERNS strings the operator uses
+    (Java/RE2-common subset), chained in the same order with DuckDB's
+    explicit 'g' flag (Spark regexp_replace is global by default)."""
+    from ..operators.text import PII_PATTERNS
+
+    red = "text"
+    counts = []
+    for name, pat, rep in PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        )
+        red = f"regexp_replace({red}, '{pat}', '{rep}', 'g')"
+    return f"""SELECT doc_id, {red} AS red_text,
+         {', '.join(counts)}
+       FROM documents"""
+
+
+@q("q_text_redact", _redact_oracle())
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (operators/text.redact_pii): typed placeholder
+    substitution + per-type audit counts, map-only codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.redact_pii(docs)
+
+
+_WS_TOKENS = r"CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT)"
+
+
+@q(
+    "q_seq_pack",
+    f"""WITH t AS (
+         SELECT doc_id, lang, {_WS_TOKENS} AS n_tokens FROM documents),
+       p AS (
+         SELECT lang, doc_id, n_tokens,
+                CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / 512.0) AS BIGINT) AS pack_id
+         FROM t)
+       SELECT lang, pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+              MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+       FROM p GROUP BY lang, pack_id""",
+)
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (operators/curation.pack_sequences):
+    per-language cumulative-token cut points at budget 512 — the
+    deterministic corpus -> training-row packing step."""
+    from ..operators.curation import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    t = docs.select("doc_id", "lang", F.size(ws).cast("long").alias("n_tokens"))
+    return pack_sequences(t, budget=512, group_col="lang")
