@@ -154,3 +154,18 @@ def test_pack_sequences_budget_boundaries(spark):
     # determinism: second run identical
     again = {(r.lang, r.pack_id): r for r in pack_sequences(df, budget=100).collect()}
     assert {k: tuple(v) for k, v in out.items()} == {k: tuple(v) for k, v in again.items()}
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from trading_etl_python_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    # corpus: a:2 b:2 c:1, total 5
+    out = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    assert out[1].n_tokens == 3
+    assert out[1].avg_neg_logprob == round(math.log(5 / 2), 4)
+    assert out[2].avg_neg_logprob == round((math.log(5 / 2) + math.log(5)) / 2, 4)

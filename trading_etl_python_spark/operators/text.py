@@ -49,6 +49,35 @@ def token_freq(df: DataFrame, top_n: int = 50) -> DataFrame:
     )
 
 
+def unigram_logprob(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Perplexity-proxy quality scoring via a corpus unigram LM (the
+    CCNet-style signal: documents whose tokens are improbable under the
+    corpus distribution are noise candidates): two aggregation passes —
+    corpus token frequencies, then per-doc mean negative log-probability
+    of its tokens under freq/total.
+
+    Scale posture: the freq table is vocabulary-sized and joins the
+    exploded token stream on the token key (shuffle join; AQE broadcasts
+    it when the vocab is small — do NOT hard-broadcast, web-scale vocab
+    is not driver-sized).  The corpus total rides a broadcast 1-row
+    cross join.  No Python anywhere."""
+    tok = with_tokens(df, text_col).select(F.col(id_col), F.explode("_toks").alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("tot"))
+    scored = (
+        tok.join(freq, "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col(id_col),
+            (-F.log(F.col("cnt").cast("double") / F.col("tot"))).alias("nlp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg("nlp"), 4).alias("avg_neg_logprob"),
+    )
+
+
 def doc_profile(df: DataFrame) -> DataFrame:
     """X5 — language/source profiling."""
     return df.groupBy("lang", "source").agg(

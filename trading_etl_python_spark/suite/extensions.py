@@ -1074,6 +1074,25 @@ def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_doc_logprob",
+    f"""WITH tok AS (
+         SELECT doc_id, unnest({TOKS}) AS token FROM documents),
+       freq AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+       tot AS (SELECT COUNT(*) AS tot FROM tok),
+       j AS (SELECT t.doc_id, -ln(f.cnt / tot.tot) AS nlp
+             FROM tok t JOIN freq f USING (token), tot)
+       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              ROUND(AVG(nlp), 4) AS avg_neg_logprob
+       FROM j GROUP BY doc_id""",
+)
+def q_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity proxy per doc (operators/text.
+    unigram_logprob) — the CCNet-style corpus quality signal."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.unigram_logprob(docs)
+
+
 def _redact_oracle() -> str:
     """Oracle built from the SAME PII_PATTERNS strings the operator uses
     (Java/RE2-common subset), chained in the same order with DuckDB's
