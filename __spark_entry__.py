@@ -7,8 +7,8 @@ value-hash -> CORRECTNESS_r{N}.json).
 
 Implementation lives in ``trading_etl_python_spark/``; the query/oracle
 registry is ``trading_etl_python_spark.suite`` (one entry per operator in
-SURVEY.md §2; oracle-less entries are hash-seeded ops that get the
-driver's rows-only check, as documented there).
+SURVEY.md §2; as of r4 every registry entry carries a full value-hash
+oracle — zero rows-only).
 """
 
 from __future__ import annotations

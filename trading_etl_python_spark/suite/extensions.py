@@ -8,9 +8,10 @@ expressions (dot products, rolling fingerprints) hash-match after
 rounding.  MinHash/SimHash/hyperplane-LSH use PORTABLE hashing (md5-hex
 prefixes parsed to ints, LCG-seeded constants inlined as literals on
 both sides — operators/dedup.py module docstring), so they carry full
-value-hash oracles; the remaining rows-only declarations are the
-genuinely engine-specific ops (Spark sketches in q_approx_stats,
-stateful streaming in q_stream_replay).
+value-hash oracles.  As of r4 there are NO rows-only declarations left:
+the former pair gained real contracts (q_approx_stats emits exact stats
++ sketch-tolerance booleans; q_stream_replay's single-batch replay is
+reproduced by a recursive-CTE oracle — see _STREAM_REPLAY_ORACLE).
 """
 
 from __future__ import annotations
@@ -580,14 +581,79 @@ def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------- approx/multimodal
 
 
-@q("q_stream_replay")  # rows-only: stateful streaming is not SQL-expressible
+# The replay IS value-oracle-checkable (r4): with the testdata's single
+# events file and a fresh checkpoint, availableNow + maxFilesPerTrigger=1
+# is exactly ONE micro-batch, so every per-symbol buffer sees its full
+# (time, event_id)-sorted history in one stateful call and the emitted
+# values equal the batch full-history indicators under the 26-row warmup
+# gate.  (symbol, time) is unique in the testdata at every SF, so the
+# sink's first-writer-wins dedup is a no-op.  The SQL below reuses the
+# proven fragments verbatim: q_sma/q_bbands window shapes, q_ema/q_rsi
+# recursive CTE recurrences, q_warmup_gate's gate.  If testdata ever
+# ships multiple event files per sf dir, batch boundaries would split
+# and this oracle must be retired back to rows-only.
+_KW = "PARTITION BY symbol ORDER BY time, event_id"
+_STREAM_REPLAY_ORACLE = f"""WITH RECURSIVE ticks AS (
+  SELECT user_id AS symbol, ts AS time, event_id, value AS close
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+base AS (
+  SELECT symbol, time, event_id, close,
+    ROW_NUMBER() OVER ({_KW}) AS rn,
+    close - LAG(close) OVER ({_KW}) AS delta,
+    AVG(close) OVER ({_KW} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS sma10,
+    AVG(close) OVER ({_KW} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sma20,
+    CASE WHEN COUNT(close) OVER w20 >= 20 THEN AVG(close) OVER w20 END AS sma_raw,
+    CASE WHEN COUNT(close) OVER w20 >= 20 THEN STDDEV_SAMP(close) OVER w20 END AS sd_raw
+  FROM ticks
+  WINDOW w20 AS ({_KW} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+g AS (
+  SELECT symbol, rn,
+    CASE WHEN delta IS NULL THEN NULL WHEN delta > 0 THEN delta ELSE 0.0 END AS gain,
+    CASE WHEN delta IS NULL THEN NULL WHEN delta < 0 THEN -delta ELSE 0.0 END AS loss,
+    AVG(CASE WHEN delta IS NULL THEN NULL WHEN delta > 0 THEN delta ELSE 0.0 END)
+      OVER ({_KW} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS seed_ag,
+    AVG(CASE WHEN delta IS NULL THEN NULL WHEN delta < 0 THEN -delta ELSE 0.0 END)
+      OVER ({_KW} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS seed_al
+  FROM base),
+r10 AS (
+  SELECT symbol, rn, sma10 AS ema FROM base WHERE rn = 10
+  UNION ALL
+  SELECT b.symbol, b.rn, (2.0/11.0) * b.close + (1.0 - 2.0/11.0) * r.ema
+  FROM base b JOIN r10 r ON b.symbol = r.symbol AND b.rn = r.rn + 1),
+r20 AS (
+  SELECT symbol, rn, sma20 AS ema FROM base WHERE rn = 20
+  UNION ALL
+  SELECT b.symbol, b.rn, (2.0/21.0) * b.close + (1.0 - 2.0/21.0) * r.ema
+  FROM base b JOIN r20 r ON b.symbol = r.symbol AND b.rn = r.rn + 1),
+rec AS (
+  SELECT symbol, rn, seed_ag AS ag, seed_al AS al FROM g WHERE rn = 15
+  UNION ALL
+  SELECT x.symbol, x.rn,
+    (1.0/14.0) * x.gain + (1.0 - 1.0/14.0) * r.ag,
+    (1.0/14.0) * x.loss + (1.0 - 1.0/14.0) * r.al
+  FROM g x JOIN rec r ON x.symbol = r.symbol AND x.rn = r.rn + 1)
+SELECT b.symbol, b.time, b.event_id, b.close,
+  ROUND(b.sma_raw, 4) AS sma_20,
+  ROUND(a.ema, 4) AS ema_10,
+  ROUND(c.ema, 4) AS ema_20,
+  CASE WHEN r.ag + r.al > 0 THEN ROUND(100.0 * r.ag / (r.ag + r.al), 4) END AS rsi_14,
+  ROUND(b.sma_raw + 2.0 * b.sd_raw, 4) AS bb_upper,
+  ROUND(b.sma_raw - 2.0 * b.sd_raw, 4) AS bb_lower
+FROM base b
+LEFT JOIN r10 a ON b.symbol = a.symbol AND b.rn = a.rn
+LEFT JOIN r20 c ON b.symbol = c.symbol AND b.rn = c.rn
+LEFT JOIN rec r ON b.symbol = r.symbol AND b.rn = r.rn
+WHERE b.rn >= 26 AND b.sma_raw IS NOT NULL"""
+
+
+@q("q_stream_replay", _STREAM_REPLAY_ORACLE)
 def q_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full Structured Streaming pipeline (SURVEY.md T1-T7) run as an
     availableNow replay: file micro-batches -> applyInPandasWithState
     (bounded 60-row keyed buffers) -> warmup-gated indicator rows ->
-    idempotent upsert-ignore sink.  Declared rows-only: the driver checks
-    row count/schema stability; value parity with batch semantics is
-    covered by tests/test_streaming.py.
+    idempotent upsert-ignore sink.  Carries a FULL value-hash oracle as
+    of r4 (see _STREAM_REPLAY_ORACLE's derivation note); batch-parity is
+    additionally covered by tests/test_streaming.py.
 
     Production shape: the SINK outlives the query — rows land in a
     parquet path and the result is read back lazily, nothing is
