@@ -50,9 +50,13 @@ _NEVER_CERTIFIED = [
     "q_text_normalize", "q_stratified_sample", "q_regex_extract",
 ]
 _CHANGED_R4 = ["q_sql_tpch_q12", "q_dedup_minhash_ml", "q_dedup_clusters"]
+# Queries BORN in r4 (new operators) — certified before the stale
+# re-certification blocks so they get driver rows in their first round.
+_NEW_R4 = ["q_text_redact", "q_seq_pack", "q_doc_logprob"]
 _PRIORITY = [
-    *_NEVER_CERTIFIED,  # 17
+    *_NEVER_CERTIFIED,  # 17 (incl. q_stream_replay, oracle'd in r4)
     *_CHANGED_R4,  # 3
+    *_NEW_R4,  # 3
     *core.QUERIES,  # 24: q_json_decode ... q_dq_report (r1/r2 greens)
     *relational.QUERIES,  # 13: q_join_agg ... q_asof_tolerance (r1/r2 greens)
 ]
