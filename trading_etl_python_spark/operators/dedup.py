@@ -239,6 +239,127 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*mins)
 
 
+def banded_signatures(
+    df: DataFrame,
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    seed: int = 7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, sig, band, key) — the banded MinHash signature table every
+    LSH-dedup variant joins on.  Carries the whole signature (one array)
+    THROUGH the banding so downstream verification never joins back to a
+    second signature pipeline; localCheckpoint materializes the tiny
+    signature table (1 row/doc, K longs) once per plan — the textbook
+    batch-LSH move (compute signatures, store them, then band), scoped
+    to the consuming query (nothing registers in the CacheManager).
+    This is also exactly the table ``write_minhash_index`` persists."""
+    r = num_perm // bands
+    sig = minhash_signatures(df, num_perm, n, seed, text_col, id_col)
+    sig_arr = sig.select(
+        F.col(id_col), F.array(*[F.col(f"m{k}") for k in range(num_perm)]).alias("sig")
+    ).localCheckpoint(eager=False)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col("sig")[i * r + j].cast("string") for j in range(r)]
+                ).alias("key"),
+            )
+            for i in range(bands)
+        ]
+    )
+    return sig_arr.select(id_col, "sig", F.explode(band_structs).alias("bk")).select(
+        id_col, "sig", "bk.band", "bk.key"
+    )
+
+
+def _match_frac(num_perm: int):
+    matches = F.aggregate(
+        F.zip_with("sa", "sb", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return matches / F.lit(float(num_perm))
+
+
+def minhash_incremental_pairs(
+    new_df: DataFrame,
+    corpus_banded: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    seed: int = 7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X2 (incremental variant) — near-dups of a NEW batch against an
+    EXISTING corpus: the production crawl-ingest shape (dedupe today's
+    crawl against everything already kept) — the batch analogue of the
+    reference consuming a stream incrementally against stored state.
+
+    ``corpus_banded`` is a ``banded_signatures``-shaped frame — build it
+    in-plan from a corpus DataFrame, or read it back from a
+    ``write_minhash_index`` path (the corpus side is then a pure scan:
+    NO reshingling/rehashing of the historical corpus, the entire point
+    at 100 TB — cost is O(new x bands + collisions), independent of
+    corpus size beyond the band join).  Same hash family/params as
+    ``minhash_banded_pairs`` (and the two sides must agree on them).
+
+    Returns (doc_id, dup_of, approx_jaccard): the new doc, the corpus
+    doc it collides with, and the signature-match Jaccard estimate."""
+    new_banded = banded_signatures(new_df, num_perm, bands, n, seed, text_col, id_col)
+    a, b = new_banded.alias("a"), corpus_banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_id"),
+            F.col(f"b.{id_col}").alias("dup_of"),
+            F.col("a.sig").alias("sa"),
+            F.col("b.sig").alias("sb"),
+        )
+        .groupBy("doc_id", "dup_of")
+        .agg(F.first("sa").alias("sa"), F.first("sb").alias("sb"))
+    )
+    return (
+        cand.withColumn("approx_jaccard", _match_frac(num_perm))
+        .filter(F.col("approx_jaccard") >= threshold)
+        .select("doc_id", "dup_of", F.round("approx_jaccard", 6).alias("approx_jaccard"))
+    )
+
+
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    seed: int = 7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist the banded signature table, partitioned by band with rows
+    sorted by key inside each partition: an incremental-dedup probe
+    reads band partitions and row-group min/max stats on ``key`` skip
+    non-colliding groups — the write-time index that makes
+    ``minhash_incremental_pairs`` corpus-scan-free."""
+    (
+        banded_signatures(df, num_perm, bands, n, seed, text_col, id_col)
+        .repartition(F.col("band"))
+        .sortWithinPartitions("band", "key")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(path)
+    )
+
+
 def minhash_banded_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -257,36 +378,7 @@ def minhash_banded_pairs(
     the full pair space never materializes, which is the entire point at
     100 TB (band keys are fixed-width strings, shuffle stays narrow)."""
     assert num_perm % bands == 0, "bands must divide num_perm"
-    r = num_perm // bands
-    sig = minhash_signatures(df, num_perm, n, seed, text_col, id_col)
-    # Carry the whole signature (as one array) THROUGH the banding, so
-    # the signature pipeline is referenced exactly twice (the two band-
-    # join sides — identical subtrees, exchange-reusable) instead of
-    # four (band join x2 + a verification join per pair side).  The
-    # collision dedup then rides the same groupBy that would have been
-    # the distinct, with first() carrying the arrays — no join back.
-    # localCheckpoint: the signature table (1 row/doc, K longs — tiny
-    # next to the shingle explode that builds it) is the self-join's
-    # both sides; materializing it once is the textbook batch-LSH move
-    # (compute signatures, store them, then band).  Scoped to this
-    # query's plan — nothing registers in the CacheManager.
-    sig_arr = sig.select(
-        F.col(id_col), F.array(*[F.col(f"m{k}") for k in range(num_perm)]).alias("sig")
-    ).localCheckpoint(eager=False)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.concat_ws(
-                    "_", *[F.col("sig")[i * r + j].cast("string") for j in range(r)]
-                ).alias("key"),
-            )
-            for i in range(bands)
-        ]
-    )
-    banded = sig_arr.select(id_col, "sig", F.explode(band_structs).alias("bk")).select(
-        id_col, "sig", "bk.band", "bk.key"
-    )
+    banded = banded_signatures(df, num_perm, bands, n, seed, text_col, id_col)
     ba, bb = banded.alias("a"), banded.alias("b")
     cand = (
         ba.join(

@@ -131,6 +131,57 @@ def _minhash_sql(threshold: float = 0.5, num_perm: int = 32, bands: int = 8) -> 
        WHERE aj >= {threshold}"""
 
 
+def _minhash_incremental_sql(threshold: float = 0.5, num_perm: int = 32, bands: int = 8) -> str:
+    """SQL twin of minhash_incremental_pairs over the odd/even split:
+    same signature CTEs as _minhash_sql, but candidates pair a NEW doc
+    (odd id) with a CORPUS doc (even id) — no a<b canonicalization, the
+    sides are the orientation."""
+    a, b = D.minhash_params(num_perm)
+    r = num_perm // bands
+    mins = ",\n           ".join(
+        f"MIN((h * {a[k]} + {b[k]}) % {D.MINHASH_P}) AS m{k}" for k in range(num_perm)
+    )
+    band_sel = "\n         UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, concat_ws('_', "
+        + ", ".join(f"m{i * r + j}" for j in range(r))
+        + ") AS key FROM sig"
+        for i in range(bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.m{k} = sb.m{k} THEN 1 ELSE 0 END" for k in range(num_perm)
+    )
+    return f"""WITH {_SHINGLE_CTES},
+       hs AS (SELECT doc_id, {_PH_HI.format(c='shingle')} AS h FROM sh),
+       sig AS (SELECT doc_id,
+           {mins}
+         FROM hs GROUP BY doc_id),
+       bands AS ({band_sel}),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS dup_of
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key
+         WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)
+       SELECT doc_id, dup_of, ROUND(aj, 6) AS approx_jaccard FROM (
+         SELECT cand.doc_id, cand.dup_of, ({matches}) / {float(num_perm)} AS aj
+         FROM cand
+         JOIN sig sa ON sa.doc_id = cand.doc_id
+         JOIN sig sb ON sb.doc_id = cand.dup_of) t
+       WHERE aj >= {threshold}"""
+
+
+@q("q_dedup_incremental", _minhash_incremental_sql(threshold=0.5))
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: the odd-id half of the corpus (the 'new
+    crawl') deduped against the even-id half (the 'existing corpus') —
+    operators/dedup.minhash_incremental_pairs over an in-plan corpus
+    side; write_minhash_index persists the same banded table for the
+    corpus-scan-free deployment shape (tests/test_dedup.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = D.banded_signatures(docs.filter(F.col("doc_id") % 2 == 0))
+    return D.minhash_incremental_pairs(new, corpus, threshold=0.5)
+
+
 def _simhash_sql(max_hamming: int = 3) -> str:
     """SQL twin of simhash_pairs — same md5-derived bit tests."""
     bitsums = ",\n           ".join(
