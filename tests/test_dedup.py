@@ -239,3 +239,33 @@ def test_minhash_incremental_index_roundtrip(spark, sf_dir, tmp_path):
 
     assert any(d.startswith("band=") for d in os.listdir(path))
     assert dict(idx.dtypes)["sig"] == "array<bigint>"
+
+
+def test_span_dedup_rewrites_first_occurrence_wins(spark):
+    a = " ".join(f"w{i}" for i in range(16))          # spans A0, A1
+    b = " ".join(f"w{i}" for i in range(8)) + " " + " ".join(
+        f"u{i}" for i in range(8)
+    )                                                  # span A0 again + unique
+    rows = [(0, a), (1, b), (2, a)]                    # doc 2 = pure repeat
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    stats = {
+        r["doc_id"]: r for r in D.span_dedup_stats(df, k=8).collect()
+    }
+    assert stats[0]["n_dup_spans"] == 0
+    assert stats[1]["n_dup_spans"] == 1 and stats[1]["n_spans"] == 2
+    assert stats[2]["n_dup_spans"] == 2 and stats[2]["retained"] == 0.0
+
+    clean = {r["doc_id"]: r["text"] for r in D.span_dedup(df, k=8).collect()}
+    assert clean[0] == a
+    assert clean[1] == " ".join(f"u{i}" for i in range(8))
+    assert clean[2] == ""
+
+
+def test_span_dedup_partial_tail_span_counted(spark):
+    df = spark.createDataFrame([(0, "a b c"), (1, "x y z a b c")], ["doc_id", "text"])
+    # k=3: doc 1 = ["x y z", "a b c"]; doc 0's single span is the earlier
+    # (doc_id 0) occurrence, so doc 1 loses its tail span
+    stats = {r["doc_id"]: r for r in D.span_dedup_stats(df, k=3).collect()}
+    assert stats[0]["n_dup_spans"] == 0 and stats[0]["n_spans"] == 1
+    assert stats[1]["n_dup_spans"] == 1 and stats[1]["n_spans"] == 2

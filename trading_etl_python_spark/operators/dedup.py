@@ -681,3 +681,90 @@ def dedup_clusters(
         cluster.alias("cluster_id"),
         (cluster == F.col(id_col)).alias("is_canonical"),
     )
+
+
+# ------------------------------------------------------- span-level dedup
+
+
+def doc_spans(
+    df: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Non-overlapping k-token spans per document:
+    ``(id_col, span_idx, span)``.  The sub-document unit for span-level
+    exact dedup (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" — adapted from suffix-array substring matching to
+    fixed-stride spans so the operator is a pure relational plan).  The
+    trailing partial span (< k tokens) is kept, mirroring the oracle's
+    clamped list-slice semantics."""
+    df = spread(df.select(F.col(id_col), F.col(text_col)), id_col, factor=16)
+    toks = tokens_col(text_col)
+    df = df.select(F.col(id_col), toks.alias("_toks")).filter(F.size("_toks") >= 1)
+    spans = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size("_toks") - 1) / F.lit(k)).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice("_toks", i * F.lit(k) + 1, k)),
+    )
+    return df.select(F.col(id_col), F.posexplode(spans).alias("span_idx", "span"))
+
+
+def _ranked_spans(
+    df: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Spans + first-occurrence rank.  Shuffles once, on the 256-bit
+    span hash (32-byte key regardless of span text length, same posture
+    as dedup_exact); ties broken deterministically by (id, span_idx)."""
+    sp = doc_spans(df, k, text_col, id_col)
+    w = Window.partitionBy(F.sha2(F.col("span"), 256)).orderBy(
+        F.col(id_col).asc(), F.col("span_idx").asc()
+    )
+    return sp.withColumn("_rn", F.row_number().over(w))
+
+
+def span_dedup_stats(
+    df: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document span-duplication profile: total spans, spans already
+    seen at a smaller (doc_id, span_idx) anywhere in the corpus, and the
+    span-level retention ratio after first-occurrence-wins removal.
+
+    100 TB posture: one shuffle on the fixed-width span hash + one
+    groupBy(id) — both key sets are bounded (spans ~ tokens/k), nothing
+    quadratic; the span window never materializes cross-doc pairs."""
+    ranked = _ranked_spans(df, k, text_col, id_col)
+    return (
+        ranked.groupBy(F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count(F.when(F.col("_rn") > 1, 1)).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "retained",
+            F.round((F.col("n_spans") - F.col("n_dup_spans")) / F.col("n_spans"), 6),
+        )
+    )
+
+
+def span_dedup(
+    df: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Rewrite each document keeping only first-occurrence spans (the
+    actual cleaning transform; ``span_dedup_stats`` is its audit twin).
+    Documents whose every span is a repeat come back with empty text.
+    Reassembly is a groupBy(id) over ``sort_array(collect_list(...))`` —
+    per-doc span counts are bounded by doc length, so the collected list
+    is a single document's worth of text, never a corpus-level state."""
+    ranked = _ranked_spans(df, k, text_col, id_col)
+    kept = ranked.filter(F.col("_rn") == 1)
+    rebuilt = kept.groupBy(F.col(id_col)).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("span_idx", "span"))),
+                lambda s: s["span"],
+            ),
+        ).alias("_clean")
+    )
+    return (
+        df.join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce(F.col("_clean"), F.lit("")))
+        .drop("_clean")
+    )

@@ -182,6 +182,36 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_incremental_pairs(new, corpus, threshold=0.5)
 
 
+@q(
+    "q_span_dedup",
+    f"""WITH tok AS (
+         SELECT doc_id, {TOKS} AS toks FROM documents),
+       sp AS (
+         SELECT doc_id, i AS span_idx,
+                array_to_string(toks[i*8+1 : i*8+8], ' ') AS span
+         FROM tok, UNNEST(range(0, ((len(toks) - 1) // 8) + 1)) AS t(i)
+         WHERE len(toks) >= 1),
+       ranked AS (
+         SELECT doc_id, span_idx,
+                ROW_NUMBER() OVER (PARTITION BY span
+                                   ORDER BY doc_id, span_idx) AS rn
+         FROM sp)
+       SELECT doc_id, COUNT(*) AS n_spans,
+              COUNT(*) FILTER (WHERE rn > 1) AS n_dup_spans,
+              ROUND(CAST(COUNT(*) - COUNT(*) FILTER (WHERE rn > 1) AS DOUBLE)
+                    / COUNT(*), 6) AS retained
+       FROM ranked GROUP BY doc_id""",
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup audit (Lee et al. adapted to fixed-stride
+    spans): per-doc duplicated-span counts under corpus-wide
+    first-occurrence-wins — operators/dedup.span_dedup_stats; the
+    text-rewriting twin span_dedup is parity-tested in
+    tests/test_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.span_dedup_stats(docs, k=8)
+
+
 def _simhash_sql(max_hamming: int = 3) -> str:
     """SQL twin of simhash_pairs — same md5-derived bit tests."""
     bitsums = ",\n           ".join(
