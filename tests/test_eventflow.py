@@ -89,3 +89,29 @@ def test_deterministic_sample_is_subset_invariant(spark):
     # growing the corpus never changes earlier rows' membership
     assert s_half == {d for d in s_full if d < 500}
     assert 40 <= len(s_full) <= 200
+
+
+def test_mixture_sample_hits_target_shares(spark, sf_dir):
+    from trading_etl_python_spark.operators.sampling import mixture_sample
+    from trading_etl_python_spark.sources.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    out = mixture_sample(docs, target, "source")
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert set(got) <= set(target)
+    # uniform 25/source corpus: binding stratum src0 keeps 100%, and
+    # achieved shares track the target within Bernoulli noise
+    total = sum(got.values())
+    n_src = docs.filter(F.col("source") == "src0").count()
+    assert got["src0"] == n_src
+    for s, w in target.items():
+        assert abs(got.get(s, 0) / total - w) < 0.15
+
+    # deterministic: same rows regardless of partitioning
+    again = mixture_sample(docs.repartition(7), target, "source")
+    assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == \
+           sorted(r["doc_id"] for r in again.select("doc_id").collect())

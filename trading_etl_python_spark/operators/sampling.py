@@ -71,3 +71,51 @@ def stratified_sample(
     for val, pct in sorted(rates.items()):
         rate = F.when(F.col(stratum_col) == val, F.lit(pct)).otherwise(rate)
     return df.filter(b < rate)
+
+
+def mixture_sample(
+    df: DataFrame,
+    target: dict[str, float],
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Downsample to a TARGET MIXTURE (domain-weighting, the
+    pretraining-mix move): ``target`` maps stratum value -> desired
+    share of the OUTPUT.  Unlike ``stratified_sample`` (caller fixes
+    per-stratum keep-rates), the rates here are derived from the corpus
+    itself: with counts n_s and target shares w_s, the largest feasible
+    mixture-true output is T = min_s(n_s / w_s) rows, giving keep-rate
+    w_s * T / n_s per stratum (the binding stratum keeps 100%).  Strata
+    absent from ``target`` are dropped.
+
+    Determinism/scale: counts are one tiny groupBy; the rate table
+    (|strata| rows) broadcast-joins back, and membership is the same
+    portable hash-threshold as ``deterministic_sample`` at 1e-6
+    resolution — map-side, reproducible, engine-portable (thresholds
+    are FLOOR'd IEEE-double products, bit-identical on any engine).
+    """
+    from pyspark.sql import Window
+
+    wt = F.lit(None).cast("double")
+    for val, w in sorted(target.items()):
+        wt = F.when(F.col(stratum_col) == val, F.lit(float(w))).otherwise(wt)
+    rates = (
+        df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_wt", wt)
+        .filter(F.col("_wt").isNotNull())
+        .withColumn(
+            "_cap", F.min(F.col("_n") / F.col("_wt")).over(Window.partitionBy())
+        )
+        .withColumn(
+            "_thr",
+            F.floor(F.col("_wt") * F.col("_cap") / F.col("_n") * resolution),
+        )
+        .select(stratum_col, "_thr")
+    )
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(hash_bucket(key_col, resolution) < F.col("_thr"))
+        .drop("_thr")
+    )

@@ -1122,6 +1122,34 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_domain_mix",
+    """WITH w AS (
+         SELECT * FROM (VALUES ('src0', 0.5::DOUBLE), ('src1', 0.3::DOUBLE),
+                               ('src2', 0.2::DOUBLE)) AS t(source, wt)),
+       cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+       r AS (SELECT c.source, c.n, w.wt, MIN(c.n / w.wt) OVER () AS cap
+             FROM cnt c JOIN w USING (source)),
+       thr AS (SELECT source, FLOOR(wt * cap / n * 1000000) AS t FROM r)
+       SELECT d.doc_id, d.source, d.lang
+       FROM documents d JOIN thr USING (source)
+       WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+             % 1000000 < t""",
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture domain sampling (pretraining data mixing): keep
+    the largest output with source shares 50/30/20 over src0/src1/src2,
+    rates DERIVED from corpus counts (operators/sampling.mixture_sample
+    — tiny count groupBy, broadcast rate join, portable hash-threshold
+    membership)."""
+    from ..operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, "source"
+    ).select("doc_id", "source", "lang")
+
+
+@q(
     "q_corpus_full",
     f"""WITH RECURSIVE m AS (
          SELECT doc_id, text, lang, source,
