@@ -212,3 +212,47 @@ def test_lsh_index_probe_is_partition_pruned_and_exact(spark, sf_dir, tmp_path):
     n_parts = scan.metrics().get("numPartitions").get().value()
     total = len(glob.glob(f"{path}/sig=*"))
     assert 0 < n_parts < total  # the Hamming ball pruned real cells
+
+
+def test_quantize_codes_in_range_and_roundtrip(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    mins, maxs = S.collect_quant_params(emb)
+    assert len(mins) == len(maxs) and all(m <= x for m, x in zip(mins, maxs))
+    coded = emb.select(
+        "vec_id", S.quantize_vec("embedding", mins, maxs).alias("code")
+    )
+    rng = coded.select(
+        F.min(F.array_min("code")).alias("lo"), F.max(F.array_max("code")).alias("hi")
+    ).first()
+    assert rng["lo"] >= 0 and rng["hi"] <= 255
+
+    # dequantized vectors reproduce quantization_error's per-vector MSE
+    dq = coded.join(emb, "vec_id").select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                S.dequantize_vec("code", mins, maxs),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ).alias("sse"),
+    )
+    d = len(mins)
+    direct = {r["vec_id"]: r["q_mse_ppm"] for r in S.quantization_error(emb).collect()}
+    for r in dq.collect():
+        assert abs(r["sse"] / d * 1e6 - direct[r["vec_id"]]) < 1e-3
+
+
+def test_quantized_topk_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    mins, maxs = S.collect_quant_params(emb)
+    dq = emb.select(
+        "vec_id", "label", S.dequantize_vec(
+            S.quantize_vec("embedding", mins, maxs), mins, maxs
+        ).alias("embedding")
+    )
+    exact = {r["vec_id"] for r in S.topk_cosine(emb, 0, k=20).collect()}
+    quant = {r["vec_id"] for r in S.topk_cosine(dq, 0, k=20).collect()}
+    assert len(exact & quant) >= 16  # int8 reconstruction keeps the shortlist

@@ -1102,6 +1102,33 @@ def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_embed_quantize",
+    """WITH lng AS (
+         SELECT vec_id, label, CAST(i AS INT) AS i,
+                CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+         FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+       d AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM lng GROUP BY i),
+       r AS (
+         SELECT vec_id, label, x,
+                CASE WHEN mx > mn THEN
+                  mn + LEAST(255, GREATEST(0,
+                        FLOOR((x - mn) / (mx - mn) * 255 + 0.5))) / 255 * (mx - mn)
+                ELSE mn END AS dq
+         FROM lng JOIN d USING (i))
+       SELECT vec_id, label,
+              ROUND(SUM((x - dq) * (x - dq)) / COUNT(*) * 1000000, 6) AS q_mse_ppm
+       FROM r GROUP BY vec_id, label""",
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantization reconstruction error per vector (ppm
+    MSE) — the compression audit for shipping 4x-smaller vectors into
+    the ANN probe path (operators/similarity.quantization_error; codes
+    and reconstruction are pure map-side transform() expressions)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.quantization_error(emb)
+
+
+@q(
     "q_stratified_sample",
     """WITH b AS (
          SELECT doc_id, lang, source, n_chars,
