@@ -169,3 +169,39 @@ def test_unigram_logprob_hand_computed(spark):
     assert out[1].n_tokens == 3
     assert out[1].avg_neg_logprob == round(math.log(5 / 2), 4)
     assert out[2].avg_neg_logprob == round((math.log(5 / 2) + math.log(5)) / 2, 4)
+
+
+def test_heavy_hitters_exact_under_adversarial_capacity(spark):
+    from trading_etl_python_spark.operators import sketches as SK
+
+    # skewed corpus: 'hot' appears in every doc many times; 120 singleton
+    # tokens force MG eviction churn at capacity 4 (vocab >> capacity)
+    rows = [(i, "hot hot hot " + f"rare{i} " + f"only{i}") for i in range(120)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+    out = SK.heavy_hitters(df, k=4, capacity=4).collect()
+    # n = 120*5 = 600 tokens; threshold n/4 = 150; only 'hot' (360) passes
+    assert [(r["token"], r["cnt"]) for r in out] == [("hot", 360)]
+
+    # result identical under a different partitioning (sketch is not,
+    # the verified answer is)
+    out2 = SK.heavy_hitters(df.repartition(3), k=4, capacity=4).collect()
+    assert [(r["token"], r["cnt"]) for r in out2] == [("hot", 360)]
+
+
+def test_misra_gries_candidates_superset(spark):
+    from trading_etl_python_spark.operators import sketches as SK
+
+    rows = [(i, ("alpha " * 9) + f"tail{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(5)
+    cands = {r["token"] for r in SK.misra_gries_candidates(df, k=3).collect()}
+    assert "alpha" in cands  # the true heavy hitter always survives
+
+
+def test_heavy_hitters_capacity_below_k_rejected(spark):
+    import pytest
+
+    from trading_etl_python_spark.operators import sketches as SK
+
+    df = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        SK.heavy_hitters(df, k=8, capacity=4)

@@ -1,0 +1,98 @@
+"""Frequent-items (heavy hitters) over token streams: a Misra-Gries
+candidate sketch re-verified with exact counts.
+
+Scale design (the 100 TB posture):
+
+- Pass 1 (``misra_gries_candidates``) is SHUFFLE-FREE: one
+  ``mapInPandas`` scan keeps a capacity-bounded counter dict per
+  partition (Arrow-batched; the summary, not the stream, is the state)
+  and emits only the surviving tokens — O(partitions x capacity) rows.
+- Pass 2 (``heavy_hitters``) re-verifies ONLY the candidate union:
+  the token explode broadcast-semi-joins the candidate set before the
+  exact groupBy, so the count shuffle carries candidate tokens only,
+  never the full vocabulary.
+- The MG guarantee — every token with partition frequency
+  > m_p/(capacity+1) survives a capacity-c summary (Misra & Gries 1982;
+  Cormode's frequent-items survey) — plus the averaging argument
+  (a token with global count > n/k must exceed n_p/k on some partition)
+  makes the candidate union a SUPERSET of the true heavy hitters for
+  capacity >= k.  The exact re-verification therefore returns exactly
+  the tokens with ``cnt * k > n`` — deterministic and
+  partitioning-independent even though the sketch itself is neither.
+
+The threshold compare stays in integers (``cnt * k > n``) so the result
+admits an exact SQL oracle with no float-boundary ambiguity.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import TOKEN_RE, tokens_col
+
+
+def _mg_update(counters: dict[str, int], toks: list[str], cap: int) -> None:
+    """Classic Misra-Gries step: increment known, admit while < cap,
+    else decrement-all (deleting zeros) — the frequency-vote cancel."""
+    for t in toks:
+        if t in counters:
+            counters[t] += 1
+        elif len(counters) < cap:
+            counters[t] = 1
+        else:
+            dead = []
+            for key in counters:
+                counters[key] -= 1
+                if counters[key] == 0:
+                    dead.append(key)
+            for key in dead:
+                del counters[key]
+
+
+def misra_gries_candidates(
+    df: DataFrame, k: int, text_col: str = "text", capacity: int | None = None
+) -> DataFrame:
+    """Per-partition MG summaries -> distinct candidate tokens.  The
+    output SET depends on partitioning (any valid superset); callers
+    must re-verify (``heavy_hitters``) before treating it as an answer."""
+    cap = capacity if capacity is not None else 2 * k
+    pat = re.compile(TOKEN_RE)
+
+    def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf[text_col]:
+                if text is None:
+                    continue
+                _mg_update(counters, [t for t in pat.split(text.lower()) if t], cap)
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    return df.select(text_col).mapInPandas(sketch, "token string").distinct()
+
+
+def heavy_hitters(
+    df: DataFrame, k: int = 30, text_col: str = "text", capacity: int | None = None
+) -> DataFrame:
+    """EXACT tokens with corpus frequency > n/k (n = total tokens),
+    found sketch-first: MG candidates (superset for capacity >= k),
+    then exact counts for candidates only.  Output: token, cnt, share."""
+    if capacity is not None and capacity < k:
+        raise ValueError(f"capacity {capacity} < k {k} voids the superset guarantee")
+    cands = misra_gries_candidates(df, k, text_col, capacity)
+    total = df.select(F.sum(F.size(tokens_col(text_col))).alias("_n"))
+    toks = df.select(F.explode(tokens_col(text_col)).alias("token"))
+    return (
+        toks.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * k > F.col("_n"))
+        .select(
+            "token", "cnt", F.round(F.col("cnt") / F.col("_n"), 6).alias("share")
+        )
+    )

@@ -1102,6 +1102,26 @@ def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_heavy_hitters",
+    f"""WITH tok AS (
+         SELECT UNNEST({TOKS}) AS token FROM documents),
+       tot AS (SELECT COUNT(*) AS n FROM tok),
+       cnt AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token)
+       SELECT token, cnt, ROUND(CAST(cnt AS DOUBLE) / n, 6) AS share
+       FROM cnt, tot WHERE cnt * 30 > n""",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (corpus tokens with frequency > n/30) via a
+    shuffle-free Misra-Gries sketch pass + exact re-verification of the
+    candidate union — deterministic despite the partition-dependent
+    sketch (operators/sketches.py; superset guarantee unit-tested under
+    adversarial capacity)."""
+    from ..operators.sketches import heavy_hitters
+
+    return heavy_hitters(load_table(spark, sf_dir, "documents"), k=30)
+
+
+@q(
     "q_embed_quantize",
     """WITH lng AS (
          SELECT vec_id, label, CAST(i AS INT) AS i,
