@@ -1101,6 +1101,63 @@ def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.gram_matrix(emb)
 
 
+def _pagerank_sql(iters: int = 8, d: float = 0.85) -> str:
+    """Unrolled-iteration twin of operators/graph.pagerank — one CTE
+    block per power iteration (static SQL, no recursive-CTE aggregation
+    restrictions), SAME double literals as the Spark loop."""
+    base = """edges AS MATERIALIZED (
+         SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                CAST(COUNT(*) AS DOUBLE) AS w
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         GROUP BY 1, 2),
+       outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+       norm AS MATERIALIZED (SELECT e.src, e.dst, e.w / o.ow AS frac
+                FROM edges e JOIN outw o ON e.src = o.src),
+       nodes AS (SELECT DISTINCT node FROM
+                 (SELECT src AS node FROM edges
+                  UNION ALL SELECT dst FROM edges) t),
+       nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM nodes),
+       pr0 AS (SELECT node, 1.0 / cnt AS score FROM nodes, nn)"""
+    for i in range(1, iters + 1):
+        base += f""",
+       c{i} AS (SELECT n.dst AS node, SUM(n.frac * p.score) AS c
+                FROM norm n JOIN pr{i - 1} p ON n.src = p.node GROUP BY n.dst),
+       d{i} AS (SELECT COALESCE(SUM(p.score), 0.0) AS dm FROM pr{i - 1} p
+                WHERE p.node NOT IN (SELECT src FROM outw)),
+       pr{i} AS MATERIALIZED (SELECT nodes.node,
+                 {(1 - d) !r} / cnt
+                 + {d!r} * (COALESCE(c{i}.c, 0.0) + d{i}.dm / cnt) AS score
+                 FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node, nn, d{i})"""
+    return f"WITH {base}\nSELECT node, ROUND(score, 6) AS score FROM pr{iters}"
+
+
+@q("q_pagerank", _pagerank_sql())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the supplier-nation -> customer-nation
+    trade graph (operators/graph.pagerank: per-iteration join+groupBy
+    pair, checkpointed normalized edges, in-plan dangling-mass
+    redistribution; oracle = 8 unrolled power iterations)."""
+    from ..operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            supp["s_nationkey"].alias("src"), cust["c_nationkey"].alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    return pagerank(edges)
+
+
 @q(
     "q_heavy_hitters",
     f"""WITH tok AS (
