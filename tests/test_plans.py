@@ -344,3 +344,58 @@ def test_upsert_replace_one_file_per_partition(spark, tmp_path):
     for part in glob.glob(os.path.join(path, "d=*")):
         files = [f for f in os.listdir(part) if f.endswith(".parquet")]
         assert len(files) == 1, (part, files)
+
+
+def test_span_dedup_single_exchange_pair(spark, sf_dir):
+    """Span dedup = one shuffle for the span-hash window + one for the
+    per-doc groupBy; anything beyond (plus the spread fan-out) means the
+    plan grew a redundant exchange."""
+    plan = _executed(QUERIES["q_span_dedup"](spark, sf_dir))
+    assert plan.count("Exchange") <= 3, plan.count("Exchange")
+    assert "SortMergeJoin" not in plan  # no join in this plan at all
+
+
+def test_domain_mix_broadcasts_rate_table(spark, sf_dir):
+    """The |strata|-row rate table must broadcast; documents must never
+    shuffle for the mixture membership."""
+    plan = _executed(QUERIES["q_domain_mix"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_embed_quantize_scoring_is_broadcast_only(spark, sf_dir):
+    """Quantization scoring joins only the 1-row packed codebook —
+    broadcast nested loop over a single row, no shuffle of embeddings
+    beyond the d-row param aggregation."""
+    plan = _executed(QUERIES["q_embed_quantize"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_heavy_hitters_candidates_broadcast(spark, sf_dir):
+    """The exact re-verify must broadcast the candidate set into the
+    token stream (semi-equi-join), never shuffle the full explode."""
+    plan = _executed(QUERIES["q_heavy_hitters"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_edge_agg_broadcasts_dims(spark, sf_dir):
+    """Edge-list construction joins dimension-sized customer/supplier:
+    they broadcast; lineitem never sort-merge-joins a dimension."""
+    from trading_etl_python_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(supp["s_nationkey"].alias("src"), cust["c_nationkey"].alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    plan = _executed(edges)
+    assert "BroadcastHashJoin" in plan
