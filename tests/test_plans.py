@@ -399,3 +399,11 @@ def test_pagerank_edge_agg_broadcasts_dims(spark, sf_dir):
     )
     plan = _executed(edges)
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_take_ordered_and_broadcast_stats(spark, sf_dir):
+    """Ranking compiles to TakeOrderedAndProject; corpus stats and the
+    |q|-row df table ride in as broadcasts — no sort-merge join."""
+    plan = _executed(QUERIES["q_bm25"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan

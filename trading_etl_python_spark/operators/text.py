@@ -345,3 +345,66 @@ def normalize_text(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         F.length(norm).alias("n_norm_chars"),
         content.alias("content_text"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-k retrieval (Robertson/Sparck Jones probabilistic
+    weighting, the Okapi scoring used by Lucene/Elasticsearch).  Score =
+    sum over query terms of idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*|d|/avgdl)),
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1).
+
+    100 TB posture: the query-term filter lands BEFORE the tf
+    aggregation, so the explode shuffles only postings of the |q| query
+    terms — the corpus-wide inverted index is never materialized.  N and
+    avgdl are a 1-row broadcast; df(t) is |q| rows.  The final ranking
+    is ORDER BY + LIMIT (TakeOrderedAndProject: per-partition heaps, k
+    rows over the wire).  Deterministic tie-break on id; everything
+    JVM-side."""
+    from .dedup import tokens_col
+
+    terms = sorted({t for t in query.lower().split() if t})
+    lens = df.select(
+        F.col(id_col), F.size(tokens_col(text_col)).alias("_len")
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg(F.col("_len").cast("double")).alias("_avgdl"),
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("term")
+    ).filter(F.col("term").isin(terms))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("_df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log((F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0),
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * (F.col("_tf") * (k1 + 1))
+            / (
+                F.col("_tf")
+                + k1 * (1 - b + b * F.col("_len").cast("double") / F.col("_avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.sum("_s").alias("_score"))
+        .orderBy(F.col("_score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, F.round("_score", 6).alias("bm25"))
+    )

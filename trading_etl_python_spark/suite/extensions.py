@@ -1101,6 +1101,37 @@ def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.gram_matrix(emb)
 
 
+@q(
+    "q_bm25",
+    f"""WITH dl AS (SELECT doc_id, len({TOKS}) AS len FROM documents),
+       stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                        AVG(CAST(len AS DOUBLE)) AS avgdl FROM dl),
+       tok AS (SELECT doc_id, UNNEST({TOKS}) AS term FROM documents),
+       tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+              WHERE term IN ('hash', 'join', 'scan', 'table') GROUP BY 1, 2),
+       dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+       sc AS (SELECT t.doc_id,
+                LN((n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0::DOUBLE)
+                * (t.tf * (1.2::DOUBLE + 1))
+                / (t.tf + 1.2::DOUBLE
+                   * (1 - 0.75::DOUBLE
+                      + 0.75::DOUBLE * CAST(l.len AS DOUBLE) / avgdl)) AS s
+              FROM tf t JOIN dfq USING (term)
+              JOIN dl l ON t.doc_id = l.doc_id, stats)
+       SELECT doc_id, ROUND(SUM(s), 6) AS bm25
+       FROM sc GROUP BY doc_id
+       ORDER BY SUM(s) DESC, doc_id LIMIT 10""",
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the query 'hash join table scan'
+    (operators/text.bm25_topk: query-term filter BEFORE the tf
+    aggregation so only |q| posting lists shuffle; 1-row corpus stats
+    broadcast; TakeOrderedAndProject ranking)."""
+    return TX.bm25_topk(
+        load_table(spark, sf_dir, "documents"), "hash join table scan"
+    )
+
+
 def _pagerank_sql(iters: int = 8, d: float = 0.85) -> str:
     """Unrolled-iteration twin of operators/graph.pagerank — one CTE
     block per power iteration (static SQL, no recursive-CTE aggregation
