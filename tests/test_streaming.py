@@ -469,3 +469,51 @@ def test_wire_contract_end_to_end_from_rate_source(spark):
         assert out.filter(F.col("sma_20").isNull()).count() == 0
     finally:
         q2.stop()
+
+
+def test_stream_session_windows_match_batch(spark, sf_dir):
+    """Streaming session windows (availableNow replay) must agree
+    exactly with the batch session_window aggregation on every emitted
+    session, and emit every session that closed before the final
+    watermark."""
+    import datetime as dt
+
+    from trading_etl_python_spark.streaming.pipeline import (
+        events_file_stream,
+        stream_session_windows,
+    )
+    from trading_etl_python_spark.suite import QUERIES
+
+    with tempfile.TemporaryDirectory(prefix="ckpt_sess_") as ckpt:
+        ev_stream = events_file_stream(spark, sf_dir).select(
+            F.col("user_id"), F.col("ts"), F.col("value")
+        )
+        q = (
+            stream_session_windows(ev_stream)
+            .writeStream.format("memory")
+            .queryName("sess_out")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        emitted = {
+            (r.user_id, r.session_start): (r.session_end, r.n_events, r.sum_value)
+            for r in spark.sql("SELECT * FROM sess_out").collect()
+        }
+
+    ev = load_events(spark, sf_dir)
+    batch = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.sum_value)
+        for r in QUERIES["q_session_window"](spark, sf_dir).collect()
+    }
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    final_wm = (max_ts - dt.timedelta(minutes=30)).replace(tzinfo=None)
+
+    assert emitted, "no sessions emitted"
+    for key, vals in emitted.items():
+        assert batch[key] == vals
+    closed = {k for k, v in batch.items() if v[0] <= final_wm}
+    missing = closed - set(emitted)
+    assert not missing, f"{len(missing)} finalized sessions not emitted"

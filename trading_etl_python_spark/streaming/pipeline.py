@@ -433,3 +433,31 @@ def stream_dedup_within_watermark(
     return ticks.withWatermark("time", watermark).dropDuplicatesWithinWatermark(
         ["symbol", "time"]
     )
+
+
+def stream_session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked SESSION-window aggregation (dynamic-gap sessionize as
+    a streaming operator): Spark merges overlapping per-key sessions in
+    state and, in append mode, emits a session only once the watermark
+    passes its close — the streaming twin of the batch
+    ``q_session_window`` (same gap semantics, same output shape).
+
+    Scale: state = open sessions per user (bounded by watermark
+    eviction), one shuffle on the session key."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
