@@ -24,3 +24,21 @@ def test_pagerank_uniform_on_symmetric_cycle(spark):
     )
     out = {r["node"]: r["score"] for r in pagerank(edges, iters=12).collect()}
     assert all(abs(v - 0.25) < 1e-9 for v in out.values())
+
+
+def test_triangle_counts_known_graph(spark):
+    from trading_etl_python_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4}: every node is in C(3,2)=3 triangles; node 5 hangs
+    # off node 1 and is in none
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)] + [(1, 5)]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_no_triangles(spark):
+    from trading_etl_python_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["doc_a", "doc_b"])
+    assert triangle_counts(df).count() == 0

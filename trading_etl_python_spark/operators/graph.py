@@ -81,3 +81,32 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select("node", F.round("score", 6).alias("score"))
+
+
+def triangle_counts(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+    """Per-node triangle participation over an undirected graph given as
+    canonically-oriented pairs (a < b).  Each triangle (x < y < z) is
+    enumerated exactly once by closing the wedge (x,y)+(y,z) with (x,z).
+
+    Scale: the wedge join is the classic hotspot, bounded by sum of
+    squared out-degrees under the orientation; orienting low-id -> high-id
+    (swap in degree-order for power-law graphs — same plan, different
+    canonical key) keeps out-degrees balanced.  Join keys are node ids,
+    partial-aggregated counts; nothing driver-side."""
+    e = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e.alias("e3"),
+            (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .select(
+            F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z")
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

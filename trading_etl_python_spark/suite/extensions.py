@@ -1102,6 +1102,35 @@ def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_triangles",
+    f"""WITH {_SHINGLE_CTES},
+       cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+       pairs AS (SELECT doc_a, doc_b FROM p
+                 JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+                 WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5),
+       tri AS (SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+               FROM pairs e1 JOIN pairs e2 ON e1.doc_b = e2.doc_a
+               JOIN pairs e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b),
+       m AS (SELECT x AS node FROM tri UNION ALL
+             SELECT y FROM tri UNION ALL SELECT z FROM tri)
+       SELECT node, COUNT(*) AS n_triangles FROM m GROUP BY node""",
+)
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle counts in the exact near-dup graph
+    (mutually-similar triples — the tight-cluster signal CC's star
+    labels can't see): canonical low-id orientation, single-enumeration
+    wedge close (operators/graph.triangle_counts)."""
+    from ..operators.graph import triangle_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).select("doc_a", "doc_b")
+    return triangle_counts(pairs)
+
+
+@q(
     "q_bm25",
     f"""WITH dl AS (SELECT doc_id, len({TOKS}) AS len FROM documents),
        stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
