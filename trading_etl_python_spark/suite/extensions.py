@@ -1102,6 +1102,44 @@ def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_ppl_tiers",
+    f"""WITH tok AS (
+         SELECT doc_id, unnest({TOKS}) AS token FROM documents),
+       freq AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+       tot AS (SELECT COUNT(*) AS tot FROM tok),
+       j AS (SELECT t.doc_id, -ln(f.cnt / tot.tot) AS nlp
+             FROM tok t JOIN freq f USING (token), tot),
+       scored AS (SELECT doc_id, ROUND(AVG(nlp), 4) AS avg_neg_logprob
+                  FROM j GROUP BY doc_id),
+       tiled AS (SELECT doc_id, avg_neg_logprob,
+                   NTILE(3) OVER (ORDER BY avg_neg_logprob, doc_id) AS t
+                 FROM scored)
+       SELECT doc_id, avg_neg_logprob,
+              CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
+       FROM tiled""",
+)
+def q_ppl_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus partitioning: head/middle/tail tertiles by
+    unigram-LM perplexity proxy (lowest avg negative logprob = head).
+    Deterministic NTILE over (rounded score, doc_id).  Exact global
+    tiling needs a total order — the 100 TB path swaps NTILE for
+    percentile cutpoints (computed once, bucketing map-side); kept
+    exact here for the oracle."""
+    from pyspark.sql import Window
+
+    scored = TX.unigram_logprob(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "avg_neg_logprob"
+    )
+    w = Window.orderBy(F.col("avg_neg_logprob").asc(), F.col("doc_id").asc())
+    t = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id",
+        "avg_neg_logprob",
+        F.when(t == 1, "head").when(t == 2, "middle").otherwise("tail").alias("tier"),
+    )
+
+
+@q(
     "q_triangles",
     f"""WITH {_SHINGLE_CTES},
        cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
