@@ -115,3 +115,30 @@ def test_mixture_sample_hits_target_shares(spark, sf_dir):
     again = mixture_sample(docs.repartition(7), target, "source")
     assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == \
            sorted(r["doc_id"] for r in again.select("doc_id").collect())
+
+
+def test_weighted_sample_biases_toward_weight(spark):
+    from pyspark.sql import functions as F
+
+    from trading_etl_python_spark.operators.sampling import weighted_sample_topk
+
+    # two strata: heavy docs weight 1000, light docs weight 10 — a
+    # 100-of-2000 sample should be dominated by heavy docs
+    rows = [(i, 1000 if i % 2 == 0 else 10) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_chars"])
+    out = weighted_sample_topk(df, k=100)
+    heavy = out.filter(F.col("doc_id") % 2 == 0).count()
+    assert heavy > 85
+    # without replacement + deterministic: re-running yields identical ids
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in weighted_sample_topk(df.repartition(7), k=100).collect())
+    assert a == b and len(set(a)) == 100
+
+
+def test_weighted_sample_take_ordered_plan(spark, sf_dir):
+    from trading_etl_python_spark.sources.tables import load_table
+    from trading_etl_python_spark.operators.sampling import weighted_sample_topk
+
+    df = weighted_sample_topk(load_table(spark, sf_dir, "documents"), k=50)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -119,3 +119,30 @@ def mixture_sample(
         .filter(hash_bucket(key_col, resolution) < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    k: int = 100,
+    weight_col: str = "n_chars",
+    key_col: str = "doc_id",
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    each row gets key = -ln(u)/w with u a deterministic uniform from the
+    row id; the k smallest keys are a weight-proportional sample — the
+    training-mix epoch sampler (P(doc) ∝ weight, no duplicates).
+
+    Distributed one-liner: the selection is ORDER BY key LIMIT k, which
+    compiles to TakeOrderedAndProject (per-partition heaps, k rows cross
+    the wire) — no global sort, no state.  u = (hash_bucket + 0.5)/res
+    keeps u in (0,1) exactly and reproducible on any engine with md5."""
+    u = (hash_bucket(key_col, resolution).cast("double") + 0.5) / resolution
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("_es_key", key)
+        .orderBy(F.col("_es_key").asc(), F.col(key_col).asc())
+        .limit(k)
+        .withColumn("es_key", F.round("_es_key", 6))
+        .drop("_es_key")
+    )

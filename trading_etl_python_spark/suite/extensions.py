@@ -1102,6 +1102,29 @@ def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_weighted_sample",
+    """SELECT doc_id, source, n_chars, ROUND(es_key, 6) AS es_key FROM (
+         SELECT doc_id, source, n_chars,
+           -ln(((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 1000000) + 0.5) / 1000000)
+           / CAST(n_chars AS DOUBLE) AS es_key
+         FROM documents) t
+       ORDER BY es_key, doc_id LIMIT 100""",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional sampling without replacement (Efraimidis-
+    Spirakis exponential keys; operators/sampling.weighted_sample_topk
+    — TakeOrderedAndProject selection, deterministic portable
+    uniforms)."""
+    from ..operators.sampling import weighted_sample_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_topk(docs, k=100).select(
+        "doc_id", "source", "n_chars", "es_key"
+    )
+
+
+@q(
     "q_ppl_tiers",
     f"""WITH tok AS (
          SELECT doc_id, unnest({TOKS}) AS token FROM documents),
