@@ -256,3 +256,18 @@ def test_quantized_topk_recall(spark, sf_dir):
     exact = {r["vec_id"] for r in S.topk_cosine(emb, 0, k=20).collect()}
     quant = {r["vec_id"] for r in S.topk_cosine(dq, 0, k=20).collect()}
     assert len(exact & quant) >= 16  # int8 reconstruction keeps the shortlist
+
+
+def test_hard_negatives_exclude_same_label(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.hard_negatives(emb, n_probes=10, k=5)
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    rows = out.collect()
+    assert rows and all(len({r["probe_id"] for r in rows if r["probe_id"] == p}) for p in range(10))
+    for r in rows:
+        assert labels[r["neg_id"]] != labels[r["probe_id"]]
+    # exactly k per probe (corpus has >5 per foreign label at every sf)
+    from collections import Counter
+
+    per_probe = Counter(r["probe_id"] for r in rows)
+    assert all(v == 5 for v in per_probe.values()) and len(per_probe) == 10

@@ -593,3 +593,46 @@ def quantization_error(
             F.round(err * 1e6, 6).alias("q_mse_ppm"),
         )
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    n_probes: int = 20,
+    k: int = 5,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each probe
+    vector (the training batch — here ids < ``n_probes``), the k
+    most-similar corpus vectors with a DIFFERENT label.
+
+    Plan: the probe batch broadcasts (batch-sized, like the training
+    loop's anchors), the corpus is scanned once, and the per-probe
+    top-k is a window over partitionBy(probe).  The shuffle carries
+    |corpus| x |probes| scored (id, id, sim) triples — fine for
+    batch-sized probe sets; for corpus-x-corpus mining swap the scan
+    for the ANN index probe (``ann_lsh_topk``/``ann_ivf_topk``) and
+    rerank, same output contract."""
+    from pyspark.sql import Window
+
+    p = embeddings.filter(F.col(id_col) < n_probes).select(
+        F.col(id_col).alias("probe_id"),
+        F.col(label_col).alias("_plabel"),
+        F.col("embedding").alias("_pv"),
+    )
+    sim = dot("embedding", "_pv")
+    scored = (
+        embeddings.crossJoin(F.broadcast(p))
+        .filter(F.col(label_col) != F.col("_plabel"))
+        .select(
+            "probe_id", F.col(id_col).alias("neg_id"), sim.alias("_sim")
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("_sim").desc(), F.col("neg_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("probe_id", "neg_id", F.round("_sim", 6).alias("neg_sim"))
+    )

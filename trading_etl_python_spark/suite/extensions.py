@@ -1102,6 +1102,29 @@ def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_hard_negatives",
+    f"""WITH p AS (SELECT vec_id AS probe_id, label AS plabel, embedding AS pv
+                 FROM embeddings WHERE vec_id < 20),
+       s AS (SELECT p.probe_id, e.vec_id AS neg_id,
+                    {_DOT.format(a='e.embedding', b='p.pv')} AS sim
+             FROM embeddings e, p WHERE e.label <> p.plabel),
+       r AS (SELECT probe_id, neg_id, sim,
+                    ROW_NUMBER() OVER (PARTITION BY probe_id
+                                       ORDER BY sim DESC, neg_id) AS rn
+             FROM s)
+       SELECT probe_id, neg_id, ROUND(sim, 6) AS neg_sim FROM r WHERE rn <= 5""",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: top-5 most-similar
+    different-label vectors per probe (batch ids < 20) —
+    operators/similarity.hard_negatives (broadcast probe batch, one
+    corpus scan, per-probe rank window; ANN-probe swap documented for
+    corpus-x-corpus scale)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.hard_negatives(emb, n_probes=20, k=5)
+
+
+@q(
     "q_weighted_sample",
     """SELECT doc_id, source, n_chars, ROUND(es_key, 6) AS es_key FROM (
          SELECT doc_id, source, n_chars,
