@@ -160,3 +160,22 @@ def test_probe_media_isolates_malformed_payloads(spark):
     )
     got = {r.media_id: r.format for r in M.probe_media(df).collect()}
     assert got == {1: "pgm", 2: None, 3: None, 4: None}
+
+
+def test_media_dhash_collides_on_duplicates(spark):
+    from trading_etl_python_spark.operators import multimodal as M
+
+    base = "the quick brown fox jumps over the lazy dog " * 8   # > 288 chars
+    near = base[:100] + "X" + base[101:]                        # 1-byte change
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, near), (3, "zz " * 120)], ["doc_id", "text"]
+    )
+    out = {r["media_id"]: (r["dh_lo"], r["dh_hi"])
+           for r in M.media_dhash(M.documents_as_pgm(docs)).collect()}
+    assert out[0] == out[1]                      # exact duplicate collides
+
+    def ham(a, b):
+        return bin((a[0] ^ b[0]) | ((a[1] ^ b[1]) << 32)).count("1")
+
+    assert ham(out[0], out[2]) <= 4              # near-dup stays close
+    assert ham(out[0], out[3]) > 8               # different content far

@@ -396,3 +396,54 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
             F.col("meta.duration_ms"),
         ),
     )
+
+
+def documents_as_pgm(documents: DataFrame, width: int = 18, height: int = 16) -> DataFrame:
+    """Adapter: wrap each document's leading text bytes as a VALID binary
+    netpbm P5 grayscale image (rpad truncates/pads to exactly w*h ascii
+    bytes), so the real codec path — parse, NN-resize, hash — runs on
+    driver testdata while staying transparent enough for an exact SQL
+    twin (payload grid == characters)."""
+    header = f"P5\n{width} {height}\n255\n".encode()
+    body = F.encode(
+        F.rpad(F.coalesce(F.col("text"), F.lit("")), width * height, " "), "utf-8"
+    )
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(header), body).alias("payload"),
+    )
+
+
+def media_dhash(df: DataFrame, grid: tuple[int, int] = (9, 8)) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image: REAL pipeline —
+    parse_netpbm -> true NN-resize to a (w+1) x h grid -> horizontal
+    gradient sign bits -> 64-bit signature, split lo/hi 32-bit halves
+    (Java long has no unsigned; two halves keep every value exact).
+
+    The near-dup move for image corpora: identical/near-identical
+    frames collide on the full hash; banding the halves (as in
+    simhash_pairs) blocks candidates by Hamming distance.  One Arrow
+    pass, signature output is 2 longs/row regardless of image size."""
+    import numpy as np
+
+    w, h = grid
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, los, his = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                im = parse_netpbm(netpbm_resize(bytes(payload), w, h))
+                px = im["pixels"].astype(np.int64).mean(axis=2)
+                bits = (px[:, :-1] > px[:, 1:]).ravel()  # h x (w-1) sign bits
+                val = 0
+                for i, b in enumerate(bits[:64]):
+                    if b:
+                        val |= 1 << i
+                ids.append(mid)
+                los.append(val & 0xFFFFFFFF)
+                his.append(val >> 32)
+            yield pd.DataFrame({"media_id": ids, "dh_lo": los, "dh_hi": his})
+
+    return df.select("media_id", "payload").mapInPandas(
+        hash_batches, "media_id long, dh_lo long, dh_hi long"
+    )

@@ -1102,6 +1102,36 @@ def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_media_dhash",
+    """WITH pad AS (SELECT doc_id, rpad(coalesce(text, ''), 288, ' ') AS t
+                  FROM documents),
+       px AS (SELECT doc_id, i, j,
+                     ascii(substring(t, (2*i + 1)*18 + (2*j + 1) + 1, 1)) AS p
+              FROM pad, UNNEST(range(0, 8)) AS r(i), UNNEST(range(0, 9)) AS c(j)),
+       bits AS (SELECT a.doc_id, a.i * 8 + a.j AS k,
+                       CASE WHEN a.p > b.p THEN 1 ELSE 0 END AS b
+                FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.i = b.i
+                                   AND b.j = a.j + 1
+                WHERE a.j < 8)
+       SELECT doc_id AS media_id,
+              CAST(SUM(CASE WHEN k < 32
+                            THEN b * (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS dh_lo,
+              CAST(SUM(CASE WHEN k >= 32
+                            THEN b * (1::BIGINT << (k - 32)) ELSE 0 END) AS BIGINT) AS dh_hi
+       FROM bits GROUP BY doc_id""",
+)
+def q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash signatures through the REAL media pipeline:
+    documents wrapped as valid 18x16 P5 netpbm -> parse_netpbm -> true
+    NN-resize to 9x8 -> horizontal gradient sign bits (operators/
+    multimodal.media_dhash).  The oracle recomputes the same bits
+    arithmetically from the character grid (payload bytes == ascii
+    chars), pinning the whole codec path byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.media_dhash(M.documents_as_pgm(docs))
+
+
+@q(
     "q_hard_negatives",
     f"""WITH p AS (SELECT vec_id AS probe_id, label AS plabel, embedding AS pv
                  FROM embeddings WHERE vec_id < 20),
