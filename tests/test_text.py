@@ -233,3 +233,18 @@ def test_bm25_empty_query_terms_yields_empty(spark):
 
     df = spark.createDataFrame([(0, "alpha beta")], ["doc_id", "text"])
     assert TX.bm25_topk(df, "zzz", k=5).count() == 0
+
+
+def test_bigram_next_conditional_probs(spark):
+    from trading_etl_python_spark.operators import text as TX
+
+    df = spark.createDataFrame(
+        [(0, "a b a b a c"), (1, "b c"), (2, "x")], ["doc_id", "text"]
+    )
+    out = {r["token"]: r for r in TX.bigram_next(df).collect()}
+    # 'a' -> b twice, c once => next=b, p=2/3
+    assert out["a"]["next_token"] == "b" and abs(out["a"]["cond_p"] - 0.666667) < 1e-6
+    # 'b' -> a twice, c once => next=a
+    assert out["b"]["next_token"] == "a"
+    assert "x" not in out                  # single-token doc yields no pairs
+    assert "c" not in out                  # 'c' never has a successor

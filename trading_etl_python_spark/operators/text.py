@@ -408,3 +408,47 @@ def bm25_topk(
         .limit(k)
         .select(id_col, F.round("_score", 6).alias("bm25"))
     )
+
+
+def bigram_next(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Bigram-LM estimation (the count-based n-gram LM step): for every
+    token, its most likely continuation with conditional probability
+    P(next | token) = c(token, next) / c(token, ·).  Deterministic
+    tie-break (count desc, next asc).
+
+    Scale: pairs are built as an in-row array expression (no
+    positional self-join), so the plan is explode -> two partial-
+    aggregated groupBys + a per-token rank window riding the same
+    hash(token) distribution — vocabulary-sized state, not corpus."""
+    from pyspark.sql import Window
+
+    from .dedup import tokens_col
+
+    t = F.col("_t")
+    pairs = F.transform(
+        # guard: sequence(1, 0) would generate DESCENDING [1, 0]
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.struct(
+            F.element_at(t, i).alias("a"), F.element_at(t, i + 1).alias("b")
+        ),
+    )
+    pr = (
+        df.select(tokens_col(text_col).alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    cnt = pr.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cnt.groupBy("a").agg(F.sum("cnt").alias("_n"))
+    w = Window.partitionBy("a").orderBy(F.col("cnt").desc(), F.col("b").asc())
+    return (
+        cnt.join(tot, "a")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("a").alias("token"),
+            F.col("b").alias("next_token"),
+            "cnt",
+            F.round(F.col("cnt") / F.col("_n").cast("double"), 6).alias("cond_p"),
+        )
+    )

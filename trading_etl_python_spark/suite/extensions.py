@@ -1102,6 +1102,30 @@ def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_bigram_next",
+    f"""WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+       pr AS (SELECT toks[i] AS a, toks[i+1] AS b
+              FROM tok, UNNEST(range(1, len(toks))) AS t(i)
+              WHERE len(toks) >= 2),
+       cnt AS (SELECT a, b, COUNT(*) AS cnt FROM pr GROUP BY a, b),
+       tot AS (SELECT a, SUM(cnt) AS n FROM cnt GROUP BY a),
+       r AS (SELECT c.a, c.b, c.cnt, c.cnt / CAST(t.n AS DOUBLE) AS p,
+                    ROW_NUMBER() OVER (PARTITION BY c.a
+                                       ORDER BY c.cnt DESC, c.b) AS rn
+             FROM cnt c JOIN tot t USING (a))
+       SELECT a AS token, b AS next_token, CAST(cnt AS BIGINT) AS cnt,
+              ROUND(p, 6) AS cond_p
+       FROM r WHERE rn = 1""",
+)
+def q_bigram_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM estimation: most likely continuation + conditional
+    probability per token (operators/text.bigram_next — in-row pair
+    arrays, no positional self-join; vocabulary-sized aggregation
+    state)."""
+    return TX.bigram_next(load_table(spark, sf_dir, "documents"))
+
+
+@q(
     "q_media_dhash",
     """WITH pad AS (SELECT doc_id, rpad(coalesce(text, ''), 288, ' ') AS t
                   FROM documents),
