@@ -42,3 +42,22 @@ def test_triangle_counts_no_triangles(spark):
 
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["doc_a", "doc_b"])
     assert triangle_counts(df).count() == 0
+
+
+def test_label_propagation_separates_cliques(spark):
+    from trading_etl_python_spark.operators.graph import label_propagation
+
+    # two triangles bridged by a single edge: LPA should give each
+    # triangle one community; min-label tie-break makes it deterministic
+    tri1 = [(1, 2), (1, 3), (2, 3)]
+    tri2 = [(7, 8), (7, 9), (8, 9)]
+    df = spark.createDataFrame(tri1 + tri2 + [(3, 7)], ["doc_a", "doc_b"])
+    out = {r["node"]: r["community"] for r in label_propagation(df, iters=6).collect()}
+    assert out[1] == out[2] == out[3]
+    assert out[7] == out[8] == out[9]
+    assert out[1] != out[7]
+
+    # partitioning-independent
+    out2 = {r["node"]: r["community"]
+            for r in label_propagation(df.repartition(5), iters=6).collect()}
+    assert out == out2

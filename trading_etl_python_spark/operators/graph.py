@@ -110,3 +110,43 @@ def triangle_counts(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> Dat
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def label_propagation(
+    pairs: DataFrame, iters: int = 5, a: str = "doc_a", b: str = "doc_b"
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. LPA) over an
+    undirected graph given as canonical pairs: every node starts as its
+    own community, then repeatedly adopts the most frequent label among
+    its neighbors (tie-break: smallest label — the choice that makes
+    sync LPA deterministic and therefore oracle-checkable; stock LPA
+    randomizes here).  Fixed iteration count, same rationale as
+    ``pagerank``.
+
+    Scale: per iteration one join (edges x labels on the neighbor key)
+    + one (node, label) count + one per-node argmax window riding the
+    same hash(node) distribution; state is one label per node.  The
+    edge list is symmetrized once and checkpointed."""
+    from pyspark.sql import Window
+
+    edges = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .unionAll(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("_c").desc(), F.col("label").asc())
+    for _ in range(iters):
+        labels = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .select(F.col("u").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -1101,6 +1101,46 @@ def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.gram_matrix(emb)
 
 
+def _lpa_sql(iters: int = 5) -> str:
+    """Unrolled-iteration twin of operators/graph.label_propagation over
+    the exact near-dup pair graph (MATERIALIZED per the q_pagerank
+    lesson: stop exponential CTE re-inlining)."""
+    base = f"""{_SHINGLE_CTES},
+       cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+       pairs AS (SELECT doc_a, doc_b FROM p
+                 JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+                 WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5),
+       edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
+                              UNION ALL SELECT doc_b, doc_a FROM pairs),
+       l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM edges)"""
+    for i in range(1, iters + 1):
+        base += f""",
+       l{i} AS MATERIALIZED (
+         SELECT node, label FROM (
+           SELECT e.u AS node, pl.label,
+                  ROW_NUMBER() OVER (PARTITION BY e.u
+                                     ORDER BY COUNT(*) DESC, pl.label) AS rn
+           FROM edges e JOIN l{i - 1} pl ON e.v = pl.node
+           GROUP BY e.u, pl.label) t
+         WHERE rn = 1)"""
+    return f"WITH {base}\nSELECT node, label AS community FROM l{iters}"
+
+
+@q("q_communities", _lpa_sql())
+def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the exact near-dup graph via deterministic
+    synchronous label propagation (min-label tie-break, fixed 5
+    iterations — operators/graph.label_propagation)."""
+    from ..operators.graph import label_propagation
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).select("doc_a", "doc_b")
+    return label_propagation(pairs)
+
+
 @q(
     "q_bigram_next",
     f"""WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
