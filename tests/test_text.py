@@ -248,3 +248,23 @@ def test_bigram_next_conditional_probs(spark):
     assert out["b"]["next_token"] == "a"
     assert "x" not in out                  # single-token doc yields no pairs
     assert "c" not in out                  # 'c' never has a successor
+
+
+def test_tier_cutpoints_agree_with_ntile(spark, sf_dir):
+    """The sortless cutpoint path must agree with exact NTILE tiers on
+    all but boundary-tied docs (>90% of the corpus)."""
+    from trading_etl_python_spark.operators.curation import tier_by_cutpoints
+    from trading_etl_python_spark.suite import QUERIES
+
+    exact = QUERIES["q_ppl_tiers"](spark, sf_dir).select("doc_id", "tier")
+    scored = QUERIES["q_ppl_tiers"](spark, sf_dir).select("doc_id", "avg_neg_logprob")
+    fast = tier_by_cutpoints(scored, "avg_neg_logprob").select(
+        "doc_id", F.col("tier").alias("tier_fast")
+    )
+    j = exact.join(fast, "doc_id")
+    n = j.count()
+    agree = j.filter(F.col("tier") == F.col("tier_fast")).count()
+    assert agree / n > 0.9, (agree, n)
+    # plan shape: no global sort in the cutpoint path
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" not in plan and plan.count("Sort") == 0

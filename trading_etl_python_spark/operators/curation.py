@@ -152,3 +152,33 @@ def pack_sequences(
         F.min(id_col).alias("first_id"),
         F.max(id_col).alias("last_id"),
     )
+
+
+def tier_by_cutpoints(
+    df,
+    score_col: str,
+    n_tiers: int = 3,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    approx: bool = True,
+):
+    """The 100 TB path for corpus tiering (q_ppl_tiers documents the
+    exact-NTILE twin): ONE pass computes the (n_tiers - 1) percentile
+    cutpoints — ``percentile_approx`` (mergeable sketch, default) or
+    exact ``percentile`` — and bucketing is then a map-side comparison
+    against the broadcast 1-row cutpoint array.  No global sort, no
+    total order, unlike NTILE; at tier boundaries ties can land either
+    side, which is the documented trade for sortlessness."""
+    assert len(labels) == n_tiers
+    probs = [i / n_tiers for i in range(1, n_tiers)]
+    pct = (
+        F.percentile_approx(score_col, probs, 10000)
+        if approx
+        else F.percentile(F.col(score_col), probs)
+    )
+    cuts = df.agg(pct.alias("_cuts"))
+    tier = F.lit(labels[-1])
+    for i in range(n_tiers - 2, -1, -1):
+        tier = F.when(
+            F.col(score_col) <= F.element_at(F.col("_cuts"), i + 1), F.lit(labels[i])
+        ).otherwise(tier)
+    return df.crossJoin(F.broadcast(cuts)).withColumn("tier", tier).drop("_cuts")
