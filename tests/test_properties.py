@@ -361,3 +361,46 @@ def test_chunked_kernels_match_sequential(xs, data):
     for k, chunks in got.items():
         joined = np.concatenate([np.atleast_1d(a) for a in chunks]) if chunks else np.array([])
         assert np.allclose(joined, exp[k], atol=0.0, equal_nan=True), k
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=0, max_size=500),
+    st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=300, deadline=None)
+def test_misra_gries_superset_property(stream, cap):
+    """MG guarantee: every item with frequency > n/(cap+1) survives a
+    capacity-`cap` summary (the basis for heavy_hitters' exactness)."""
+    from collections import Counter
+
+    from trading_etl_python_spark.operators.sketches import _mg_update
+
+    counters: dict = {}
+    toks = [str(x) for x in stream]
+    _mg_update(counters, toks, cap)
+    exact = Counter(toks)
+    n = len(toks)
+    for item, c in exact.items():
+        if c > n / (cap + 1):
+            assert item in counters, (item, c, n, cap)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=40).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=10, deadline=None)
+def test_span_dedup_keeps_exactly_distinct_spans(spark, texts, k):
+    """Corpus-wide first-occurrence-wins keeps exactly one copy of every
+    distinct span: sum(n_spans - n_dup_spans) == |distinct span texts|."""
+    from trading_etl_python_spark.operators import dedup as D
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    stats = D.span_dedup_stats(df, k=k).collect()
+    kept = sum(r["n_spans"] - r["n_dup_spans"] for r in stats)
+    distinct = D.doc_spans(df, k=k).select("span").distinct().count()
+    assert kept == distinct

@@ -271,3 +271,23 @@ def test_hard_negatives_exclude_same_label(spark, sf_dir):
 
     per_probe = Counter(r["probe_id"] for r in rows)
     assert all(v == 5 for v in per_probe.values()) and len(per_probe) == 10
+
+
+def test_quantization_per_dim_error_bound(spark):
+    """int8 reconstruction error is bounded by half a quantization step
+    per dimension: |x - dq| <= (mx - mn)/255/2 (+ float slack)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.uniform(-1, 1, 16).astype(float).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    mins, maxs = S.collect_quant_params(df)
+    dq = df.select(
+        "vec_id",
+        S.dequantize_vec(S.quantize_vec("embedding", mins, maxs), mins, maxs).alias("dq"),
+        "embedding",
+    ).collect()
+    steps = [(mx - mn) / 255 for mn, mx in zip(mins, maxs)]
+    for r in dq:
+        for x, y, s in zip(r["embedding"], r["dq"], steps):
+            assert abs(x - y) <= s / 2 + 1e-12
