@@ -179,3 +179,20 @@ def test_media_dhash_collides_on_duplicates(spark):
 
     assert ham(out[0], out[2]) <= 4              # near-dup stays close
     assert ham(out[0], out[3]) > 8               # different content far
+
+
+def test_media_dhash_pairs_find_duplicates(spark):
+    from trading_etl_python_spark.operators import multimodal as M
+
+    base = "alpha beta gamma delta epsilon zeta " * 10
+    near = base[:50] + "Q" + base[51:]
+    far = "zz qq ww ee rr tt yy uu ii oo pp " * 12
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    sig = M.media_dhash(M.documents_as_pgm(docs))
+    pairs = {(r["media_a"], r["media_b"]): r["hamming"]
+             for r in M.media_dhash_pairs(sig).collect()}
+    assert pairs[(0, 1)] == 0                    # exact dup: hamming 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 3  # near-dup caught
+    assert (0, 3) not in pairs                   # unrelated image absent

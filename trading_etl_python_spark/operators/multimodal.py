@@ -447,3 +447,56 @@ def media_dhash(df: DataFrame, grid: tuple[int, int] = (9, 8)) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(
         hash_batches, "media_id long, dh_lo long, dh_hi long"
     )
+
+
+def media_dhash_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Image near-dup pairs from dHash signatures: band the 64-bit hash
+    into 4 x 16-bit sub-keys (pigeonhole: hamming <= 3 => >= 1 identical
+    band), join per band, verify exact hamming via bit_count(xor) —
+    the simhash_pairs construction applied to perceptual image hashes.
+    Input is ``media_dhash`` output; the signature table (3 longs/row)
+    is localCheckpoint'd so the Arrow decode pass runs once, not per
+    self-join side."""
+    sig = df.select(
+        "media_id",
+        F.col("dh_lo").bitwiseAND(F.lit(0xFFFF)).alias("k0"),
+        F.shiftright("dh_lo", 16).bitwiseAND(F.lit(0xFFFF)).alias("k1"),
+        F.col("dh_hi").bitwiseAND(F.lit(0xFFFF)).alias("k2"),
+        F.shiftright("dh_hi", 16).bitwiseAND(F.lit(0xFFFF)).alias("k3"),
+    ).localCheckpoint(eager=False)
+    banded = sig.select(
+        "media_id",
+        *[f"k{i}" for i in range(4)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), F.col(f"k{i}").alias("key"))
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", *[f"k{i}" for i in range(4)], "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            *[F.col(f"a.k{i}").alias(f"ka{i}") for i in range(4)],
+            *[F.col(f"b.k{i}").alias(f"kb{i}") for i in range(4)],
+        )
+        .distinct()
+    )
+    ham = sum(
+        F.bit_count(F.col(f"ka{i}").bitwiseXOR(F.col(f"kb{i}"))) for i in range(4)
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("media_a", "media_b", "hamming")
+    )

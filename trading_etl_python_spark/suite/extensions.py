@@ -1165,9 +1165,9 @@ def q_bigram_next(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bigram_next(load_table(spark, sf_dir, "documents"))
 
 
-@q(
-    "q_media_dhash",
-    """WITH pad AS (SELECT doc_id, rpad(coalesce(text, ''), 288, ' ') AS t
+#: SQL twin of media_dhash over documents_as_pgm payloads (shared by the
+#: signature and pair queries): the character grid IS the pixel grid.
+_DHASH_CTES = """pad AS (SELECT doc_id, rpad(coalesce(text, ''), 288, ' ') AS t
                   FROM documents),
        px AS (SELECT doc_id, i, j,
                      ascii(substring(t, (2*i + 1)*18 + (2*j + 1) + 1, 1)) AS p
@@ -1176,13 +1176,18 @@ def q_bigram_next(spark: SparkSession, sf_dir: str) -> DataFrame:
                        CASE WHEN a.p > b.p THEN 1 ELSE 0 END AS b
                 FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.i = b.i
                                    AND b.j = a.j + 1
-                WHERE a.j < 8)
-       SELECT doc_id AS media_id,
+                WHERE a.j < 8),
+       hs AS (SELECT doc_id AS media_id,
               CAST(SUM(CASE WHEN k < 32
                             THEN b * (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS dh_lo,
               CAST(SUM(CASE WHEN k >= 32
                             THEN b * (1::BIGINT << (k - 32)) ELSE 0 END) AS BIGINT) AS dh_hi
-       FROM bits GROUP BY doc_id""",
+       FROM bits GROUP BY doc_id)"""
+
+
+@q(
+    "q_media_dhash",
+    f"WITH {_DHASH_CTES}\nSELECT media_id, dh_lo, dh_hi FROM hs",
 )
 def q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual dHash signatures through the REAL media pipeline:
@@ -1193,6 +1198,40 @@ def q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars), pinning the whole codec path byte-for-byte."""
     docs = load_table(spark, sf_dir, "documents")
     return M.media_dhash(M.documents_as_pgm(docs))
+
+
+@q(
+    "q_media_dhash_pairs",
+    f"""WITH {_DHASH_CTES},
+       bd AS (SELECT media_id,
+                     dh_lo & 65535 AS k0, (dh_lo >> 16) & 65535 AS k1,
+                     dh_hi & 65535 AS k2, (dh_hi >> 16) & 65535 AS k3
+              FROM hs),
+       bands AS (SELECT media_id, k0, k1, k2, k3, 0 AS band, k0 AS key FROM bd
+                 UNION ALL SELECT media_id, k0, k1, k2, k3, 1, k1 FROM bd
+                 UNION ALL SELECT media_id, k0, k1, k2, k3, 2, k2 FROM bd
+                 UNION ALL SELECT media_id, k0, k1, k2, k3, 3, k3 FROM bd),
+       cand AS (SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+                       a.k0 AS ka0, a.k1 AS ka1, a.k2 AS ka2, a.k3 AS ka3,
+                       b.k0 AS kb0, b.k1 AS kb1, b.k2 AS kb2, b.k3 AS kb3
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.key = b.key
+                 AND a.media_id < b.media_id)
+       SELECT media_a, media_b,
+              CAST(bit_count(xor(ka0, kb0)) + bit_count(xor(ka1, kb1))
+                   + bit_count(xor(ka2, kb2)) + bit_count(xor(ka3, kb3))
+                   AS INT) AS hamming
+       FROM cand
+       WHERE bit_count(xor(ka0, kb0)) + bit_count(xor(ka1, kb1))
+             + bit_count(xor(ka2, kb2)) + bit_count(xor(ka3, kb3)) <= 3""",
+)
+def q_media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs by perceptual hash: 4 x 16-bit banded join
+    over dHash signatures + exact Hamming verify (operators/multimodal.
+    media_dhash_pairs — the simhash construction on the real-codec
+    image path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.media_dhash_pairs(M.media_dhash(M.documents_as_pgm(docs)))
 
 
 @q(
