@@ -517,3 +517,35 @@ def test_stream_session_windows_match_batch(spark, sf_dir):
     closed = {k for k, v in batch.items() if v[0] <= final_wm}
     missing = closed - set(emitted)
     assert not missing, f"{len(missing)} finalized sessions not emitted"
+
+
+def test_stream_static_enrichment_join(spark, sf_dir):
+    """Stream-static join: the micro-batched event stream enriches
+    against a STATIC dimension snapshot (per-user event-type counts) —
+    the canonical streaming enrichment pattern; static side is re-read
+    per micro-batch, no state, no watermark needed."""
+    import tempfile as tf
+
+    from trading_etl_python_spark.streaming.pipeline import events_file_stream
+
+    ev = load_events(spark, sf_dir)
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_n_events"))
+
+    with tf.TemporaryDirectory(prefix="ckpt_ss_") as ckpt:
+        stream = events_file_stream(spark, sf_dir).select("event_id", "user_id", "value")
+        q = (
+            stream.join(dim, "user_id")  # stream-static inner join
+            .writeStream.format("memory")
+            .queryName("ss_out")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.sql("SELECT * FROM ss_out")
+        assert got.count() == ev.count()  # every event enriched
+        bad = got.join(dim.withColumnRenamed("user_n_events", "want"), "user_id").filter(
+            F.col("user_n_events") != F.col("want")
+        )
+        assert bad.count() == 0
