@@ -68,3 +68,26 @@ def test_dq_report_counts_violations(spark):
     assert out["range:value"].violations == 1  # NULL value is not a range violation
     assert out["unique:user_id,ts"].violations == 1
     assert all(r.n_rows == 4 for r in out.values())
+
+
+def test_psi_drift_zero_for_identical_and_large_for_shifted(spark):
+    from pyspark.sql import functions as F
+
+    from trading_etl_python_spark.operators.transforms import psi_drift
+
+    import random
+
+    random.seed(5)
+    rows = [(i, "t", random.uniform(0, 100)) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+
+    same = psi_drift(df, df, "value", "event_type").collect()[0]["psi"]
+    assert abs(same) < 1e-9                      # identical populations: PSI ~ 0
+
+    shifted = df.withColumn("value", F.col("value") + 60.0)
+    drift = psi_drift(df, shifted, "value", "event_type").collect()[0]["psi"]
+    assert drift > 0.25                          # standard "drifted" threshold
+
+    # ungrouped variant works too
+    glob = psi_drift(df, shifted, "value").collect()[0]["psi"]
+    assert glob > 0.25

@@ -157,3 +157,68 @@ def dq_report(
         F.col("n_rows"),
     )
     return long.select("kv.constraint", "kv.violations", "n_rows")
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    n_buckets: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference and a comparison
+    population (the standard feature-drift monitor: PSI < 0.1 stable,
+    0.1-0.25 moderate shift, > 0.25 drifted).  Buckets are equal-width
+    over the REFERENCE min/max (plus underflow/overflow edge buckets for
+    comparison values outside the reference range), proportions are
+    eps-smoothed so empty buckets stay finite, per ``group_col`` when
+    given.
+
+    Scale: two narrow scans (one per population) feeding bucket-count
+    aggregations — partial map-side combine to |groups| x n_buckets
+    rows; the reference (min, max) ride in as a broadcast 1-row (or
+    per-group) table.  Nothing driver-side, no sort."""
+    gcols = [group_col] if group_col else []
+    rng = df_a.groupBy(*gcols).agg(
+        F.min(F.col(value_col).cast("double")).alias("_mn"),
+        F.max(F.col(value_col).cast("double")).alias("_mx"),
+    )
+
+    def bucketed(df: DataFrame, side: str) -> DataFrame:
+        j = df.join(F.broadcast(rng), gcols) if gcols else df.crossJoin(F.broadcast(rng))
+        v = F.col(value_col).cast("double")
+        b = F.when(F.col("_mx") <= F.col("_mn"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (v - F.col("_mn"))
+                        / (F.col("_mx") - F.col("_mn"))
+                        * n_buckets
+                    ).cast("int"),
+                ),
+            )
+        )
+        return j.groupBy(*gcols, b.alias("bucket")).agg(
+            F.count(F.lit(1)).alias(f"n_{side}")
+        )
+
+    a = bucketed(df_a, "a")
+    b = bucketed(df_b, "b")
+    keys = [*gcols, "bucket"]
+    tot_a = a.groupBy(*gcols).agg(F.sum("n_a").alias("_ta"))
+    tot_b = b.groupBy(*gcols).agg(F.sum("n_b").alias("_tb"))
+
+    def attach(d: DataFrame, t: DataFrame) -> DataFrame:
+        return d.join(F.broadcast(t), gcols) if gcols else d.crossJoin(F.broadcast(t))
+
+    joined = attach(
+        attach(a.join(b, keys, "full").fillna(0, ["n_a", "n_b"]), tot_a), tot_b
+    )
+    pa = F.col("n_a") / F.col("_ta") + eps
+    pb = F.col("n_b") / F.col("_tb") + eps
+    term = (pa - pb) * F.log(pa / pb)
+    agg = joined.groupBy(*gcols).agg(F.round(F.sum(term), 6).alias("psi"))
+    return agg

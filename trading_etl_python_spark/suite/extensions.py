@@ -1142,6 +1142,56 @@ def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_psi_drift",
+    """WITH a AS (SELECT event_type, CAST(value AS DOUBLE) AS v
+                FROM events WHERE event_id % 2 = 0),
+       b AS (SELECT event_type, CAST(value AS DOUBLE) AS v
+             FROM events WHERE event_id % 2 = 1),
+       rng AS (SELECT event_type, MIN(v) AS mn, MAX(v) AS mx
+               FROM a GROUP BY event_type),
+       ab AS (SELECT a.event_type,
+                     CASE WHEN mx <= mn THEN 0
+                          ELSE LEAST(9, GREATEST(0,
+                               CAST(FLOOR((v - mn) / (mx - mn) * 10) AS INT)))
+                     END AS bucket, COUNT(*) AS n_a
+              FROM a JOIN rng USING (event_type) GROUP BY 1, 2),
+       bb AS (SELECT b.event_type,
+                     CASE WHEN mx <= mn THEN 0
+                          ELSE LEAST(9, GREATEST(0,
+                               CAST(FLOOR((v - mn) / (mx - mn) * 10) AS INT)))
+                     END AS bucket, COUNT(*) AS n_b
+              FROM b JOIN rng USING (event_type) GROUP BY 1, 2),
+       ta AS (SELECT event_type, CAST(SUM(n_a) AS DOUBLE) AS t FROM ab GROUP BY 1),
+       tb AS (SELECT event_type, CAST(SUM(n_b) AS DOUBLE) AS t FROM bb GROUP BY 1),
+       j AS (SELECT COALESCE(ab.event_type, bb.event_type) AS event_type,
+                    COALESCE(ab.bucket, bb.bucket) AS bucket,
+                    COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+             FROM ab FULL JOIN bb
+               ON ab.event_type = bb.event_type AND ab.bucket = bb.bucket)
+       SELECT j.event_type,
+              ROUND(SUM((n_a / ta.t + 1e-06 - (n_b / tb.t + 1e-06))
+                        * ln((n_a / ta.t + 1e-06) / (n_b / tb.t + 1e-06))), 6) AS psi
+       FROM j JOIN ta ON j.event_type = ta.event_type
+       JOIN tb ON j.event_type = tb.event_type
+       GROUP BY j.event_type""",
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of `value` per event_type between the
+    even- and odd-id event populations — the feature-drift monitor
+    (operators/transforms.psi_drift: two narrow scans, combiner-reduced
+    bucket counts, broadcast range/total tables)."""
+    from ..operators.transforms import psi_drift
+
+    ev = load_events(spark, sf_dir)
+    return psi_drift(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "value",
+        "event_type",
+    )
+
+
+@q(
     "q_bigram_next",
     f"""WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
        pr AS (SELECT toks[i] AS a, toks[i+1] AS b
