@@ -114,3 +114,20 @@ def test_read_media_files_binary_source(spark, tmp_path):
     # plugs into the decode pipeline (fake codec — no media libs here)
     feats = decode_media(media.select("media_id", "payload", "meta")).collect()
     assert len(feats) == 5 and all(len(f.feat) == 8 for f in feats)
+
+
+def test_avro_contract_fails_only_on_provider_lookup(spark, tmp_path):
+    """Avro is an external built-in: in this jar-less container the
+    write must fail at DATA SOURCE LOOKUP (with Spark's deploy guidance),
+    never at schema analysis — so shipping the spark-avro jar is the
+    only delta for a real deployment."""
+    import pytest
+
+    from trading_etl_python_spark.sources.formats import write_avro
+
+    df = spark.range(3).selectExpr("id", "cast(id as string) AS s")
+    with pytest.raises(Exception) as ei:
+        write_avro(df, str(tmp_path / "a"))
+    msg = str(ei.value)
+    assert "Failed to find data source: avro" in msg or "avro" in msg.lower()
+    assert "AnalysisException" not in type(ei.value).__name__ or "find data source" in msg

@@ -168,3 +168,17 @@ def read_media_files(
         F.col("path").alias("source_path"),
         F.col("length").alias("n_bytes"),
     )
+
+
+def write_avro(df: DataFrame, path: str) -> None:
+    """Avro out — the row-oriented wire/archive format.  Spark treats
+    avro as an EXTERNAL built-in (`spark-avro` jar, shipped with every
+    distro but not the bare PyPI pyspark): in jar-less environments the
+    write fails at provider lookup with Spark's deploy-instruction
+    error, never at analysis — contract pinned by
+    tests/test_formats.py, same posture as the kafka sink."""
+    df.write.format("avro").mode("overwrite").save(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.format("avro").load(path)
