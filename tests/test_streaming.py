@@ -549,3 +549,44 @@ def test_stream_static_enrichment_join(spark, sf_dir):
             F.col("user_n_events") != F.col("want")
         )
         assert bad.count() == 0
+
+
+def test_stream_heavy_hitters_verify_matches_batch(spark, sf_dir):
+    """Streaming MG candidates (availableNow replay, stateful sketch)
+    re-verified exactly must equal the batch heavy_hitters output."""
+    from trading_etl_python_spark.operators.dedup import tokens_col
+    from trading_etl_python_spark.operators.sketches import heavy_hitters
+    from trading_etl_python_spark.sources.tables import load_table
+    from trading_etl_python_spark.streaming.pipeline import (
+        documents_file_stream,
+        stream_heavy_hitter_candidates,
+    )
+
+    with tempfile.TemporaryDirectory(prefix="ckpt_hh_") as ckpt:
+        q = (
+            stream_heavy_hitter_candidates(documents_file_stream(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName("hh_out")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        cands = spark.sql("SELECT DISTINCT token FROM hh_out")
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = 30
+    total = docs.select(F.sum(F.size(tokens_col("text"))).alias("_n"))
+    toks = docs.select(F.explode(tokens_col("text")).alias("token"))
+    verified = {
+        (r["token"], r["cnt"])
+        for r in toks.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * k > F.col("_n"))
+        .collect()
+    }
+    batch = {(r["token"], r["cnt"]) for r in heavy_hitters(docs, k=k).collect()}
+    assert verified == batch and batch

@@ -461,3 +461,64 @@ def stream_session_windows(
             "sum_value",
         )
     )
+
+
+def documents_file_stream(spark: SparkSession, sf_dir: str, max_files: int = 1) -> DataFrame:
+    """Replay the documents parquet as a micro-batched file stream."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def stream_heavy_hitter_candidates(
+    docs: DataFrame, capacity: int = 64, n_groups: int = 8
+) -> DataFrame:
+    """Streaming Misra-Gries: a CUSTOM SKETCH as Structured Streaming
+    state.  Documents shard onto ``n_groups`` state keys; each key keeps
+    one capacity-bounded MG summary (state = parallel token/count
+    arrays, O(capacity) per key regardless of stream length) and emits
+    its surviving tokens every micro-batch.
+
+    Exactness contract mirrors the batch operator: the UNION of emitted
+    candidates is a superset of tokens with global frequency >
+    n/capacity (per-shard MG guarantee + the averaging argument over
+    shards), so a batch-side exact re-verify of the union returns
+    exactly the true heavy hitters — parity-tested against
+    operators/sketches.heavy_hitters."""
+    import re
+
+    from ..operators.dedup import TOKEN_RE
+    from ..operators.sketches import _mg_update
+
+    pat = re.compile(TOKEN_RE)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            toks, cnts = state.get
+            counters = dict(zip(toks, cnts))
+        else:
+            counters = {}
+        for pdf in pdfs:
+            for text in pdf["text"]:
+                if text:
+                    _mg_update(
+                        counters, [t for t in pat.split(text.lower()) if t], capacity
+                    )
+        state.update((list(counters.keys()), [int(v) for v in counters.values()]))
+        yield pd.DataFrame({"grp": [key[0]] * len(counters), "token": list(counters)})
+
+    return (
+        docs.withColumn("grp", F.pmod("doc_id", n_groups).cast("int"))
+        .groupBy("grp")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="grp int, token string",
+            stateStructType="tokens array<string>, counts array<long>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
