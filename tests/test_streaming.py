@@ -590,3 +590,40 @@ def test_stream_heavy_hitters_verify_matches_batch(spark, sf_dir):
     }
     batch = {(r["token"], r["cnt"]) for r in heavy_hitters(docs, k=k).collect()}
     assert verified == batch and batch
+
+
+def test_stream_ingest_dedup_against_index(spark, sf_dir, tmp_path):
+    """Crawl-ingest e2e: corpus index on disk, stream of 'new' docs in,
+    survivors out — streamed survivors must equal the batch incremental
+    dedup's keep set."""
+    from trading_etl_python_spark.operators.dedup import (
+        banded_signatures,
+        minhash_incremental_pairs,
+        write_minhash_index,
+    )
+    from trading_etl_python_spark.sources.tables import load_table
+    from trading_etl_python_spark.streaming.pipeline import (
+        documents_file_stream,
+        stream_ingest_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    idx = str(tmp_path / "mh_index")
+    write_minhash_index(corpus, idx)
+
+    out = str(tmp_path / "survivors")
+    q = stream_ingest_dedup(
+        documents_file_stream(spark, sf_dir), idx, out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    got = {r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()}
+
+    dups = minhash_incremental_pairs(docs, banded_signatures(corpus), threshold=0.5)
+    want = {
+        r["doc_id"]
+        for r in docs.join(dups.select("doc_id").distinct(), "doc_id", "left_anti")
+        .select("doc_id")
+        .collect()
+    }
+    assert got == want and got

@@ -522,3 +522,39 @@ def stream_heavy_hitter_candidates(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_ingest_dedup(
+    docs: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+):
+    """Streaming crawl-ingest dedup: each micro-batch of new documents
+    probes the PERSISTED MinHash band index (write_minhash_index) via
+    ``foreachBatch`` and only never-seen documents land in the survivor
+    sink.  foreachBatch is the right tool because the probe is a batch
+    join against an index snapshot — checkpoint + append parquet keep
+    the sink effectively-once across restarts.
+
+    Scale: per batch, cost is O(batch x bands + collisions) — the
+    historical corpus is touched only through band-partition/row-group
+    pruned index reads, never reshingled (operators/dedup docstring)."""
+    from ..operators.dedup import minhash_incremental_pairs
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        idx = spark.read.parquet(index_path)
+        dups = minhash_incremental_pairs(batch_df, idx, threshold=threshold)
+        keep = batch_df.join(
+            dups.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+        keep.write.mode("append").parquet(out_path)
+
+    return (
+        docs.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
