@@ -196,3 +196,16 @@ def test_media_dhash_pairs_find_duplicates(spark):
     assert pairs[(0, 1)] == 0                    # exact dup: hamming 0
     assert (0, 2) in pairs and pairs[(0, 2)] <= 3  # near-dup caught
     assert (0, 3) not in pairs                   # unrelated image absent
+
+
+def test_documents_as_wav_parses_with_stdlib(spark):
+    from trading_etl_python_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame([(0, "hello world " * 30)], ["doc_id", "text"])
+    payload = bytes(M.documents_as_wav(docs).collect()[0]["payload"])
+    meta = M.parse_wav(payload)
+    assert meta["sample_rate"] == 8000 and meta["n_channels"] == 1
+    assert meta["n_frames"] == 256 and meta["sample_width"] == 1
+    assert len(meta["samples"]) == 256
+    # ascii text -> strictly negative samples after unsigned offset
+    assert (meta["samples"] < 0).all()

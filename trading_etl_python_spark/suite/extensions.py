@@ -1142,6 +1142,40 @@ def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_media_wav",
+    """WITH pad AS (SELECT doc_id, rpad(coalesce(text, ''), 256, ' ') AS t
+                  FROM documents),
+       s AS (SELECT doc_id, i,
+                    (ascii(substring(t, CAST(i + 1 AS INT), 1)) - 128.0) / 128.0 AS v,
+                    i // 64 AS w
+             FROM pad, UNNEST(range(0, 256)) AS r(i)),
+       rms AS (SELECT doc_id, w, ROUND(sqrt(AVG(v * v)), 6) AS val
+               FROM s GROUP BY 1, 2),
+       zcr AS (SELECT a.doc_id, a.w,
+                      ROUND(AVG(ABS((CASE WHEN a.v < 0 THEN 1 ELSE 0 END)
+                                    - (CASE WHEN b.v < 0 THEN 1 ELSE 0 END))), 6) AS val
+               FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                                AND a.w = b.w
+               GROUP BY 1, 2)
+       SELECT media_id, CAST(feat_idx AS INT) AS feat_idx, val FROM (
+         SELECT doc_id AS media_id, w AS feat_idx, val FROM rms
+         UNION ALL SELECT doc_id, w + 4, val FROM zcr) u""",
+)
+def q_media_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM audio features through the REAL wav codec: documents wrapped
+    as valid RIFF/WAVE 8-bit mono payloads -> stdlib wave parse ->
+    per-window RMS + zero-crossing rate (operators/multimodal.
+    wav_feature_table).  The oracle recomputes both from the character
+    stream ((ascii-128)/128 IS the sample), pinning header parse,
+    unsigned offset, scaling, and window split byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = M.wav_feature_table(M.documents_as_wav(docs))
+    return feats.select(
+        "media_id", F.posexplode("feat").alias("feat_idx", "val")
+    ).withColumn("val", F.round("val", 6))
+
+
+@q(
     "q_psi_drift",
     """WITH a AS (SELECT event_type, CAST(value AS DOUBLE) AS v
                 FROM events WHERE event_id % 2 = 0),
