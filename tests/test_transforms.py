@@ -91,3 +91,16 @@ def test_psi_drift_zero_for_identical_and_large_for_shifted(spark):
     # ungrouped variant works too
     glob = psi_drift(df, shifted, "value").collect()[0]["psi"]
     assert glob > 0.25
+
+
+def test_table_stats_values(spark):
+    from trading_etl_python_spark.operators.transforms import table_stats
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (2, None), (3, 30.0)], ["k", "v"]
+    )
+    out = {r["column"]: r for r in table_stats(df, ["k", "v"]).collect()}
+    assert out["k"]["n_rows"] == 4 and out["k"]["n_nulls"] == 0
+    assert out["k"]["ndv"] == 3 and out["k"]["min_v"] == 1.0 and out["k"]["max_v"] == 3.0
+    assert out["v"]["n_nulls"] == 1 and out["v"]["ndv"] == 3
+    assert out["v"]["ndv_sketch_ok"] and out["k"]["ndv_sketch_ok"]

@@ -222,3 +222,43 @@ def psi_drift(
     term = (pa - pb) * F.log(pa / pb)
     agg = joined.groupBy(*gcols).agg(F.round(F.sum(term), 6).alias("psi"))
     return agg
+
+
+def table_stats(df: DataFrame, cols: list[str], ndv_tol: float = 0.05) -> DataFrame:
+    """ANALYZE-style catalog statistics in ONE pass: per column, row
+    count, null count, distinct count (exact + HLL sketch agreement
+    flag), and numeric min/max — the inputs a cost-based optimizer (or
+    a human sizing a join) needs.  At 100 TB the sketch
+    (``approx_count_distinct``, mergeable, constant memory) IS the
+    deployed path; the exact NDV is computed here too so the whole row
+    is value-checkable (same contract as q_approx_stats).
+
+    Everything partial-aggregates map-side; output is long-form
+    (one row per column) via an unpivot of the single aggregate row."""
+    agg = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.count(c).alias(f"nn_{c}") for c in cols],
+        *[F.countDistinct(c).alias(f"ndv_{c}") for c in cols],
+        *[F.approx_count_distinct(c, rsd=0.01).alias(f"andv_{c}") for c in cols],
+        *[F.round(F.min(F.col(c).cast("double")), 4).alias(f"mn_{c}") for c in cols],
+        *[F.round(F.max(F.col(c).cast("double")), 4).alias(f"mx_{c}") for c in cols],
+    )
+    stack = ", ".join(
+        f"'{c}', nn_{c}, ndv_{c}, andv_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    long = agg.selectExpr(
+        "_n",
+        f"stack({len(cols)}, {stack}) AS (column, n_notnull, ndv, andv, min_v, max_v)",
+    )
+    return long.select(
+        F.col("column"),
+        F.col("_n").alias("n_rows"),
+        (F.col("_n") - F.col("n_notnull")).alias("n_nulls"),
+        F.col("ndv"),
+        (
+            F.abs(F.col("andv").cast("double") - F.col("ndv").cast("double"))
+            <= ndv_tol * F.col("ndv").cast("double")
+        ).alias("ndv_sketch_ok"),
+        "min_v",
+        "max_v",
+    )

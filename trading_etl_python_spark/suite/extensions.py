@@ -1142,6 +1142,52 @@ def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_table_stats",
+    """WITH s AS (
+         SELECT COUNT(*) AS n,
+                COUNT(l_orderkey) AS nn_ok, COUNT(DISTINCT l_orderkey) AS ndv_ok,
+                ROUND(CAST(MIN(l_orderkey) AS DOUBLE), 4) AS mn_ok,
+                ROUND(CAST(MAX(l_orderkey) AS DOUBLE), 4) AS mx_ok,
+                COUNT(l_partkey) AS nn_pk, COUNT(DISTINCT l_partkey) AS ndv_pk,
+                ROUND(CAST(MIN(l_partkey) AS DOUBLE), 4) AS mn_pk,
+                ROUND(CAST(MAX(l_partkey) AS DOUBLE), 4) AS mx_pk,
+                COUNT(l_quantity) AS nn_q, COUNT(DISTINCT l_quantity) AS ndv_q,
+                ROUND(CAST(MIN(l_quantity) AS DOUBLE), 4) AS mn_q,
+                ROUND(CAST(MAX(l_quantity) AS DOUBLE), 4) AS mx_q,
+                COUNT(l_extendedprice) AS nn_ep,
+                COUNT(DISTINCT l_extendedprice) AS ndv_ep,
+                ROUND(CAST(MIN(l_extendedprice) AS DOUBLE), 4) AS mn_ep,
+                ROUND(CAST(MAX(l_extendedprice) AS DOUBLE), 4) AS mx_ep
+         FROM lineitem)
+       SELECT * FROM (
+         SELECT 'l_orderkey' AS column, CAST(n AS BIGINT) AS n_rows,
+                CAST(n - nn_ok AS BIGINT) AS n_nulls, CAST(ndv_ok AS BIGINT) AS ndv,
+                TRUE AS ndv_sketch_ok, mn_ok AS min_v, mx_ok AS max_v FROM s
+         UNION ALL
+         SELECT 'l_partkey', CAST(n AS BIGINT), CAST(n - nn_pk AS BIGINT),
+                CAST(ndv_pk AS BIGINT), TRUE, mn_pk, mx_pk FROM s
+         UNION ALL
+         SELECT 'l_quantity', CAST(n AS BIGINT), CAST(n - nn_q AS BIGINT),
+                CAST(ndv_q AS BIGINT), TRUE, mn_q, mx_q FROM s
+         UNION ALL
+         SELECT 'l_extendedprice', CAST(n AS BIGINT), CAST(n - nn_ep AS BIGINT),
+                CAST(ndv_ep AS BIGINT), TRUE, mn_ep, mx_ep FROM s) u""",
+)
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style catalog statistics for lineitem (one pass: nulls,
+    exact NDV + HLL-agreement flag, numeric min/max — the CBO inputs;
+    operators/transforms.table_stats).  The oracle checks the exact
+    columns; the sketch flag asserts the deployed approx path agrees
+    within 5%."""
+    from ..operators.transforms import table_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return table_stats(
+        li, ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"]
+    )
+
+
+@q(
     "q_media_wav",
     """WITH pad AS (SELECT doc_id, rpad(coalesce(text, ''), 256, ' ') AS t
                   FROM documents),
