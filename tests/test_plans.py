@@ -407,3 +407,31 @@ def test_bm25_take_ordered_and_broadcast_stats(spark, sf_dir):
     plan = _executed(QUERIES["q_bm25"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """Joining a date-partitioned fact table against a filtered dim must
+    plan a dynamicpruning subquery on the partition column — at 100 TB
+    this is the difference between scanning 3 partitions and 3000."""
+    from pyspark.sql import functions as F
+
+    from trading_etl_python_spark.sinks.parquet import with_partition_col
+    from trading_etl_python_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    fact = str(tmp_path / "fact")
+    with_partition_col(ev, "trade_date", "ts").write.partitionBy(
+        "trade_date"
+    ).parquet(fact)
+    # the dim must be a SEPARATE source with a selective filter — a
+    # limit/self-derived dim does not qualify for DPP
+    dim_path = str(tmp_path / "dim")
+    ev.select(F.to_date("ts").alias("trade_date")).distinct().withColumn(
+        "region", (F.dayofmonth("trade_date") % 3).cast("int")
+    ).write.parquet(dim_path)
+
+    f = spark.read.parquet(fact)
+    d = spark.read.parquet(dim_path).filter(F.col("region") == 1)
+    joined = f.join(d, "trade_date").groupBy("trade_date").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
