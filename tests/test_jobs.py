@@ -72,3 +72,19 @@ def test_incremental_backfill_parity_and_idempotence(spark, sf_dir, tmp_path):
         for c in bounded[2:]:
             gv, wv = getattr(g[k], c), getattr(w[k], c)
             assert (gv is None and wv is None) or abs(gv - wv) < 1e-9, (k, c, gv, wv)
+
+
+def test_export_training_data_job(spark, sf_dir, tmp_path):
+    from trading_etl_python_spark.jobs import export_training_data_job
+
+    m = export_training_data_job(spark, sf_dir, str(tmp_path / "out"), budget=256)
+    assert set(m["splits"]) == {"train", "val", "test"}
+    total = sum(v["packs"] for v in m["splits"].values())
+    assert total > 0 and m["stats"]["pack_id"]["n_rows"] == total
+    # deterministic re-export: identical manifest
+    m2 = export_training_data_job(spark, sf_dir, str(tmp_path / "out2"), budget=256)
+    assert m == m2
+    # published parquet is shard-partitioned and readable
+    t = spark.read.parquet(str(tmp_path / "out" / "train"))
+    assert {"_grp", "pack_id", "n_docs", "sum_tokens", "first_id", "last_id",
+            "split", "shard"} <= set(t.columns)

@@ -105,3 +105,57 @@ def incremental_backfill_job(
     ctx = tail.unionByName(fresh)
     table = indicator_table(ctx, warmup=None).filter(F.col("time") >= cut)
     return upsert_ignore(table, out_path, keys=("time", "symbol"))
+
+
+def export_training_data_job(
+    spark: SparkSession,
+    sf_dir: str,
+    out_root: str,
+    budget: int = 512,
+    n_shards: int = 8,
+) -> dict:
+    """End-to-end training-data export: curate the corpus (quality ->
+    exact + near dedup), assign deterministic splits, pack each
+    (lang, split) stream into token-budget sequences, shard packs by
+    portable hash, and publish per-split parquet plus a manifest of
+    per-split/shard pack counts and catalog stats.
+
+    Writes are one job per split over the shared lazy curation plan.
+    Shard assignment is the portable hash of the pack'"'"'s first doc id —
+    stable across runs, so a re-export produces identical shard
+    membership and a trainer can resume mid-epoch against it."""
+    from .operators.curation import curate_corpus, pack_sequences
+    from .operators.sampling import hash_bucket, split_assign
+    from .operators.transforms import table_stats
+    from .sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    curated = split_assign(curate_corpus(docs))
+    packed = (
+        pack_sequences(
+            curated.withColumn("_grp", F.concat_ws("|", "lang", "split")),
+            budget=budget,
+            group_col="_grp",
+        )
+        .withColumn("split", F.split("_grp", "\\|")[1])
+        .withColumn("shard", hash_bucket("first_id", n_shards))
+    )
+
+    manifest: dict = {"splits": {}, "budget": budget, "n_shards": n_shards}
+    for split in ("train", "val", "test"):
+        part = packed.filter(F.col("split") == split)
+        path = f"{out_root}/{split}"
+        part.repartition("shard").write.mode("overwrite").partitionBy(
+            "shard"
+        ).parquet(path)
+        written = spark.read.parquet(path)
+        counts = {
+            int(r["shard"]): r["n"]
+            for r in written.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        manifest["splits"][split] = {"packs": sum(counts.values()), "shards": counts}
+    manifest["stats"] = {
+        r["column"]: {"n_rows": r["n_rows"], "ndv": r["ndv"]}
+        for r in table_stats(packed, ["first_id", "pack_id"]).collect()
+    }
+    return manifest
