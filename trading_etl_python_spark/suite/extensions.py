@@ -131,11 +131,18 @@ def _minhash_sql(threshold: float = 0.5, num_perm: int = 32, bands: int = 8) -> 
        WHERE aj >= {threshold}"""
 
 
-def _minhash_incremental_sql(threshold: float = 0.5, num_perm: int = 32, bands: int = 8) -> str:
-    """SQL twin of minhash_incremental_pairs over the odd/even split:
-    same signature CTEs as _minhash_sql, but candidates pair a NEW doc
-    (odd id) with a CORPUS doc (even id) — no a<b canonicalization, the
-    sides are the orientation."""
+def _minhash_incremental_sql(
+    threshold: float = 0.5,
+    num_perm: int = 32,
+    bands: int = 8,
+    new_pred: str = "a.doc_id % 2 = 1",
+    corpus_pred: str = "b.doc_id % 2 = 0",
+) -> str:
+    """SQL twin of minhash_incremental_pairs: same signature CTEs as
+    _minhash_sql, but candidates pair a NEW doc with a CORPUS doc — no
+    a<b canonicalization, the sides are the orientation.  The side
+    predicates are parameters: odd/even ids for q_dedup_incremental,
+    hash-bucket split membership for the q_split_leakage audit."""
     a, b = D.minhash_params(num_perm)
     r = num_perm // bands
     mins = ",\n           ".join(
@@ -160,7 +167,7 @@ def _minhash_incremental_sql(threshold: float = 0.5, num_perm: int = 32, bands: 
          SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS dup_of
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.key = b.key
-         WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)
+         WHERE {new_pred} AND {corpus_pred})
        SELECT doc_id, dup_of, ROUND(aj, 6) AS approx_jaccard FROM (
          SELECT cand.doc_id, cand.dup_of, ({matches}) / {float(num_perm)} AS aj
          FROM cand
@@ -210,6 +217,33 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup.py."""
     docs = load_table(spark, sf_dir, "documents")
     return D.span_dedup_stats(docs, k=8)
+
+
+_SPLIT_BUCKET = "('0x' || substring(md5(CAST({side}.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+
+
+@q(
+    "q_split_leakage",
+    _minhash_incremental_sql(
+        threshold=0.5,
+        new_pred=_SPLIT_BUCKET.format(side="a") + " >= 80",
+        corpus_pred=_SPLIT_BUCKET.format(side="b") + " < 80",
+    ),
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split leakage audit: near-duplicates that STRADDLE the
+    train / eval boundary (an eval doc with a train near-twin inflates
+    benchmark scores) — the same banded-index probe as incremental
+    dedup, sides defined by the deterministic split hash.  Empty result
+    = clean split; each row is a leak to fix."""
+    from ..operators.sampling import split_assign
+
+    docs = split_assign(load_table(spark, sf_dir, "documents"))
+    eval_side = docs.filter(F.col("split") != "train").drop("split")
+    train_side = docs.filter(F.col("split") == "train").drop("split")
+    return D.minhash_incremental_pairs(
+        eval_side, D.banded_signatures(train_side), threshold=0.5
+    )
 
 
 def _simhash_sql(max_hamming: int = 3) -> str:
