@@ -269,3 +269,31 @@ def test_span_dedup_partial_tail_span_counted(spark):
     stats = {r["doc_id"]: r for r in D.span_dedup_stats(df, k=3).collect()}
     assert stats[0]["n_dup_spans"] == 0 and stats[0]["n_spans"] == 1
     assert stats[1]["n_dup_spans"] == 1 and stats[1]["n_spans"] == 2
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    long = " ".join(f"w{i}" for i in range(60))
+    subset = " ".join(f"w{i}" for i in range(10))   # contained in long
+    other = " ".join(f"x{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(0, long), (1, subset), (2, other)], ["doc_id", "text"]
+    )
+    cont = {(r["doc_a"], r["doc_b"]): r["containment"]
+            for r in D.ngram_containment_pairs(df, threshold=0.8).collect()}
+    assert cont.get((0, 1)) == 1.0                 # subset: full containment
+    jac = D.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert not any(r["doc_a"] == 0 and r["doc_b"] == 1 for r in jac)  # jaccard misses it
+
+
+def test_dup_weights_sum_to_cluster_units(spark):
+    a = " ".join(f"a{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(0, a), (1, a), (2, a), (3, "solo " + " ".join(f"z{i}" for i in range(10)))],
+        ["doc_id", "text"],
+    )
+    w = D.dup_aware_weights(df)
+    rows = {r["doc_id"]: r for r in w.collect()}
+    assert len(rows) == 4
+    assert abs(sum(r["weight"] for r in rows.values()) - 2.0) < 1e-4  # 2 clusters (weights 6dp-rounded)
+    assert rows[3]["weight"] == 1.0
+    assert rows[0]["weight"] == rows[1]["weight"] == rows[2]["weight"]

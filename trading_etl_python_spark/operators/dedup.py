@@ -768,3 +768,70 @@ def span_dedup(
         .withColumn(text_col, F.coalesce(F.col("_clean"), F.lit("")))
         .drop("_clean")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Containment near-dup pairs: |A ∩ B| / min(|A|, |B|) >= threshold —
+    the asymmetric companion to Jaccard that catches SUBSET duplicates
+    (a doc quoted or embedded inside a longer one), which symmetric
+    Jaccard misses whenever the sizes differ a lot.  Same two-scan
+    shingle-join shape as ngram_jaccard_pairs, but the length-ratio
+    prefilter is intentionally ABSENT: containment pairs are exactly
+    the size-skewed pairs the ratio filter would discard."""
+    sh = shingles(df, n, text_col, id_col).select(
+        id_col, F.xxhash64("shingle").alias("h")
+    )
+    side = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    a, b = side.alias("a"), side.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cont = F.col("inter").cast("double") / F.least("n_a", "n_b")
+    return (
+        pairs.withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", F.round("containment", 6).alias("containment"))
+    )
+
+
+def dup_aware_weights(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplication-aware sampling weights: instead of DROPPING near-dups,
+    keep every doc with weight 1 / |its near-dup cluster| — the
+    soft-dedup used when hard removal is too aggressive (each duplicated
+    idea contributes one unit of training mass in expectation,
+    regardless of copy count).  Composition of the oracle-verified
+    clustering: cluster sizes are a tiny groupBy over the labels,
+    broadcast back onto the corpus."""
+    clusters = dedup_clusters(df, n=n, threshold=threshold, id_col=id_col)
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("_csz"))
+    return (
+        clusters.join(F.broadcast(sizes), "cluster_id")
+        .select(
+            F.col(id_col),
+            F.col("cluster_id"),
+            F.round(F.lit(1.0) / F.col("_csz"), 6).alias("weight"),
+        )
+    )

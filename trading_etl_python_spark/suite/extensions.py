@@ -219,6 +219,57 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.span_dedup_stats(docs, k=8)
 
 
+@q(
+    "q_dedup_containment",
+    f"""WITH {_SHINGLE_CTES},
+       cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+              ROUND(CAST(inter AS DOUBLE) / LEAST(ca.n_sh, cb.n_sh), 6) AS containment
+       FROM p JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+       WHERE CAST(inter AS DOUBLE) / LEAST(ca.n_sh, cb.n_sh) >= 0.8""",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs (|A∩B| / min — catches subset
+    duplicates symmetric Jaccard misses on size-skewed pairs;
+    operators/dedup.ngram_containment_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_containment_pairs(docs, n=3, threshold=0.8)
+
+
+@q(
+    "q_dup_weights",
+    f"""WITH RECURSIVE {_SHINGLE_CTES},
+       cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+       pairs AS (SELECT doc_a, doc_b FROM p
+                 JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+                 WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5),
+       edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+       reach(v, r) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT reach.v, e.b FROM reach JOIN edges e ON e.a = reach.r),
+       lab AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v),
+       sz AS (SELECT cluster_id, COUNT(*) AS csz FROM lab GROUP BY cluster_id)
+       SELECT lab.doc_id, lab.cluster_id,
+              ROUND(1.0::DOUBLE / csz, 6) AS weight
+       FROM lab JOIN sz USING (cluster_id)""",
+)
+def q_dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-aware soft-dedup: every doc kept with weight
+    1/|near-dup cluster| — each duplicated idea contributes one unit of
+    training mass in expectation (operators/dedup.dup_aware_weights,
+    composed over the oracle-verified connected-component clustering)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dup_aware_weights(docs.select("doc_id", "text"))
+
+
 _SPLIT_BUCKET = "('0x' || substring(md5(CAST({side}.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
 
 
