@@ -142,3 +142,17 @@ def test_weighted_sample_take_ordered_plan(spark, sf_dir):
     df = weighted_sample_topk(load_table(spark, sf_dir, "documents"), k=50)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_epoch_order_distinct_permutations_per_epoch(spark):
+    from trading_etl_python_spark.operators.sampling import epoch_order
+
+    df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    e1 = [r["doc_id"] for r in epoch_order(df, 1).orderBy("epoch_rank").collect()]
+    e2 = [r["doc_id"] for r in epoch_order(df, 2).orderBy("epoch_rank").collect()]
+    assert sorted(e1) == sorted(e2) == list(range(200))   # permutations
+    assert e1 != e2                                        # different per epoch
+    # stable across partitionings
+    e1b = [r["doc_id"] for r in
+           epoch_order(df.repartition(7), 1).orderBy("epoch_rank").collect()]
+    assert e1 == e1b

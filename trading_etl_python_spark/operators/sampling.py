@@ -146,3 +146,34 @@ def weighted_sample_topk(
         .withColumn("es_key", F.round("_es_key", 6))
         .drop("_es_key")
     )
+
+
+def epoch_order(
+    df: DataFrame, epoch: int, key_col: str = "doc_id", resolution: int = 1 << 30
+) -> DataFrame:
+    """Reproducible per-epoch shuffle order: rank every row by the
+    portable hash of (key, epoch) — a different deterministic
+    permutation each epoch, identical across runs/engines/partitionings
+    (the data-ordering audit trail for a training run; pair with
+    ``export_training_data_job``'s stable shards to replay any epoch).
+
+    Scale: the rank is a global row_number ONLY in this oracle-exact
+    form; the deployed path sorts shards independently by the same hash
+    (order within a shard is what a loader consumes), which is a plain
+    per-file sort — no global exchange."""
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.col(key_col).cast("string"), F.lit(str(epoch)))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % resolution
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(h.asc(), F.col(key_col).asc())
+    return df.withColumn("epoch_rank", F.row_number().over(w))

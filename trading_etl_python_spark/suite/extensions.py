@@ -220,6 +220,26 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_epoch_order",
+    """SELECT doc_id, source,
+              ROW_NUMBER() OVER (
+                ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '_3'),
+                                            1, 8))::BIGINT % 1073741824,
+                         doc_id) AS epoch_rank
+       FROM documents""",
+)
+def q_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible epoch-3 training order: rank by portable hash of
+    (doc_id, epoch) — a distinct deterministic permutation per epoch,
+    identical across runs/engines (operators/sampling.epoch_order;
+    deployed path sorts per-shard, no global exchange)."""
+    from ..operators.sampling import epoch_order
+
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_order(docs, epoch=3).select("doc_id", "source", "epoch_rank")
+
+
+@q(
     "q_dedup_containment",
     f"""WITH {_SHINGLE_CTES},
        cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
