@@ -627,3 +627,31 @@ def test_stream_ingest_dedup_against_index(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and got
+
+
+def test_stream_drift_monitor_matches_batch_psi(spark, sf_dir, tmp_path):
+    from trading_etl_python_spark.operators.transforms import psi_drift
+    from trading_etl_python_spark.streaming.pipeline import (
+        events_file_stream,
+        stream_drift_monitor,
+    )
+
+    ev = load_events(spark, sf_dir)
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    out = str(tmp_path / "psi")
+    q = stream_drift_monitor(
+        events_file_stream(spark, sf_dir),
+        ref,
+        out,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    got = {
+        r["event_type"]: r["psi"] for r in spark.read.parquet(out).collect()
+    }
+    # single availableNow batch over the one-file testdata == batch PSI
+    want = {
+        r["event_type"]: r["psi"]
+        for r in psi_drift(ref, ev, "value", "event_type").collect()
+    }
+    assert got == want and got

@@ -558,3 +558,37 @@ def stream_ingest_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_drift_monitor(
+    events: DataFrame,
+    reference: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    value_col: str = "value",
+    group_col: str = "event_type",
+):
+    """Streaming feature-drift monitor: every micro-batch is scored
+    against a STATIC reference snapshot with the PSI operator and the
+    per-group index lands in an append-only audit table keyed by
+    batch_id — the production shape for "alert when the live
+    distribution leaves the training distribution".  foreachBatch
+    because PSI is a batch comparison per trigger; reference stats are
+    recomputed lazily per batch from the (broadcast-sized) reference
+    aggregate, the stream side is one narrow scan per batch."""
+    from ..operators.transforms import psi_drift
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = psi_drift(reference, batch_df, value_col, group_col).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        out.write.mode("append").parquet(out_path)
+
+    return (
+        events.writeStream.foreachBatch(score)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
