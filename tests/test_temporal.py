@@ -223,3 +223,34 @@ def test_asof_join_tolerance_nulls_stale_matches(spark):
     }
     assert out["near"] == 100.0
     assert out["far"] is None  # 40 min old: outside tolerance
+
+
+def test_asof_forward_matches_pandas_merge_asof(spark):
+    import pandas as pd
+
+    from trading_etl_python_spark.operators import temporal as TMP
+
+    left = pd.DataFrame(
+        {"k": ["a", "a", "b"], "time": pd.to_datetime(["2024-01-01 10:00",
+                                                       "2024-01-01 12:00",
+                                                       "2024-01-01 11:00"])}
+    )
+    right = pd.DataFrame(
+        {"k": ["a", "a", "b"],
+         "time": pd.to_datetime(["2024-01-01 10:30", "2024-01-01 12:00",
+                                 "2024-01-01 10:00"]),
+         "value": [1.0, 2.0, 3.0]}
+    )
+    got = (
+        TMP.asof_join_forward(
+            spark.createDataFrame(left), spark.createDataFrame(right), on="k"
+        )
+        .toPandas()
+        .sort_values(["k", "time"])
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("time"), right.sort_values("time"),
+        on="time", by="k", direction="forward",
+    ).sort_values(["k", "time"]).reset_index(drop=True)
+    assert list(got["next_value"].fillna(-1)) == list(want["value"].fillna(-1))

@@ -99,6 +99,68 @@ def asof_join(
     return out
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str = "time",
+    right_time: str = "time",
+    value_cols: tuple[str, ...] = ("value",),
+    prefix: str = "next_",
+) -> DataFrame:
+    """Forward as-of: for every left row, the EARLIEST right row of the
+    same key with right.time >= left.time (inclusive — pandas
+    ``merge_asof`` 'forward') — the label-attachment move ("what
+    happened next") for event-outcome joins.  Mirror of ``asof_join``:
+    tag/union/one window, but ``first(ignorenulls)`` over a
+    current-row..unbounded-FOLLOWING frame ordered (time, tag DESC) so
+    equal-time right rows are visible to their left row.  Same cost
+    profile: one exchange, one sort, no join node."""
+    lcols = left.columns
+    r = (
+        right.select(
+            F.col(on),
+            F.col(right_time).alias("_t"),
+            F.struct(*[F.col(c) for c in value_cols]).alias("_rv"),
+        )
+        # deterministic tie-break: one right row per (key, time) — MIN by
+        # the value struct (mirrors the oracle's MIN for forward)
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy(on, "_t").orderBy(F.asc("_rv"))),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("_src", F.lit(0))
+        .withColumn(
+            "_lrow",
+            F.lit(None).cast(T.StructType([left.schema[c] for c in lcols])),
+        )
+    )
+    l = left.select(
+        F.col(on),
+        F.col(left_time).alias("_t"),
+        F.lit(None).cast(r.schema["_rv"].dataType).alias("_rv"),
+        F.lit(1).alias("_src"),
+        F.struct(*[F.col(c) for c in lcols]).alias("_lrow"),
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_t").asc(), F.col("_src").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    matched = (
+        r.select(on, "_t", "_rv", "_src", "_lrow")
+        .unionByName(l)
+        .withColumn("_m", F.first("_rv", ignorenulls=True).over(w))
+        .filter(F.col("_src") == 1)
+    )
+    return matched.select(
+        *[F.col("_lrow")[c].alias(c) for c in lcols],
+        *[F.col("_m")[c].alias(f"{prefix}{c}") for c in value_cols],
+    )
+
+
 def sessionize(
     events: DataFrame,
     key: str = "user_id",

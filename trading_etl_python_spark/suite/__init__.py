@@ -59,11 +59,12 @@ _NEW_R4 = [
     "q_hard_negatives", "q_media_dhash", "q_media_dhash_pairs", "q_bigram_next",
     "q_communities", "q_psi_drift", "q_media_wav", "q_table_stats",
     "q_split_leakage", "q_dedup_containment", "q_dup_weights", "q_epoch_order",
+    "q_asof_forward",
 ]
 _PRIORITY = [
     *_NEVER_CERTIFIED,  # 17 (incl. q_stream_replay, oracle'd in r4)
     *_CHANGED_R4,  # 3
-    *_NEW_R4,  # 25
+    *_NEW_R4,  # 26
     *core.QUERIES,  # 24: q_json_decode ... q_dq_report (r1/r2 greens)
     *relational.QUERIES,  # 13: q_join_agg ... q_asof_tolerance (r1/r2 greens)
 ]

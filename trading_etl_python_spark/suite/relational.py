@@ -179,6 +179,35 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_asof_forward",
+    """WITH c AS (
+         SELECT user_id, ts, MIN(value) AS value
+         FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+       p AS (
+         SELECT event_id, user_id, ts, value
+         FROM events WHERE event_type = 'purchase')
+       SELECT p.event_id, p.user_id, p.ts, p.value,
+              c.ts AS next_ts, c.value AS next_value
+       FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts""",
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: every purchase gets the user's next click at or
+    after it — the label-attachment join ("what happened next") for
+    outcome modeling.  Same single-shuffle union+first plan, frame
+    flipped to following (operators/temporal.asof_join_forward); oracle
+    is DuckDB's native forward ASOF JOIN."""
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return TMP.asof_join_forward(
+        purchases, clicks, on="user_id", left_time="ts", right_time="ts",
+        value_cols=("ts", "value"), prefix="next_",
+    ).filter(F.col("next_ts").isNotNull())
+
+
+@q(
     "q_sessionize",
     """WITH lagged AS (
          SELECT user_id, event_id, ts, value,
