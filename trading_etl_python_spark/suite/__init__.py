@@ -65,8 +65,9 @@ _PRIORITY = [
     *_NEVER_CERTIFIED,  # 17 (incl. q_stream_replay, oracle'd in r4)
     *_CHANGED_R4,  # 3
     *_NEW_R4,  # 26
-    *core.QUERIES,  # 24: q_json_decode ... q_dq_report (r1/r2 greens)
-    *relational.QUERIES,  # 13: q_join_agg ... q_asof_tolerance (r1/r2 greens)
+    *(n for n in core.QUERIES if n not in _NEW_R4),  # 24 r1/r2 greens
+    # relational r1/r2 greens (q_asof_forward, born r4, already listed)
+    *(n for n in relational.QUERIES if n not in _NEW_R4),
 ]
 
 assert len(_PRIORITY) == len(set(_PRIORITY)) and all(n in _ALL for n in _PRIORITY)
