@@ -254,3 +254,41 @@ def test_asof_forward_matches_pandas_merge_asof(spark):
         on="time", by="k", direction="forward",
     ).sort_values(["k", "time"]).reset_index(drop=True)
     assert list(got["next_value"].fillna(-1)) == list(want["value"].fillna(-1))
+
+
+def test_asof_nearest_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    from trading_etl_python_spark.operators import temporal as TMP
+
+    rng = np.random.default_rng(11)
+    lt = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 10_000, 60), unit="s"
+    )
+    rt = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 10_000, 40), unit="s"
+    )
+    left = pd.DataFrame({"k": list("ab") * 30, "time": lt})
+    right = pd.DataFrame(
+        {"k": list("ab") * 20, "time": rt, "value": rng.uniform(0, 1, 40).round(3)}
+    )
+    # pandas requires unique (k, time) on the right for a clean compare
+    right = right.drop_duplicates(["k", "time"])
+
+    got = (
+        TMP.asof_join_nearest(
+            spark.createDataFrame(left), spark.createDataFrame(right), on="k"
+        )
+        .toPandas()
+        .sort_values(["k", "time"])
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("time"),
+        right.sort_values("time"),
+        on="time",
+        by="k",
+        direction="nearest",
+    ).sort_values(["k", "time"]).reset_index(drop=True)
+    assert list(got["near_value"].fillna(-1)) == list(want["value"].fillna(-1))

@@ -161,6 +161,44 @@ def asof_join_forward(
     )
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str = "time",
+    right_time: str = "time",
+    value_cols: tuple[str, ...] = ("value",),
+    prefix: str = "near_",
+) -> DataFrame:
+    """Nearest as-of (pandas ``merge_asof`` 'nearest'): the closer of
+    the backward and forward matches, ties to the EARLIER right row
+    (pandas tie rule).  Composed from the two directional passes — each
+    is one exchange on the key, and both ride the same hash(key)
+    distribution, so the compose step is a map-side projection."""
+    back = asof_join(
+        left, right, on, left_time, right_time,
+        value_cols=(right_time, *[c for c in value_cols if c != right_time]),
+        prefix="_b_",
+    )
+    fwd = asof_join_forward(
+        back, right, on, left_time, right_time,
+        value_cols=(right_time, *[c for c in value_cols if c != right_time]),
+        prefix="_f_",
+    )
+    bt, ft = F.col(f"_b_{right_time}"), F.col(f"_f_{right_time}")
+    lt = F.col(left_time)
+    use_back = ft.isNull() | (
+        bt.isNotNull() & ((lt - bt) <= (ft - lt))  # tie -> earlier (backward)
+    )
+    out_cols = [c for c in left.columns]
+    sel = [F.col(c) for c in out_cols]
+    for c in dict.fromkeys((right_time, *value_cols)):
+        sel.append(
+            F.when(use_back, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}")).alias(f"{prefix}{c}")
+        )
+    return fwd.select(*sel)
+
+
 def sessionize(
     events: DataFrame,
     key: str = "user_id",

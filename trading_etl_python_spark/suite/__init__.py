@@ -59,12 +59,12 @@ _NEW_R4 = [
     "q_hard_negatives", "q_media_dhash", "q_media_dhash_pairs", "q_bigram_next",
     "q_communities", "q_psi_drift", "q_media_wav", "q_table_stats",
     "q_split_leakage", "q_dedup_containment", "q_dup_weights", "q_epoch_order",
-    "q_asof_forward",
+    "q_asof_forward", "q_asof_nearest",
 ]
 _PRIORITY = [
     *_NEVER_CERTIFIED,  # 17 (incl. q_stream_replay, oracle'd in r4)
     *_CHANGED_R4,  # 3
-    *_NEW_R4,  # 26
+    *_NEW_R4,  # 27
     *(n for n in core.QUERIES if n not in _NEW_R4),  # 24 r1/r2 greens
     # relational r1/r2 greens (q_asof_forward, born r4, already listed)
     *(n for n in relational.QUERIES if n not in _NEW_R4),

@@ -208,6 +208,49 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_asof_nearest",
+    """WITH cb AS (
+         SELECT user_id, ts, MAX(value) AS value
+         FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+       cf AS (
+         SELECT user_id, ts, MIN(value) AS value
+         FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+       p AS (
+         SELECT event_id, user_id, ts, value
+         FROM events WHERE event_type = 'purchase'),
+       b AS (SELECT p.event_id, cb.ts AS bt, cb.value AS bv
+             FROM p ASOF JOIN cb ON p.user_id = cb.user_id AND p.ts >= cb.ts),
+       f AS (SELECT p.event_id, cf.ts AS ft, cf.value AS fv
+             FROM p ASOF JOIN cf ON p.user_id = cf.user_id AND p.ts <= cf.ts),
+       j AS (SELECT p.event_id, p.user_id, p.ts, p.value, bt, bv, ft, fv
+             FROM p LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id))
+       SELECT event_id, user_id, ts, value,
+              CASE WHEN ft IS NULL OR (bt IS NOT NULL AND (ts - bt) <= (ft - ts))
+                   THEN bt ELSE ft END AS near_ts,
+              CASE WHEN ft IS NULL OR (bt IS NOT NULL AND (ts - bt) <= (ft - ts))
+                   THEN bv ELSE fv END AS near_value
+       FROM j
+       WHERE (CASE WHEN ft IS NULL OR (bt IS NOT NULL AND (ts - bt) <= (ft - ts))
+                   THEN bt ELSE ft END) IS NOT NULL""",
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of (pandas merge_asof 'nearest', tie to earlier):
+    every purchase gets the user's temporally closest click — composed
+    from the backward and forward passes riding one hash(user)
+    distribution (operators/temporal.asof_join_nearest); oracle = the
+    two native DuckDB ASOF directions + the same closest-pick."""
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return TMP.asof_join_nearest(
+        purchases, clicks, on="user_id", left_time="ts", right_time="ts",
+        value_cols=("ts", "value"), prefix="near_",
+    ).filter(F.col("near_ts").isNotNull())
+
+
+@q(
     "q_sessionize",
     """WITH lagged AS (
          SELECT user_id, event_id, ts, value,
