@@ -39,8 +39,9 @@ for mod in (core, relational, extensions, analytics, behavior, sql_api):
 #      rows: q_sql_tpch_q12 (BIGINT cast fix for the one r3 red),
 #      q_dedup_minhash_ml (new deterministic oracle contract),
 #      q_dedup_clusters (star-truncation collapse, ADVICE r3),
-#   3. the r1/r2 core + relational blocks — the stalest greens, last
-#      certified two rounds ago — to fill the 50-window.
+#   3. whatever r1/r2 core queries still fit (the 27 operators BORN in
+#      r4 take the rest of the window — first driver rows beat stale
+#      re-certification).
 # The r3-certified analytics/behavior/sql blocks demote to the back.
 _NEVER_CERTIFIED = [
     "q_doc_fingerprint", "q_doc_winnow", "q_tfidf", "q_doc_repetition",
