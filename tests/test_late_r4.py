@@ -1,0 +1,202 @@
+"""Late-r4 operator family: SemDeDup, PCA power iteration, BPE pair
+counts, content-defined chunking, exact-n group sampling.  Each test
+verifies the SEMANTICS against an independent in-test recomputation
+(numpy / pure Python), not just shape — the DuckDB value-hash oracle in
+suite/extensions.py is the cross-engine check; these pin the algorithm.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from trading_etl_python_spark.operators import dedup as D
+from trading_etl_python_spark.operators import similarity as S
+from trading_etl_python_spark.operators import text as TX
+from trading_etl_python_spark.operators.sampling import group_sample_exact
+from trading_etl_python_spark.sources.tables import load_table
+
+
+# ------------------------------------------------------------- semdedup
+
+
+def test_semdedup_drops_exact_duplicate_vector(spark):
+    v1 = [1.0, 0.0, 0.0]
+    v2 = [0.0, 1.0, 0.0]
+    rows = [(0, v1), (1, v2), (2, v1), (3, [0.0, 0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r.vec_id: r for r in S.semdedup(emb, n_cells=2, threshold=0.99).collect()}
+    assert len(out) == 4  # audit row for EVERY vector
+    assert out[0].is_kept and not out[2].is_kept  # first-writer-wins
+    assert out[1].is_kept and out[3].is_kept
+    assert out[0].cell == out[2].cell  # dup pair shares a cell
+
+
+def test_semdedup_pairs_only_within_cells(spark, sf_dir):
+    """A dropped vector must have a lower-id >=t cell-mate; a kept vector
+    must have none — recomputed with numpy over the same assignment."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.semdedup(emb, n_cells=8, threshold=0.8).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    cells: dict[int, list[int]] = {}
+    for r in out:
+        cells.setdefault(r.cell, []).append(r.vec_id)
+    kept = {r.vec_id: r.is_kept for r in out}
+    for cell, ids in cells.items():
+        for b in ids:
+            has_lower_dup = any(
+                a < b and float(vecs[a] @ vecs[b]) >= 0.8 for a in ids
+            )
+            assert kept[b] == (not has_lower_dup), (cell, b)
+
+
+# ------------------------------------------------------------ pca_power
+
+
+def test_pca_power_matches_numpy_eigvector(spark, sf_dir):
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.pca_power(emb, iters=4).collect()
+    v = np.zeros(len(out))
+    for r in out:
+        v[r.dim] = r.loading
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-4
+    X = np.array([r.embedding for r in emb.collect()], dtype=np.float64)
+    G = np.round(X.T @ X, 6)
+    ref = np.ones(G.shape[0])
+    for _ in range(4):
+        ref = G @ ref
+        ref = ref / np.linalg.norm(ref)
+    # same iterate (not just same limit): fp-order differences only
+    assert np.abs(v - ref).max() < 1e-4
+    # and it is a genuine near-eigenvector of G
+    lam = float(v @ (G @ v))
+    resid = np.linalg.norm(G @ v - lam * v) / lam
+    assert resid < 0.35  # 4 iterations: dominant direction, not converged
+
+
+# ------------------------------------------------------------ bpe pairs
+
+
+def test_bpe_pair_counts_small_corpus(spark):
+    docs = spark.createDataFrame(
+        [(1, "aba ab"), (2, "ba!")], "doc_id bigint, text string"
+    )
+    # words: aba, ab, ba -> pairs: (a,b),(b,a) ; (a,b) ; (b,a)
+    out = {(r.left_sym, r.right_sym): r.n_pairs for r in
+           TX.bpe_pair_counts(docs, top_k=10).collect()}
+    assert out == {("a", "b"): 2, ("b", "a"): 2}
+
+
+def test_bpe_pair_counts_ordering_and_k(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rows = TX.bpe_pair_counts(docs, top_k=20).collect()
+    assert len(rows) == 20
+    counts = [r.n_pairs for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    # deterministic tie-break inside equal counts
+    for a, b in zip(rows, rows[1:]):
+        if a.n_pairs == b.n_pairs:
+            assert (a.left_sym, a.right_sym) < (b.left_sym, b.right_sym)
+
+
+# ------------------------------------------------------------------ cdc
+
+
+def _cdc_ref(text: str, w: int = 8, mask_bits: int = 5) -> list[str]:
+    """Pure-Python reference chunker."""
+    s = "".join(ch for ch in text.lower() if ch.isascii() and ch.isalnum())
+    if len(s) < w:
+        return []
+    cuts = [0]
+    for p in range(w, len(s)):  # interior cuts only
+        h = 0
+        for j in range(p - w, p):
+            h = (h * 31 + ord(s[j])) % 1_000_000_007
+        if h % (1 << mask_bits) == 0:
+            cuts.append(p)
+    cuts.append(len(s))
+    return [s[a:b] for a, b in zip(cuts, cuts[1:])]
+
+
+def test_cdc_chunks_match_reference(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    got: dict[int, list] = {}
+    for r in D.cdc_chunks(docs).collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_len, r.chunk_hash))
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    n_multi = 0
+    for doc_id, text in texts.items():
+        ref = _cdc_ref(text)
+        have = [h for _, _, h in sorted(got.get(doc_id, []))]
+        assert have == [hashlib.md5(c.encode()).hexdigest() for c in ref], doc_id
+        lens = [ln for _, ln, _ in sorted(got.get(doc_id, []))]
+        assert sum(lens) == sum(len(c) for c in ref)
+        n_multi += len(ref) > 1
+    assert n_multi > 0  # the corpus actually exercises boundary cuts
+
+
+def test_cdc_boundaries_shift_invariant(spark):
+    """The CDC property: a prefix edit re-chunks only the edit region —
+    chunks after the first post-edit boundary are identical."""
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    edited = "PREFIX-INSERTION " + base
+    a, b = _cdc_ref(base), _cdc_ref(edited)
+    # common suffix of the chunk sequences survives the edit
+    n = 0
+    while n < min(len(a), len(b)) and a[-1 - n] == b[-1 - n]:
+        n += 1
+    assert n >= 1
+
+
+def test_cdc_dedup_stats_counts(spark):
+    dup = "shared content block repeated verbatim " * 6
+    docs = spark.createDataFrame(
+        [(1, dup + " unique tail one"), (2, dup + " other suffix"), (3, "entirely different text " * 10)],
+        "doc_id bigint, text string",
+    )
+    out = D.cdc_dedup_stats(docs, top_k=5).collect()
+    assert out[0].n_occurrences >= 2  # the shared block dominates
+    assert out[0].n_docs >= 2
+    counts = [r.n_occurrences for r in out]
+    assert counts == sorted(counts, reverse=True)
+
+
+# --------------------------------------------------------- group sample
+
+
+def test_group_sample_exact_sizes_and_stability(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = group_sample_exact(docs, n_per_group=7, group_col="source")
+    sizes = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    totals = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for src, n in sizes.items():
+        assert n == min(7, totals[src])
+    # repartitioning must not change membership
+    ids1 = {r.doc_id for r in out.collect()}
+    ids2 = {
+        r.doc_id
+        for r in group_sample_exact(
+            docs.repartition(13), n_per_group=7, group_col="source"
+        ).collect()
+    }
+    assert ids1 == ids2
+
+
+def test_group_sample_rank_is_hash_order(spark):
+    rows = [(i, "g") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = group_sample_exact(df, n_per_group=5, group_col="source").collect()
+    picked = sorted((r.sample_rank, r.doc_id) for r in out)
+
+    def h(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % (1 << 30)
+
+    ref = sorted(range(30), key=lambda i: (h(i), i))[:5]
+    assert [d for _, d in picked] == ref

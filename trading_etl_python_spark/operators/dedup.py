@@ -835,3 +835,115 @@ def dup_aware_weights(
             F.round(F.lit(1.0) / F.col("_csz"), 6).alias("weight"),
         )
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    w: int = 8,
+    mask_bits: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (the storage-dedup/Rabin-fingerprint
+    family, here over normalized document text): a position ends a chunk
+    when the polynomial rolling hash of the trailing ``w`` characters
+    has its low ``mask_bits`` bits zero (expected chunk length
+    2^mask_bits).  Because boundaries depend only on LOCAL content, an
+    insertion early in a document shifts chunk ids but not the chunks
+    after the edit region — the property that makes chunk-level dedup
+    robust where fixed-stride spans (``doc_spans``) are not.
+
+    This is the basic CDC construction (every mask hit is a cut; no
+    min/max clamp — the clamped variant adds driver-free state the
+    plain form doesn't need and testdata doesn't exercise).
+
+    All HOF expressions over a char-code array materialized ONCE as a
+    column (same O(len) discipline as ``winnow_fingerprints`` — inline
+    substr would re-run the normalize regex per character).  One explode;
+    no shuffle until the caller aggregates.
+
+    Returns (doc_id, chunk_idx, chunk_len, chunk_hash) — md5 of the
+    chunk text."""
+    mod = F.lit(1_000_000_007).cast("long")
+    s = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    df = (
+        spread(df.select(F.col(id_col), F.col(text_col)), id_col, factor=16)
+        .withColumn("_s", s)
+        .filter(F.length("_s") >= w)
+        .withColumn(
+            "_codes", F.transform(F.split("_s", ""), lambda c: F.ascii(c).cast("long"))
+        )
+    )
+    # rolling hash of chars [p-w+1 .. p] for every cut candidate p
+    cut_at = lambda p: (
+        F.pmod(
+            F.aggregate(
+                F.sequence(p - w + 1, p),
+                F.lit(0).cast("long"),
+                lambda acc, j: F.pmod(
+                    acc * F.lit(31) + F.element_at("_codes", j.cast("int")), mod
+                ),
+            ),
+            F.lit(1 << mask_bits).cast("long"),
+        )
+        == 0
+    )
+    # interior cuts exclude the final position (it is appended as the
+    # unconditional end cut), keeping the list strictly increasing with
+    # no distinct pass; sequence(w, len) is ascending because len >= w
+    cuts = F.concat(
+        F.array(F.lit(0)),
+        F.filter(
+            F.sequence(F.lit(w), F.size("_codes")),
+            lambda p: (p < F.size("_codes")) & cut_at(p),
+        ),
+        F.array(F.size("_codes")),
+    )
+    df = df.withColumn("_cuts", cuts)
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size("_cuts") - 1),
+        lambda i: F.substring(
+            "_s",
+            F.element_at("_cuts", i.cast("int")) + 1,
+            F.element_at("_cuts", (i + 1).cast("int"))
+            - F.element_at("_cuts", i.cast("int")),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_c")
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.length("_c").cast("long").alias("chunk_len"),
+        F.md5("_c").alias("chunk_hash"),
+    )
+
+
+def cdc_dedup_stats(
+    df: DataFrame,
+    w: int = 8,
+    mask_bits: int = 5,
+    top_k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chunk-level duplication report over ``cdc_chunks``: the top-k most
+    duplicated content chunks corpus-wide — (chunk_hash, chunk_len,
+    n_occurrences, n_docs), occurrences desc.  The storage-dedup view of
+    corpus redundancy: chunks with n_docs > 1 are byte ranges shareable
+    (or strippable) across documents even when no whole document or
+    fixed-stride span matches.
+
+    One map-side-combinable groupBy on the 32-hex chunk hash (fixed-
+    width key regardless of chunk size) + TakeOrderedAndProject."""
+    ch = cdc_chunks(df, w=w, mask_bits=mask_bits, text_col=text_col, id_col=id_col)
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.max("chunk_len").alias("chunk_len"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("chunk_hash").asc())
+        .limit(top_k)
+    )

@@ -177,3 +177,32 @@ def epoch_order(
 
     w = Window.orderBy(h.asc(), F.col(key_col).asc())
     return df.withColumn("epoch_rank", F.row_number().over(w))
+
+
+def group_sample_exact(
+    df: DataFrame,
+    n_per_group: int = 10,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    resolution: int = 1 << 30,
+) -> DataFrame:
+    """EXACTLY-n-per-group deterministic sample (the eval-set / debug-
+    slice builder): rank rows inside each group by the portable key hash
+    and keep the first ``n_per_group``.  Unlike the rate-based samplers
+    above, group output size is exact (min(n, |group|)) — and unlike
+    ``df.sampleBy``, membership is stable across runs, partitionings,
+    and engines.
+
+    Scale: one hash(group) exchange; the rank is a per-group window
+    (no global sort).  With heavy groups, the WindowGroupLimit pushdown
+    caps each partition's sort at n rows before the final rank."""
+    from pyspark.sql import Window
+
+    h = porthash32(F.col(key_col).cast("string")) % resolution
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_group)
+        .withColumn("sample_rank", F.col("_rn").cast("long"))
+        .drop("_rn")
+    )

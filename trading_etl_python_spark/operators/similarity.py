@@ -483,6 +483,117 @@ def gram_matrix(embeddings: DataFrame, id_col: str = "vec_id") -> DataFrame:
     )
 
 
+def semdedup(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    centroids: dict[int, list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
+    semantic deduplication over an embedding corpus with the pairwise
+    work bounded by k-means cells.  Assign every vector to its nearest
+    coarse centroid (MAP-SIDE ``ivf_assign`` — zero shuffle), compute
+    exact cosine only WITHIN each cell, and drop every vector that has a
+    lower-id cell-mate with similarity >= ``threshold`` (first-writer-
+    wins, the same canonical-survivor rule as ``dedup_exact``).
+
+    Scale: the pair space is Σ_c |c|², never N² — the cell count is the
+    knob that trades assignment cost against pair-join cost (the paper
+    uses K ~ 10k on 100M+ corpora; cells also parallelize the join
+    perfectly since both sides hash-partition on the cell id).  For
+    production K, swap ``collect_centroids`` for ``train_ivf_kmeans``
+    and the literal assign for ``ivf_assign_join`` — same contract.
+
+    Returns (vec_id, cell, is_kept) for EVERY input vector — an audit
+    table a curation DAG can join back to filter, weight, or inspect.
+    """
+    cents = (
+        centroids
+        if centroids is not None
+        else collect_centroids(embeddings, n_cells, id_col)
+    )
+    asn = ivf_assign(
+        embeddings.select(id_col, "embedding"), cents, "_cell"
+    )
+    a = spread(asn).alias("a")
+    b = asn.alias("b")
+    sim = dot(F.col("a.embedding"), F.col("b.embedding"))
+    dup = (
+        a.join(
+            b,
+            (F.col("a._cell") == F.col("b._cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(sim >= threshold)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return asn.join(dup, id_col, "left").select(
+        id_col,
+        F.col("_cell").alias("cell"),
+        F.coalesce(~F.col("_dup"), F.lit(True)).alias("is_kept"),
+    )
+
+
+def pca_power(embeddings: DataFrame, iters: int = 4) -> DataFrame:
+    """Top principal direction of the embedding corpus by power iteration
+    over the DISTRIBUTED Gram matrix — the PCA/whitening step of an
+    embedding pipeline done with exactly ONE pass over the data:
+    ``gram_matrix`` reduces the corpus to d(d+1)/2 coordinate rows
+    (independent of row count), and every subsequent iteration is a
+    join + fold over that d x d table — O(d²) work per step no matter
+    how large the corpus was.
+
+    Engine-portability: the matrix-vector product folds each row's terms
+    in ORDER BY j sequence (sort_array + left fold) and the norm folds
+    ORDER BY i, so Spark and any SQL twin accumulate in the identical
+    order — bit-exact, no summation-order rounding slack needed.  The
+    Gram input is itself rounded at 6dp (``gram_matrix``'s contract),
+    making the whole computation a deterministic function of identical
+    inputs.  Start vector = all-ones (normalized on the first step);
+    sign is whatever the iteration converges to — deterministic, since
+    every operation is.
+
+    Returns (dim, loading) — the unit top-eigenvector estimate, 6dp."""
+    g = gram_matrix(embeddings)
+    full = g.select("i", "j", "g").union(
+        g.filter(F.col("j") > F.col("i")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "g"
+        )
+    )
+    # d² rows, referenced every iteration: cut the lineage once
+    full = full.localCheckpoint(eager=True)
+    v = full.select(F.col("i").alias("dim")).distinct().withColumn(
+        "v", F.lit(1.0)
+    )
+    for _ in range(iters):
+        terms = full.join(v, full["j"] == v["dim"]).select(
+            "i", "j", (F.col("g") * F.col("v")).alias("p")
+        )
+        w = terms.groupBy("i").agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("j", "p"))),
+                F.lit(0.0),
+                lambda acc, t: acc + t["p"],
+            ).alias("w")
+        )
+        n = w.select(
+            F.sqrt(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("i", "w"))),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t["w"] * t["w"],
+                )
+            ).alias("_n")
+        )
+        v = w.crossJoin(F.broadcast(n)).select(
+            F.col("i").alias("dim"), (F.col("w") / F.col("_n")).alias("v")
+        )
+    return v.select("dim", F.round("v", 6).alias("loading"))
+
+
 # ------------------------------------------------- scalar quantization
 
 

@@ -452,3 +452,51 @@ def bigram_next(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(F.col("cnt") / F.col("_n").cast("double"), 6).alias("cond_p"),
         )
     )
+
+
+def bpe_pair_counts(df: DataFrame, top_k: int = 50, text_col: str = "text") -> DataFrame:
+    """BPE merge-candidate counting (Sennrich et al. 2016 — the inner
+    loop of tokenizer training): count every adjacent SYMBOL pair across
+    all word occurrences; the most frequent pair is the next merge.
+    This is the first-iteration (character-symbol) pass; iterating just
+    re-runs it with the merged symbol substituted — the per-pass plan is
+    identical.
+
+    Scale: pairs are built IN-ROW (flatten of a per-word transform over
+    the token array, all HOF/codegen expressions — one explode), then a
+    single map-side-combinable groupBy whose key cardinality is the
+    symbol-pair vocabulary (bounded, ~|alphabet|² at iteration 0), not
+    the corpus.  Top-k selection is ORDER BY + LIMIT ->
+    TakeOrderedAndProject: per-partition heaps, k rows on the wire.
+
+    Returns (left_sym, right_sym, n_pairs) — count desc, pair asc, k
+    rows."""
+    from .dedup import tokens_col
+
+    pairs = F.flatten(
+        F.transform(
+            F.filter(tokens_col(text_col), lambda w: F.length(w) >= 2),
+            lambda w: F.transform(
+                F.sequence(F.lit(1), F.length(w) - 1),
+                lambda i: F.struct(
+                    w.substr(i, F.lit(1)).alias("a"),
+                    w.substr(i + 1, F.lit(1)).alias("b"),
+                ),
+            ),
+        )
+    )
+    return (
+        df.select(pairs.alias("_p"))
+        .filter(F.size("_p") >= 1)
+        .select(F.explode("_p").alias("p"))
+        .groupBy(
+            F.col("p.a").alias("left_sym"), F.col("p.b").alias("right_sym")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(
+            F.col("n_pairs").desc(),
+            F.col("left_sym").asc(),
+            F.col("right_sym").asc(),
+        )
+        .limit(top_k)
+    )

@@ -61,6 +61,11 @@ _NEW_R4 = [
     "q_communities", "q_psi_drift", "q_media_wav", "q_table_stats",
     "q_split_leakage", "q_dedup_containment", "q_dup_weights", "q_epoch_order",
     "q_asof_forward", "q_asof_nearest",
+    # late-r4 additions: the first three land inside the 50-entry window
+    # (semantic dedup, tokenizer pair counts, CDC chunk dedup); the rest
+    # queue immediately after for the next round's window
+    "q_semdedup", "q_bpe_pairs", "q_cdc_dedup", "q_pca_power",
+    "q_group_sample",
 ]
 _PRIORITY = [
     *_NEVER_CERTIFIED,  # 17 (incl. q_stream_replay, oracle'd in r4)

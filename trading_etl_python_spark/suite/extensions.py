@@ -1939,3 +1939,175 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
     t = docs.select("doc_id", "lang", F.size(ws).cast("long").alias("n_tokens"))
     return pack_sequences(t, budget=512, group_col="lang")
+
+
+# ----------------------------------------- r4 late additions (this window)
+
+# q_kmeans_step's assignment CTEs verbatim — semdedup shares the same
+# deterministic vec_id<16 seed centroids and argmax tie-break
+_ASN_CTES = f"""cent AS (
+         SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 16),
+       asn AS (
+         SELECT vec_id, embedding, cell FROM (
+           SELECT e.vec_id, e.embedding, c.cell,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {_DOT.format(a='e.embedding', b='c.cv')} DESC, c.cell
+                  ) AS rn
+           FROM embeddings e CROSS JOIN cent c) t
+         WHERE rn = 1)"""
+
+
+@q(
+    "q_semdedup",
+    f"""WITH {_ASN_CTES},
+       dup AS (
+         SELECT DISTINCT b.vec_id
+         FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         WHERE {_DOTF.format(a='a.embedding', b='b.embedding')} >= 0.8)
+       SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+              (d.vec_id IS NULL) AS is_kept
+       FROM asn a LEFT JOIN dup d USING (vec_id)""",
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster-bounded semantic dedup —
+    map-side centroid assignment, exact cosine only within cells,
+    first-writer-wins survivor rule (operators/similarity.semdedup)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semdedup(emb, n_cells=16, threshold=0.8)
+
+
+def _pca_power_sql(iters: int = 4) -> str:
+    """SQL twin of similarity.pca_power: same 6dp-rounded Gram input,
+    same ORDER BY-folded matrix-vector product and norm (bit-exact
+    accumulation order on both engines), same all-ones start."""
+    fold = "list_reduce(list_prepend(0.0, list({expr} ORDER BY {ord})), (acc, x) -> acc + x)"
+    ctes = [
+        """lng AS (
+         SELECT vec_id, CAST(i - 1 AS INT) AS i,
+                CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+         FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i))""",
+        """tri AS (
+         SELECT a.i AS i, b.i AS j, ROUND(SUM(a.x * b.x), 6) AS g
+         FROM lng a JOIN lng b USING (vec_id) WHERE b.i >= a.i
+         GROUP BY a.i, b.i)""",
+        """gfull AS (
+         SELECT i, j, g FROM tri
+         UNION ALL SELECT j, i, g FROM tri WHERE j > i)""",
+        "v0 AS (SELECT DISTINCT i AS dim, 1.0 AS v FROM gfull)",
+    ]
+    for t in range(1, iters + 1):
+        wf = fold.format(expr="g * v", ord="j")
+        nf = fold.format(expr="w * w", ord="i")
+        ctes.append(
+            f"""w{t} AS (
+         SELECT i, {wf} AS w
+         FROM gfull JOIN v{t-1} ON gfull.j = v{t-1}.dim GROUP BY i)"""
+        )
+        ctes.append(f"n{t} AS (SELECT sqrt({nf}) AS n FROM w{t})")
+        ctes.append(
+            f"v{t} AS (SELECT i AS dim, w / (SELECT n FROM n{t}) AS v FROM w{t})"
+        )
+    return (
+        "WITH "
+        + ",\n       ".join(ctes)
+        + f"\n       SELECT dim, ROUND(v, 6) AS loading FROM v{iters}"
+    )
+
+
+@q("q_pca_power", _pca_power_sql(4))
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction by power iteration over the distributed
+    Gram matrix: one corpus pass, then O(d^2) per step
+    (operators/similarity.pca_power)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pca_power(emb, iters=4)
+
+
+@q(
+    "q_bpe_pairs",
+    f"""WITH tok AS (SELECT {TOKS} AS toks FROM documents),
+       pr AS (
+         SELECT unnest(flatten(list_transform(
+                  list_filter(toks, w -> length(w) >= 2),
+                  w -> list_transform(range(1, length(w)),
+                         i -> [substring(w, CAST(i AS INT), 1),
+                               substring(w, CAST(i + 1 AS INT), 1)])))) AS p
+         FROM tok)
+       SELECT p[1] AS left_sym, p[2] AS right_sym,
+              COUNT(*) AS n_pairs
+       FROM pr GROUP BY 1, 2
+       ORDER BY n_pairs DESC, left_sym, right_sym LIMIT 50""",
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate pair counts (tokenizer-training inner loop):
+    in-row adjacent symbol pairs, one vocabulary-sized groupBy,
+    TakeOrderedAndProject top-k (operators/text.bpe_pair_counts)."""
+    return TX.bpe_pair_counts(load_table(spark, sf_dir, "documents"), top_k=50)
+
+
+@q(
+    "q_cdc_dedup",
+    """WITH d AS (
+         SELECT doc_id,
+                regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+         FROM documents),
+       c AS (
+         SELECT doc_id, s,
+                list_transform(string_split(s, ''), ch -> CAST(ascii(ch) AS BIGINT)) AS codes
+         FROM d WHERE length(s) >= 8),
+       cutt AS (
+         SELECT doc_id, s,
+                [0] || list_filter(range(8, length(s) + 1),
+                  p -> p < length(s) AND
+                       list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                           list_transform(range(p - 7, p + 1),
+                             i -> codes[CAST(i AS INT)])),
+                         (acc, ch) -> (acc * 31 + ch) % 1000000007) % 32 = 0)
+                || [length(s)] AS cuts
+         FROM c),
+       ch AS (
+         SELECT doc_id,
+                unnest(list_transform(range(1, len(cuts)),
+                  i -> substring(s, CAST(cuts[CAST(i AS INT)] + 1 AS INT),
+                                 CAST(cuts[CAST(i + 1 AS INT)]
+                                      - cuts[CAST(i AS INT)] AS INT)))) AS chunk
+         FROM cutt)
+       SELECT md5(chunk) AS chunk_hash,
+              MAX(CAST(length(chunk) AS BIGINT)) AS chunk_len,
+              COUNT(*) AS n_occurrences,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       FROM ch GROUP BY 1
+       ORDER BY n_occurrences DESC, chunk_hash LIMIT 100""",
+)
+def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking duplication report: rolling-hash chunk
+    boundaries (expected len 32), md5 chunk keys, top-100 most
+    duplicated chunks (operators/dedup.cdc_dedup_stats)."""
+    return D.cdc_dedup_stats(
+        load_table(spark, sf_dir, "documents"), w=8, mask_bits=5, top_k=100
+    )
+
+
+@q(
+    "q_group_sample",
+    """SELECT doc_id, source, sample_rank FROM (
+         SELECT doc_id, source,
+                ROW_NUMBER() OVER (
+                  PARTITION BY source
+                  ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                             % 1073741824, doc_id) AS sample_rank
+         FROM documents) t
+       WHERE sample_rank <= 10""",
+)
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-n-per-group deterministic sample (eval-slice builder):
+    portable-hash rank inside each source, first 10 kept
+    (operators/sampling.group_sample_exact)."""
+    from ..operators.sampling import group_sample_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    return group_sample_exact(docs, n_per_group=10, group_col="source").select(
+        "doc_id", "source", "sample_rank"
+    )
