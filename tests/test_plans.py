@@ -435,3 +435,56 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     joined = f.join(d, "trade_date").groupBy("trade_date").count()
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_bpe_pairs_map_side_combine_topk(spark, sf_dir):
+    """BPE pair counting: one vocabulary-sized exchange fed by PARTIAL
+    aggregation (map-side combine collapses corpus-sized pair streams to
+    vocab-sized partials) and TakeOrderedAndProject selection — never a
+    global sort of the pair table."""
+    plan = _executed(QUERIES["q_bpe_pairs"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") == 1, plan
+    # partial aggregation BEFORE the exchange
+    assert plan.index("HashAggregate") < len(plan)
+    pre = plan[plan.index("Exchange"):]
+    assert "HashAggregate" in plan[: plan.index("Exchange")] or "partial_count" in plan
+
+
+def test_cdc_dedup_single_exchange_topk(spark, sf_dir):
+    """CDC chunk report: chunking is map-side (explode of in-row HOFs);
+    the only exchange is the fixed-width chunk-hash aggregation."""
+    plan = _executed(QUERIES["q_cdc_dedup"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # chunk build must not shuffle: exchanges = hash agg (+ the spread
+    # repartition that fans the single-file scan across cores)
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_semdedup_pair_join_keyed_on_cell(spark, sf_dir):
+    """SemDeDup: the pair join must be an equi-join on the cell id
+    (broadcast or shuffled-hash — bounded by Σ|cell|²), never a
+    cartesian/nested-loop product over the corpus."""
+    plan = _executed(QUERIES["q_semdedup"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_group_sample_uses_window_group_limit(spark, sf_dir):
+    """Exact-n group sample: rank-filter must push WindowGroupLimit
+    below the exchange so each task's sort is capped at n rows."""
+    plan = _executed(QUERIES["q_group_sample"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "TakeOrderedAndProject" not in plan  # no global ordering
+
+
+def test_pca_power_gram_is_partial_aggregated(spark, sf_dir):
+    """PCA: the corpus-sized work is the Gram build, which must partial-
+    aggregate to d^2 rows before its exchange; the iteration joins run
+    over checkpointed d^2 coordinates only."""
+    from trading_etl_python_spark.operators.similarity import gram_matrix
+    from trading_etl_python_spark.sources.tables import load_table
+
+    g = gram_matrix(load_table(spark, sf_dir, "embeddings"))
+    plan = _executed(g)
+    assert plan.count("Exchange") == 1, plan
