@@ -200,3 +200,50 @@ def test_group_sample_rank_is_hash_order(spark):
 
     ref = sorted(range(30), key=lambda i: (h(i), i))[:5]
     assert [d for _, d in picked] == ref
+
+
+# ------------------------------------------------------------ bpe learn
+
+
+def test_bpe_learn_merges_toy_corpus(spark):
+    # words: low(x5) lower(x2) newest(x6) widest(x3)  (hug the classic
+    # Sennrich example shape): first merge must be the most frequent
+    # adjacent pair across word occurrences
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    out = TX.bpe_learn_merges(docs, n_merges=3).collect()
+
+    # reference implementation
+    from collections import Counter
+
+    vocab = Counter(text.split())
+    syms = {w: list(w) for w in vocab}
+    expect = []
+    for rank in range(1, 4):
+        pc: Counter = Counter()
+        for w, c in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((rank, a, b, n))
+        for w in vocab:
+            s, ns = syms[w], []
+            for x in s:
+                if ns and ns[-1] == a and x == b:
+                    ns[-1] = a + b
+                else:
+                    ns.append(x)
+            syms[w] = ns
+    got = [(r.merge_rank, r.left_sym, r.right_sym, r.pair_count) for r in out]
+    assert sorted(got) == expect
+
+
+def test_bpe_merge_fold_non_overlapping(spark):
+    df = spark.createDataFrame([("aaa",), ("abab",)], "w string")
+    out = df.select(
+        "w", TX._merge_fold(F.split("w", ""), "a", "a").alias("m")
+    ).collect()
+    m = {r.w: r.m for r in out}
+    assert m["aaa"] == ["aa", "a"]  # greedy L2R, non-overlapping
+    assert m["abab"] == ["a", "b", "a", "b"]

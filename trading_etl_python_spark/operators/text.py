@@ -500,3 +500,94 @@ def bpe_pair_counts(df: DataFrame, top_k: int = 50, text_col: str = "text") -> D
         )
         .limit(top_k)
     )
+
+
+def _merge_fold(syms, left: str, right: str):
+    """Greedy left-to-right non-overlapping merge of adjacent
+    (left, right) symbol pairs in an array — the BPE apply step.  A
+    fold: append each symbol unless it completes the pair with the
+    accumulator's tail, in which case the tail is replaced by the merged
+    symbol.  (String replace over space-joined symbols is NOT boundary-
+    safe — 'a b' matches inside 'ba b' — and RE2-based engines lack
+    lookbehind, so the array fold is the portable form.)"""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(left + right))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _pair_counts_from_syms(vocab: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts over a (w, c, syms) vocabulary table,
+    weighted by word count c."""
+    pairs = F.when(
+        F.size("syms") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda i: F.struct(
+                F.element_at("syms", i.cast("int")).alias("a"),
+                F.element_at("syms", (i + 1).cast("int")).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return (
+        vocab.select("c", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("c").alias("n"))
+    )
+
+
+def bpe_learn_merges(
+    df: DataFrame, n_merges: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """The FULL BPE training loop (Sennrich et al. 2016), structured the
+    way it scales: ONE corpus pass builds the (word, count) vocabulary —
+    every subsequent iteration (count pairs -> take the argmax merge ->
+    rewrite symbol arrays) runs over the VOCABULARY table, whose size is
+    the distinct-word count, not the corpus.  Per iteration the driver
+    collects exactly one row (the winning pair — same bounded-collect
+    posture as ``kmeans_fit``'s K centroids) and re-inlines it as the
+    literal for the next rewrite; the vocab is localCheckpoint'd each
+    round so lineage stays one fold deep.
+
+    Deterministic end to end (count-desc, pair-asc argmax; greedy
+    left-to-right merge application), so the learned merge table has an
+    exact unrolled-CTE SQL twin.
+
+    Returns (merge_rank, left_sym, right_sym, pair_count) — the merge
+    rules in learned order."""
+    from .dedup import tokens_col
+
+    spark = df.sparkSession
+    vocab = (
+        df.select(F.explode(tokens_col(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("syms", F.split("w", ""))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for t in range(1, n_merges + 1):
+        top = (
+            _pair_counts_from_syms(vocab)
+            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((t, a, b, n))
+        vocab = vocab.withColumn(
+            "syms", _merge_fold(F.col("syms"), a, b)
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "merge_rank int, left_sym string, right_sym string, pair_count long"
+    )

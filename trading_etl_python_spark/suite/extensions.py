@@ -2111,3 +2111,56 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_sample_exact(docs, n_per_group=10, group_col="source").select(
         "doc_id", "source", "sample_rank"
     )
+
+
+def _bpe_learn_sql(n_merges: int = 4) -> str:
+    """SQL twin of text.bpe_learn_merges: the iterative argmax+rewrite
+    loop unrolled as CTE triples (pair counts / top-1 merge / vocab
+    rewrite), with the SAME greedy left-to-right fold semantics — string
+    replace over space-joined symbols would not be boundary-safe and
+    RE2 lacks lookbehind, so both engines fold symbol arrays."""
+    ctes = [
+        f"tok AS (SELECT unnest({TOKS}) AS w FROM documents)",
+        "vc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w)",
+        "v0 AS MATERIALIZED (SELECT w, c, string_split(w, '') AS syms FROM vc)",
+    ]
+    for t in range(1, n_merges + 1):
+        ctes.append(
+            f"""p{t} AS (
+         SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(c) AS BIGINT) AS n
+         FROM v{t-1}, UNNEST(CASE WHEN len(syms) >= 2
+                THEN list_transform(range(1, len(syms)),
+                       i -> [syms[CAST(i AS INT)], syms[CAST(i + 1 AS INT)]])
+                ELSE CAST([] AS VARCHAR[][]) END) AS u(pr)
+         GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"t{t} AS (SELECT a, b, n FROM p{t} ORDER BY n DESC, a, b LIMIT 1)"
+        )
+        # v{t} is referenced by BOTH p{t+1} and v{t+1}: MATERIALIZED stops
+        # DuckDB re-inlining the whole chain (2^n blowup — same fix as
+        # the pagerank oracle)
+        ctes.append(
+            f"""v{t} AS MATERIALIZED (
+         SELECT w, c, list_reduce(
+           list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, x -> [x])),
+           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = t{t}.a
+                            AND x[1] = t{t}.b
+                       THEN acc[1:len(acc)-1] || [t{t}.a || t{t}.b]
+                       ELSE acc || x END) AS syms
+         FROM v{t-1}, t{t})"""
+        )
+    sel = "\n       UNION ALL ".join(
+        f"SELECT CAST({t} AS INT) AS merge_rank, a AS left_sym, "
+        f"b AS right_sym, n AS pair_count FROM t{t}"
+        for t in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n       ".join(ctes) + "\n       " + sel
+
+
+@q("q_bpe_learn", _bpe_learn_sql(4))
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE training loop: 4 merges learned over the vocabulary
+    table (one corpus pass; iterations are vocab-sized; driver holds one
+    row per round) — operators/text.bpe_learn_merges."""
+    return TX.bpe_learn_merges(load_table(spark, sf_dir, "documents"), n_merges=4)
