@@ -247,3 +247,56 @@ def test_bpe_merge_fold_non_overlapping(spark):
     m = {r.w: r.m for r in out}
     assert m["aaa"] == ["aa", "a"]  # greedy L2R, non-overlapping
     assert m["abab"] == ["a", "b", "a", "b"]
+
+
+# ---------------------------------------------------------- fuzzy vocab
+
+
+def test_fuzzy_pairs_toy_misspellings(spark):
+    docs = spark.createDataFrame(
+        [(1, "color colour analyse analyze theory"), (2, "color analyse")],
+        "doc_id bigint, text string",
+    )
+    out = {(r.word_a, r.word_b): (r.dist, r.n_a, r.n_b)
+           for r in TX.fuzzy_token_pairs(docs).collect()}
+    assert out[("color", "colour")] == (1, 2, 1)
+    assert out[("analyse", "analyze")] == (1, 2, 1)
+    assert all(a < b for a, b in out)
+    assert not any("theory" in p for p in out)
+
+
+def test_fuzzy_blocking_complete_vs_bruteforce(spark, sf_dir):
+    """The SymSpell guarantee: depth-2 deletion blocking must find EVERY
+    pair brute-force levenshtein finds at distance <= 2."""
+    docs = load_table(spark, sf_dir, "documents")
+    got = {(r.word_a, r.word_b) for r in TX.fuzzy_token_pairs(docs).collect()}
+
+    import itertools
+
+    words = sorted(
+        r.w
+        for r in docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
+                )
+            ).alias("w")
+        )
+        .distinct()
+        .collect()
+        if len(r.w) >= 3
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a, b) for a, b in itertools.combinations(words, 2) if lev(a, b) <= 2
+    }
+    assert got == want and len(want) > 0

@@ -591,3 +591,76 @@ def bpe_learn_merges(
     return spark.createDataFrame(
         merges, "merge_rank int, left_sym string, right_sym string, pair_count long"
     )
+
+
+def fuzzy_token_pairs(
+    df: DataFrame, min_len: int = 3, max_dist: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Fuzzy vocabulary matching by DELETION-NEIGHBORHOOD blocking (the
+    SymSpell construction): every word emits itself plus every variant
+    reachable by deleting up to ``max_dist`` characters as join keys;
+    two words within edit distance d always share a depth-d deletion
+    variant, so the candidate join touches only same-key posting lists
+    — never the all-pairs vocabulary square.  An exact ``levenshtein``
+    check prunes the blocking's false positives.  The spelling-variant /
+    entity-resolution primitive over a corpus.
+
+    Scale: key volume is Σ C(len, <=max_dist) over the VOCABULARY (the
+    corpus collapses to (word, count) first — vocab-sized, not corpus-
+    sized); the join key is a short string, posting lists are tiny for
+    natural language, and the verify is a JVM builtin.  All map-side
+    except the vocab groupBy and the key equi-join.
+
+    Returns (word_a, word_b, dist, n_a, n_b), word_a < word_b."""
+    from .dedup import tokens_col
+
+    if max_dist not in (1, 2):
+        raise ValueError("fuzzy_token_pairs supports max_dist 1 or 2")
+    vocab = (
+        df.select(F.explode(tokens_col(text_col)).alias("w"))
+        .filter(F.length("w") >= min_len)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    L = F.length("w")
+    del1 = F.transform(
+        F.sequence(F.lit(1), L),
+        lambda i: F.concat(
+            F.substring("w", F.lit(1), i - 1), F.substring("w", i + 1, L - i)
+        ),
+    )
+    variants = F.concat(F.array("w"), del1)
+    if max_dist == 2:
+        # delete positions i < j in one expression (depth-2 neighborhood)
+        del2 = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), L - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, L),
+                    lambda j: F.concat(
+                        F.substring("w", F.lit(1), i - 1),
+                        F.substring("w", i + 1, j - i - 1),
+                        F.substring("w", j + 1, L - j),
+                    ),
+                ),
+            )
+        )
+        variants = F.concat(variants, F.when(L >= 2, del2).otherwise(F.array()))
+    keys = vocab.select(
+        "w", "n", F.explode(F.array_distinct(variants)).alias("k")
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.w") < F.col("b.w")))
+        .select(
+            F.col("a.w").alias("word_a"),
+            F.col("b.w").alias("word_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .distinct()
+    )
+    d = F.levenshtein("word_a", "word_b")
+    return pairs.filter(d <= max_dist).select(
+        "word_a", "word_b", d.cast("int").alias("dist"), "n_a", "n_b"
+    )

@@ -2164,3 +2164,39 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (one corpus pass; iterations are vocab-sized; driver holds one
     row per round) — operators/text.bpe_learn_merges."""
     return TX.bpe_learn_merges(load_table(spark, sf_dir, "documents"), n_merges=4)
+
+
+@q(
+    "q_fuzzy_vocab",
+    f"""WITH tok AS (SELECT unnest({TOKS}) AS w FROM documents),
+       vc AS (SELECT w, COUNT(*) AS n FROM tok WHERE length(w) >= 3 GROUP BY w),
+       keys AS (
+         SELECT w, n,
+                unnest(list_distinct(
+                  [w]
+                  || list_transform(range(1, length(w) + 1),
+                       i -> substring(w, 1, CAST(i - 1 AS INT))
+                            || substring(w, CAST(i + 1 AS INT),
+                                         length(w) - CAST(i AS INT)))
+                  || flatten(list_transform(range(1, length(w)),
+                       i -> list_transform(range(i + 1, length(w) + 1),
+                         j -> substring(w, 1, CAST(i - 1 AS INT))
+                              || substring(w, CAST(i + 1 AS INT),
+                                           CAST(j - i - 1 AS INT))
+                              || substring(w, CAST(j + 1 AS INT),
+                                           length(w) - CAST(j AS INT))))))) AS k
+         FROM vc),
+       pairs AS (
+         SELECT DISTINCT a.w AS word_a, b.w AS word_b,
+                a.n AS n_a, b.n AS n_b
+         FROM keys a JOIN keys b ON a.k = b.k AND a.w < b.w)
+       SELECT word_a, word_b,
+              CAST(levenshtein(word_a, word_b) AS INT) AS dist, n_a, n_b
+       FROM pairs WHERE levenshtein(word_a, word_b) <= 2""",
+)
+def q_fuzzy_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell depth-2 deletion-neighborhood fuzzy matching over the
+    corpus vocabulary: edit-distance<=2 word pairs with frequencies,
+    candidate space bounded by shared deletion keys
+    (operators/text.fuzzy_token_pairs)."""
+    return TX.fuzzy_token_pairs(load_table(spark, sf_dir, "documents"))
