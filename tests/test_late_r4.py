@@ -300,3 +300,29 @@ def test_fuzzy_blocking_complete_vs_bruteforce(spark, sf_dir):
         (a, b) for a, b in itertools.combinations(words, 2) if lev(a, b) <= 2
     }
     assert got == want and len(want) > 0
+
+
+# ----------------------------------------------------------- ann recall
+
+
+def test_ann_recall_bounds_and_self_hit(spark, sf_dir):
+    from trading_etl_python_spark.operators.similarity import ann_recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = ann_recall(emb, n_probes=6, k=10).collect()
+    assert len(rows) == 6 and {r.probe_id for r in rows} == set(range(6))
+    for r in rows:
+        # the probe vector itself is rank-1 on BOTH sides (sim=1, ham=0)
+        assert 1 <= r.n_overlap <= 10
+        assert r.recall == pytest.approx(r.n_overlap / 10.0)
+
+
+def test_ann_recall_widening_hamming_never_hurts(spark, sf_dir):
+    from trading_etl_python_spark.operators.similarity import ann_recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    r2 = {r.probe_id: r.n_overlap for r in ann_recall(emb, 4, max_hamming=2).collect()}
+    r12 = {r.probe_id: r.n_overlap for r in ann_recall(emb, 4, max_hamming=12).collect()}
+    for p in r2:
+        assert r12[p] >= r2[p]
+        assert r12[p] == 10  # ham<=n_planes admits everything -> exact

@@ -747,3 +747,83 @@ def hard_negatives(
         .filter(F.col("_rn") <= k)
         .select("probe_id", "neg_id", F.round("_sim", 6).alias("neg_sim"))
     )
+
+
+def ann_recall(
+    embeddings: DataFrame,
+    n_probes: int = 8,
+    k: int = 10,
+    n_planes: int = 12,
+    max_hamming: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of the LSH probe path against the exact scan, per probe
+    — the index-quality ACCEPTANCE GATE an ANN deployment runs before
+    trusting the approximate path (and re-runs after re-indexing).
+    Probes are the ``n_probes`` lowest-id vectors (deterministic, same
+    convention as ``collect_centroids``).
+
+    One corpus scan serves both sides: every row is scored against the
+    broadcast probe batch; the exact side ranks by cosine, the LSH side
+    Hamming-filters on the signature BEFORE ranking (so its candidate
+    set is what the real probe would rerank).  Per-probe rank windows
+    ride one hash(probe_id) distribution; the final recall join is
+    k x n_probes rows a side — driver-negligible.
+
+    Returns (probe_id, n_overlap, recall) — recall = |exact ∩ lsh| / k.
+    """
+    planes = lsh_planes(n_planes, _dim_of(embeddings))
+    from pyspark.sql import Window
+
+    probes = (
+        embeddings.filter(F.col(id_col) < n_probes)
+        .select(
+            F.col(id_col).alias("probe_id"),
+            F.col("embedding").alias("_qv"),
+            _lsh_signature(F.col("embedding"), planes).alias("_qsig"),
+        )
+    )
+    corpus = embeddings.select(
+        id_col, "embedding", _lsh_signature(F.col("embedding"), planes).alias("_sig")
+    )
+    scored = corpus.join(F.broadcast(probes), how="cross").select(
+        "probe_id",
+        id_col,
+        dot("embedding", "_qv").alias("_sim"),
+        F.bit_count(F.col("_sig").bitwiseXOR(F.col("_qsig"))).alias("_ham"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("_sim").desc(), F.col(id_col).asc()
+    )
+    exact = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("probe_id", id_col)
+    )
+    approx = (
+        scored.filter(F.col("_ham") <= max_hamming)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("probe_id", id_col)
+    )
+    hits = exact.join(approx, ["probe_id", id_col]).groupBy("probe_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return (
+        probes.select("probe_id")
+        .join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(F.coalesce("n_overlap", F.lit(0)) / F.lit(float(k)), 6).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+def _dim_of(embeddings: DataFrame, vec_col: str = "embedding") -> int:
+    """Embedding dimensionality from the FIRST row (schema carries no
+    array length) — one 1-row driver fetch, cached per call site."""
+    row = embeddings.select(F.size(vec_col).alias("d")).limit(1).collect()
+    return int(row[0]["d"]) if row else 0

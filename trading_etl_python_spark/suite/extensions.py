@@ -2200,3 +2200,55 @@ def q_fuzzy_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate space bounded by shared deletion keys
     (operators/text.fuzzy_token_pairs)."""
     return TX.fuzzy_token_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _ann_recall_sql(
+    n_probes: int = 8, k: int = 10, n_planes: int = 12, max_hamming: int = 2
+) -> str:
+    """SQL twin of similarity.ann_recall — the SAME literal hyperplane
+    matrix and strict-fold dots as _ann_lsh_sql, ranked per probe."""
+    planes = S.lsh_planes(n_planes, 64)
+    sig_terms = " + ".join(
+        "CASE WHEN "
+        + _DOTF.format(a="embedding", b="[" + ", ".join(str(x) for x in w) + "]")
+        + f" > 0 THEN {1 << p} ELSE 0 END"
+        for p, w in enumerate(planes)
+    )
+    return f"""WITH sigt AS (
+         SELECT vec_id, embedding, CAST({sig_terms} AS BIGINT) AS sig
+         FROM embeddings),
+       probes AS (
+         SELECT vec_id AS probe_id, embedding AS qv, sig AS qsig
+         FROM sigt WHERE vec_id < {n_probes}),
+       scored AS (
+         SELECT p.probe_id, s.vec_id,
+                {_DOTF.format(a='s.embedding', b='p.qv')} AS sim,
+                bit_count(xor(s.sig, p.qsig)) AS ham
+         FROM sigt s CROSS JOIN probes p),
+       exact AS (
+         SELECT probe_id, vec_id FROM (
+           SELECT probe_id, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY probe_id
+                                     ORDER BY sim DESC, vec_id) AS rn
+           FROM scored) t WHERE rn <= {k}),
+       approx AS (
+         SELECT probe_id, vec_id FROM (
+           SELECT probe_id, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY probe_id
+                                     ORDER BY sim DESC, vec_id) AS rn
+           FROM scored WHERE ham <= {max_hamming}) t WHERE rn <= {k}),
+       hits AS (
+         SELECT e.probe_id, COUNT(*) AS n
+         FROM exact e JOIN approx a USING (probe_id, vec_id) GROUP BY 1)
+       SELECT p.probe_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_overlap,
+              ROUND(COALESCE(h.n, 0) / {float(k)}, 6) AS recall
+       FROM probes p LEFT JOIN hits h USING (probe_id)"""
+
+
+@q("q_ann_recall", _ann_recall_sql())
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index acceptance gate: recall@10 of the LSH Hamming-ball
+    probe vs the exact scan for 8 deterministic probes — one corpus
+    scan serves both sides (operators/similarity.ann_recall)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_recall(emb, n_probes=8, k=10, n_planes=12, max_hamming=2)
