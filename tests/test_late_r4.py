@@ -326,3 +326,66 @@ def test_ann_recall_widening_hamming_never_hurts(spark, sf_dir):
     for p in r2:
         assert r12[p] >= r2[p]
         assert r12[p] == 10  # ham<=n_planes admits everything -> exact
+
+
+# ------------------------------------------------------------- ks drift
+
+
+def test_ks_drift_disjoint_and_identical(spark):
+    from trading_etl_python_spark.operators.transforms import ks_drift
+
+    ref = spark.createDataFrame(
+        [("a", float(i)) for i in range(50)] + [("b", float(i)) for i in range(50)],
+        "event_type string, value double",
+    )
+    shifted = spark.createDataFrame(
+        [("a", float(i + 1000)) for i in range(50)]  # disjoint support
+        + [("b", float(i)) for i in range(50)],      # identical
+        "event_type string, value double",
+    )
+    out = {r.group: r for r in ks_drift(ref, shifted).collect()}
+    assert out["a"].ks == pytest.approx(1.0)
+    assert out["b"].ks == pytest.approx(0.0)
+    assert out["a"].n_ref == out["a"].n_cmp == 50
+
+
+def test_ks_drift_matches_manual_ecdf(spark, sf_dir):
+    from trading_etl_python_spark.operators.transforms import ks_drift
+    from trading_etl_python_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    out = {r.group: r.ks for r in ks_drift(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+    ).collect()}
+    rows = ev.select("event_type", "event_id", "value").collect()
+    by_g: dict[str, tuple[list, list]] = {}
+    for r in rows:
+        by_g.setdefault(r.event_type, ([], []))[r.event_id % 2].append(r.value)
+    for g, (a, b) in by_g.items():
+        pts = sorted(set(a) | set(b))
+        a_s, b_s = sorted(a), sorted(b)
+        import bisect
+
+        ks = max(
+            abs(bisect.bisect_right(a_s, x) / len(a) - bisect.bisect_right(b_s, x) / len(b))
+            for x in pts
+        )
+        assert out[g] == pytest.approx(ks, abs=1e-6), g
+
+
+# ------------------------------------------------------------- token pmi
+
+
+def test_token_pmi_hand_computed(spark):
+    # 4 docs: {x y} {x y} {x z} {w}
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "y x"), (3, "x z"), (4, "w")],
+        "doc_id bigint, text string",
+    )
+    out = {(r.token_a, r.token_b): (r.n_ab, r.pmi)
+           for r in TX.token_pmi(docs, min_docs=2).collect()}
+    # only (x,y) co-occurs >= 2: PMI = ln(2*4/(3*2))
+    assert set(out) == {("x", "y")}
+    n_ab, pmi = out[("x", "y")]
+    assert n_ab == 2 and pmi == pytest.approx(math.log(8 / 6), abs=1e-6)

@@ -664,3 +664,78 @@ def fuzzy_token_pairs(
     return pairs.filter(d <= max_dist).select(
         "word_a", "word_b", d.cast("int").alias("dist"), "n_a", "n_b"
     )
+
+
+def token_pmi(
+    df: DataFrame,
+    min_docs: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document-level pointwise mutual information of token pairs —
+    collocation mining (Church & Hanks 1990): PMI(a,b) =
+    ln(P(a,b) / (P(a)P(b))) with probabilities = document frequencies
+    over the N docs that contain at least one token.
+
+    Plan: the per-doc DISTINCT-sorted token array generates its ordered
+    pairs IN-ROW (one explode), pair and marginal doc-frequencies are
+    two combiner-reduced groupBys, and the 1-row N aggregate broadcasts.
+
+    Scale: the in-row fan-out is O(distinct_tokens_per_doc²) — at
+    open-vocabulary 100 TB scale you first restrict to a candidate
+    vocabulary (top-k tokens broadcast as a filter; same plan after
+    the ``array_intersect``), which bounds the square.  This corpus has
+    a bounded vocabulary, so the direct form is the honest one.
+
+    Returns (token_a, token_b, n_ab, pmi) for pairs co-occurring in at
+    least ``min_docs`` documents."""
+    from .dedup import tokens_col
+
+    arr = F.array_sort(F.array_distinct(tokens_col(text_col)))
+    base = df.select(F.col(id_col), arr.alias("_t")).filter(F.size("_t") >= 1)
+    # N and marginals ride the same scan lineage; both tiny aggregates
+    n_docs = base.select(F.count(F.lit(1)).alias("_N"))
+    marg = (
+        base.select(F.explode("_t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_t") - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("_t")),
+                lambda j: F.struct(
+                    F.element_at("_t", i.cast("int")).alias("a"),
+                    F.element_at("_t", j.cast("int")).alias("b"),
+                ),
+            ),
+        )
+    )
+    co = (
+        base.filter(F.size("_t") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("token_a"), F.col("p.b").alias("token_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_docs)
+    )
+    ma = marg.select(F.col("tok").alias("token_a"), F.col("n_tok").alias("_na"))
+    mb = marg.select(F.col("tok").alias("token_b"), F.col("n_tok").alias("_nb"))
+    return (
+        co.join(F.broadcast(ma), "token_a")
+        .join(F.broadcast(mb), "token_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token_a",
+            "token_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.col("_N").cast("double")
+                    / (F.col("_na").cast("double") * F.col("_nb").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -262,3 +262,64 @@ def table_stats(df: DataFrame, cols: list[str], ndv_tol: float = 0.05) -> DataFr
         "min_v",
         "max_v",
     )
+
+
+def ks_drift(
+    ref: DataFrame,
+    cmp: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic per group — the EXACT
+    ECDF-distance companion to ``psi_drift``'s binned index (PSI is
+    cheap and bucketed; KS is the distribution-free test a validation
+    suite escalates to).  KS = max over x of |F_ref(x) - F_cmp(x)|.
+
+    Plan: union both samples tagged by side, ONE hash(group) exchange;
+    each row evaluates both ECDFs via RANGE-framed cumulative counts
+    (ties receive their full mass on both sides — the mathematically
+    correct ECDF at tied points), then a max aggregation per group.
+    Counts are integers and the division is one double op, so engines
+    agree bit-for-bit before the 6dp round.
+
+    Returns (group, n_ref, n_cmp, ks)."""
+    from pyspark.sql import Window
+
+    a = ref.select(
+        F.lit(0).alias("_side"),
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    b = cmp.select(
+        F.lit(1).alias("_side"),
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    u = a.union(b)
+    wr = Window.partitionBy("g").orderBy("v").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wg = Window.partitionBy("g")
+    c_ref = F.sum(F.when(F.col("_side") == 0, 1).otherwise(0)).over(wr)
+    c_cmp = F.sum(F.when(F.col("_side") == 1, 1).otherwise(0)).over(wr)
+    n_ref = F.sum(F.when(F.col("_side") == 0, 1).otherwise(0)).over(wg)
+    n_cmp = F.sum(F.when(F.col("_side") == 1, 1).otherwise(0)).over(wg)
+    d = F.abs(
+        c_ref.cast("double") / n_ref.cast("double")
+        - c_cmp.cast("double") / n_cmp.cast("double")
+    )
+    return (
+        u.select(
+            "g",
+            n_ref.alias("_n_ref"),
+            n_cmp.alias("_n_cmp"),
+            d.alias("_d"),
+        )
+        .groupBy("g")
+        .agg(
+            F.max("_n_ref").alias("n_ref"),
+            F.max("_n_cmp").alias("n_cmp"),
+            F.round(F.max("_d"), 6).alias("ks"),
+        )
+        .withColumnRenamed("g", "group")
+    )

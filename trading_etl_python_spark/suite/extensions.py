@@ -2252,3 +2252,77 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan serves both sides (operators/similarity.ann_recall)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ann_recall(emb, n_probes=8, k=10, n_planes=12, max_hamming=2)
+
+
+@q(
+    "q_ks_drift",
+    """WITH u AS (
+         SELECT event_type AS grp, CAST(value AS DOUBLE) AS v,
+                CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS side
+         FROM events),
+       e AS (
+         SELECT grp,
+                SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY grp ORDER BY v
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_ref,
+                SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY grp ORDER BY v
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_cmp,
+                SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY grp) AS n_ref,
+                SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY grp) AS n_cmp
+         FROM u)
+       SELECT grp AS "group",
+              CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+              CAST(MAX(n_cmp) AS BIGINT) AS n_cmp,
+              ROUND(MAX(ABS(CAST(c_ref AS DOUBLE) / n_ref
+                            - CAST(c_cmp AS DOUBLE) / n_cmp)), 6) AS ks
+       FROM e GROUP BY grp""",
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift per event_type between the
+    even- and odd-id populations — the exact ECDF-distance companion to
+    q_psi_drift (operators/transforms.ks_drift)."""
+    from ..operators.transforms import ks_drift
+
+    ev = load_events(spark, sf_dir)
+    return ks_drift(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "value",
+        "event_type",
+    )
+
+
+@q(
+    "q_token_pmi",
+    f"""WITH base AS (
+         SELECT doc_id, list_sort(list_distinct({TOKS})) AS t
+         FROM documents WHERE len({TOKS}) >= 1),
+       nd AS (SELECT COUNT(*) AS N FROM base),
+       marg AS (
+         SELECT tok, COUNT(*) AS n_tok
+         FROM base, UNNEST(t) AS u(tok) GROUP BY 1),
+       pr AS (
+         SELECT p[1] AS token_a, p[2] AS token_b
+         FROM base, UNNEST(flatten(list_transform(range(1, len(t)),
+                i -> list_transform(range(i + 1, len(t) + 1),
+                       j -> [t[CAST(i AS INT)], t[CAST(j AS INT)]])))) AS u(p)
+         WHERE len(t) >= 2),
+       co AS (
+         SELECT token_a, token_b, COUNT(*) AS n_ab
+         FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+       SELECT token_a, token_b, n_ab,
+              ROUND(ln(CAST(n_ab AS DOUBLE) * N
+                       / (CAST(ma.n_tok AS DOUBLE) * mb.n_tok)), 6) AS pmi
+       FROM co
+       JOIN marg ma ON ma.tok = token_a
+       JOIN marg mb ON mb.tok = token_b
+       CROSS JOIN nd""",
+)
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level PMI collocations: in-row ordered pairs over the
+    per-doc distinct-sorted token array, doc-frequency marginals,
+    broadcast 1-row N (operators/text.token_pmi)."""
+    return TX.token_pmi(load_table(spark, sf_dir, "documents"), min_docs=5)
