@@ -389,3 +389,88 @@ def test_token_pmi_hand_computed(spark):
     assert set(out) == {("x", "y")}
     n_ab, pmi = out[("x", "y")]
     assert n_ab == 2 and pmi == pytest.approx(math.log(8 / 6), abs=1e-6)
+
+
+# --------------------------------------------------------------- zorder
+
+
+def test_zorder_key_is_bit_interleave(spark):
+    from trading_etl_python_spark.operators.transforms import zorder_keys
+
+    # values 0..15 on both axes with bits=4: buckets == values
+    rows = [(i * 16 + j, float(i), float(j)) for i in range(16) for j in range(16)]
+    df = spark.createDataFrame(rows, "event_id bigint, u double, v double")
+    out = zorder_keys(df, "u", "v", bits=4).collect()
+
+    def morton(u: int, v: int) -> int:
+        z = 0
+        for i in range(4):
+            z |= ((u >> i) & 1) << (2 * i + 1)
+            z |= ((v >> i) & 1) << (2 * i)
+        return z
+
+    for r in out:
+        bu, bv = int(r.zb_u), int(r.zb_v)
+        assert r.zkey == morton(bu, bv)
+        # max value lands in the top bucket, min in bucket 0
+    got = {(r.u, r.v): (r.zb_u, r.zb_v) for r in out}
+    assert got[(0.0, 0.0)] == (0, 0)
+    assert got[(15.0, 15.0)] == (15, 15)
+
+
+def test_zorder_layout_tightens_per_file_boxes(spark, tmp_path):
+    """The data-skipping property: Z-ordered files cover far smaller
+    (c1, c2) rectangles than a single-column sort's files, so min-max
+    footer stats can prune on BOTH dimensions."""
+    import itertools
+
+    from trading_etl_python_spark.operators.transforms import write_zordered
+    from trading_etl_python_spark.sources.tables import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.01").select(
+        "event_id", "user_id", "value"
+    )
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lin")
+    write_zordered(ev, zpath, "user_id", "value", bits=8, n_files=16)
+    (
+        ev.repartitionByRange(16, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    def file_boxes(path: str):
+        return (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name())
+            .agg(
+                F.min("value").alias("vmn"),
+                F.max("value").alias("vmx"),
+                F.min("user_id").alias("umn"),
+                F.max("user_id").alias("umx"),
+            )
+            .collect()
+        )
+
+    stats = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    vlo, vhi = float(stats[0]), float(stats[1])
+    # a 10%-of-range window on value, the NON-leading column of the
+    # linear layout: footer min-max stats can only skip a file whose
+    # value span misses the window entirely
+    qlo = vlo + 0.45 * (vhi - vlo)
+    qhi = vlo + 0.55 * (vhi - vlo)
+
+    def files_hit(boxes) -> int:
+        return sum(1 for b in boxes if not (b.vmx < qlo or b.vmn > qhi))
+
+    zb, lb = file_boxes(zpath), file_boxes(lpath)
+    z_hits, l_hits = files_hit(zb), files_hit(lb)
+    # linear-on-user_id files each span ~the full value range: nothing
+    # skips.  Z-ordered files cover value sub-ranges: most skip.
+    assert l_hits == len(lb)
+    assert z_hits <= len(zb) // 2, (z_hits, len(zb))
+    # and the z layout still prunes on user_id as well (both dims work)
+    ulo_hit = sum(1 for b in zb if b.umn <= 5)
+    assert ulo_hit < len(zb)
+    # round-trip integrity
+    assert spark.read.parquet(zpath).count() == ev.count()

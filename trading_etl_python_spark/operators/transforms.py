@@ -323,3 +323,91 @@ def ks_drift(
         )
         .withColumnRenamed("g", "group")
     )
+
+
+def _bucket_expr(x, mn, mx, bits: int):
+    """Equal-width bucket in [0, 2^bits): LEAST/GREATEST-clamped floor —
+    the same portable construction as psi_drift's bucketing."""
+    n = (1 << bits) - 1
+    return F.when(mx <= mn, F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.lit(n).cast("long"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.floor((x - mn) / (mx - mn) * F.lit(1 << bits)),
+            ),
+        )
+    )
+
+
+def _morton_expr(bu, bv, bits: int):
+    """Bit-interleave two b-bit buckets into one 2b-bit Morton (Z-order)
+    key: u's bit i lands at 2i+1, v's at 2i — inlined shift/mask
+    expressions, all JVM-side."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z + F.shiftleft(F.shiftright(bu, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        z = z + F.shiftleft(F.shiftright(bv, i).bitwiseAND(F.lit(1)), 2 * i)
+    return z
+
+
+def zorder_keys(
+    df: DataFrame, c1: str, c2: str, bits: int = 8
+) -> DataFrame:
+    """Morton (Z-order) key per row over two numeric columns — the
+    multi-dimensional clustering key behind Delta/Iceberg Z-ORDER:
+    sorting by the interleaved key places rows so that ANY contiguous
+    run covers a small rectangle in (c1, c2) space, which makes
+    per-file/row-group min-max statistics tight on BOTH columns — a
+    range predicate on either dimension then skips most files, which a
+    single-column sort can only deliver for its leading column.
+
+    The (min, max) normalization bounds ride a broadcast 1-row
+    aggregate (in-plan, no driver collect), so the whole key is one
+    map-side expression after a metadata-sized join.
+
+    Adds (zb_{c1}, zb_{c2}, zkey) to the input columns."""
+    rng = df.agg(
+        F.min(F.col(c1).cast("double")).alias("_mn1"),
+        F.max(F.col(c1).cast("double")).alias("_mx1"),
+        F.min(F.col(c2).cast("double")).alias("_mn2"),
+        F.max(F.col(c2).cast("double")).alias("_mx2"),
+    )
+    b1 = _bucket_expr(
+        F.col(c1).cast("double"), F.col("_mn1"), F.col("_mx1"), bits
+    )
+    b2 = _bucket_expr(
+        F.col(c2).cast("double"), F.col("_mn2"), F.col("_mx2"), bits
+    )
+    out = (
+        df.crossJoin(F.broadcast(rng))
+        .withColumn(f"zb_{c1}", b1)
+        .withColumn(f"zb_{c2}", b2)
+    )
+    return out.withColumn(
+        "zkey", _morton_expr(F.col(f"zb_{c1}"), F.col(f"zb_{c2}"), bits)
+    ).drop("_mn1", "_mx1", "_mn2", "_mx2")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    c1: str,
+    c2: str,
+    bits: int = 8,
+    n_files: int = 16,
+) -> None:
+    """Write ``df`` Z-ordered on (c1, c2): range-partition by the Morton
+    key into ``n_files`` contiguous key ranges and sort within each —
+    every output file covers a compact rectangle of (c1, c2) space, so
+    parquet footer min-max stats prune files for range predicates on
+    EITHER column.  (tests/test_late_r4.py measures the per-file
+    bounding-box tightening vs a single-column sort.)"""
+    keyed = zorder_keys(df, c1, c2, bits)
+    (
+        keyed.repartitionByRange(n_files, "zkey")
+        .sortWithinPartitions("zkey")
+        .drop("zkey", f"zb_{c1}", f"zb_{c2}")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

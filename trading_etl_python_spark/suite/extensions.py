@@ -2326,3 +2326,50 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc distinct-sorted token array, doc-frequency marginals,
     broadcast 1-row N (operators/text.token_pmi)."""
     return TX.token_pmi(load_table(spark, sf_dir, "documents"), min_docs=5)
+
+
+def _zorder_sql(bits: int = 8) -> str:
+    """SQL twin of transforms.zorder_keys over events (user_id x value):
+    identical clamp-floor bucketing and inlined bit-interleave."""
+    n = (1 << bits) - 1
+
+    def bucket(x, mn, mx):
+        return (
+            f"CASE WHEN {mx} <= {mn} THEN 0 ELSE LEAST({n}, GREATEST(0, "
+            f"CAST(FLOOR(({x} - {mn}) / ({mx} - {mn}) * {1 << bits}) AS BIGINT))) END"
+        )
+
+    interleave = " + ".join(
+        f"(((zb_user >> {i}) & 1) << {2 * i + 1}) + (((zb_value >> {i}) & 1) << {2 * i})"
+        for i in range(bits)
+    )
+    return f"""WITH rng AS (
+         SELECT MIN(CAST(user_id AS DOUBLE)) AS mn1,
+                MAX(CAST(user_id AS DOUBLE)) AS mx1,
+                MIN(CAST(value AS DOUBLE)) AS mn2,
+                MAX(CAST(value AS DOUBLE)) AS mx2
+         FROM events),
+       b AS (
+         SELECT event_id,
+                {bucket('CAST(user_id AS DOUBLE)', 'mn1', 'mx1')} AS zb_user,
+                {bucket('CAST(value AS DOUBLE)', 'mn2', 'mx2')} AS zb_value
+         FROM events CROSS JOIN rng)
+       SELECT event_id, zb_user, zb_value,
+              CAST({interleave} AS BIGINT) AS zkey
+       FROM b"""
+
+
+@q("q_zorder", _zorder_sql(8))
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order keys over (user_id, value) for every event — the
+    multi-dimensional clustering key for two-column data skipping
+    (operators/transforms.zorder_keys; write path `write_zordered`)."""
+    from ..operators.transforms import zorder_keys
+
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "value")
+    return zorder_keys(ev, "user_id", "value", bits=8).select(
+        "event_id",
+        F.col("zb_user_id").alias("zb_user"),
+        F.col("zb_value").alias("zb_value"),
+        "zkey",
+    )
