@@ -655,3 +655,36 @@ def test_stream_drift_monitor_matches_batch_psi(spark, sf_dir, tmp_path):
         for r in psi_drift(ref, ev, "value", "event_type").collect()
     }
     assert got == want and got
+
+
+def test_stream_drift_monitor_with_ks_matches_batch(spark, sf_dir, tmp_path):
+    """with_ks=True: the audit row carries BOTH the PSI and the exact
+    KS statistic, each equal to its batch operator on the replay."""
+    from trading_etl_python_spark.operators.transforms import ks_drift, psi_drift
+    from trading_etl_python_spark.streaming.pipeline import (
+        events_file_stream,
+        stream_drift_monitor,
+    )
+
+    ev = load_events(spark, sf_dir)
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    out = str(tmp_path / "drift")
+    q = stream_drift_monitor(
+        events_file_stream(spark, sf_dir),
+        ref,
+        out,
+        str(tmp_path / "ckpt"),
+        with_ks=True,
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    got_psi = {r["event_type"]: r["psi"] for r in rows}
+    got_ks = {r["event_type"]: r["ks"] for r in rows}
+    want_psi = {
+        r["event_type"]: r["psi"]
+        for r in psi_drift(ref, ev, "value", "event_type").collect()
+    }
+    want_ks = {
+        r["group"]: r["ks"] for r in ks_drift(ref, ev, "value", "event_type").collect()
+    }
+    assert got_psi == want_psi and got_ks == want_ks and got_ks

@@ -567,6 +567,7 @@ def stream_drift_monitor(
     checkpoint: str,
     value_col: str = "value",
     group_col: str = "event_type",
+    with_ks: bool = False,
 ):
     """Streaming feature-drift monitor: every micro-batch is scored
     against a STATIC reference snapshot with the PSI operator and the
@@ -575,15 +576,26 @@ def stream_drift_monitor(
     distribution leaves the training distribution".  foreachBatch
     because PSI is a batch comparison per trigger; reference stats are
     recomputed lazily per batch from the (broadcast-sized) reference
-    aggregate, the stream side is one narrow scan per batch."""
+    aggregate, the stream side is one narrow scan per batch.
+
+    ``with_ks=True`` additionally scores each micro-batch with the
+    exact two-sample Kolmogorov-Smirnov statistic (``ks_drift``) — the
+    distribution-free escalation when the binned PSI flags a shift —
+    joined into the same audit row per (group, batch)."""
     from ..operators.transforms import psi_drift
 
     def score(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        out = psi_drift(reference, batch_df, value_col, group_col).withColumn(
-            "batch_id", F.lit(batch_id).cast("long")
-        )
+        out = psi_drift(reference, batch_df, value_col, group_col)
+        if with_ks:
+            from ..operators.transforms import ks_drift
+
+            ks = ks_drift(reference, batch_df, value_col, group_col)
+            out = out.join(
+                ks.withColumnRenamed("group", group_col), group_col, "full"
+            )
+        out = out.withColumn("batch_id", F.lit(batch_id).cast("long"))
         out.write.mode("append").parquet(out_path)
 
     return (
