@@ -474,3 +474,48 @@ def test_zorder_layout_tightens_per_file_boxes(spark, tmp_path):
     assert ulo_hit < len(zb)
     # round-trip integrity
     assert spark.read.parquet(zpath).count() == ev.count()
+
+
+# ---------------------------------------------------------- pruned read
+
+
+def test_pruned_read_skips_files_and_matches_filter(spark, tmp_path):
+    from trading_etl_python_spark.operators.transforms import (
+        file_stats_index,
+        pruned_read,
+        write_zordered,
+    )
+    from trading_etl_python_spark.sources.tables import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.01").select(
+        "event_id", "user_id", "value"
+    )
+    path = str(tmp_path / "z")
+    write_zordered(ev, path, "user_id", "value", bits=8, n_files=16, quantile=True)
+
+    idx = file_stats_index(spark, path, ["value", "user_id"]).collect()
+    assert len(idx) == 16
+    assert sum(r.n_rows for r in idx) == ev.count()
+
+    df, n_read, n_total = pruned_read(spark, path, "value", 100.0, 200.0)
+    assert n_total == 16 and n_read <= 8, (n_read, n_total)
+    got = {r.event_id for r in df.collect()}
+    want = {
+        r.event_id
+        for r in ev.filter((F.col("value") >= 100.0) & (F.col("value") <= 200.0)).collect()
+    }
+    assert got == want and got  # pruning loses nothing
+
+
+def test_pruned_read_empty_range(spark, tmp_path):
+    from trading_etl_python_spark.operators.transforms import (
+        pruned_read,
+        write_zordered,
+    )
+    from trading_etl_python_spark.sources.tables import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.001").select("event_id", "value")
+    path = str(tmp_path / "z2")
+    write_zordered(ev, path, "event_id", "value", bits=4, n_files=4)
+    df, n_read, n_total = pruned_read(spark, path, "value", 1e9, 2e9)
+    assert n_read == 0 and df.count() == 0

@@ -2373,3 +2373,36 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("zb_value").alias("zb_value"),
         "zkey",
     )
+
+
+_ZLAYOUT_CACHE: dict[str, str] = {}
+
+
+@q(
+    "q_skip_read",
+    """SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
+       FROM events WHERE value >= 100.0 AND value <= 200.0""",
+)
+def q_skip_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping read over a Z-ordered layout: events are written
+    once per process Z-ordered on (user_id, value) (16 files, cached
+    under the atexit-cleaned sink root), then ``pruned_read`` answers a
+    value-range query touching ONLY the files whose footer span
+    intersects — correctness of the pruning is exactly what the oracle
+    checks (the result must equal the plain filter, row for row).
+    tests/test_late_r4.py additionally asserts MOST files are skipped.
+    (operators/transforms: zorder_keys / write_zordered /
+    file_stats_index / pruned_read)"""
+    from ..operators.transforms import pruned_read, write_zordered
+    from ..sources.tables import load_events
+
+    path = _ZLAYOUT_CACHE.get(sf_dir)
+    if path is None:
+        path = os.path.join(_sink_root(), f"zlayout_{len(_ZLAYOUT_CACHE)}")
+        ev = load_events(spark, sf_dir).select("event_id", "user_id", "value")
+        write_zordered(ev, path, "user_id", "value", bits=8, n_files=16)
+        _ZLAYOUT_CACHE[sf_dir] = path
+    df, _n_read, _n_total = pruned_read(spark, path, "value", 100.0, 200.0)
+    return df.select(
+        "event_id", "user_id", F.col("value").cast("double").alias("value")
+    )
