@@ -519,3 +519,42 @@ def test_pruned_read_empty_range(spark, tmp_path):
     write_zordered(ev, path, "event_id", "value", bits=4, n_files=4)
     df, n_read, n_total = pruned_read(spark, path, "value", 1e9, 2e9)
     assert n_read == 0 and df.count() == 0
+
+
+# ------------------------------------------------------------ bpe apply
+
+
+def test_bpe_apply_fertility_toy(spark):
+    docs = spark.createDataFrame(
+        [(1, "newest newest low"), (2, "lowest")], "doc_id bigint, text string"
+    )
+    # merges learned elsewhere; apply (e,s) then (es,t): newest -> n e w est
+    out = {r.doc_id: (r.n_words, r.n_syms)
+           for r in TX.bpe_apply(docs, [("e", "s"), ("es", "t")]).collect()}
+    # doc1: newest(4 syms) x2 + low(3) = 11; doc2: lowest -> l o w est = 4
+    assert out == {1: (3, 11), 2: (1, 4)}
+
+
+def test_bpe_apply_monotone_compression(spark, sf_dir):
+    """Each additional merge can only shrink (or keep) total symbols,
+    and with zero merges n_syms == total characters of the tokens."""
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in TX.bpe_learn_merges(docs, n_merges=3).collect()
+    ]
+    totals = []
+    for k in range(len(merges) + 1):
+        agg = TX.bpe_apply(docs, merges[:k]).agg(
+            F.sum("n_syms").alias("s"), F.sum("n_words").alias("w")
+        ).collect()[0]
+        totals.append((agg["s"], agg["w"]))
+    syms = [s for s, _ in totals]
+    assert all(a >= b for a, b in zip(syms, syms[1:]))  # monotone
+    assert syms[0] > syms[-1]  # merges actually compress
+    chars = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit(""))
+        ).alias("w")
+    ).agg(F.sum(F.length("w"))).collect()[0][0]
+    assert syms[0] == chars

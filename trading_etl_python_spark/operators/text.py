@@ -739,3 +739,40 @@ def token_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with a TRAINED merge list and measure
+    fertility — the evaluate step of the BPE train->apply cycle
+    (symbols/word is the metric tokenizer work optimizes; the
+    compression each merge buys shows up as n_syms shrinking toward
+    n_words).
+
+    Scale shape: merges rewrite the DISTINCT-word vocabulary (the same
+    vocab-sized state ``bpe_learn_merges`` iterates on), producing a
+    (word -> symbol count) map that joins the exploded corpus on the
+    word key — AQE broadcasts it while vocab-sized, shuffles past that.
+    The corpus is touched twice (vocab build, token join), never per
+    merge.
+
+    Returns (doc_id, n_words, n_syms) per document with >= 1 token."""
+    from .dedup import tokens_col
+
+    tok = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("w"))
+    vocab = tok.select("w").distinct().withColumn("syms", F.split("w", ""))
+    for a, b in merges:
+        vocab = vocab.withColumn("syms", _merge_fold(F.col("syms"), a, b))
+    wmap = vocab.select("w", F.size("syms").cast("long").alias("_ns"))
+    return (
+        tok.join(wmap, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_ns").alias("n_syms"),
+        )
+    )

@@ -2406,3 +2406,29 @@ def q_skip_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "event_id", "user_id", F.col("value").cast("double").alias("value")
     )
+
+
+def _bpe_apply_sql(n_merges: int = 4) -> str:
+    """SQL twin of bpe_learn + bpe_apply: the learn CTE chain from
+    _bpe_learn_sql, then the final vocab's symbol counts joined back to
+    the per-doc token stream."""
+    learn = _bpe_learn_sql(n_merges)
+    body = learn[len("WITH ") : learn.index("\n       SELECT CAST(1 AS INT)")]
+    return f"""WITH {body},
+       dtok AS (SELECT doc_id, unnest({TOKS}) AS w FROM documents),
+       wmap AS (SELECT w, CAST(len(syms) AS BIGINT) AS ns FROM v{n_merges})
+       SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(ns) AS BIGINT) AS n_syms
+       FROM dtok JOIN wmap USING (w) GROUP BY doc_id"""
+
+
+@q("q_bpe_apply", _bpe_apply_sql(4))
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train->apply->evaluate BPE: tokenize every document with the 4
+    learned merges and report per-doc word/symbol counts (fertility)
+    — operators/text.bpe_learn_merges + bpe_apply."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in TX.bpe_learn_merges(docs, n_merges=4).collect()
+    ]
+    return TX.bpe_apply(docs, merges)
