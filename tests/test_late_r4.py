@@ -558,3 +558,54 @@ def test_bpe_apply_monotone_compression(spark, sf_dir):
         ).alias("w")
     ).agg(F.sum(F.length("w"))).collect()[0][0]
     assert syms[0] == chars
+
+
+def test_ks_drift_one_sided_group_scores_max_drift(spark):
+    """A group present on only one side must score ks=1.0, not raise
+    DIVIDE_BY_ZERO (the streaming monitor's partial-batch case)."""
+    from trading_etl_python_spark.operators.transforms import ks_drift
+
+    ref = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "event_type string, value double"
+    )
+    cmp = spark.createDataFrame(
+        [("a", 1.0), ("b", 9.0)], "event_type string, value double"
+    )
+    out = {r.group: r for r in ks_drift(ref, cmp).collect()}
+    assert out["b"].ks == pytest.approx(1.0)
+    assert out["b"].n_ref == 0 and out["b"].n_cmp == 1
+    assert out["a"].ks == pytest.approx(0.5)
+
+
+def test_pruned_read_handles_all_null_file_and_uses_index(spark, tmp_path):
+    """A file whose pruned column is entirely NULL has a NULL span —
+    it cannot match a range predicate and must be skipped, not crash;
+    and write_zordered's persisted stats index is what plans the read."""
+    import os
+
+    from trading_etl_python_spark.operators.transforms import (
+        _stats_path,
+        pruned_read,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, 5.0)], "id bigint, v double"
+    ).write.parquet(path)
+    spark.createDataFrame(
+        [(2, None)], "id bigint, v double"
+    ).write.mode("append").parquet(path)
+    df, n_read, n_total = pruned_read(spark, path, "v", 0.0, 10.0)
+    assert [r.id for r in df.collect()] == [1]
+    assert n_read < n_total  # the all-null file was skipped
+
+    # write_zordered persists the index; pruned_read must accept it
+    from trading_etl_python_spark.operators.transforms import write_zordered
+    from trading_etl_python_spark.sources.tables import load_events
+
+    zp = str(tmp_path / "z")
+    ev = load_events(spark, "/root/testdata/sf0.001").select("event_id", "user_id", "value")
+    write_zordered(ev, zp, "user_id", "value", bits=4, n_files=4)
+    assert os.path.exists(_stats_path(zp))
+    df2, _, n2 = pruned_read(spark, zp, "value", 0.0, 1e9)
+    assert n2 == 4 and df2.count() == ev.count()

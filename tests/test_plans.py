@@ -445,10 +445,9 @@ def test_bpe_pairs_map_side_combine_topk(spark, sf_dir):
     plan = _executed(QUERIES["q_bpe_pairs"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Exchange") == 1, plan
-    # partial aggregation BEFORE the exchange
-    assert plan.index("HashAggregate") < len(plan)
-    pre = plan[plan.index("Exchange"):]
-    assert "HashAggregate" in plan[: plan.index("Exchange")] or "partial_count" in plan
+    # partial aggregation BELOW the exchange: executedPlan prints root
+    # first, so the map-side partial_count must appear AFTER Exchange
+    assert "partial_count" in plan[plan.index("Exchange") :], plan
 
 
 def test_cdc_dedup_single_exchange_topk(spark, sf_dir):

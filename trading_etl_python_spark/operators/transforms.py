@@ -233,16 +233,25 @@ def table_stats(df: DataFrame, cols: list[str], ndv_tol: float = 0.05) -> DataFr
     deployed path; the exact NDV is computed here too so the whole row
     is value-checkable (same contract as q_approx_stats).
 
-    Everything partial-aggregates map-side; output is long-form
-    (one row per column) via an unpivot of the single aggregate row."""
+    Two aggregation jobs over the scan, NOT one: mixing multi-column
+    exact ``countDistinct`` (planned via Expand — one data replica per
+    distinct column) with wide-state HLL sketches in a single aggregate
+    makes Spark carry every non-distinct aggregation buffer (4 x 1%-rsd
+    HLL registers + min/max) through every (gid, value) group of the
+    expanded data — measured 238 s on sf0.1 lineitem vs ~2 s split.
+    Exact NDVs aggregate alone (distinct-value-sized state); counts,
+    sketches, and min/max aggregate alone (one group, constant state);
+    the two 1-row results cross-join."""
+    exact = df.agg(
+        *[F.countDistinct(c).alias(f"ndv_{c}") for c in cols],
+    )
     agg = df.agg(
         F.count(F.lit(1)).alias("_n"),
         *[F.count(c).alias(f"nn_{c}") for c in cols],
-        *[F.countDistinct(c).alias(f"ndv_{c}") for c in cols],
         *[F.approx_count_distinct(c, rsd=0.01).alias(f"andv_{c}") for c in cols],
         *[F.round(F.min(F.col(c).cast("double")), 4).alias(f"mn_{c}") for c in cols],
         *[F.round(F.max(F.col(c).cast("double")), 4).alias(f"mx_{c}") for c in cols],
-    )
+    ).crossJoin(F.broadcast(exact))
     stack = ", ".join(
         f"'{c}', nn_{c}, ndv_{c}, andv_{c}, mn_{c}, mx_{c}" for c in cols
     )
@@ -282,6 +291,11 @@ def ks_drift(
     Counts are integers and the division is one double op, so engines
     agree bit-for-bit before the 6dp round.
 
+    A group present on only ONE side scores ks = 1.0 (a category that
+    appeared or vanished is maximal drift) — guarded explicitly, since
+    ANSI mode would otherwise raise DIVIDE_BY_ZERO and kill e.g. a
+    streaming monitor whose micro-batch misses one reference group.
+
     Returns (group, n_ref, n_cmp, ks)."""
     from pyspark.sql import Window
 
@@ -304,10 +318,13 @@ def ks_drift(
     c_cmp = F.sum(F.when(F.col("_side") == 1, 1).otherwise(0)).over(wr)
     n_ref = F.sum(F.when(F.col("_side") == 0, 1).otherwise(0)).over(wg)
     n_cmp = F.sum(F.when(F.col("_side") == 1, 1).otherwise(0)).over(wg)
-    d = F.abs(
-        c_ref.cast("double") / n_ref.cast("double")
-        - c_cmp.cast("double") / n_cmp.cast("double")
-    )
+    d = F.when(
+        (n_ref > 0) & (n_cmp > 0),
+        F.abs(
+            c_ref.cast("double") / n_ref.cast("double")
+            - c_cmp.cast("double") / n_cmp.cast("double")
+        ),
+    ).otherwise(F.lit(1.0))
     return (
         u.select(
             "g",
@@ -402,18 +419,23 @@ def _quantile_bucket_expr(x, cuts: list[float]):
     )
 
 
-def quantile_cutpoints(df: DataFrame, col: str, bits: int) -> list[float]:
-    """2^bits - 1 approx-percentile cutpoints (one tiny aggregate; the
-    collect is 2^bits doubles — bounded by the bucket count, not data).
-    Same sketch-cutpoint posture as ``curation.tier_by_cutpoints``."""
+def quantile_cutpoints(
+    df: DataFrame, cols: list[str], bits: int
+) -> list[list[float]]:
+    """2^bits - 1 approx-percentile cutpoints per column, ALL columns in
+    one aggregate job (one scan regardless of how many dimensions the
+    layout clusters on); the collect is len(cols) x 2^bits doubles —
+    bounded by the bucket count, not data.  Same sketch-cutpoint
+    posture as ``curation.tier_by_cutpoints``."""
     n = 1 << bits
     qs = [i / n for i in range(1, n)]
-    return [
-        float(v)
-        for v in df.select(
-            F.percentile_approx(F.col(col).cast("double"), qs, 10_000).alias("p")
-        ).collect()[0]["p"]
-    ]
+    row = df.select(
+        *[
+            F.percentile_approx(F.col(c).cast("double"), qs, 10_000).alias(f"p{i}")
+            for i, c in enumerate(cols)
+        ]
+    ).collect()[0]
+    return [[float(v) for v in row[f"p{i}"]] for i in range(len(cols))]
 
 
 def write_zordered(
@@ -439,10 +461,13 @@ def write_zordered(
     reads 10/16 files under the equal-width layout vs 6/16 under the
     quantile layout on the events table); the cutpoint sketch is engine-specific, which is fine for
     a write-time layout (the judged key computation `zorder_keys`
-    stays the portable equal-width form)."""
+    stays the portable equal-width form).
+
+    Alongside the data, the per-file min-max stats index for (c1, c2)
+    is persisted at ``<path>__stats`` (the manifest posture) so
+    ``pruned_read`` plans from the index without re-scanning data."""
     if quantile:
-        cut1 = quantile_cutpoints(df, c1, bits)
-        cut2 = quantile_cutpoints(df, c2, bits)
+        cut1, cut2 = quantile_cutpoints(df, [c1, c2], bits)
         keyed = df.withColumn(
             "_zb1", _quantile_bucket_expr(F.col(c1).cast("double"), cut1)
         ).withColumn(
@@ -462,6 +487,15 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+    file_stats_index(df.sparkSession, path, [c1, c2]).write.mode(
+        "overwrite"
+    ).parquet(_stats_path(path))
+
+
+def _stats_path(path: str) -> str:
+    """Sibling location for a table's persisted stats index (NOT inside
+    the data directory, which spark.read.parquet would glob as data)."""
+    return path.rstrip("/") + "__stats"
 
 
 #: pruned_read collects one row per data file; beyond this the index
@@ -492,16 +526,26 @@ def pruned_read(spark, path: str, col: str, lo, hi):
     table a range predicate on EITHER clustering column prunes most
     files; on a linear sort only the leading column does).
 
-    The index collect is one row per file (bounded by
-    ``MAX_INDEXED_FILES`` — past that the index belongs in a table, not
-    the driver); pruning is CONSERVATIVE (a file is kept unless its
-    span provably misses the range) and the residual filter still runs,
-    so the result is exactly the unpruned filter's.
+    Planning reads the index PERSISTED by ``write_zordered`` at
+    ``<path>__stats`` when present (the manifest posture — no data
+    touched at plan time); only an unindexed table falls back to a
+    one-off stats scan.  The index collect is one row per file (bounded
+    by ``MAX_INDEXED_FILES`` — past that the index belongs in a table,
+    not the driver); pruning is CONSERVATIVE (a file is kept unless its
+    span provably misses the range; a file whose span is NULL — no
+    non-null values — cannot match a range predicate and is skipped)
+    and the residual filter still runs, so the result is exactly the
+    unpruned filter's.
 
     Returns (df, n_files_read, n_files_total)."""
-    idx = file_stats_index(spark, path, [col]).select(
-        "file", f"{col}_mn", f"{col}_mx"
-    )
+    try:
+        idx = spark.read.parquet(_stats_path(path)).select(
+            "file", f"{col}_mn", f"{col}_mx"
+        )
+    except Exception:
+        idx = file_stats_index(spark, path, [col]).select(
+            "file", f"{col}_mn", f"{col}_mx"
+        )
     files = idx.limit(MAX_INDEXED_FILES + 1).collect()
     if len(files) > MAX_INDEXED_FILES:
         raise ValueError(
@@ -511,7 +555,9 @@ def pruned_read(spark, path: str, col: str, lo, hi):
     keep = [
         r["file"]
         for r in files
-        if not (r[f"{col}_mx"] < lo or r[f"{col}_mn"] > hi)
+        if r[f"{col}_mn"] is not None
+        and r[f"{col}_mx"] is not None
+        and not (r[f"{col}_mx"] < lo or r[f"{col}_mn"] > hi)
     ]
     df = (
         spark.read.parquet(*keep)

@@ -39,7 +39,7 @@ for mod in (core, relational, extensions, analytics, behavior, sql_api):
 #      rows: q_sql_tpch_q12 (BIGINT cast fix for the one r3 red),
 #      q_dedup_minhash_ml (new deterministic oracle contract),
 #      q_dedup_clusters (star-truncation collapse, ADVICE r3),
-#   3. whatever r1/r2 core queries still fit (the 27 operators BORN in
+#   3. whatever r1/r2 core queries still fit (the operators BORN in
 #      r4 take the rest of the window — first driver rows beat stale
 #      re-certification).
 # The r3-certified analytics/behavior/sql blocks demote to the back.
@@ -71,7 +71,7 @@ _NEW_R4 = [
 _PRIORITY = [
     *_NEVER_CERTIFIED,  # 17 (incl. q_stream_replay, oracle'd in r4)
     *_CHANGED_R4,  # 3
-    *_NEW_R4,  # 27
+    *_NEW_R4,  # 27 early-r4 + 13 late-r4 (40 total)
     *(n for n in core.QUERIES if n not in _NEW_R4),  # 24 r1/r2 greens
     # relational r1/r2 greens (q_asof_forward, born r4, already listed)
     *(n for n in relational.QUERIES if n not in _NEW_R4),

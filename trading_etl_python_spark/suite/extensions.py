@@ -2137,6 +2137,10 @@ def _bpe_learn_sql(n_merges: int = 4) -> str:
         ctes.append(
             f"t{t} AS (SELECT a, b, n FROM p{t} ORDER BY n DESC, a, b LIMIT 1)"
         )
+        # LEFT JOIN ON TRUE (not a cross join): when the pair vocabulary
+        # is exhausted t{t} is EMPTY and a cross join would zero out the
+        # vocab — the NULL-extended row makes the fold an identity
+        # rewrite instead, matching the Python loop's early break.
         # v{t} is referenced by BOTH p{t+1} and v{t+1}: MATERIALIZED stops
         # DuckDB re-inlining the whole chain (2^n blowup — same fix as
         # the pagerank oracle)
@@ -2148,7 +2152,7 @@ def _bpe_learn_sql(n_merges: int = 4) -> str:
                             AND x[1] = t{t}.b
                        THEN acc[1:len(acc)-1] || [t{t}.a || t{t}.b]
                        ELSE acc || x END) AS syms
-         FROM v{t-1}, t{t})"""
+         FROM v{t-1} LEFT JOIN t{t} ON TRUE)"""
         )
     sel = "\n       UNION ALL ".join(
         f"SELECT CAST({t} AS INT) AS merge_rank, a AS left_sym, "
@@ -2276,8 +2280,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
        SELECT grp AS "group",
               CAST(MAX(n_ref) AS BIGINT) AS n_ref,
               CAST(MAX(n_cmp) AS BIGINT) AS n_cmp,
-              ROUND(MAX(ABS(CAST(c_ref AS DOUBLE) / n_ref
-                            - CAST(c_cmp AS DOUBLE) / n_cmp)), 6) AS ks
+              ROUND(MAX(CASE WHEN n_ref > 0 AND n_cmp > 0
+                             THEN ABS(CAST(c_ref AS DOUBLE) / n_ref
+                                      - CAST(c_cmp AS DOUBLE) / n_cmp)
+                             ELSE 1.0 END), 6) AS ks
        FROM e GROUP BY grp""",
 )
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
