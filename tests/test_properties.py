@@ -404,3 +404,65 @@ def test_span_dedup_keeps_exactly_distinct_spans(spark, texts, k):
     kept = sum(r["n_spans"] - r["n_dup_spans"] for r in stats)
     distinct = D.doc_spans(df, k=k).select("span").distinct().count()
     assert kept == distinct
+
+
+# ---------------------------------------------------- late-r4 kernels
+
+_words = st.text(alphabet="ab", min_size=1, max_size=12)
+
+
+@given(
+    st.lists(_words, min_size=1, max_size=12),
+    st.sampled_from(["a", "b"]),
+    st.sampled_from(["a", "b"]),
+)
+@settings(max_examples=20, deadline=None)
+def test_merge_fold_matches_reference(spark, ws, a, b):
+    """The Spark array-fold BPE merge == the canonical greedy L2R
+    non-overlapping merge on arbitrary a/b strings (incl. runs like
+    'aaaa' where overlap handling is the hard part)."""
+    from pyspark.sql import functions as F
+
+    from trading_etl_python_spark.operators.text import _merge_fold
+
+    df = spark.createDataFrame([(w,) for w in ws], "w string")
+    got = {
+        r.w: r.m
+        for r in df.select(
+            "w", _merge_fold(F.split("w", ""), a, b).alias("m")
+        ).collect()
+    }
+
+    def ref(w: str) -> list[str]:
+        out: list[str] = []
+        for ch in w:
+            if out and out[-1] == a and ch == b:
+                out[-1] = a + b
+            else:
+                out.append(ch)
+        return out
+
+    for w in set(ws):
+        assert got[w] == ref(w), w
+
+
+@given(st.text(alphabet="abc 123", min_size=0, max_size=200))
+@settings(max_examples=15, deadline=None)
+def test_cdc_chunks_partition_text(spark, text):
+    """CDC chunks always partition the normalized text exactly: chunks
+    concatenate back to it, every chunk non-empty, boundaries at hash
+    hits only (reference recomputation)."""
+    from trading_etl_python_spark.operators import dedup as D
+    from tests.test_late_r4 import _cdc_ref
+
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    rows = sorted(
+        D.cdc_chunks(df).collect(), key=lambda r: r.chunk_idx
+    )
+    ref = _cdc_ref(text)
+    assert len(rows) == len(ref)
+    import hashlib
+
+    for r, c in zip(rows, ref):
+        assert r.chunk_len == len(c) and len(c) > 0
+        assert r.chunk_hash == hashlib.md5(c.encode()).hexdigest()
