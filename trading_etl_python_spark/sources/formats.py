@@ -17,6 +17,8 @@ pipeline should run before heavy queries.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -182,3 +184,98 @@ def write_avro(df: DataFrame, path: str) -> None:
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.format("avro").load(path)
+
+
+def write_tar_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 4,
+    key_col: str = "key",
+    payload_col: str = "payload",
+    member_suffix: str = ".txt",
+) -> None:
+    """Write (key, payload-bytes) rows as WebDataset-style tar shards —
+    the sharded-archive layout training loaders stream (one tar per
+    shard, one member per sample, member name = sample key).  Shard
+    assignment is the portable hash of the key (reproducible across
+    runs/engines — mid-epoch resume safe, same guarantee as
+    ``export_training_data_job``'s parquet shards).
+
+    Scale shape: one hash(shard) exchange, then each task streams ITS
+    shard's members through stdlib ``tarfile`` straight to disk via
+    ``mapInPandas`` — one tar per task, no driver involvement, archive
+    size bounded by shard count choice.  (Local filesystem paths here;
+    an object-store deployment points the same writer at a fuse mount
+    or writes via a hadoop OutputStream.)"""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import porthash32
+
+    os.makedirs(path, exist_ok=True)
+    keyed = df.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.col(payload_col).cast("binary").alias("p"),
+        (porthash32(F.col(key_col).cast("string")) % n_shards).alias("_shard"),
+    )
+
+    def write_shard(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import io
+        import tarfile
+
+        if len(pdf) == 0:
+            return pd.DataFrame({"shard": [], "n": []})
+        shard = int(pdf["_shard"].iloc[0])
+        pdf = pdf.sort_values("k")  # deterministic member order
+        out = os.path.join(path, f"shard-{shard:05d}.tar")
+        with tarfile.open(out, "w") as tf:
+            for k, p in zip(pdf["k"], pdf["p"]):
+                data = bytes(p)
+                info = tarfile.TarInfo(name=f"{k}{member_suffix}")
+                info.size = len(data)
+                info.mtime = 0  # reproducible archives
+                tf.addfile(info, io.BytesIO(data))
+        return pd.DataFrame({"shard": [shard], "n": [len(pdf)]})
+
+    (
+        keyed.repartition(n_shards, "_shard")
+        .groupBy("_shard")
+        .applyInPandas(write_shard, "shard int, n long")
+        .collect()  # the tiny (shard, count) manifest drives the job
+    )
+
+
+def read_tar_shards(spark: SparkSession, path: str) -> DataFrame:
+    """Read WebDataset-style tar shards back into (shard, key, payload)
+    rows: ``binaryFile`` lists the archives (one row per tar, listing
+    on executors), and ``mapInPandas`` streams each archive's members
+    out of stdlib ``tarfile`` — Arrow-batched, no Python per-row loop
+    over the hot path, no driver involvement.  Parallelism = shard
+    count, the same contract the training loader has."""
+    import pandas as pd
+
+    raw = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "*.tar"
+    ).load(path)
+
+    def explode_members(batches):
+        import io
+        import os as _os
+        import tarfile
+
+        for pdf in batches:
+            for p, content in zip(pdf["path"], pdf["content"]):
+                shard = _os.path.basename(p)
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
+                    names, keys, payloads = [], [], []
+                    for m in tf.getmembers():
+                        names.append(shard)
+                        keys.append(_os.path.splitext(m.name)[0])
+                        payloads.append(tf.extractfile(m).read())
+                yield pd.DataFrame(
+                    {"shard": names, "key": keys, "payload": payloads}
+                )
+
+    return raw.select("path", "content").mapInPandas(
+        explode_members, "shard string, key string, payload binary"
+    )

@@ -2438,3 +2438,39 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in TX.bpe_learn_merges(docs, n_merges=4).collect()
     ]
     return TX.bpe_apply(docs, merges)
+
+
+_TAR_CACHE: dict[str, str] = {}
+
+
+@q(
+    "q_tar_shards",
+    """SELECT CAST(doc_id AS VARCHAR) AS key,
+              CAST(length(text) AS BIGINT) AS n_bytes,
+              md5(text) AS payload_md5
+       FROM documents""",
+)
+def q_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard roundtrip: documents are written once per
+    process as 4 portable-hash tar shards (stdlib tarfile inside
+    applyInPandas — one archive per task), read back via binaryFile +
+    mapInPandas member explode, and reduced to (key, n_bytes, md5) —
+    the oracle proves every byte survived the archive cycle
+    (sources/formats.write_tar_shards / read_tar_shards)."""
+    from ..sources.formats import read_tar_shards, write_tar_shards
+
+    path = _TAR_CACHE.get(sf_dir)
+    if path is None:
+        path = os.path.join(_sink_root(), f"tar_{len(_TAR_CACHE)}")
+        docs = load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("string").alias("key"),
+            F.col("text").cast("binary").alias("payload"),
+        )
+        write_tar_shards(docs, path, n_shards=4)
+        _TAR_CACHE[sf_dir] = path
+    back = read_tar_shards(spark, path)
+    return back.select(
+        "key",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
