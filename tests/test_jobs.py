@@ -2,6 +2,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from trading_etl_python_spark.jobs import backfill_job, latest_indicators_job, range_query_job
 
 
@@ -88,3 +90,29 @@ def test_export_training_data_job(spark, sf_dir, tmp_path):
     t = spark.read.parquet(str(tmp_path / "out" / "train"))
     assert {"_grp", "pack_id", "n_docs", "sum_tokens", "first_id", "last_id",
             "split", "shard"} <= set(t.columns)
+
+
+def test_export_training_data_job_tar_archives(spark, sf_dir, tmp_path):
+    """tar_export publishes loader-ready WebDataset shards per split
+    whose member counts equal the curated split sizes."""
+    import os
+
+    from trading_etl_python_spark.jobs import export_training_data_job
+    from trading_etl_python_spark.operators.curation import curate_corpus
+    from trading_etl_python_spark.operators.sampling import split_assign
+    from trading_etl_python_spark.sources.formats import read_tar_shards
+    from trading_etl_python_spark.sources.tables import load_table
+
+    out = str(tmp_path / "exp")
+    m = export_training_data_job(spark, sf_dir, out, n_shards=2, tar_export=True)
+    curated = split_assign(curate_corpus(load_table(spark, sf_dir, "documents")))
+    sizes = {
+        r["split"]: r["n"]
+        for r in curated.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    for split in ("train", "val", "test"):
+        assert m["tar"][split] == sizes.get(split, 0)
+        tdir = f"{out}/{split}_tar"
+        assert os.path.isdir(tdir)
+        back = read_tar_shards(spark, tdir)
+        assert back.count() == sizes.get(split, 0)

@@ -113,6 +113,7 @@ def export_training_data_job(
     out_root: str,
     budget: int = 512,
     n_shards: int = 8,
+    tar_export: bool = False,
 ) -> dict:
     """End-to-end training-data export: curate the corpus (quality ->
     exact + near dedup), assign deterministic splits, pack each
@@ -123,7 +124,13 @@ def export_training_data_job(
     Writes are one job per split over the shared lazy curation plan.
     Shard assignment is the portable hash of the pack'"'"'s first doc id —
     stable across runs, so a re-export produces identical shard
-    membership and a trainer can resume mid-epoch against it."""
+    membership and a trainer can resume mid-epoch against it.
+
+    ``tar_export=True`` additionally publishes each split's curated
+    documents as WebDataset-style tar shards (``write_tar_shards`` —
+    key = doc id, payload = text, portable-hash shard membership), the
+    archive layout a streaming training loader consumes directly; the
+    manifest records per-split member counts."""
     from .operators.curation import curate_corpus, pack_sequences
     from .operators.sampling import hash_bucket, split_assign
     from .operators.transforms import table_stats
@@ -154,6 +161,22 @@ def export_training_data_job(
             for r in written.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
         }
         manifest["splits"][split] = {"packs": sum(counts.values()), "shards": counts}
+    if tar_export:
+        from .sources.formats import read_tar_shards, write_tar_shards
+
+        manifest["tar"] = {}
+        # curation carries metadata only; re-attach payload text by id
+        with_text = curated.select("doc_id", "split").join(
+            docs.select("doc_id", "text"), "doc_id"
+        )
+        for split in ("train", "val", "test"):
+            tpath = f"{out_root}/{split}_tar"
+            part = with_text.filter(F.col("split") == split).select(
+                F.col("doc_id").cast("string").alias("key"),
+                F.col("text").cast("binary").alias("payload"),
+            )
+            write_tar_shards(part, tpath, n_shards=n_shards)
+            manifest["tar"][split] = read_tar_shards(spark, tpath).count()
     manifest["stats"] = {
         r["column"]: {"n_rows": r["n_rows"], "ndv": r["ndv"]}
         for r in table_stats(packed, ["first_id", "pack_id"]).collect()
