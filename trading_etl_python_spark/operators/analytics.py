@@ -230,3 +230,56 @@ def mad_outliers(df: DataFrame, col: str = "close", k: float = 3.0) -> DataFrame
             "dev_ratio",
         )
     )
+
+
+def basket_spearman(
+    df: DataFrame, basket_max_symbol: int = 50, min_days: int = 15
+) -> DataFrame:
+    """Spearman rank correlation for every basket pair — the robust
+    companion to ``basket_correlation``: Pearson over AVERAGE ranks of
+    the day-aligned closes (rank + (ties-1)/2, the standard fractional
+    rank, expressed identically on both engines), insensitive to
+    monotone transformations and far less outlier-driven than raw-price
+    Pearson.
+
+    Ranks are computed WITHIN each pair's shared-day sample (the
+    classical paired definition — ranking each full series first gives
+    a different statistic whenever two symbols' day coverage differs),
+    so the rank windows partition by (symbol_a, symbol_b) and ride the
+    hash(pair) distribution the corr aggregation needs anyway.
+
+    Scale shape: the windows and aggregation all run on the
+    |basket|² x |days| pair table built from the same |basket| x |days|
+    pre-aggregate as ``basket_correlation`` — the basket bound keeps
+    the square small; corr itself is one map-side-combinable agg."""
+    from pyspark.sql import Window
+
+    d = daily_close(df.filter(F.col("symbol") < basket_max_symbol))
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.symbol") < F.col("b.symbol")),
+    ).select(
+        F.col("a.symbol").alias("symbol_a"),
+        F.col("b.symbol").alias("symbol_b"),
+        F.col("a.close_d").alias("ca"),
+        F.col("b.close_d").alias("cb"),
+    )
+    pw = ["symbol_a", "symbol_b"]
+    ra = F.rank().over(Window.partitionBy(*pw).orderBy("ca")) + (
+        F.count(F.lit(1)).over(Window.partitionBy(*pw, "ca")) - 1
+    ) / 2.0
+    rb = F.rank().over(Window.partitionBy(*pw).orderBy("cb")) + (
+        F.count(F.lit(1)).over(Window.partitionBy(*pw, "cb")) - 1
+    ) / 2.0
+    return (
+        pairs.withColumn("_ra", ra)
+        .withColumn("_rb", rb)
+        .groupBy("symbol_a", "symbol_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.corr("_ra", "_rb"), 4).alias("spearman"),
+        )
+        .filter(F.col("n_days") >= min_days)
+    )

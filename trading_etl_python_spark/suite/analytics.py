@@ -517,3 +517,28 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-symbol outlier flags: |close - median| > 3 x MAD."""
     return AN.mad_outliers(bars(spark, sf_dir), k=3.0)
+
+
+@q(
+    "q_spearman",
+    f"""WITH {BARS_CTE},
+    d AS (SELECT symbol, CAST(time AS DATE) AS day, AVG(close) AS close_d
+          FROM bars WHERE symbol < 50 GROUP BY symbol, CAST(time AS DATE)),
+    p AS (SELECT a.symbol AS symbol_a, b.symbol AS symbol_b,
+                 a.close_d AS ca, b.close_d AS cb
+          FROM d a JOIN d b ON a.day = b.day AND a.symbol < b.symbol),
+    r AS (SELECT symbol_a, symbol_b,
+            RANK() OVER (PARTITION BY symbol_a, symbol_b ORDER BY ca)
+            + (COUNT(*) OVER (PARTITION BY symbol_a, symbol_b, ca) - 1) / 2.0 AS ra,
+            RANK() OVER (PARTITION BY symbol_a, symbol_b ORDER BY cb)
+            + (COUNT(*) OVER (PARTITION BY symbol_a, symbol_b, cb) - 1) / 2.0 AS rb
+          FROM p)
+    SELECT symbol_a, symbol_b, COUNT(*) AS n_days,
+           ROUND(CORR(ra, rb), 4) AS spearman
+    FROM r GROUP BY symbol_a, symbol_b
+    HAVING COUNT(*) >= 15""",
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per basket pair (fractional ranks ->
+    Pearson over ranks) — operators/analytics.basket_spearman."""
+    return AN.basket_spearman(bars(spark, sf_dir), basket_max_symbol=50, min_days=15)
