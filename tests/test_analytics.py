@@ -147,7 +147,6 @@ def test_spearman_matches_scipy_style_reference(spark, sf_dir):
         series.setdefault(r.symbol, {})[r.day] = r.close_d
 
     def frac_rank(xs):
-        order = np.argsort(np.argsort(xs, kind="stable"))
         ranks = np.empty(len(xs))
         sx = sorted(xs)
         import bisect

@@ -162,7 +162,7 @@ def export_training_data_job(
         }
         manifest["splits"][split] = {"packs": sum(counts.values()), "shards": counts}
     if tar_export:
-        from .sources.formats import read_tar_shards, write_tar_shards
+        from .sources.formats import write_tar_shards
 
         manifest["tar"] = {}
         # curation carries metadata only; re-attach payload text by id
@@ -175,8 +175,8 @@ def export_training_data_job(
                 F.col("doc_id").cast("string").alias("key"),
                 F.col("text").cast("binary").alias("payload"),
             )
-            write_tar_shards(part, tpath, n_shards=n_shards)
-            manifest["tar"][split] = read_tar_shards(spark, tpath).count()
+            shard_counts = write_tar_shards(part, tpath, n_shards=n_shards)
+            manifest["tar"][split] = sum(shard_counts.values())
     manifest["stats"] = {
         r["column"]: {"n_rows": r["n_rows"], "ndv": r["ndv"]}
         for r in table_stats(packed, ["first_id", "pack_id"]).collect()

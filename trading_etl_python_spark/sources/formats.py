@@ -193,7 +193,7 @@ def write_tar_shards(
     key_col: str = "key",
     payload_col: str = "payload",
     member_suffix: str = ".txt",
-) -> None:
+) -> dict[int, int]:
     """Write (key, payload-bytes) rows as WebDataset-style tar shards —
     the sharded-archive layout training loaders stream (one tar per
     shard, one member per sample, member name = sample key).  Shard
@@ -203,20 +203,32 @@ def write_tar_shards(
 
     Scale shape: one hash(shard) exchange, then each task streams ITS
     shard's members through stdlib ``tarfile`` straight to disk via
-    ``mapInPandas`` — one tar per task, no driver involvement, archive
-    size bounded by shard count choice.  (Local filesystem paths here;
-    an object-store deployment points the same writer at a fuse mount
-    or writes via a hadoop OutputStream.)"""
+    ``applyInPandas`` — one tar per task, no driver involvement,
+    archive size bounded by shard count choice.  Each archive is
+    written to a task-private temp name and atomically ``os.replace``d
+    into place (the task-commit protocol: a killed or speculatively
+    retried task never leaves a truncated/interleaved tar), and any
+    pre-existing ``*.tar`` under ``path`` is removed first so re-export
+    with fewer shards (or a shrunk corpus) cannot leave stale members —
+    overwrite semantics, same as the parquet writers.  (Local
+    filesystem paths here; an object-store deployment points the same
+    writer at a fuse mount or writes via a hadoop OutputStream.)
+
+    Returns the shard manifest {shard: member_count} collected from the
+    write tasks themselves (no read-back pass)."""
     import pandas as pd
     from pyspark.sql import functions as F
 
-    from ..operators.dedup import porthash32
+    from ..operators.sampling import hash_bucket
 
     os.makedirs(path, exist_ok=True)
+    for old_tar in os.listdir(path):
+        if old_tar.endswith(".tar"):
+            os.remove(os.path.join(path, old_tar))
     keyed = df.select(
         F.col(key_col).cast("string").alias("k"),
         F.col(payload_col).cast("binary").alias("p"),
-        (porthash32(F.col(key_col).cast("string")) % n_shards).alias("_shard"),
+        hash_bucket(F.col(key_col), n_shards).alias("_shard"),
     )
 
     def write_shard(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -225,24 +237,29 @@ def write_tar_shards(
 
         if len(pdf) == 0:
             return pd.DataFrame({"shard": [], "n": []})
+        import uuid
+
         shard = int(pdf["_shard"].iloc[0])
         pdf = pdf.sort_values("k")  # deterministic member order
         out = os.path.join(path, f"shard-{shard:05d}.tar")
-        with tarfile.open(out, "w") as tf:
+        tmp = f"{out}.tmp-{uuid.uuid4().hex}"
+        with tarfile.open(tmp, "w") as tf:
             for k, p in zip(pdf["k"], pdf["p"]):
                 data = bytes(p)
                 info = tarfile.TarInfo(name=f"{k}{member_suffix}")
                 info.size = len(data)
                 info.mtime = 0  # reproducible archives
                 tf.addfile(info, io.BytesIO(data))
+        os.replace(tmp, out)  # atomic task commit
         return pd.DataFrame({"shard": [shard], "n": [len(pdf)]})
 
-    (
+    rows = (
         keyed.repartition(n_shards, "_shard")
         .groupBy("_shard")
         .applyInPandas(write_shard, "shard int, n long")
         .collect()  # the tiny (shard, count) manifest drives the job
     )
+    return {int(r["shard"]): int(r["n"]) for r in rows}
 
 
 def read_tar_shards(spark: SparkSession, path: str) -> DataFrame:

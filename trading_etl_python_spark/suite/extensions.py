@@ -2446,7 +2446,7 @@ _TAR_CACHE: dict[str, str] = {}
 @q(
     "q_tar_shards",
     """SELECT CAST(doc_id AS VARCHAR) AS key,
-              CAST(length(text) AS BIGINT) AS n_bytes,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
               md5(text) AS payload_md5
        FROM documents""",
 )
