@@ -609,3 +609,42 @@ def test_pruned_read_handles_all_null_file_and_uses_index(spark, tmp_path):
     assert os.path.exists(_stats_path(zp))
     df2, _, n2 = pruned_read(spark, zp, "value", 0.0, 1e9)
     assert n2 == 4 and df2.count() == ev.count()
+
+
+# ------------------------------------------------- product quantization
+
+
+def test_pq_encode_matches_numpy_argmin(spark, sf_dir):
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(80)
+    cbs = S.pq_codebooks(emb, m=8, k=16)
+    enc = {r.vec_id: list(r.pq_codes) for r in S.pq_encode(emb, cbs).collect()}
+    vecs = {r.vec_id: np.array(r.embedding, np.float64) for r in emb.collect()}
+    C = [np.array(cb, np.float64) for cb in cbs]  # [m][k][ds]
+    ds = C[0].shape[1]
+    for vid, v in vecs.items():
+        for s in range(8):
+            sub = v[s * ds : (s + 1) * ds]
+            d2 = ((C[s] - sub) ** 2).sum(axis=1)
+            assert enc[vid][s] == int(np.argmin(d2)), (vid, s)
+
+
+def test_pq_error_bounded_and_zero_for_centroids(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(60)
+    cbs = S.pq_codebooks(emb, m=8, k=16)
+    rows = {r.vec_id: r.err_ppm for r in S.pq_error(emb, cbs).collect()}
+    # the codebook vectors reconstruct exactly (their own subvectors)
+    for vid in range(16):
+        assert rows[vid] == 0, vid
+    # and errors are sane for the rest
+    assert all(0 <= e < 2_000_000 for e in rows.values())
+
+
+def test_pq_adc_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = [r.vec_id for r in S.topk_cosine(emb, 0, 10).collect()]
+    got = [r.vec_id for r in S.pq_adc_topk(emb, S.pq_codebooks(emb), 0, k=10, rerank=50).collect()]
+    assert got[0] == 0  # self-match survives compression
+    recall = len(set(exact) & set(got)) / 10
+    assert recall >= 0.5, recall

@@ -827,3 +827,169 @@ def _dim_of(embeddings: DataFrame, vec_col: str = "embedding") -> int:
     array length) — one 1-row driver fetch, cached per call site."""
     row = embeddings.select(F.size(vec_col).alias("d")).limit(1).collect()
     return int(row[0]["d"]) if row else 0
+
+
+# ------------------------------------------------- product quantization
+
+
+def pq_codebooks(
+    embeddings: DataFrame, m: int = 8, k: int = 16, id_col: str = "vec_id"
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks: split the d-dim
+    space into ``m`` contiguous subspaces; subspace s's ``k`` centroids
+    are the k lowest-id vectors' s-th subvectors (same oracle-checkable
+    convention as ``collect_centroids`` — a production build trains
+    each subspace with k-means on a sample instead, same contract).
+    Returns codebooks[s][j] = centroid j of subspace s."""
+    rows = (
+        embeddings.filter(F.col(id_col) < k)
+        .select(id_col, "embedding")
+        .orderBy(id_col)
+        .collect()
+    )
+    d = len(rows[0]["embedding"])
+    ds = d // m
+    return [
+        [[float(v) for v in r["embedding"][s * ds : (s + 1) * ds]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def _pq_subdist(sub, cent: list[float]):
+    """Strict left-fold squared L2 distance between a subvector column
+    and a literal centroid — the same accumulation order as ``dot()``
+    and the SQL twin's list_reduce, so argmin ties break identically."""
+    pairs = F.zip_with(
+        sub,
+        F.array(*[F.lit(c) for c in cent]),
+        lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+    )
+    return F.aggregate(pairs, F.lit(0.0), lambda a, v: a + v)
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ encoding, entirely MAP-SIDE: each subvector takes the index of
+    its nearest subspace centroid (squared-L2 argmin, ties to the
+    smaller index via the negated-index max trick — exactly
+    ``ivf_assign``'s construction per subspace).  d floats compress to
+    m small codes (4 bits each at k=16) — the FAISS-style memory step
+    between scalar quantization (8x) and binary sketches.
+
+    Adds ``pq_codes`` (array<int>, length m) to (id, embedding)."""
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    codes = []
+    for s, cents in enumerate(codebooks):
+        sub = F.slice("embedding", s * ds + 1, ds)
+        best = F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        (-_pq_subdist(sub, c)).alias("nd"),
+                        F.lit(-j).alias("nj"),
+                    )
+                    for j, c in enumerate(cents)
+                ]
+            )
+        )
+        codes.append((-best["nj"]).cast("int"))
+    return embeddings.select(id_col, "embedding", F.array(*codes).alias("pq_codes"))
+
+
+def pq_error(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector PQ reconstruction error (ppm of the squared norm) —
+    the compression-quality audit, same contract as
+    ``quantization_error`` for the scalar path.  Map-side: encode +
+    literal codebook lookup + strict-fold norms."""
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    enc = pq_encode(embeddings, codebooks, id_col)
+    err = F.lit(0.0)
+    for s, cents in enumerate(codebooks):
+        sub = F.slice("embedding", s * ds + 1, ds)
+        cent_tab = F.array(
+            *[F.array(*[F.lit(v) for v in c]) for c in cents]
+        )
+        chosen = F.element_at(cent_tab, F.element_at("pq_codes", s + 1) + 1)
+        pairs = F.zip_with(
+            sub, chosen, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
+        )
+        err = err + F.aggregate(pairs, F.lit(0.0), lambda a, v: a + v)
+    norm2 = F.aggregate(
+        F.zip_with("embedding", "embedding", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    return enc.select(
+        id_col,
+        F.concat_ws(",", F.col("pq_codes")).alias("codes"),
+        F.floor(err / F.nullif(norm2, F.lit(0.0)) * 1_000_000)
+        .cast("long")
+        .alias("err_ppm"),
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec_id: int = 0,
+    k: int = 10,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k with exact rerank: the query
+    stays FULL-PRECISION and each subspace contributes a 16-entry
+    lookup table of dot(query_sub, centroid_j); a candidate's
+    approximate similarity is the sum of m table lookups on its codes —
+    no vector arithmetic per candidate, the scan cost that makes PQ the
+    billion-vector workhorse.  The top ``rerank`` ADC candidates are
+    re-scored with the exact dot and the true top ``k`` returned.
+
+    The LUT is built in-plan from the broadcast 1-row query (strict-
+    fold dots), so the whole query is oracle-checkable; at deployment
+    the codes table is the only thing scanned (m bytes/vector) and the
+    LUT is a literal."""
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col("embedding").alias("_qv")
+    )
+    enc = pq_encode(embeddings, codebooks, id_col).crossJoin(F.broadcast(q))
+    approx = F.lit(0.0)
+    for s, cents in enumerate(codebooks):
+        qsub = F.slice("_qv", s * ds + 1, ds)
+        lut = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        qsub,
+                        F.array(*[F.lit(v) for v in c]),
+                        lambda x, y: x.cast("double") * y,
+                    ),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                )
+                for c in cents
+            ]
+        )
+        approx = approx + F.element_at(lut, F.element_at("pq_codes", s + 1) + 1)
+    cand = (
+        enc.select(id_col, "embedding", "_qv", approx.alias("_adc"))
+        .orderBy(F.col("_adc").desc(), F.col(id_col).asc())
+        .limit(rerank)
+    )
+    exact = dot("embedding", "_qv")
+    return (
+        cand.select(id_col, F.round("_adc", 6).alias("adc_sim"), exact.alias("_sim"))
+        .orderBy(F.col("_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "adc_sim", F.round("_sim", 6).alias("cos_sim"))
+    )

@@ -2474,3 +2474,101 @@ def q_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("payload").cast("long").alias("n_bytes"),
         F.md5("payload").alias("payload_md5"),
     )
+
+
+def _pq_codes_ctes(m: int = 8, ds: int = 8) -> str:
+    """Shared PQ-encoding CTEs: derive the deterministic codebooks from
+    the same vec_id<16 rows the Spark side collects, score every
+    (vector, subspace, centroid) triple with the strict-fold squared L2
+    distance, and argmin per (vector, subspace) with the same
+    (dist, j) tie-break as the negated-index max trick."""
+    dist = (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {ds} + 1), "
+        f"i -> (CAST(e.embedding[CAST(s * {ds} + i AS INT)] AS DOUBLE) "
+        f"      - CAST(c.cv[CAST(s * {ds} + i AS INT)] AS DOUBLE)) "
+        f"   * (CAST(e.embedding[CAST(s * {ds} + i AS INT)] AS DOUBLE) "
+        f"      - CAST(c.cv[CAST(s * {ds} + i AS INT)] AS DOUBLE)))), "
+        "(acc, v) -> acc + v)"
+    )
+    return f"""cent AS (
+         SELECT vec_id AS j, embedding AS cv FROM embeddings WHERE vec_id < 16),
+       scored AS (
+         SELECT e.vec_id, t.s, c.j, {dist} AS dist
+         FROM embeddings e
+         CROSS JOIN UNNEST(range(0, {m})) AS t(s)
+         CROSS JOIN cent c),
+       codes AS (
+         SELECT vec_id, s, j, dist FROM (
+           SELECT vec_id, s, j, dist,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                     ORDER BY dist, j) AS rn
+           FROM scored) t WHERE rn = 1)"""
+
+
+# ordered fold over the m per-subspace values — same s=0..m-1 summation
+# order as the Spark side's expression chain (plain SUM() would be
+# order-nondeterministic and FLOOR sits right at ppm boundaries)
+_PQ_FOLD_S = (
+    "list_reduce(list_prepend(0.0, list({expr} ORDER BY s)), (acc, v) -> acc + v)"
+)
+
+
+@q(
+    "q_pq_error",
+    f"""WITH {_pq_codes_ctes()},
+       n2 AS (
+         SELECT vec_id,
+                list_reduce(list_prepend(0.0, list_transform(
+                  range(1, len(embedding) + 1),
+                  i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                       * CAST(embedding[CAST(i AS INT)] AS DOUBLE))),
+                  (acc, v) -> acc + v) AS norm2
+         FROM embeddings)
+       SELECT c.vec_id,
+              string_agg(CAST(j AS VARCHAR), ',' ORDER BY s) AS codes,
+              CAST(FLOOR({_PQ_FOLD_S.format(expr='dist')}
+                         / NULLIF(ANY_VALUE(n2.norm2), 0.0)
+                         * 1000000) AS BIGINT) AS err_ppm
+       FROM codes c JOIN n2 ON n2.vec_id = c.vec_id
+       GROUP BY c.vec_id""",
+)
+def q_pq_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization audit: per-vector PQ codes (m=8 subspaces,
+    k=16 deterministic centroids) + reconstruction error in ppm of the
+    squared norm — operators/similarity.pq_codebooks/pq_encode/
+    pq_error; the compression step between int8 scalar quantization and
+    binary sketches."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pq_error(emb, S.pq_codebooks(emb, m=8, k=16))
+
+
+@q(
+    "q_pq_topk",
+    f"""WITH {_pq_codes_ctes()},
+       qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+       lut AS (
+         SELECT c.vec_id, c.s,
+                list_reduce(list_prepend(0.0, list_transform(
+                  range(1, 8 + 1),
+                  i -> CAST(qv.v[CAST(c.s * 8 + i AS INT)] AS DOUBLE)
+                       * CAST(ct.cv[CAST(c.s * 8 + i AS INT)] AS DOUBLE))),
+                  (acc, v) -> acc + v) AS contrib
+         FROM codes c JOIN cent ct ON ct.j = c.j, qv),
+       adc AS (
+         SELECT vec_id, {_PQ_FOLD_S.format(expr='contrib')} AS a
+         FROM lut GROUP BY vec_id
+         ORDER BY a DESC, vec_id LIMIT 50)
+       SELECT vec_id, ROUND(a, 6) AS adc_sim, ROUND(sim, 6) AS cos_sim
+       FROM (SELECT adc.vec_id, adc.a,
+                    {_DOTF.format(a='e2.embedding', b='qv.v')} AS sim
+             FROM adc JOIN embeddings e2 USING (vec_id), qv) t
+       ORDER BY sim DESC, vec_id LIMIT 10""",
+)
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k with exact rerank: full-precision
+    query -> per-subspace 16-entry LUT -> candidate score = m table
+    lookups on the codes (the billion-vector scan trick), top-50 ADC
+    candidates re-scored exactly, true top-10 returned
+    (operators/similarity.pq_adc_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pq_adc_topk(emb, S.pq_codebooks(emb, m=8, k=16), 0, k=10, rerank=50)
