@@ -617,7 +617,7 @@ def test_pruned_read_handles_all_null_file_and_uses_index(spark, tmp_path):
 def test_pq_encode_matches_numpy_argmin(spark, sf_dir):
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings").limit(80)
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 80)
     cbs = S.pq_codebooks(emb, m=8, k=16)
     enc = {r.vec_id: list(r.pq_codes) for r in S.pq_encode(emb, cbs).collect()}
     vecs = {r.vec_id: np.array(r.embedding, np.float64) for r in emb.collect()}
@@ -631,7 +631,7 @@ def test_pq_encode_matches_numpy_argmin(spark, sf_dir):
 
 
 def test_pq_error_bounded_and_zero_for_centroids(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings").limit(60)
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
     cbs = S.pq_codebooks(emb, m=8, k=16)
     rows = {r.vec_id: r.err_ppm for r in S.pq_error(emb, cbs).collect()}
     # the codebook vectors reconstruct exactly (their own subvectors)
@@ -648,3 +648,18 @@ def test_pq_adc_recall_vs_exact(spark, sf_dir):
     assert got[0] == 0  # self-match survives compression
     recall = len(set(exact) & set(got)) / 10
     assert recall >= 0.5, recall
+
+
+def test_pq_codebooks_rejects_bad_inputs(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in (0, 1, 3)],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="must all be present"):
+        S.pq_codebooks(emb, m=2, k=4)
+    ok = spark.createDataFrame(
+        [(i, [float(i)] * 9) for i in range(4)],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        S.pq_codebooks(ok, m=2, k=4)

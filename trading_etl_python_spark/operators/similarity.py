@@ -840,14 +840,26 @@ def pq_codebooks(
     are the k lowest-id vectors' s-th subvectors (same oracle-checkable
     convention as ``collect_centroids`` — a production build trains
     each subspace with k-means on a sample instead, same contract).
-    Returns codebooks[s][j] = centroid j of subspace s."""
+    Returns codebooks[s][j] = centroid j of subspace s.
+
+    Requires ids 0..k-1 to be PRESENT (code j == source id j — the
+    contract the SQL twin's ``cent`` CTE relies on) and d divisible by
+    m (a silent remainder would leave tail dimensions unencoded) —
+    both violations raise instead of mis-encoding."""
     rows = (
         embeddings.filter(F.col(id_col) < k)
         .select(id_col, "embedding")
         .orderBy(id_col)
         .collect()
     )
+    if [int(r[id_col]) for r in rows] != list(range(k)):
+        raise ValueError(
+            f"pq_codebooks: ids 0..{k - 1} must all be present "
+            f"(got {[int(r[id_col]) for r in rows]})"
+        )
     d = len(rows[0]["embedding"])
+    if d % m != 0:
+        raise ValueError(f"pq_codebooks: dim {d} not divisible by m={m}")
     ds = d // m
     return [
         [[float(v) for v in r["embedding"][s * ds : (s + 1) * ds]] for r in rows]
@@ -871,6 +883,7 @@ def pq_encode(
     embeddings: DataFrame,
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
+    with_dists: bool = False,
 ) -> DataFrame:
     """PQ encoding, entirely MAP-SIDE: each subvector takes the index of
     its nearest subspace centroid (squared-L2 argmin, ties to the
@@ -879,10 +892,13 @@ def pq_encode(
     m small codes (4 bits each at k=16) — the FAISS-style memory step
     between scalar quantization (8x) and binary sketches.
 
-    Adds ``pq_codes`` (array<int>, length m) to (id, embedding)."""
+    Adds ``pq_codes`` (array<int>, length m) to (id, embedding);
+    ``with_dists=True`` also emits ``pq_dists`` — the per-subspace
+    chosen squared distances the argmin already computed (so auditors
+    like ``pq_error`` never re-derive them)."""
     m = len(codebooks)
     ds = len(codebooks[0][0])
-    codes = []
+    codes, dists = [], []
     for s, cents in enumerate(codebooks):
         sub = F.slice("embedding", s * ds + 1, ds)
         best = F.array_max(
@@ -897,7 +913,11 @@ def pq_encode(
             )
         )
         codes.append((-best["nj"]).cast("int"))
-    return embeddings.select(id_col, "embedding", F.array(*codes).alias("pq_codes"))
+        dists.append(-best["nd"])
+    cols = [id_col, "embedding", F.array(*codes).alias("pq_codes")]
+    if with_dists:
+        cols.append(F.array(*dists).alias("pq_dists"))
+    return embeddings.select(*cols)
 
 
 def pq_error(
@@ -909,25 +929,10 @@ def pq_error(
     the compression-quality audit, same contract as
     ``quantization_error`` for the scalar path.  Map-side: encode +
     literal codebook lookup + strict-fold norms."""
-    m = len(codebooks)
-    ds = len(codebooks[0][0])
-    enc = pq_encode(embeddings, codebooks, id_col)
-    err = F.lit(0.0)
-    for s, cents in enumerate(codebooks):
-        sub = F.slice("embedding", s * ds + 1, ds)
-        cent_tab = F.array(
-            *[F.array(*[F.lit(v) for v in c]) for c in cents]
-        )
-        chosen = F.element_at(cent_tab, F.element_at("pq_codes", s + 1) + 1)
-        pairs = F.zip_with(
-            sub, chosen, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
-        )
-        err = err + F.aggregate(pairs, F.lit(0.0), lambda a, v: a + v)
-    norm2 = F.aggregate(
-        F.zip_with("embedding", "embedding", lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0),
-        lambda a, v: a + v,
-    )
+    enc = pq_encode(embeddings, codebooks, id_col, with_dists=True)
+    # s-ascending fold over the residuals the argmin already computed
+    err = F.aggregate("pq_dists", F.lit(0.0), lambda a, v: a + v)
+    norm2 = dot("embedding", "embedding")
     return enc.select(
         id_col,
         F.concat_ws(",", F.col("pq_codes")).alias("codes"),
@@ -967,18 +972,7 @@ def pq_adc_topk(
     for s, cents in enumerate(codebooks):
         qsub = F.slice("_qv", s * ds + 1, ds)
         lut = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        qsub,
-                        F.array(*[F.lit(v) for v in c]),
-                        lambda x, y: x.cast("double") * y,
-                    ),
-                    F.lit(0.0),
-                    lambda a, v: a + v,
-                )
-                for c in cents
-            ]
+            *[dot(qsub, F.array(*[F.lit(v) for v in c])) for c in cents]
         )
         approx = approx + F.element_at(lut, F.element_at("pq_codes", s + 1) + 1)
     cand = (

@@ -2476,7 +2476,10 @@ def q_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_codes_ctes(m: int = 8, ds: int = 8) -> str:
+_PQ_DS = 8  # subspace width shared by _pq_codes_ctes and the LUT CTE
+
+
+def _pq_codes_ctes(m: int = 8, ds: int = _PQ_DS) -> str:
     """Shared PQ-encoding CTEs: derive the deterministic codebooks from
     the same vec_id<16 rows the Spark side collects, score every
     (vector, subspace, centroid) triple with the strict-fold squared L2
