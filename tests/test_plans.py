@@ -487,3 +487,17 @@ def test_pca_power_gram_is_partial_aggregated(spark, sf_dir):
     g = gram_matrix(load_table(spark, sf_dir, "embeddings"))
     plan = _executed(g)
     assert plan.count("Exchange") == 1, plan
+
+
+def test_pq_topk_two_take_ordered_tiers_no_join_on_vectors(spark, sf_dir):
+    """PQ ADC top-k: encoding + LUT are map-side literals over ONE
+    corpus scan (plus the broadcast 1-row query); both selection tiers
+    compile to TakeOrderedAndProject — no global sort, no vector join.
+    (The formatted plan is deliberately absent from PLANS.md: the
+    inlined codebooks make it ~140k chars.)"""
+    plan = _executed(QUERIES["q_pq_topk"](spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") == 2, plan.count(
+        "TakeOrderedAndProject"
+    )
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
