@@ -663,3 +663,25 @@ def test_pq_codebooks_rejects_bad_inputs(spark):
     )
     with pytest.raises(ValueError, match="not divisible"):
         S.pq_codebooks(ok, m=2, k=4)
+
+
+def test_ivfpq_recall_and_probe_containment(spark, sf_dir):
+    """IVF-PQ results come only from the probed cells, the self-match
+    survives, and recall vs the exact scan stays useful."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = S.ann_ivfpq_topk(emb, 0, k=10, n_probe=4).collect()
+    assert got[0].vec_id == 0
+    ids = [r.vec_id for r in got]
+    # containment: every result lies in one of the probed cells
+    cents = S.collect_centroids(emb, 16)
+    import numpy as np
+
+    q = np.array(
+        emb.filter(F.col("vec_id") == 0).collect()[0].embedding, np.float64
+    )
+    probe = sorted(cents, key=lambda c: (-float(q @ np.array(cents[c])), c))[:4]
+    asn = {r.vec_id: r._cell for r in S.ivf_assign(emb, cents).collect()}
+    assert all(asn[i] in probe for i in ids)
+    exact = [r.vec_id for r in S.topk_cosine(emb, 0, 10).collect()]
+    recall = len(set(exact) & set(ids)) / 10
+    assert recall >= 0.4, recall

@@ -987,3 +987,68 @@ def pq_adc_topk(
         .limit(k)
         .select(id_col, "adc_sim", F.round("_sim", 6).alias("cos_sim"))
     )
+
+
+def ann_ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    pq_k: int = 16,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ — the FAISS billion-scale default, composed from the two
+    halves this module already proves separately: the IVF coarse probe
+    prunes the SCAN to n_probe/n_cells of the data (partition pruning
+    with a ``write_ivf_index`` layout), and within the probed cells
+    candidates are scored by PQ asymmetric distance (m LUT lookups per
+    candidate — no vector arithmetic), with the ADC top ``rerank``
+    exactly re-scored and the true top ``k`` returned.
+
+    At deployment the scanned table is (cell, codes) — m bytes/vector,
+    partition-pruned — and full vectors are fetched only for the
+    ``rerank`` finalists.  Here both halves keep their deterministic
+    codebook conventions, so the whole composition is value-hash
+    oracle-checkable."""
+    cents = collect_centroids(embeddings, n_cells, id_col)
+    cbs = pq_codebooks(embeddings, m=m, k=pq_k, id_col=id_col)
+    qrows = (
+        embeddings.filter(F.col(id_col) == query_vec_id).select("embedding").collect()
+    )
+    if not qrows:
+        raise ValueError(f"query vector {id_col}={query_vec_id} not found")
+    qvec = [float(v) for v in qrows[0]["embedding"]]
+    probe = sorted(cents, key=lambda c: (-_seq_dot(qvec, cents[c]), c))[:n_probe]
+
+    cand = ivf_assign(embeddings, cents).filter(
+        F.col("_cell").isin([int(p) for p in probe])
+    )
+    enc = pq_encode(cand, cbs, id_col)
+    ds = len(cbs[0][0])
+    approx = F.lit(0.0)
+    for s, cents_s in enumerate(cbs):
+        lut = [
+            _seq_dot(qvec[s * ds : (s + 1) * ds], c) for c in cents_s
+        ]  # driver-side: the query is one row; same fold as the engine
+        approx = approx + F.element_at(
+            F.array(*[F.lit(v) for v in lut]), F.element_at("pq_codes", s + 1) + 1
+        )
+    qlit = F.array(*[F.lit(v) for v in qvec])
+    shortlist = (
+        enc.select(id_col, "embedding", approx.alias("_adc"))
+        .orderBy(F.col("_adc").desc(), F.col(id_col).asc())
+        .limit(rerank)
+    )
+    return (
+        shortlist.select(
+            id_col,
+            F.round("_adc", 6).alias("adc_sim"),
+            dot("embedding", qlit).alias("_sim"),
+        )
+        .orderBy(F.col("_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "adc_sim", F.round("_sim", 6).alias("cos_sim"))
+    )

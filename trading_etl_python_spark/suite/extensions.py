@@ -2575,3 +2575,71 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.pq_adc_topk)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.pq_adc_topk(emb, S.pq_codebooks(emb, m=8, k=16), 0, k=10, rerank=50)
+
+
+@q(
+    "q_ann_ivfpq",
+    f"""WITH qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+       ivfc AS (
+         SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 16),
+       probe AS (
+         SELECT cell FROM ivfc, qv
+         ORDER BY {_DOT.format(a='cv', b='qv.v')} DESC, cell LIMIT 4),
+       asn AS (
+         SELECT vec_id, cell FROM (
+           SELECT e.vec_id, c.cell,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {_DOT.format(a='e.embedding', b='c.cv')} DESC, c.cell
+                  ) AS rn
+           FROM embeddings e CROSS JOIN ivfc c) t
+         WHERE rn = 1),
+       cand AS (
+         SELECT e.vec_id, e.embedding
+         FROM embeddings e JOIN asn USING (vec_id)
+         WHERE asn.cell IN (SELECT cell FROM probe)),
+       pqc AS (
+         SELECT vec_id AS j, embedding AS cv FROM embeddings WHERE vec_id < 16),
+       scored AS (
+         SELECT e.vec_id, t.s, c.j,
+                list_reduce(list_prepend(0.0, list_transform(
+                  range(1, {_PQ_DS} + 1),
+                  i -> (CAST(e.embedding[CAST(t.s * {_PQ_DS} + i AS INT)] AS DOUBLE)
+                        - CAST(c.cv[CAST(t.s * {_PQ_DS} + i AS INT)] AS DOUBLE))
+                     * (CAST(e.embedding[CAST(t.s * {_PQ_DS} + i AS INT)] AS DOUBLE)
+                        - CAST(c.cv[CAST(t.s * {_PQ_DS} + i AS INT)] AS DOUBLE)))),
+                  (acc, v) -> acc + v) AS dist
+         FROM cand e
+         CROSS JOIN UNNEST(range(0, 8)) AS t(s)
+         CROSS JOIN pqc c),
+       codes AS (
+         SELECT vec_id, s, j FROM (
+           SELECT vec_id, s, j,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                     ORDER BY dist, j) AS rn
+           FROM scored) t WHERE rn = 1),
+       lut AS (
+         SELECT c.vec_id, c.s,
+                list_reduce(list_prepend(0.0, list_transform(
+                  range(1, {_PQ_DS} + 1),
+                  i -> CAST(qv.v[CAST(c.s * {_PQ_DS} + i AS INT)] AS DOUBLE)
+                       * CAST(ct.cv[CAST(c.s * {_PQ_DS} + i AS INT)] AS DOUBLE))),
+                  (acc, v) -> acc + v) AS contrib
+         FROM codes c JOIN pqc ct ON ct.j = c.j, qv),
+       adc AS (
+         SELECT vec_id, {_PQ_FOLD_S.format(expr='contrib')} AS a
+         FROM lut GROUP BY vec_id
+         ORDER BY a DESC, vec_id LIMIT 50)
+       SELECT vec_id, ROUND(a, 6) AS adc_sim, ROUND(sim, 6) AS cos_sim
+       FROM (SELECT adc.vec_id, adc.a,
+                    {_DOTF.format(a='e2.embedding', b='qv.v')} AS sim
+             FROM adc JOIN embeddings e2 USING (vec_id), qv) t
+       ORDER BY sim DESC, vec_id LIMIT 10""",
+)
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (the FAISS billion-scale composition): coarse probe prunes
+    the scan to 4/16 cells, PQ asymmetric distance scores the probed
+    candidates at m LUT lookups each, exact rerank of the ADC top-50 —
+    operators/similarity.ann_ivfpq_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_ivfpq_topk(emb, 0, k=10, n_cells=16, n_probe=4, rerank=50)
