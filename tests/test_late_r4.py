@@ -685,3 +685,44 @@ def test_ivfpq_recall_and_probe_containment(spark, sf_dir):
     exact = [r.vec_id for r in S.topk_cosine(emb, 0, 10).collect()]
     recall = len(set(exact) & set(ids)) / 10
     assert recall >= 0.4, recall
+
+
+# ---------------------------------------------------------- count-min
+
+
+def test_cm_sketch_one_sided_and_mergeable(spark, sf_dir):
+    from trading_etl_python_spark.operators.sketches import (
+        cm_estimate_vs_exact,
+        cm_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = cm_estimate_vs_exact(docs).collect()
+    assert out and all(r.is_overestimate for r in out)  # CM guarantee
+    assert all(r.cm_n >= r.exact_n for r in out)
+    # merging two half-sketches equals the whole-corpus sketch
+    from trading_etl_python_spark.operators.dedup import tokens_col
+
+    tok = docs.select(F.explode(tokens_col("text")).alias("token"))
+    a = tok.filter(F.crc32(F.col("token")) % 2 == 0)
+    b = tok.filter(F.crc32(F.col("token")) % 2 == 1)
+    merged = (
+        cm_sketch(a, "token").union(cm_sketch(b, "token"))
+        .groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cm_sketch(tok, "token")
+    got = {(r.d, r.bucket): r.cnt for r in merged.collect()}
+    want = {(r.d, r.bucket): r.cnt for r in whole.collect()}
+    assert got == want
+
+
+def test_cm_estimate_exact_when_no_collisions(spark):
+    from trading_etl_python_spark.operators.sketches import cm_estimate_vs_exact
+
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha beta"), (2, "beta gamma")], "doc_id bigint, text string"
+    )
+    # 3 tokens, width 256, depth 4: collision probability negligible ->
+    # estimates equal the exact counts
+    out = {r.token: (r.exact_n, r.cm_n) for r in cm_estimate_vs_exact(docs).collect()}
+    assert out == {"alpha": (2, 2), "beta": (2, 2), "gamma": (1, 1)}

@@ -96,3 +96,92 @@ def heavy_hitters(
             "token", "cnt", F.round(F.col("cnt") / F.col("_n"), 6).alias("share")
         )
     )
+
+
+def cm_sketch(items: DataFrame, item_col: str, depth: int = 4, width: int = 256) -> DataFrame:
+    """Count-Min sketch of an item stream (Cormode & Muthukrishnan 2005)
+    in coordinate form: ``(d, bucket, cnt)`` with
+    bucket = porthash32(item || '#' || d) % width — the portable salted
+    hash family, so the sketch is identical on any engine with md5.
+
+    Scale: one map-side explode into ``depth`` rows per item followed by
+    a combiner-reduced groupBy whose key space is depth x width —
+    CONSTANT regardless of stream length or vocabulary, and two
+    sketches of the same shape MERGE by adding counts (the property
+    that lets every partition/day/shard sketch independently)."""
+    from .dedup import porthash32
+
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    (
+                        porthash32(
+                            F.concat_ws("#", F.col(item_col).cast("string"), F.lit(str(d)))
+                        )
+                        % width
+                    ).alias("bucket"),
+                )
+                for d in range(depth)
+            ]
+        )
+    )
+    return (
+        items.select(rows.alias("r"))
+        .groupBy(F.col("r.d").alias("d"), F.col("r.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_estimate_vs_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min point queries audited against exact counts for the
+    whole token vocabulary: est = min over the ``depth`` rows of the
+    item's bucket counts; CM's one-sided guarantee (est >= exact,
+    over-estimation bounded by collisions) is emitted as a checkable
+    column rather than assumed.
+
+    Plan: exact counts are one groupBy; the estimate joins the
+    vocabulary's depth hash rows against the depth x width sketch
+    (broadcast-sized by construction) and min-aggregates — no second
+    pass over the corpus.
+
+    Returns (token, exact_n, cm_n, is_overestimate) per vocab token."""
+    from .dedup import porthash32, tokens_col
+
+    tok = df.select(F.explode(tokens_col(text_col)).alias("token"))
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    sk = cm_sketch(tok, "token", depth=depth, width=width)
+    probes = exact.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            porthash32(F.concat_ws("#", F.col("token"), F.lit(str(d))))
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select("token", F.col("p.d").alias("d"), F.col("p.bucket").alias("bucket"))
+    est = (
+        probes.join(F.broadcast(sk), ["d", "bucket"])
+        .groupBy("token")
+        .agg(F.min("cnt").alias("cm_n"))
+    )
+    return exact.join(est, "token").select(
+        "token",
+        "exact_n",
+        "cm_n",
+        (F.col("cm_n") >= F.col("exact_n")).alias("is_overestimate"),
+    )

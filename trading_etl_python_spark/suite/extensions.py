@@ -2643,3 +2643,46 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/similarity.ann_ivfpq_topk."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ann_ivfpq_topk(emb, 0, k=10, n_cells=16, n_probe=4, rerank=50)
+
+
+_CM_BUCKET = "('0x' || substring(md5({item} || '#' || '{d}'), 1, 8))::BIGINT % {w}"
+
+
+def _cm_sql(depth: int = 4, width: int = 256) -> str:
+    """SQL twin of sketches.cm_estimate_vs_exact: same salted portable
+    hash family, same depth x width coordinate sketch, same min-fold."""
+    probe_rows = " UNION ALL ".join(
+        f"SELECT token, exact_n, {d} AS d, "
+        + _CM_BUCKET.format(item="token", d=d, w=width)
+        + " AS bucket FROM exact"
+        for d in range(depth)
+    )
+    sk_rows = " UNION ALL ".join(
+        f"SELECT {d} AS d, "
+        + _CM_BUCKET.format(item="token", d=d, w=width)
+        + " AS bucket FROM tok"
+        for d in range(depth)
+    )
+    return f"""WITH tok AS (SELECT unnest({TOKS}) AS token FROM documents),
+       exact AS (SELECT token, COUNT(*) AS exact_n FROM tok GROUP BY token),
+       sk AS (SELECT d, bucket, COUNT(*) AS cnt
+              FROM ({sk_rows}) GROUP BY d, bucket),
+       probes AS ({probe_rows}),
+       est AS (
+         SELECT token, MIN(cnt) AS cm_n
+         FROM probes JOIN sk USING (d, bucket) GROUP BY token)
+       SELECT e.token, e.exact_n, CAST(est.cm_n AS BIGINT) AS cm_n,
+              est.cm_n >= e.exact_n AS is_overestimate
+       FROM exact e JOIN est USING (token)"""
+
+
+@q("q_cm_sketch", _cm_sql(4, 256))
+def q_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimation audited against exact counts for
+    the whole vocabulary — the mergeable point-query sketch alongside
+    HLL (distinct), KLL (quantiles), and Misra-Gries (top-k); the
+    one-sided >= guarantee is an output column, not an assumption
+    (operators/sketches.cm_sketch / cm_estimate_vs_exact)."""
+    from ..operators.sketches import cm_estimate_vs_exact
+
+    return cm_estimate_vs_exact(load_table(spark, sf_dir, "documents"), depth=4, width=256)
