@@ -726,3 +726,46 @@ def test_cm_estimate_exact_when_no_collisions(spark):
     # estimates equal the exact counts
     out = {r.token: (r.exact_n, r.cm_n) for r in cm_estimate_vs_exact(docs).collect()}
     assert out == {"alpha": (2, 2), "beta": (2, 2), "gamma": (1, 1)}
+
+
+# -------------------------------------------------------- portable HLL
+
+
+def test_hll_portable_accuracy_and_merge(spark, sf_dir):
+    from trading_etl_python_spark.operators.sketches import (
+        hll_buckets,
+        hll_estimate,
+    )
+    from trading_etl_python_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    it = ev.select("event_type", F.col("value").cast("string").alias("item"))
+    est = {r.event_type: r.hll_est for r in hll_estimate(it, "item", "event_type").collect()}
+    exact = {
+        r.event_type: r.n
+        for r in it.groupBy("event_type").agg(F.countDistinct("item").alias("n")).collect()
+    }
+    assert est and set(est) == set(exact)
+    for g, e in est.items():
+        assert abs(e - exact[g]) / exact[g] <= 0.2, (g, e, exact[g])  # 3 sigma
+    # registers merge by MAX: half-streams combined == whole stream
+    a = it.filter(F.crc32("item") % 2 == 0)
+    b = it.filter(F.crc32("item") % 2 == 1)
+    merged = (
+        hll_buckets(a, "item", "event_type")
+        .union(hll_buckets(b, "item", "event_type"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("m_reg").alias("m_reg"))
+    )
+    whole = hll_buckets(it, "item", "event_type")
+    got = {(r.event_type, r.bucket): r.m_reg for r in merged.collect()}
+    want = {(r.event_type, r.bucket): r.m_reg for r in whole.collect()}
+    assert got == want
+
+
+def test_hll_small_range_linear_counting(spark):
+    from trading_etl_python_spark.operators.sketches import hll_estimate
+
+    df = spark.createDataFrame([(str(i),) for i in range(20)], "item string")
+    est = hll_estimate(df, "item", p=8).collect()[0].hll_est
+    assert abs(est - 20) / 20 < 0.15, est  # linear counting regime is tight

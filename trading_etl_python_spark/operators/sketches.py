@@ -185,3 +185,71 @@ def cm_estimate_vs_exact(
         "cm_n",
         (F.col("cm_n") >= F.col("exact_n")).alias("is_overestimate"),
     )
+
+
+def hll_buckets(
+    items: DataFrame, item_col: str, group_col: str | None = None, p: int = 8
+) -> DataFrame:
+    """PORTABLE HyperLogLog registers (Flajolet et al. 2007): bucket =
+    top ``p`` bits of the md5-derived 32-bit item hash, register M =
+    max over items of (leading zeros of the remaining 32-p bits) + 1.
+    Unlike ``approx_count_distinct`` (engine-private HLL++ internals,
+    only checkable as a tolerance boolean), every register here is a
+    deterministic integer identical on any engine with md5 — the sketch
+    itself is value-hash checkable and MERGEABLE by max.
+
+    rho avoids libm entirely: bits_needed(x) = Σ_i [x >= 2^i] over the
+    32-p candidate bit positions (pure integer comparisons), rho =
+    (32-p) + 1 - bits_needed.  Shuffle key space is groups x 2^p —
+    constant in stream length."""
+    from .dedup import porthash32
+
+    w = 32 - p
+    gcols = [group_col] if group_col else []
+    hv = porthash32(F.col(item_col).cast("string"))
+    rem = hv % F.lit(1 << w).cast("long")
+    bits_needed = sum(
+        F.when(rem >= F.lit(1 << i).cast("long"), 1).otherwise(0) for i in range(w)
+    )
+    rho = F.lit(w + 1) - bits_needed
+    return (
+        items.select(
+            *gcols,
+            (hv / F.lit(1 << w)).cast("long").alias("bucket"),
+            rho.alias("_rho"),
+        )
+        .groupBy(*gcols, "bucket")
+        .agg(F.max("_rho").alias("m_reg"))
+    )
+
+
+def hll_estimate(
+    items: DataFrame, item_col: str, group_col: str | None = None, p: int = 8
+) -> DataFrame:
+    """Distinct-count estimate from the portable registers, with the
+    standard small-range (linear-counting) correction.  The harmonic
+    sum folds registers in bucket order (plus one unit per EMPTY
+    bucket), so both engines accumulate identically; the only libm call
+    (ln, in the linear-counting branch) sits under the output rounding.
+
+    Returns (group?, hll_est) — rounded 4dp."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    gcols = [group_col] if group_col else []
+    regs = hll_buckets(items, item_col, group_col, p)
+    agg = regs.groupBy(*gcols).agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("bucket", "m_reg"))),
+            F.lit(0.0),
+            lambda acc, r: acc + F.pow(F.lit(2.0), -r["m_reg"]),
+        ).alias("_hsum"),
+        F.count(F.lit(1)).alias("_nb"),
+    )
+    zsum = F.col("_hsum") + (F.lit(m) - F.col("_nb")).cast("double")
+    raw = F.lit(alpha * m * m) / zsum
+    v_empty = (F.lit(m) - F.col("_nb")).cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v_empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty),
+    ).otherwise(raw)
+    return agg.select(*gcols, F.round(est, 4).alias("hll_est"))

@@ -66,7 +66,7 @@ _NEW_R4 = [
     # queue immediately after for the next round's window
     "q_semdedup", "q_bpe_pairs", "q_cdc_dedup", "q_pca_power",
     "q_group_sample", "q_bpe_learn", "q_fuzzy_vocab", "q_ann_recall",
-    "q_ks_drift", "q_token_pmi", "q_zorder", "q_skip_read", "q_bpe_apply", "q_tar_shards", "q_spearman", "q_pq_error", "q_pq_topk", "q_ann_ivfpq", "q_cm_sketch",
+    "q_ks_drift", "q_token_pmi", "q_zorder", "q_skip_read", "q_bpe_apply", "q_tar_shards", "q_spearman", "q_pq_error", "q_pq_topk", "q_ann_ivfpq", "q_cm_sketch", "q_hll_portable",
 ]
 _PRIORITY = [
     *_NEVER_CERTIFIED,  # 17 (incl. q_stream_replay, oracle'd in r4)

@@ -2686,3 +2686,75 @@ def q_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import cm_estimate_vs_exact
 
     return cm_estimate_vs_exact(load_table(spark, sf_dir, "documents"), depth=4, width=256)
+
+
+def _hll_sql(p: int = 8) -> str:
+    """SQL twin of sketches.hll_estimate over events.value per
+    event_type, paired with exact ND — same integer-only rho, same
+    bucket-ordered harmonic fold, same linear-counting branch."""
+    w = 32 - p
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    bits = " + ".join(
+        f"CASE WHEN rem >= {1 << i} THEN 1 ELSE 0 END" for i in range(w)
+    )
+    return f"""WITH it AS (
+         SELECT event_type, CAST(value AS VARCHAR) AS item FROM events),
+       h AS (
+         SELECT event_type,
+                ('0x' || substring(md5(item), 1, 8))::BIGINT AS hv
+         FROM it),
+       r AS (
+         SELECT event_type, hv // {1 << w} AS bucket,
+                {w + 1} - ({bits}) AS rho
+         FROM (SELECT event_type, hv, hv % {1 << w} AS rem FROM h) t),
+       regs AS (
+         SELECT event_type, bucket, MAX(rho) AS m_reg
+         FROM r GROUP BY event_type, bucket),
+       agg AS (
+         SELECT event_type,
+                list_reduce(list_prepend(0.0,
+                  list(POWER(2.0, -m_reg) ORDER BY bucket)),
+                  (acc, v) -> acc + v) AS hsum,
+                COUNT(*) AS nb
+         FROM regs GROUP BY event_type),
+       est AS (
+         SELECT event_type,
+                CASE WHEN {alpha * m * m} / (hsum + ({m} - nb)) <= {2.5 * m}
+                          AND ({m} - nb) > 0
+                     THEN {float(m)} * ln({float(m)} / CAST({m} - nb AS DOUBLE))
+                     ELSE {alpha * m * m} / (hsum + ({m} - nb)) END AS e
+         FROM agg),
+       exact AS (
+         SELECT event_type, COUNT(DISTINCT item) AS exact_nd FROM it
+         GROUP BY event_type)
+       SELECT x.event_type, CAST(x.exact_nd AS BIGINT) AS exact_nd,
+              ROUND(e.e, 4) AS hll_est,
+              ABS(ROUND(e.e, 4) - x.exact_nd) / x.exact_nd <= 0.2 AS within_3sigma
+       FROM exact x JOIN est e USING (event_type)"""
+
+
+@q("q_hll_portable", _hll_sql(8))
+def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog (every register a checkable integer,
+    unlike approx_count_distinct's private HLL++ state): distinct
+    `value` strings per event_type, estimate beside the exact count and
+    a 3-sigma accuracy flag (sigma = 1.04/sqrt(m) ~ 6.5% at p=8) —
+    operators/sketches.hll_buckets / hll_estimate."""
+    from ..operators.sketches import hll_estimate
+
+    ev = load_events(spark, sf_dir)
+    it = ev.select("event_type", F.col("value").cast("string").alias("item"))
+    est = hll_estimate(it, "item", "event_type", p=8)
+    exact = it.groupBy("event_type").agg(
+        F.countDistinct("item").alias("exact_nd")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "exact_nd",
+        "hll_est",
+        (
+            F.abs(F.col("hll_est") - F.col("exact_nd")) / F.col("exact_nd")
+            <= 0.2
+        ).alias("within_3sigma"),
+    )
