@@ -769,3 +769,17 @@ def test_hll_small_range_linear_counting(spark):
     df = spark.createDataFrame([(str(i),) for i in range(20)], "item string")
     est = hll_estimate(df, "item", p=8).collect()[0].hll_est
     assert abs(est - 20) / 20 < 0.15, est  # linear counting regime is tight
+
+
+def test_hll_set_algebra_estimates(spark):
+    """Union by register max + inclusion-exclusion intersection track
+    the true overlap within sketch error."""
+    from trading_etl_python_spark.operators.sketches import hll_set_estimates
+
+    a = spark.createDataFrame([(str(i),) for i in range(0, 3000)], "item string")
+    b = spark.createDataFrame([(str(i),) for i in range(2000, 5000)], "item string")
+    e = hll_set_estimates(a, b, "item", p=8)
+    assert abs(e["a"] - 3000) / 3000 < 0.2
+    assert abs(e["union"] - 5000) / 5000 < 0.2
+    # intersection (true 1000) is noisier: 3 sketches' errors stack
+    assert 300 < e["intersection"] < 1900, e

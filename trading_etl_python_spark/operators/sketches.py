@@ -253,3 +253,33 @@ def hll_estimate(
         F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty),
     ).otherwise(raw)
     return agg.select(*gcols, F.round(est, 4).alias("hll_est"))
+
+
+def hll_set_estimates(
+    items_a: DataFrame, items_b: DataFrame, item_col: str, p: int = 8
+) -> dict[str, float]:
+    """Set-operation estimates from portable HLL registers WITHOUT
+    touching raw data again: union registers merge by max (lossless for
+    HLL), intersection follows by inclusion-exclusion
+    |A∩B| ≈ |A| + |B| - |A∪B|.  The sketch-algebra pattern that lets a
+    planner estimate join/overlap sizes from per-partition sketches
+    alone.  Returns {'a','b','union','intersection'} estimates (driver-
+    side floats; each sketch is 2^p small)."""
+    import math
+
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+
+    def est(regs: dict[int, int]) -> float:
+        hsum = sum(2.0 ** -v for _, v in sorted(regs.items())) + (m - len(regs))
+        raw = alpha * m * m / hsum
+        v_empty = m - len(regs)
+        if raw <= 2.5 * m and v_empty > 0:
+            return m * math.log(m / v_empty)
+        return raw
+
+    ra = {r.bucket: r.m_reg for r in hll_buckets(items_a, item_col, p=p).collect()}
+    rb = {r.bucket: r.m_reg for r in hll_buckets(items_b, item_col, p=p).collect()}
+    ru = {b: max(ra.get(b, 0), rb.get(b, 0)) for b in set(ra) | set(rb)}
+    ea, eb, eu = est(ra), est(rb), est(ru)
+    return {"a": ea, "b": eb, "union": eu, "intersection": max(0.0, ea + eb - eu)}
