@@ -1025,30 +1025,8 @@ def ann_ivfpq_topk(
 
     cand = ivf_assign(embeddings, cents).filter(
         F.col("_cell").isin([int(p) for p in probe])
-    )
-    enc = pq_encode(cand, cbs, id_col)
-    ds = len(cbs[0][0])
-    approx = F.lit(0.0)
-    for s, cents_s in enumerate(cbs):
-        lut = [
-            _seq_dot(qvec[s * ds : (s + 1) * ds], c) for c in cents_s
-        ]  # driver-side: the query is one row; same fold as the engine
-        approx = approx + F.element_at(
-            F.array(*[F.lit(v) for v in lut]), F.element_at("pq_codes", s + 1) + 1
-        )
-    qlit = F.array(*[F.lit(v) for v in qvec])
-    shortlist = (
-        enc.select(id_col, "embedding", approx.alias("_adc"))
-        .orderBy(F.col("_adc").desc(), F.col(id_col).asc())
-        .limit(rerank)
-    )
-    return (
-        shortlist.select(
-            id_col,
-            F.round("_adc", 6).alias("adc_sim"),
-            dot("embedding", qlit).alias("_sim"),
-        )
-        .orderBy(F.col("_sim").desc(), F.col(id_col).asc())
-        .limit(k)
-        .select(id_col, "adc_sim", F.round("_sim", 6).alias("cos_sim"))
-    )
+    ).drop("_cell")
+    # the query's own cell is always probe[0] (same strict-fold ordering
+    # and tie-break select it), so the query row is in cand and the ADC
+    # + rerank tail is exactly pq_adc_topk over the pruned candidates
+    return pq_adc_topk(cand, cbs, query_vec_id, k=k, rerank=rerank, id_col=id_col)

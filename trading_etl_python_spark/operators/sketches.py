@@ -111,6 +111,7 @@ def cm_sketch(items: DataFrame, item_col: str, depth: int = 4, width: int = 256)
     that lets every partition/day/shard sketch independently)."""
     from .dedup import porthash32
 
+    items = items.filter(F.col(item_col).isNotNull())
     rows = F.explode(
         F.array(
             *[
@@ -204,6 +205,7 @@ def hll_buckets(
     constant in stream length."""
     from .dedup import porthash32
 
+    items = items.filter(F.col(item_col).isNotNull())
     w = 32 - p
     gcols = [group_col] if group_col else []
     hv = porthash32(F.col(item_col).cast("string"))
@@ -255,6 +257,22 @@ def hll_estimate(
     return agg.select(*gcols, F.round(est, 4).alias("hll_est"))
 
 
+def _hll_estimate_py(regs: dict[int, int], p: int) -> float:
+    """Pure-Python twin of ``hll_estimate``'s expression (same alpha,
+    bucket-ordered harmonic fold, linear-counting branch) for sketches
+    already collected to the driver — keep the two in lockstep."""
+    import math
+
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    hsum = sum(2.0 ** -v for _, v in sorted(regs.items())) + (m - len(regs))
+    raw = alpha * m * m / hsum
+    v_empty = m - len(regs)
+    if raw <= 2.5 * m and v_empty > 0:
+        return m * math.log(m / v_empty)
+    return raw
+
+
 def hll_set_estimates(
     items_a: DataFrame, items_b: DataFrame, item_col: str, p: int = 8
 ) -> dict[str, float]:
@@ -265,21 +283,8 @@ def hll_set_estimates(
     planner estimate join/overlap sizes from per-partition sketches
     alone.  Returns {'a','b','union','intersection'} estimates (driver-
     side floats; each sketch is 2^p small)."""
-    import math
-
-    m = 1 << p
-    alpha = 0.7213 / (1 + 1.079 / m)
-
-    def est(regs: dict[int, int]) -> float:
-        hsum = sum(2.0 ** -v for _, v in sorted(regs.items())) + (m - len(regs))
-        raw = alpha * m * m / hsum
-        v_empty = m - len(regs)
-        if raw <= 2.5 * m and v_empty > 0:
-            return m * math.log(m / v_empty)
-        return raw
-
     ra = {r.bucket: r.m_reg for r in hll_buckets(items_a, item_col, p=p).collect()}
     rb = {r.bucket: r.m_reg for r in hll_buckets(items_b, item_col, p=p).collect()}
     ru = {b: max(ra.get(b, 0), rb.get(b, 0)) for b in set(ra) | set(rb)}
-    ea, eb, eu = est(ra), est(rb), est(ru)
+    ea, eb, eu = (_hll_estimate_py(r, p) for r in (ra, rb, ru))
     return {"a": ea, "b": eb, "union": eu, "intersection": max(0.0, ea + eb - eu)}

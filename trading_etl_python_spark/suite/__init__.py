@@ -71,7 +71,7 @@ _NEW_R4 = [
 _PRIORITY = [
     *_NEVER_CERTIFIED,  # 17 (incl. q_stream_replay, oracle'd in r4)
     *_CHANGED_R4,  # 3
-    *_NEW_R4,  # 27 early-r4 + 17 late-r4 (44 total)
+    *_NEW_R4,  # 27 early-r4 + 20 late-r4 (47 total)
     *(n for n in core.QUERIES if n not in _NEW_R4),  # 24 r1/r2 greens
     # relational r1/r2 greens (q_asof_forward, born r4, already listed)
     *(n for n in relational.QUERIES if n not in _NEW_R4),

@@ -2479,7 +2479,7 @@ def q_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_DS = 8  # subspace width shared by _pq_codes_ctes and the LUT CTE
 
 
-def _pq_codes_ctes(m: int = 8, ds: int = _PQ_DS) -> str:
+def _pq_codes_ctes(m: int = 8, ds: int = _PQ_DS, src: str = "embeddings") -> str:
     """Shared PQ-encoding CTEs: derive the deterministic codebooks from
     the same vec_id<16 rows the Spark side collects, score every
     (vector, subspace, centroid) triple with the strict-fold squared L2
@@ -2497,7 +2497,7 @@ def _pq_codes_ctes(m: int = 8, ds: int = _PQ_DS) -> str:
          SELECT vec_id AS j, embedding AS cv FROM embeddings WHERE vec_id < 16),
        scored AS (
          SELECT e.vec_id, t.s, c.j, {dist} AS dist
-         FROM embeddings e
+         FROM {src} e
          CROSS JOIN UNNEST(range(0, {m})) AS t(s)
          CROSS JOIN cent c),
        codes AS (
@@ -2584,13 +2584,13 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
          SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 16),
        probe AS (
          SELECT cell FROM ivfc, qv
-         ORDER BY {_DOT.format(a='cv', b='qv.v')} DESC, cell LIMIT 4),
+         ORDER BY {_DOTF.format(a='cv', b='qv.v')} DESC, cell LIMIT 4),
        asn AS (
          SELECT vec_id, cell FROM (
            SELECT e.vec_id, c.cell,
                   ROW_NUMBER() OVER (
                     PARTITION BY e.vec_id
-                    ORDER BY {_DOT.format(a='e.embedding', b='c.cv')} DESC, c.cell
+                    ORDER BY {_DOTF.format(a='e.embedding', b='c.cv')} DESC, c.cell
                   ) AS rn
            FROM embeddings e CROSS JOIN ivfc c) t
          WHERE rn = 1),
@@ -2598,26 +2598,7 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
          SELECT e.vec_id, e.embedding
          FROM embeddings e JOIN asn USING (vec_id)
          WHERE asn.cell IN (SELECT cell FROM probe)),
-       pqc AS (
-         SELECT vec_id AS j, embedding AS cv FROM embeddings WHERE vec_id < 16),
-       scored AS (
-         SELECT e.vec_id, t.s, c.j,
-                list_reduce(list_prepend(0.0, list_transform(
-                  range(1, {_PQ_DS} + 1),
-                  i -> (CAST(e.embedding[CAST(t.s * {_PQ_DS} + i AS INT)] AS DOUBLE)
-                        - CAST(c.cv[CAST(t.s * {_PQ_DS} + i AS INT)] AS DOUBLE))
-                     * (CAST(e.embedding[CAST(t.s * {_PQ_DS} + i AS INT)] AS DOUBLE)
-                        - CAST(c.cv[CAST(t.s * {_PQ_DS} + i AS INT)] AS DOUBLE)))),
-                  (acc, v) -> acc + v) AS dist
-         FROM cand e
-         CROSS JOIN UNNEST(range(0, 8)) AS t(s)
-         CROSS JOIN pqc c),
-       codes AS (
-         SELECT vec_id, s, j FROM (
-           SELECT vec_id, s, j,
-                  ROW_NUMBER() OVER (PARTITION BY vec_id, s
-                                     ORDER BY dist, j) AS rn
-           FROM scored) t WHERE rn = 1),
+       {_pq_codes_ctes(src='cand')},
        lut AS (
          SELECT c.vec_id, c.s,
                 list_reduce(list_prepend(0.0, list_transform(
@@ -2625,7 +2606,7 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                   i -> CAST(qv.v[CAST(c.s * {_PQ_DS} + i AS INT)] AS DOUBLE)
                        * CAST(ct.cv[CAST(c.s * {_PQ_DS} + i AS INT)] AS DOUBLE))),
                   (acc, v) -> acc + v) AS contrib
-         FROM codes c JOIN pqc ct ON ct.j = c.j, qv),
+         FROM codes c JOIN cent ct ON ct.j = c.j, qv),
        adc AS (
          SELECT vec_id, {_PQ_FOLD_S.format(expr='contrib')} AS a
          FROM lut GROUP BY vec_id
@@ -2645,7 +2626,8 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_ivfpq_topk(emb, 0, k=10, n_cells=16, n_probe=4, rerank=50)
 
 
-_CM_BUCKET = "('0x' || substring(md5({item} || '#' || '{d}'), 1, 8))::BIGINT % {w}"
+# the canonical porthash32 twin (_PH_HI) salted per depth row
+_CM_BUCKET = _PH_HI.format(c="{item} || '#' || '{d}'") + " % {w}"
 
 
 def _cm_sql(depth: int = 4, width: int = 256) -> str:
@@ -2702,7 +2684,7 @@ def _hll_sql(p: int = 8) -> str:
          SELECT event_type, CAST(value AS VARCHAR) AS item FROM events),
        h AS (
          SELECT event_type,
-                ('0x' || substring(md5(item), 1, 8))::BIGINT AS hv
+                {_PH_HI.format(c='item')} AS hv
          FROM it),
        r AS (
          SELECT event_type, hv // {1 << w} AS bucket,
