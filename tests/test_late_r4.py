@@ -781,3 +781,36 @@ def test_hll_set_algebra_estimates(spark):
     assert abs(e["union"] - 5000) / 5000 < 0.2
     # intersection (true 1000) is noisier: 3 sketches' errors stack
     assert 300 < e["intersection"] < 1900, e
+
+
+def test_kmeans_fit_steps_decreases_distortion(spark, sf_dir):
+    """Lloyd's guarantee: total within-cluster squared distance is
+    non-increasing round over round (checked with numpy against the
+    same deterministic seeds)."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = {r.vec_id: np.array(r.embedding, np.float64) for r in emb.collect()}
+
+    def distortion(cents: dict[int, np.ndarray]) -> float:
+        total = 0.0
+        for v in vecs.values():
+            best = min(
+                ((c - v) @ (c - v), j) for j, c in sorted(cents.items())
+            )
+            total += best[0]
+        return total
+
+    prev = None
+    for it in (1, 2, 3):
+        rows = S.kmeans_fit_steps(emb, n_iters=it, n_cells=16).collect()
+        cents: dict[int, np.ndarray] = {}
+        for r in rows:
+            cents.setdefault(r.cell, np.zeros(64))[r.dim] = r.centroid_val
+        d = distortion(cents)
+        if prev is not None:
+            assert d <= prev * (1 + 1e-9), (it, d, prev)
+        prev = d
+    # membership totals conserved each round
+    n = sum(r.n_members for r in rows) / 64
+    assert n == emb.count()

@@ -1030,3 +1030,28 @@ def ann_ivfpq_topk(
     # and tie-break select it), so the query row is in cand and the ADC
     # + rerank tail is exactly pq_adc_topk over the pruned candidates
     return pq_adc_topk(cand, cbs, query_vec_id, k=k, rerank=rerank, id_col=id_col)
+
+
+def kmeans_fit_steps(
+    embeddings: DataFrame, n_iters: int = 3, n_cells: int = 16, id_col: str = "vec_id"
+) -> DataFrame:
+    """EXACTLY ``n_iters`` Lloyd iterations (no early stop — the
+    fixed-iteration twin of ``kmeans_fit`` that an unrolled SQL oracle
+    can reproduce): each round collects only the K x d coordinate
+    matrix (6dp-rounded, which also pins cross-engine parity per round)
+    and re-inlines it as the next round's literal centroid table.
+    Returns the round-``n_iters`` (cell, dim, centroid_val, n_members)
+    table."""
+    cents = collect_centroids(embeddings, n_cells, id_col)
+    step = None
+    for _ in range(n_iters):
+        step = kmeans_step(embeddings, cents, id_col=id_col)
+        rows = step.collect()
+        nxt: dict[int, list[float]] = {}
+        dim = len(next(iter(cents.values())))
+        for r in rows:
+            nxt.setdefault(int(r["cell"]), [0.0] * dim)[int(r["dim"])] = float(
+                r["centroid_val"]
+            )
+        cents = nxt
+    return step

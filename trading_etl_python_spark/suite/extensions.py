@@ -2740,3 +2740,57 @@ def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.2
         ).alias("within_3sigma"),
     )
+
+
+def _kmeans_fit_sql(n_iters: int = 3) -> str:
+    """SQL twin of similarity.kmeans_fit_steps: the Lloyd loop unrolled
+    as (assign, means, centroid-rebuild) CTE triples.  Each round's
+    means are ROUND(.., 6) — the same per-round rounding the Spark side
+    collects and re-inlines, which pins cross-engine parity at every
+    iteration boundary."""
+    ctes = [
+        """cent0 AS (
+         SELECT vec_id AS cell, embedding AS cv FROM embeddings
+         WHERE vec_id < 16)"""
+    ]
+    for r in range(1, n_iters + 1):
+        ctes.append(
+            f"""a{r} AS (
+         SELECT vec_id, cell FROM (
+           SELECT e.vec_id, c.cell,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {_DOT.format(a='e.embedding', b='c.cv')} DESC, c.cell
+                  ) AS rn
+           FROM embeddings e CROSS JOIN cent{r - 1} c) t
+         WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""m{r} AS MATERIALIZED (
+         SELECT CAST(a.cell AS INT) AS cell, CAST(i - 1 AS INT) AS dim,
+                ROUND(AVG(e.embedding[CAST(i AS INT)]), 6) AS v,
+                COUNT(*) AS n
+         FROM embeddings e JOIN a{r} a USING (vec_id),
+              UNNEST(range(1, len(e.embedding) + 1)) AS t(i)
+         GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""cent{r} AS (
+         SELECT cell, list(CAST(v AS DOUBLE) ORDER BY dim) AS cv
+         FROM m{r} GROUP BY cell)"""
+        )
+    return (
+        "WITH "
+        + ",\n       ".join(ctes)
+        + f"\n       SELECT cell, dim, v AS centroid_val, n AS n_members FROM m{n_iters}"
+    )
+
+
+@q("q_kmeans_fit3", _kmeans_fit_sql(3))
+def q_kmeans_fit3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE full Lloyd iterations (the loop, not just the certified
+    single step): per round the driver holds only the K x d rounded
+    coordinate matrix and re-inlines it as the next literal centroid
+    table — operators/similarity.kmeans_fit_steps."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.kmeans_fit_steps(emb, n_iters=3, n_cells=16)
