@@ -814,3 +814,26 @@ def test_kmeans_fit_steps_decreases_distortion(spark, sf_dir):
     # membership totals conserved each round
     n = sum(r.n_members for r in rows) / 64
     assert n == emb.count()
+
+
+def test_cdc_incremental_finds_shared_content(spark, tmp_path):
+    from trading_etl_python_spark.operators.dedup import (
+        cdc_incremental_stats,
+        write_cdc_index,
+    )
+
+    shared = "the common boilerplate header repeated across documents " * 5
+    corpus = spark.createDataFrame(
+        [(1, shared + "original tail one"), (2, shared + "original tail two")],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "idx")
+    write_cdc_index(corpus, path)
+    new = spark.createDataFrame(
+        [(10, shared + "entirely new suffix content"), (11, "nothing in common here " * 8)],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in cdc_incremental_stats(new, spark, path).collect()}
+    assert out[10].n_known >= 1 and out[10].known_bytes_ratio > 0.3
+    assert out[11].n_known == 0 and out[11].known_bytes_ratio == 0.0
+    assert all(0 <= r.known_bytes_ratio <= 1 for r in out.values())

@@ -947,3 +947,64 @@ def cdc_dedup_stats(
         .orderBy(F.col("n_occurrences").desc(), F.col("chunk_hash").asc())
         .limit(top_k)
     )
+
+
+def write_cdc_index(
+    df: DataFrame,
+    path: str,
+    w: int = 8,
+    mask_bits: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist the corpus's DISTINCT CDC chunk hashes — the storage-
+    dedup index a crawl-ingest probes so arriving documents are charged
+    only for never-seen content.  Fixed-width 32-hex keys, one distinct
+    shuffle, written sorted so the probe join's build side reads
+    clustered (same persisted-index posture as ``write_minhash_index``)."""
+    (
+        cdc_chunks(df, w=w, mask_bits=mask_bits, text_col=text_col, id_col=id_col)
+        .select("chunk_hash")
+        .distinct()
+        .sort("chunk_hash")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def cdc_incremental_stats(
+    new_docs: DataFrame,
+    spark,
+    index_path: str,
+    w: int = 8,
+    mask_bits: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chunk-level dedup of a NEW batch against the persisted corpus
+    index (the crawl-ingest shape at storage granularity): per arriving
+    document, how many of its content chunks — and what fraction of its
+    content bytes — already exist in the corpus.  The batch is chunked
+    once (map-side), the index join is a fixed-width-key equi-join (AQE
+    broadcasts a small index, shuffles a big one), and nothing pairwise
+    ever materializes.
+
+    Returns (doc_id, n_chunks, n_known, known_bytes_ratio) — the signal
+    an ingest pipeline uses to skip, down-weight, or strip duplicated
+    content before it reaches training."""
+    idx = spark.read.parquet(index_path).withColumn("_known", F.lit(True))
+    ch = cdc_chunks(
+        new_docs, w=w, mask_bits=mask_bits, text_col=text_col, id_col=id_col
+    )
+    j = ch.join(idx, "chunk_hash", "left")
+    return j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("_known"), 1).otherwise(0)).alias("n_known"),
+        F.round(
+            F.sum(F.when(F.col("_known"), F.col("chunk_len")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("chunk_len").cast("double"),
+            6,
+        ).alias("known_bytes_ratio"),
+    )

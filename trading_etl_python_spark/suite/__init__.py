@@ -66,12 +66,12 @@ _NEW_R4 = [
     # queue immediately after for the next round's window
     "q_semdedup", "q_bpe_pairs", "q_cdc_dedup", "q_pca_power",
     "q_group_sample", "q_bpe_learn", "q_fuzzy_vocab", "q_ann_recall",
-    "q_ks_drift", "q_token_pmi", "q_zorder", "q_skip_read", "q_bpe_apply", "q_tar_shards", "q_spearman", "q_pq_error", "q_pq_topk", "q_ann_ivfpq", "q_cm_sketch", "q_hll_portable", "q_kmeans_fit3",
+    "q_ks_drift", "q_token_pmi", "q_zorder", "q_skip_read", "q_bpe_apply", "q_tar_shards", "q_spearman", "q_pq_error", "q_pq_topk", "q_ann_ivfpq", "q_cm_sketch", "q_hll_portable", "q_kmeans_fit3", "q_cdc_incremental",
 ]
 _PRIORITY = [
     *_NEVER_CERTIFIED,  # 17 (incl. q_stream_replay, oracle'd in r4)
     *_CHANGED_R4,  # 3
-    *_NEW_R4,  # 27 early-r4 + 21 late-r4 (48 total)
+    *_NEW_R4,  # 27 early-r4 + 22 late-r4 (49 total)
     *(n for n in core.QUERIES if n not in _NEW_R4),  # 24 r1/r2 greens
     # relational r1/r2 greens (q_asof_forward, born r4, already listed)
     *(n for n in relational.QUERIES if n not in _NEW_R4),

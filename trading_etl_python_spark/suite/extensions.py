@@ -2794,3 +2794,73 @@ def q_kmeans_fit3(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — operators/similarity.kmeans_fit_steps."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.kmeans_fit_steps(emb, n_iters=3, n_cells=16)
+
+
+def _cdc_chunk_ctes(suffix: str, where: str) -> str:
+    """CDC chunk CTEs (same expressions as q_cdc_dedup's oracle) over a
+    filtered slice of documents, name-suffixed for composition."""
+    return f"""d{suffix} AS (
+         SELECT doc_id,
+                regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+         FROM documents WHERE {where}),
+       c{suffix} AS (
+         SELECT doc_id, s,
+                list_transform(string_split(s, ''), ch -> CAST(ascii(ch) AS BIGINT)) AS codes
+         FROM d{suffix} WHERE length(s) >= 8),
+       cutt{suffix} AS (
+         SELECT doc_id, s,
+                [0] || list_filter(range(8, length(s) + 1),
+                  p -> p < length(s) AND
+                       list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                           list_transform(range(p - 7, p + 1),
+                             i -> codes[CAST(i AS INT)])),
+                         (acc, ch) -> (acc * 31 + ch) % 1000000007) % 32 = 0)
+                || [length(s)] AS cuts
+         FROM c{suffix}),
+       ch{suffix} AS (
+         SELECT doc_id,
+                unnest(list_transform(range(1, len(cuts)),
+                  i -> substring(s, CAST(cuts[CAST(i AS INT)] + 1 AS INT),
+                                 CAST(cuts[CAST(i + 1 AS INT)]
+                                      - cuts[CAST(i AS INT)] AS INT)))) AS chunk
+         FROM cutt{suffix})"""
+
+
+@q(
+    "q_cdc_incremental",
+    f"""WITH {_cdc_chunk_ctes('i', 'doc_id % 2 = 0')},
+       {_cdc_chunk_ctes('n', 'doc_id % 2 = 1')},
+       idx AS (SELECT DISTINCT md5(chunk) AS chunk_hash FROM chi),
+       probe AS (
+         SELECT doc_id, md5(chunk) AS chunk_hash,
+                CAST(length(chunk) AS BIGINT) AS chunk_len
+         FROM chn)
+       SELECT p.doc_id,
+              COUNT(*) AS n_chunks,
+              CAST(SUM(CASE WHEN idx.chunk_hash IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_known,
+              ROUND(CAST(SUM(CASE WHEN idx.chunk_hash IS NOT NULL
+                                  THEN chunk_len ELSE 0 END) AS DOUBLE)
+                    / SUM(chunk_len), 6) AS known_bytes_ratio
+       FROM probe p LEFT JOIN idx USING (chunk_hash)
+       GROUP BY p.doc_id""",
+)
+def q_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-ingest CDC dedup: the even-id half of the corpus is
+    persisted once per process as the chunk-hash index; every odd-id
+    document is then scored for how much of its CONTENT already exists
+    (chunk and byte granularity) — operators/dedup.write_cdc_index /
+    cdc_incremental_stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = _CDC_IDX_CACHE.get(sf_dir)
+    if path is None:
+        path = os.path.join(_sink_root(), f"cdcidx_{len(_CDC_IDX_CACHE)}")
+        D.write_cdc_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+        _CDC_IDX_CACHE[sf_dir] = path
+    return D.cdc_incremental_stats(
+        docs.filter(F.col("doc_id") % 2 == 1), spark, path
+    )
+
+
+_CDC_IDX_CACHE: dict[str, str] = {}
