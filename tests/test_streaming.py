@@ -688,3 +688,25 @@ def test_stream_drift_monitor_with_ks_matches_batch(spark, sf_dir, tmp_path):
         r["group"]: r["ks"] for r in ks_drift(ref, ev, "value", "event_type").collect()
     }
     assert got_psi == want_psi and got_ks == want_ks and got_ks
+
+
+def test_stream_cardinality_monitor_matches_batch_hll(spark, sf_dir, tmp_path):
+    from trading_etl_python_spark.operators.sketches import hll_estimate
+    from trading_etl_python_spark.streaming.pipeline import (
+        events_file_stream,
+        stream_cardinality_monitor,
+    )
+
+    out = str(tmp_path / "card")
+    q = stream_cardinality_monitor(
+        events_file_stream(spark, sf_dir), out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    got = {r["event_type"]: r["hll_est"] for r in spark.read.parquet(out).collect()}
+    ev = load_events(spark, sf_dir)
+    it = ev.select("event_type", F.col("value").cast("string").alias("_item"))
+    want = {
+        r["event_type"]: r["hll_est"]
+        for r in hll_estimate(it, "_item", "event_type").collect()
+    }
+    assert got == want and got

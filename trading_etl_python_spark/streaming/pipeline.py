@@ -604,3 +604,41 @@ def stream_drift_monitor(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_cardinality_monitor(
+    events: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    item_col: str = "value",
+    group_col: str = "event_type",
+    p: int = 8,
+):
+    """Streaming cardinality monitor: every micro-batch's per-group
+    distinct count is estimated with the PORTABLE HLL
+    (operators/sketches.hll_estimate) and appended to an audit table
+    keyed by batch_id — the "key-space exploded / feed went constant"
+    alarm that complements the value-distribution monitors (PSI/KS).
+    Same foreachBatch shape as ``stream_drift_monitor``; at deployment
+    the registers themselves can be persisted instead and max-merged
+    across batches for running totals (mergeability is test-pinned on
+    the batch operator)."""
+    from ..operators.sketches import hll_estimate
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        it = batch_df.select(
+            F.col(group_col), F.col(item_col).cast("string").alias("_item")
+        )
+        out = hll_estimate(it, "_item", group_col, p=p).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        out.write.mode("append").parquet(out_path)
+
+    return (
+        events.writeStream.foreachBatch(score)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
