@@ -783,37 +783,49 @@ def test_hll_set_algebra_estimates(spark):
     assert 300 < e["intersection"] < 1900, e
 
 
-def test_kmeans_fit_steps_decreases_distortion(spark, sf_dir):
-    """Lloyd's guarantee: total within-cluster squared distance is
-    non-increasing round over round (checked with numpy against the
-    same deterministic seeds)."""
+def test_kmeans_fit_steps_matches_numpy_rounds(spark, sf_dir):
+    """Exact-semantics parity: each round assigns by MAX DOT against the
+    previous round's 6dp-rounded centroids and re-averages — recompute
+    all three rounds in numpy and compare the final coordinate table."""
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
+    rows = S.kmeans_fit_steps(emb, n_iters=3, n_cells=16).collect()
+    got = {(r.cell, r.dim): (r.centroid_val, r.n_members) for r in rows}
+
     vecs = {r.vec_id: np.array(r.embedding, np.float64) for r in emb.collect()}
-
-    def distortion(cents: dict[int, np.ndarray]) -> float:
-        total = 0.0
-        for v in vecs.values():
-            best = min(
-                ((c - v) @ (c - v), j) for j, c in sorted(cents.items())
+    cents = {i: vecs[i].copy() for i in range(16)}
+    for _ in range(3):
+        members: dict[int, list] = {}
+        for vid in sorted(vecs):
+            v = vecs[vid]
+            best = max(
+                sorted(cents), key=lambda c: (_seq_dot_py(v, cents[c]), -c)
             )
-            total += best[0]
-        return total
+            members.setdefault(best, []).append(v)
+        nxt = {}
+        n_mem = {}
+        for c, vs in members.items():
+            nxt[c] = np.round(np.mean(vs, axis=0), 6)
+            n_mem[c] = len(vs)
+        cents = nxt
+    want = {
+        (c, d): (float(cents[c][d]), n_mem[c])
+        for c in cents
+        for d in range(64)
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][1] == want[k][1], k  # membership
+        assert abs(got[k][0] - want[k][0]) < 1e-6, k
 
-    prev = None
-    for it in (1, 2, 3):
-        rows = S.kmeans_fit_steps(emb, n_iters=it, n_cells=16).collect()
-        cents: dict[int, np.ndarray] = {}
-        for r in rows:
-            cents.setdefault(r.cell, np.zeros(64))[r.dim] = r.centroid_val
-        d = distortion(cents)
-        if prev is not None:
-            assert d <= prev * (1 + 1e-9), (it, d, prev)
-        prev = d
-    # membership totals conserved each round
-    n = sum(r.n_members for r in rows) / 64
-    assert n == emb.count()
+
+def _seq_dot_py(a, b) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
 
 
 def test_cdc_incremental_finds_shared_content(spark, tmp_path):

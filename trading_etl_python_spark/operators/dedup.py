@@ -989,15 +989,16 @@ def cdc_incremental_stats(
     broadcasts a small index, shuffles a big one), and nothing pairwise
     ever materializes.
 
-    Returns (doc_id, n_chunks, n_known, known_bytes_ratio) — the signal
-    an ingest pipeline uses to skip, down-weight, or strip duplicated
-    content before it reaches training."""
+    Returns (doc_id, n_chunks, n_known, known_bytes_ratio) for EVERY
+    arriving document — one whose normalized text is too short to chunk
+    (< w alphanumerics) scores (0, 0, NULL), distinguishable from a
+    scored all-novel doc's (n, 0, 0.0)."""
     idx = spark.read.parquet(index_path).withColumn("_known", F.lit(True))
     ch = cdc_chunks(
         new_docs, w=w, mask_bits=mask_bits, text_col=text_col, id_col=id_col
     )
     j = ch.join(idx, "chunk_hash", "left")
-    return j.groupBy(id_col).agg(
+    stats = j.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(F.when(F.col("_known"), 1).otherwise(0)).alias("n_known"),
         F.round(
@@ -1007,4 +1008,10 @@ def cdc_incremental_stats(
             / F.sum("chunk_len").cast("double"),
             6,
         ).alias("known_bytes_ratio"),
+    )
+    return new_docs.select(id_col).join(stats, id_col, "left").select(
+        id_col,
+        F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+        F.coalesce("n_known", F.lit(0)).alias("n_known"),
+        F.col("known_bytes_ratio"),
     )

@@ -437,6 +437,18 @@ def kmeans_step(
     )
 
 
+def _centroids_from_rows(rows, dim: int) -> dict[int, list[float]]:
+    """Rebuild the centroid dict from a collected (cell, dim, val) round
+    — shared by both Lloyd drivers so the re-inline semantics cannot
+    drift between them."""
+    nxt: dict[int, list[float]] = {}
+    for r in rows:
+        nxt.setdefault(int(r["cell"]), [0.0] * dim)[int(r["dim"])] = float(
+            r["centroid_val"]
+        )
+    return nxt
+
+
 def kmeans_fit(
     embeddings: DataFrame,
     n_cells: int = 16,
@@ -448,13 +460,10 @@ def kmeans_fit(
     re-inlines it as the next round's literal centroid table.  Stops early
     when assignments stop moving the centroids (exact fixpoint)."""
     cents = collect_centroids(embeddings, n_cells, id_col)
+    dim = len(next(iter(cents.values())))
     for _ in range(max_iter):
         rows = kmeans_step(embeddings, cents, id_col=id_col).collect()
-        nxt: dict[int, list[float]] = {}
-        for r in rows:
-            nxt.setdefault(int(r["cell"]), [0.0] * len(next(iter(cents.values()))))[
-                int(r["dim"])
-            ] = float(r["centroid_val"])
+        nxt = _centroids_from_rows(rows, dim)
         if nxt == cents:
             break
         cents = nxt
@@ -1041,17 +1050,13 @@ def kmeans_fit_steps(
     matrix (6dp-rounded, which also pins cross-engine parity per round)
     and re-inlines it as the next round's literal centroid table.
     Returns the round-``n_iters`` (cell, dim, centroid_val, n_members)
-    table."""
+    table (lazy — the final round runs when the caller evaluates it;
+    only the n_iters-1 intermediate rounds collect)."""
+    if n_iters < 1:
+        raise ValueError("kmeans_fit_steps: n_iters must be >= 1")
     cents = collect_centroids(embeddings, n_cells, id_col)
-    step = None
-    for _ in range(n_iters):
-        step = kmeans_step(embeddings, cents, id_col=id_col)
-        rows = step.collect()
-        nxt: dict[int, list[float]] = {}
-        dim = len(next(iter(cents.values())))
-        for r in rows:
-            nxt.setdefault(int(r["cell"]), [0.0] * dim)[int(r["dim"])] = float(
-                r["centroid_val"]
-            )
-        cents = nxt
-    return step
+    dim = len(next(iter(cents.values())))
+    for _ in range(n_iters - 1):
+        rows = kmeans_step(embeddings, cents, id_col=id_col).collect()
+        cents = _centroids_from_rows(rows, dim)
+    return kmeans_step(embeddings, cents, id_col=id_col)

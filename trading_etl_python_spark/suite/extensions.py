@@ -2835,16 +2835,23 @@ def _cdc_chunk_ctes(suffix: str, where: str) -> str:
        probe AS (
          SELECT doc_id, md5(chunk) AS chunk_hash,
                 CAST(length(chunk) AS BIGINT) AS chunk_len
-         FROM chn)
-       SELECT p.doc_id,
-              COUNT(*) AS n_chunks,
-              CAST(SUM(CASE WHEN idx.chunk_hash IS NOT NULL THEN 1 ELSE 0 END)
-                   AS BIGINT) AS n_known,
-              ROUND(CAST(SUM(CASE WHEN idx.chunk_hash IS NOT NULL
-                                  THEN chunk_len ELSE 0 END) AS DOUBLE)
-                    / SUM(chunk_len), 6) AS known_bytes_ratio
-       FROM probe p LEFT JOIN idx USING (chunk_hash)
-       GROUP BY p.doc_id""",
+         FROM chn),
+       st AS (
+         SELECT p.doc_id,
+                COUNT(*) AS n_chunks,
+                CAST(SUM(CASE WHEN idx.chunk_hash IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_known,
+                ROUND(CAST(SUM(CASE WHEN idx.chunk_hash IS NOT NULL
+                                    THEN chunk_len ELSE 0 END) AS DOUBLE)
+                      / SUM(chunk_len), 6) AS known_bytes_ratio
+         FROM probe p LEFT JOIN idx USING (chunk_hash)
+         GROUP BY p.doc_id)
+       SELECT d.doc_id,
+              COALESCE(st.n_chunks, 0) AS n_chunks,
+              COALESCE(st.n_known, 0) AS n_known,
+              st.known_bytes_ratio
+       FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+       LEFT JOIN st USING (doc_id)""",
 )
 def q_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-ingest CDC dedup: the even-id half of the corpus is
