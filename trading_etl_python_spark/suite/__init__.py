@@ -29,31 +29,33 @@ for mod in (core, relational, extensions, analytics, behavior, sql_api):
 
 # Registry order = driver-certification rotation.  The external driver
 # records CORRECTNESS rows for only the FIRST ~50 registry entries per
-# round.  Cumulative state entering round 4: r1/r2 certified core (24) +
-# relational (13) + extensions head (13); r3 certified sql_api (17, one
-# hash-fail) + behavior (4) + analytics (21) + 8 judge-named
-# curation/clustering picks.  Round 4 therefore front-loads:
-#   1. the 17 extensions-tail queries that have NEVER had a driver row
-#      (r3 VERDICT "Next round" #2),
-#   2. the queries whose semantics changed this round and need fresh
-#      rows: q_sql_tpch_q12 (BIGINT cast fix for the one r3 red),
-#      q_dedup_minhash_ml (new deterministic oracle contract),
-#      q_dedup_clusters (star-truncation collapse, ADVICE r3),
-#   3. whatever r1/r2 core queries still fit (the operators BORN in
-#      r4 take the rest of the window — first driver rows beat stale
-#      re-certification).
-# The r3-certified analytics/behavior/sql blocks demote to the back.
-_NEVER_CERTIFIED = [
+# round.  Cumulative state entering round 5: every query has been
+# driver-certified green in SOME round EXCEPT the 19 late-r4 additions
+# below, which landed after r4's window closed (judge re-verified all
+# 19 green locally — VERDICT r4 "Next round" #1).  Round 5 therefore
+# front-loads:
+#   1. the 19 never-driver-certified late-r4 queries,
+#   2. queries whose semantics change in r5 and need fresh rows
+#      (q_ks_drift's NULL-filter fix is already in block 1),
+#   3. queries BORN in r5 (first driver rows beat re-certification),
+#   4. r4-certified blocks fill the remaining window slots.
+_NEVER_CERTIFIED_R5 = [
+    "q_pca_power", "q_group_sample", "q_bpe_learn", "q_fuzzy_vocab",
+    "q_ann_recall", "q_ks_drift", "q_token_pmi", "q_zorder", "q_skip_read",
+    "q_bpe_apply", "q_tar_shards", "q_spearman", "q_pq_error", "q_pq_topk",
+    "q_ann_ivfpq", "q_cm_sketch", "q_hll_portable", "q_kmeans_fit3",
+    "q_cdc_incremental",
+]
+# Queries BORN in r5 (new operators) — certified in their first round.
+_NEW_R5: list[str] = []
+# r4-certified blocks, kept in their r4 order to fill the window tail.
+_CERTIFIED_R4 = [
     "q_doc_fingerprint", "q_doc_winnow", "q_tfidf", "q_doc_repetition",
     "q_split_assign", "q_sample_profile", "q_group_quantiles",
     "q_stream_replay", "q_approx_stats", "q_multimodal_meta",
     "q_media_frames", "q_media_features", "q_histogram", "q_null_profile",
     "q_text_normalize", "q_stratified_sample", "q_regex_extract",
-]
-_CHANGED_R4 = ["q_sql_tpch_q12", "q_dedup_minhash_ml", "q_dedup_clusters"]
-# Queries BORN in r4 (new operators) — certified before the stale
-# re-certification blocks so they get driver rows in their first round.
-_NEW_R4 = [
+    "q_sql_tpch_q12", "q_dedup_minhash_ml", "q_dedup_clusters",
     "q_text_redact", "q_seq_pack", "q_doc_logprob", "q_dedup_incremental",
     "q_span_dedup", "q_domain_mix", "q_embed_quantize", "q_heavy_hitters",
     "q_pagerank", "q_bm25", "q_triangles", "q_ppl_tiers", "q_weighted_sample",
@@ -61,20 +63,16 @@ _NEW_R4 = [
     "q_communities", "q_psi_drift", "q_media_wav", "q_table_stats",
     "q_split_leakage", "q_dedup_containment", "q_dup_weights", "q_epoch_order",
     "q_asof_forward", "q_asof_nearest",
-    # late-r4 additions: the first three land inside the 50-entry window
-    # (semantic dedup, tokenizer pair counts, CDC chunk dedup); the rest
-    # queue immediately after for the next round's window
-    "q_semdedup", "q_bpe_pairs", "q_cdc_dedup", "q_pca_power",
-    "q_group_sample", "q_bpe_learn", "q_fuzzy_vocab", "q_ann_recall",
-    "q_ks_drift", "q_token_pmi", "q_zorder", "q_skip_read", "q_bpe_apply", "q_tar_shards", "q_spearman", "q_pq_error", "q_pq_topk", "q_ann_ivfpq", "q_cm_sketch", "q_hll_portable", "q_kmeans_fit3", "q_cdc_incremental",
+    "q_semdedup", "q_bpe_pairs", "q_cdc_dedup",
 ]
 _PRIORITY = [
-    *_NEVER_CERTIFIED,  # 17 (incl. q_stream_replay, oracle'd in r4)
-    *_CHANGED_R4,  # 3
-    *_NEW_R4,  # 27 early-r4 + 22 late-r4 (49 total)
-    *(n for n in core.QUERIES if n not in _NEW_R4),  # 24 r1/r2 greens
-    # relational r1/r2 greens (q_asof_forward, born r4, already listed)
-    *(n for n in relational.QUERIES if n not in _NEW_R4),
+    *_NEVER_CERTIFIED_R5,  # 19 — the only queries without a driver row
+    *_NEW_R5,
+    *_CERTIFIED_R4,  # r4 greens re-certify as window space allows
+    *(n for n in core.QUERIES
+      if n not in _CERTIFIED_R4 and n not in _NEVER_CERTIFIED_R5),
+    *(n for n in relational.QUERIES
+      if n not in _CERTIFIED_R4 and n not in _NEVER_CERTIFIED_R5),
 ]
 
 assert len(_PRIORITY) == len(set(_PRIORITY)) and all(n in _ALL for n in _PRIORITY)
