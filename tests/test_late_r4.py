@@ -577,6 +577,28 @@ def test_ks_drift_one_sided_group_scores_max_drift(spark):
     assert out["a"].ks == pytest.approx(0.5)
 
 
+def test_ks_drift_ignores_null_values(spark):
+    """NULLs carry no ECDF mass and don't count into n_ref/n_cmp —
+    engines disagree on NULL sort order (Spark NULLS FIRST, DuckDB
+    NULLS LAST), so a null-bearing feed must produce the same statistic
+    as the pre-filtered one.  A group that is all-NULL on one side is a
+    one-sided group (ks=1.0), not a division by its phantom count."""
+    from trading_etl_python_spark.operators.transforms import ks_drift
+
+    ref = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 2.0), ("c", None)],
+        "event_type string, value double",
+    )
+    cmp = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", None), ("c", 5.0)],
+        "event_type string, value double",
+    )
+    out = {r.group: r for r in ks_drift(ref, cmp).collect()}
+    assert out["a"].n_ref == 2 and out["a"].n_cmp == 2
+    assert out["a"].ks == pytest.approx(0.0)  # identical after NULL drop
+    assert out["c"].n_ref == 0 and out["c"].ks == pytest.approx(1.0)
+
+
 def test_pruned_read_handles_all_null_file_and_uses_index(spark, tmp_path):
     """A file whose pruned column is entirely NULL has a NULL span —
     it cannot match a range predicate and must be skipped, not crash;

@@ -965,7 +965,11 @@ def pq_adc_topk(
     approximate similarity is the sum of m table lookups on its codes —
     no vector arithmetic per candidate, the scan cost that makes PQ the
     billion-vector workhorse.  The top ``rerank`` ADC candidates are
-    re-scored with the exact dot and the true top ``k`` returned.
+    re-scored with the exact dot — the result is the exact top ``k``
+    WITHIN that candidate set (the standard PQ caveat: a true neighbor
+    the ADC ranks below ``rerank`` is missed, so size ``rerank``
+    against the recall you need — the ``ann_recall`` harness measures
+    it).
 
     The LUT is built in-plan from the broadcast 1-row query (strict-
     fold dots), so the whole query is oracle-checkable; at deployment
@@ -1015,7 +1019,10 @@ def ann_ivfpq_topk(
     with a ``write_ivf_index`` layout), and within the probed cells
     candidates are scored by PQ asymmetric distance (m LUT lookups per
     candidate — no vector arithmetic), with the ADC top ``rerank``
-    exactly re-scored and the true top ``k`` returned.
+    exactly re-scored: the result is the exact top ``k`` within the
+    probed-and-reranked candidate set (a true neighbor outside the
+    probed cells or below ADC rank ``rerank`` is missed — size
+    ``n_probe``/``rerank`` against measured ``ann_recall``).
 
     At deployment the scanned table is (cell, codes) — m bytes/vector,
     partition-pruned — and full vectors are fetched only for the

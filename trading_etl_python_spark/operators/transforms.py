@@ -296,6 +296,11 @@ def ks_drift(
     ANSI mode would otherwise raise DIVIDE_BY_ZERO and kill e.g. a
     streaming monitor whose micro-batch misses one reference group.
 
+    NULL values carry no ECDF mass: a NULL has no position on the real
+    line, and engines disagree on NULL sort order (Spark NULLS FIRST,
+    DuckDB NULLS LAST), so both samples drop NULLs before the union —
+    n_ref/n_cmp count non-NULL observations only.
+
     Returns (group, n_ref, n_cmp, ks)."""
     from pyspark.sql import Window
 
@@ -309,7 +314,7 @@ def ks_drift(
         F.col(group_col).alias("g"),
         F.col(value_col).cast("double").alias("v"),
     )
-    u = a.union(b)
+    u = a.union(b).filter(F.col("v").isNotNull())
     wr = Window.partitionBy("g").orderBy("v").rangeBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -538,11 +543,26 @@ def pruned_read(spark, path: str, col: str, lo, hi):
     unpruned filter's.
 
     Returns (df, n_files_read, n_files_total)."""
+    from pyspark.errors import AnalysisException
+
     try:
         idx = spark.read.parquet(_stats_path(path)).select(
             "file", f"{col}_mn", f"{col}_mx"
         )
-    except Exception:
+    except AnalysisException as exc:
+        # Missing index → expected fallback (unindexed table).  A
+        # present-but-unreadable index (corrupt file, schema drift)
+        # also lands here, but loudly: correct results either way via
+        # the one-off stats scan, yet the manifest posture degraded.
+        import warnings
+
+        if "PATH_NOT_FOUND" not in str(exc):
+            warnings.warn(
+                f"pruned_read: stats index at {_stats_path(path)} "
+                f"unreadable ({exc.getErrorClass() or exc}); falling "
+                "back to a one-off stats scan",
+                stacklevel=2,
+            )
         idx = file_stats_index(spark, path, [col]).select(
             "file", f"{col}_mn", f"{col}_mx"
         )

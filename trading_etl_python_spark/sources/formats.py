@@ -223,7 +223,10 @@ def write_tar_shards(
 
     os.makedirs(path, exist_ok=True)
     for old_tar in os.listdir(path):
-        if old_tar.endswith(".tar"):
+        # stale .tmp-<uuid> files are orphans from killed/speculatively
+        # retried tasks — readers glob *.tar so they're invisible, but
+        # left alone they accumulate without bound
+        if old_tar.endswith(".tar") or ".tmp-" in old_tar:
             os.remove(os.path.join(path, old_tar))
     keyed = df.select(
         F.col(key_col).cast("string").alias("k"),

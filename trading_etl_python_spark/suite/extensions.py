@@ -2263,7 +2263,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH u AS (
          SELECT event_type AS grp, CAST(value AS DOUBLE) AS v,
                 CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS side
-         FROM events),
+         FROM events WHERE value IS NOT NULL),
        e AS (
          SELECT grp,
                 SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END)
