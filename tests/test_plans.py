@@ -438,16 +438,22 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
 
 
 def test_bpe_pairs_map_side_combine_topk(spark, sf_dir):
-    """BPE pair counting: one vocabulary-sized exchange fed by PARTIAL
-    aggregation (map-side combine collapses corpus-sized pair streams to
-    vocab-sized partials) and TakeOrderedAndProject selection — never a
-    global sort of the pair table."""
+    """BPE pair counting: the corpus collapses to the (word, count)
+    vocabulary first (exchange 1, map-side combine), then pairs are
+    counted over distinct words weighted by count (exchange 2) — both
+    exchanges vocabulary-bounded, never corpus-sized pair streams — and
+    TakeOrderedAndProject selects top-k, never a global sort."""
     plan = _executed(QUERIES["q_bpe_pairs"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
-    assert plan.count("Exchange") == 1, plan
-    # partial aggregation BELOW the exchange: executedPlan prints root
-    # first, so the map-side partial_count must appear AFTER Exchange
-    assert "partial_count" in plan[plan.index("Exchange") :], plan
+    assert plan.count("Exchange") == 2, plan
+    # partial aggregation BELOW each exchange: executedPlan prints root
+    # first, so map-side partials must appear AFTER their Exchange
+    assert "partial_sum" in plan[plan.index("Exchange") :], plan
+    assert "partial_count" in plan[plan.rindex("Exchange") :], plan
+    # pair construction is codegen posexplode/element_at, never an
+    # interpreted per-char substr lambda (tokens_col's one O(tokens)
+    # empty-string filter lambda is the only lambda allowed)
+    assert "substr" not in plan.lower(), plan
 
 
 def test_cdc_dedup_single_exchange_topk(spark, sf_dir):

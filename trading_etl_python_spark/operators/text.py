@@ -462,37 +462,37 @@ def bpe_pair_counts(df: DataFrame, top_k: int = 50, text_col: str = "text") -> D
     re-runs it with the merged symbol substituted — the per-pass plan is
     identical.
 
-    Scale: pairs are built IN-ROW (flatten of a per-word transform over
-    the token array, all HOF/codegen expressions — one explode), then a
-    single map-side-combinable groupBy whose key cardinality is the
-    symbol-pair vocabulary (bounded, ~|alphabet|² at iteration 0), not
-    the corpus.  Top-k selection is ORDER BY + LIMIT ->
-    TakeOrderedAndProject: per-partition heaps, k rows on the wire.
+    Scale: the corpus collapses to the (word, count) VOCABULARY first
+    (one map-side-combinable groupBy — the same collapse ``fuzzy_token_
+    pairs`` and ``bpe_learn_merges`` use), so pair construction touches
+    distinct words only, weighted by occurrence count.  Pairs come from
+    ``posexplode`` of the materialized char array + ``element_at`` for
+    the successor — every expression whole-stage codegen, no
+    interpreted HOF lambdas (an inline ``substr(w, i, 1)`` per element
+    is the O(len²) interpreted shape ``winnow_fingerprints``' plan note
+    documents; measured 3.7 s -> sub-second at sf0.1).  The pair
+    groupBy's key cardinality is the symbol-pair vocabulary (bounded,
+    ~|alphabet|² at iteration 0).  Top-k selection is ORDER BY + LIMIT
+    -> TakeOrderedAndProject: per-partition heaps, k rows on the wire.
 
     Returns (left_sym, right_sym, n_pairs) — count desc, pair asc, k
     rows."""
     from .dedup import tokens_col
 
-    pairs = F.flatten(
-        F.transform(
-            F.filter(tokens_col(text_col), lambda w: F.length(w) >= 2),
-            lambda w: F.transform(
-                F.sequence(F.lit(1), F.length(w) - 1),
-                lambda i: F.struct(
-                    w.substr(i, F.lit(1)).alias("a"),
-                    w.substr(i + 1, F.lit(1)).alias("b"),
-                ),
-            ),
-        )
+    vocab = (
+        df.select(F.explode(tokens_col(text_col)).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("syms", F.split("w", ""))
     )
     return (
-        df.select(pairs.alias("_p"))
-        .filter(F.size("_p") >= 1)
-        .select(F.explode("_p").alias("p"))
-        .groupBy(
-            F.col("p.a").alias("left_sym"), F.col("p.b").alias("right_sym")
+        _pair_counts_from_syms(vocab)
+        .select(
+            F.col("a").alias("left_sym"),
+            F.col("b").alias("right_sym"),
+            F.col("n").alias("n_pairs"),
         )
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy(
             F.col("n_pairs").desc(),
             F.col("left_sym").asc(),
@@ -526,20 +526,19 @@ def _merge_fold(syms, left: str, right: str):
 
 def _pair_counts_from_syms(vocab: DataFrame) -> DataFrame:
     """Adjacent-symbol pair counts over a (w, c, syms) vocabulary table,
-    weighted by word count c."""
-    pairs = F.when(
-        F.size("syms") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("syms") - 1),
-            lambda i: F.struct(
-                F.element_at("syms", i.cast("int")).alias("a"),
-                F.element_at("syms", (i + 1).cast("int")).alias("b"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    weighted by word count c.  ``posexplode`` + ``element_at`` for the
+    successor symbol — codegen expressions only (no interpreted HOF
+    lambda per element); single-symbol words yield no pairs via the
+    positional filter."""
     return (
-        vocab.select("c", F.explode(pairs).alias("p"))
-        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        vocab.select("c", "syms", F.posexplode("syms").alias("i", "a"))
+        .filter(F.col("i") < F.size("syms") - 1)
+        .select(
+            "c",
+            "a",
+            F.element_at("syms", F.col("i") + 2).alias("b"),
+        )
+        .groupBy("a", "b")
         .agg(F.sum("c").alias("n"))
     )
 
