@@ -554,7 +554,7 @@ def _cc_star_labels(edges: DataFrame, max_iter: int = 30) -> DataFrame:
 
     prev = checksum(C)
     converged = False
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # --- large-star: ∀ v ∈ N(u) with v > u, connect v to
         #     min(N(u) ∪ {u}) (computed over BOTH directions)
         both = C.unionAll(C.select(F.col("w").alias("u"), F.col("u").alias("w")))
@@ -578,6 +578,13 @@ def _cc_star_labels(edges: DataFrame, max_iter: int = 30) -> DataFrame:
             .distinct()
             .localCheckpoint()
         )
+        # Convergence check every SECOND round: the checksum collect is
+        # an extra job whose fixed cost dominates at small graph sizes,
+        # and star rounds are idempotent at the fixpoint (a star forest
+        # maps to itself), so a delayed detection costs one no-op round,
+        # never correctness.
+        if it % 2 == 0 and it + 1 < max_iter:
+            continue
         cur = checksum(C)
         if (cur["n"], cur["h"]) == (prev["n"], prev["h"]):
             converged = True

@@ -41,6 +41,11 @@ def pagerank(
     number of power iterations (fixed so the result is deterministic
     and oracle-checkable; convergence-gated variants just change the
     loop condition)."""
+    # materialize the caller's edge-construction plan exactly ONCE: norm
+    # and nodes both derive from it, and without this checkpoint each of
+    # their own checkpoints re-runs the (typically expensive) upstream
+    # plan — measured as ~5 s of a 5.4 s query on the TPC-H trade graph
+    edges = edges.localCheckpoint()
     outw = edges.groupBy(src).agg(F.sum(weight).alias("_ow"))
     norm = (
         edges.join(outw, src)
@@ -54,9 +59,17 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
-    sources = outw.select(F.col(src).alias("node"))
+    # distinct sources come from the CHECKPOINTED norm table, never from
+    # outw: outw's lineage contains the caller's whole edge-construction
+    # plan, and the per-iteration dangling anti-join would re-run it
+    # every round (measured as the dominant cost of the loop)
+    sources = norm.select(F.col(src).alias("node")).distinct().localCheckpoint()
+    # the dangling-node SET is static across iterations — resolve it
+    # once so each round's mass aggregate is a broadcast probe of a
+    # precomputed (typically tiny) set, not a fresh anti-join exchange
+    dang = nodes.join(sources, "node", "left_anti").localCheckpoint()
     ranks = nodes.withColumn("score", F.lit(1.0 / n))
-    for _ in range(iters):
+    for it in range(iters):
         contrib = (
             norm.join(ranks, norm[src] == ranks["node"])
             .select(F.col(dst).alias("node"), (F.col("_frac") * F.col("score")).alias("_c"))
@@ -64,7 +77,7 @@ def pagerank(
             .agg(F.sum("_c").alias("_c"))
         )
         dangling = (
-            ranks.join(sources, "node", "left_anti")
+            ranks.join(F.broadcast(dang), "node")
             .agg(F.coalesce(F.sum("score"), F.lit(0.0)).alias("_dm"))
         )
         ranks = (
@@ -78,8 +91,14 @@ def pagerank(
                     * (F.coalesce(F.col("_c"), F.lit(0.0)) + F.col("_dm") / n)
                 ).alias("score"),
             )
-            .localCheckpoint()
         )
+        # Checkpoint every SECOND iteration: the eager materialization
+        # job is the fixed floor at small graph sizes (~0.6 s/round
+        # measured), while two rounds of lineage (ranks read twice per
+        # round -> ~2x recompute of one lazy round) stay bounded.  The
+        # final round is left lazy for the caller's single action.
+        if it % 2 == 1 and it != iters - 1:
+            ranks = ranks.localCheckpoint()
     return ranks.select("node", F.round("score", 6).alias("score"))
 
 
@@ -93,7 +112,9 @@ def triangle_counts(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> Dat
     (swap in degree-order for power-law graphs — same plan, different
     canonical key) keeps out-degrees balanced.  Join keys are node ids,
     partial-aggregated counts; nothing driver-side."""
-    e = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    # the edge table participates in the join THREE times (e1/e2/e3);
+    # checkpoint so the caller's pair-construction plan runs once
+    e = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).localCheckpoint()
     tri = (
         e.alias("e1")
         .join(e.alias("e2"), F.col("e1.v") == F.col("e2.u"))
@@ -129,16 +150,16 @@ def label_propagation(
     edge list is symmetrized once and checkpointed."""
     from pyspark.sql import Window
 
-    edges = (
-        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
-        .unionAll(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
-        .localCheckpoint()
-    )
+    # materialize the caller's pair-construction plan once BEFORE the
+    # symmetrizing union (which references it twice — an un-checkpointed
+    # upstream would run twice inside the union's checkpoint)
+    p = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).localCheckpoint()
+    edges = p.unionAll(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
     w = Window.partitionBy("node").orderBy(F.col("_c").desc(), F.col("label").asc())
-    for _ in range(iters):
+    for it in range(iters):
         labels = (
             edges.join(labels, edges["v"] == labels["node"])
             .select(F.col("u").alias("node"), "label")
@@ -147,6 +168,10 @@ def label_propagation(
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select("node", "label")
-            .localCheckpoint()
         )
+        # every-2nd-round checkpoint, same fixed-floor rationale as
+        # ``pagerank`` (labels are read once per round, so the lazy
+        # round costs one extra round of recompute at most)
+        if it % 2 == 1 and it != iters - 1:
+            labels = labels.localCheckpoint()
     return labels.select("node", F.col("label").alias("community"))
