@@ -55,6 +55,32 @@ def test_semdedup_pairs_only_within_cells(spark, sf_dir):
             assert kept[b] == (not has_lower_dup), (cell, b)
 
 
+def test_semdedup_join_assign_matches_inline(spark, sf_dir):
+    """assign_via_join (broadcast centroid relation + max_by argmax —
+    the production-K path) must produce EXACTLY the literal-inline
+    result, audit row for audit row."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    inline = S.semdedup(emb, n_cells=16, threshold=0.8)
+    joined = S.semdedup(emb, n_cells=16, threshold=0.8, assign_via_join=True)
+    key = lambda r: (r.vec_id, r.cell, r.is_kept)  # noqa: E731
+    assert sorted(map(key, inline.collect())) == sorted(map(key, joined.collect()))
+
+
+def test_semdedup_forces_join_assign_past_inline_cap(spark):
+    """Past IVF_INLINE_MAX_CELLS the literal path would bloat the plan;
+    the join path must engage automatically (no flag)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n = S.IVF_INLINE_MAX_CELLS + 8
+    rows = [(i, [float(v) for v in rng.normal(size=4)]) for i in range(n + 4)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = S.semdedup(emb, n_cells=n, threshold=1.1)  # threshold>1: no dups
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert out.count() == n + 4
+
+
 # ------------------------------------------------------------ pca_power
 
 

@@ -498,6 +498,7 @@ def semdedup(
     threshold: float = 0.8,
     id_col: str = "vec_id",
     centroids: dict[int, list[float]] | None = None,
+    assign_via_join: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
     semantic deduplication over an embedding corpus with the pairwise
@@ -512,7 +513,15 @@ def semdedup(
     uses K ~ 10k on 100M+ corpora; cells also parallelize the join
     perfectly since both sides hash-partition on the cell id).  For
     production K, swap ``collect_centroids`` for ``train_ivf_kmeans``
-    and the literal assign for ``ivf_assign_join`` — same contract.
+    and set ``assign_via_join`` — same contract.
+
+    ``assign_via_join`` routes assignment through ``ivf_assign_join``
+    (broadcast centroid relation + max_by argmax) instead of the
+    literal-inline ``ivf_assign`` — the shape that survives production
+    K (~10k cells), where K x dim literals would bloat the plan; it is
+    forced automatically past ``IVF_INLINE_MAX_CELLS``.  Assignment
+    (incl. the smaller-cell-id tie-break) is identical either way, so
+    both paths share one oracle.
 
     Returns (vec_id, cell, is_kept) for EVERY input vector — an audit
     table a curation DAG can join back to filter, weight, or inspect.
@@ -522,9 +531,12 @@ def semdedup(
         if centroids is not None
         else collect_centroids(embeddings, n_cells, id_col)
     )
-    asn = ivf_assign(
-        embeddings.select(id_col, "embedding"), cents, "_cell"
-    )
+    vecs = embeddings.select(id_col, "embedding")
+    if assign_via_join or len(cents) > IVF_INLINE_MAX_CELLS:
+        cdf = centroids_to_df(embeddings.sparkSession, cents)
+        asn = ivf_assign_join(vecs, cdf, "_cell", id_col)
+    else:
+        asn = ivf_assign(vecs, cents, "_cell")
     a = spread(asn).alias("a")
     b = asn.alias("b")
     sim = dot(F.col("a.embedding"), F.col("b.embedding"))

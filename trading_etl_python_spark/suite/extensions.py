@@ -1958,23 +1958,35 @@ _ASN_CTES = f"""cent AS (
          WHERE rn = 1)"""
 
 
-@q(
-    "q_semdedup",
-    f"""WITH {_ASN_CTES},
+_SEMDEDUP_SQL = f"""WITH {_ASN_CTES},
        dup AS (
          SELECT DISTINCT b.vec_id
          FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id
          WHERE {_DOTF.format(a='a.embedding', b='b.embedding')} >= 0.8)
        SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
               (d.vec_id IS NULL) AS is_kept
-       FROM asn a LEFT JOIN dup d USING (vec_id)""",
-)
+       FROM asn a LEFT JOIN dup d USING (vec_id)"""
+
+
+@q("q_semdedup", _SEMDEDUP_SQL)
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster-bounded semantic dedup —
     map-side centroid assignment, exact cosine only within cells,
     first-writer-wins survivor rule (operators/similarity.semdedup)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.semdedup(emb, n_cells=16, threshold=0.8)
+
+
+@q("q_semdedup_joined", _SEMDEDUP_SQL)
+def q_semdedup_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup through the PRODUCTION-K assignment path: centroids
+    shipped as a broadcast relation and assigned by ``ivf_assign_join``
+    (max_by argmax, constant plan size) instead of literal inlining —
+    the shape that survives K ~ 10k cells.  Assignment is identical to
+    ``q_semdedup`` (same deterministic centroids and tie-break), so the
+    broadcast-join path is pinned by the SAME value-hash oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semdedup(emb, n_cells=16, threshold=0.8, assign_via_join=True)
 
 
 def _pca_power_sql(iters: int = 4) -> str:
