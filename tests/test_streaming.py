@@ -243,6 +243,59 @@ def test_transform_with_state_matches_group_state(spark, sf_dir, replay):
         assert len(tws_buf[0]) == P.LOOKBACK
 
 
+def test_mg_processor_matches_group_state_path():
+    """The transformWithState Misra-Gries twin must track the GroupState
+    path batch-for-batch: same emitted candidate sets, same counter
+    state.  Driven in-process against fake handles (the two paths share
+    the _mg_advance kernel; this checks the state plumbing)."""
+    import pandas as pd
+
+    from trading_etl_python_spark.streaming import pipeline as P
+
+    batches = [
+        pd.DataFrame({"text": ["alpha beta alpha", "beta gamma"]}),
+        pd.DataFrame({"text": ["alpha delta epsilon zeta", None]}),
+        pd.DataFrame({"text": ["beta beta alpha", "eta theta iota kappa"]}),
+    ]
+    proc = P._MGProcessor(capacity=3)
+    proc.init(_FakeHandle())
+    gstate = _FakeGroupState()
+
+    def gs_step(batch):
+        counters = dict(zip(*gstate.get)) if gstate.exists else {}
+        P._mg_advance(counters, iter([batch]), 3)
+        gstate.update((list(counters), [int(v) for v in counters.values()]))
+        return set(counters)
+
+    for batch in batches:
+        via_tws = list(proc.handleInputRows((0,), iter([batch]), None))
+        assert len(via_tws) == 1
+        assert set(via_tws[0]["token"]) == gs_step(batch)
+    toks, cnts = proc._mg.get()
+    gtoks, gcnts = gstate.get
+    assert dict(zip(toks, cnts)) == dict(zip(gtoks, gcnts))
+    assert len(toks) <= 3  # capacity bound held across batches
+
+
+def test_replay_pipeline_auto_api_resolves_to_runnable_path(spark, sf_dir):
+    """api='auto' (the default) must pick transformWithState exactly
+    when the runtime can actually execute it, and the pipeline must run
+    green either way."""
+    from trading_etl_python_spark.streaming import pipeline as P
+
+    with tempfile.TemporaryDirectory(prefix="ckpt_auto_") as ckpt:
+        res = P.run_replay_pipeline(spark, sf_dir, ckpt, out_table="stream_out_auto")
+        assert res.count() > 0
+    # the resolver itself: with protobuf absent it must report False
+    import importlib.util
+
+    try:
+        has_pb = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_pb = False
+    assert P.tws_runtime_available() == has_pb
+
+
 def test_stream_candles_match_batch(spark, sf_dir):
     """Every candle the stream emits (closed windows only, append mode)
     must equal the batch rollup of the same ticks."""

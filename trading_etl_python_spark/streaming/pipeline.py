@@ -288,13 +288,27 @@ def events_file_stream(spark: SparkSession, sf_dir: str, max_files: int = 1) -> 
     raise ValueError(f"unsupported ts physical type {ts_kind!r} in {sf_dir}/events.parquet")
 
 
+def tws_runtime_available() -> bool:
+    """Whether ``transformWithStateInPandas`` can actually run here:
+    Spark's transformWithState Python worker imports ``protobuf`` at
+    stream start (a runtime dependency, not an analysis-time one), so
+    without it the query dies mid-stream.  The ``api='auto'`` paths
+    probe this and fall back to ``applyInPandasWithState``."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # parent 'google' namespace absent
+        return False
+
+
 def run_replay_pipeline(
     spark: SparkSession,
     sf_dir: str,
     checkpoint_dir: str,
     out_table: str = "stream_out",
     sink_path: str | None = None,
-    api: str = "applyInPandasWithState",
+    api: str = "auto",
 ) -> DataFrame:
     """End-to-end availableNow replay: file source -> tick projection ->
     stateful indicators -> foreachBatch idempotent dedup-append into an
@@ -303,10 +317,22 @@ def run_replay_pipeline(
     The foreachBatch sink is ``sinks.upsert_ignore`` — the reference's
     at-least-once + ON CONFLICT DO NOTHING path (T4): replayed batches
     anti-join against the already-written (time, symbol) keys, so
-    re-delivery never double-inserts, across batches and across restarts."""
+    re-delivery never double-inserts, across batches and across restarts.
+
+    ``api``: 'auto' (default) runs Spark 4's typed-state
+    ``transformWithStateInPandas`` whenever the runtime supports it
+    (``tws_runtime_available``) and falls back to
+    ``applyInPandasWithState`` otherwise; either name forces that path."""
     import os
 
     from ..sinks import upsert_ignore
+
+    if api == "auto":
+        api = (
+            "transformWithState"
+            if tws_runtime_available()
+            else "applyInPandasWithState"
+        )
 
     ev = events_file_stream(spark, sf_dir)
     ticks = ev.select(
@@ -489,25 +515,13 @@ def stream_heavy_hitter_candidates(
     shards), so a batch-side exact re-verify of the union returns
     exactly the true heavy hitters — parity-tested against
     operators/sketches.heavy_hitters."""
-    import re
-
-    from ..operators.dedup import TOKEN_RE
-    from ..operators.sketches import _mg_update
-
-    pat = re.compile(TOKEN_RE)
-
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         if state.exists:
             toks, cnts = state.get
             counters = dict(zip(toks, cnts))
         else:
             counters = {}
-        for pdf in pdfs:
-            for text in pdf["text"]:
-                if text:
-                    _mg_update(
-                        counters, [t for t in pat.split(text.lower()) if t], capacity
-                    )
+        _mg_advance(counters, pdfs, capacity)
         state.update((list(counters.keys()), [int(v) for v in counters.values()]))
         yield pd.DataFrame({"grp": [key[0]] * len(counters), "token": list(counters)})
 
@@ -520,6 +534,73 @@ def stream_heavy_hitter_candidates(
             stateStructType="tokens array<string>, counts array<long>",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def _mg_advance(counters: dict, pdfs: Iterator[pd.DataFrame], capacity: int) -> None:
+    """Shared micro-batch kernel of the two streaming MG paths: tokenize
+    each document and fold it into the capacity-bounded counter dict."""
+    import re
+
+    from ..operators.dedup import TOKEN_RE
+    from ..operators.sketches import _mg_update
+
+    pat = re.compile(TOKEN_RE)
+    for pdf in pdfs:
+        for text in pdf["text"]:
+            if text:
+                _mg_update(
+                    counters, [t for t in pat.split(text.lower()) if t], capacity
+                )
+
+
+class _MGProcessor(StatefulProcessor):
+    """``transformWithStateInPandas`` twin of the streaming Misra-Gries
+    sketch — the same counter state as ``stream_heavy_hitter_candidates``
+    held in an engine-managed ValueState (RocksDB-backed, checkpoint-
+    snapshotted) instead of a GroupState tuple.  Emission contract and
+    exactness guarantee are identical; parity is test-pinned batch-for-
+    batch against the GroupState path."""
+
+    def __init__(self, capacity: int = 64):
+        self._capacity = capacity
+
+    def init(self, handle) -> None:
+        self._mg = handle.getValueState(
+            "mg", "tokens array<string>, counts array<long>"
+        )
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        prev = self._mg.get() if self._mg.exists() else None
+        counters = dict(zip(prev[0], prev[1])) if prev else {}
+        _mg_advance(counters, rows, self._capacity)
+        self._mg.update(
+            (list(counters.keys()), [int(v) for v in counters.values()])
+        )
+        yield pd.DataFrame(
+            {"grp": [key[0]] * len(counters), "token": list(counters)}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stream_heavy_hitter_candidates_tws(
+    docs: DataFrame, capacity: int = 64, n_groups: int = 8
+) -> DataFrame:
+    """``stream_heavy_hitter_candidates`` on the
+    transformWithStateInPandas runtime (requires the RocksDB state
+    store provider and the ``protobuf`` runtime dependency —
+    ``tws_runtime_available``)."""
+    return (
+        docs.withColumn("grp", F.pmod("doc_id", n_groups).cast("int"))
+        .groupBy("grp")
+        .transformWithStateInPandas(
+            statefulProcessor=_MGProcessor(capacity),
+            outputStructType="grp int, token string",
+            outputMode="append",
+            timeMode="none",
         )
     )
 
