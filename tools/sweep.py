@@ -1,0 +1,94 @@
+"""Full-registry timing sweep at a given sf_dir.
+
+Usage:
+    python tools/sweep.py <sf_dir> <out.json> [only_prefix_or_csv]
+
+Runs every registry query once (registry order) against <sf_dir> on the
+bench session config, timing evaluation through a ``noop`` write — the
+whole plan executes, every column is computed, nothing collects to the
+driver — and writes {"query": seconds} JSON to <out.json>.
+
+Compare two sweeps (e.g. sf0.1 vs a gen_scale.py 10x set) with:
+    python tools/sweep.py --compare a.json b.json [expected_factor]
+which prints per-query ratios sorted worst-first, flagging anything
+scaling worse than ``expected_factor`` x (default 10) + a fixed grace.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def compare(a_path: str, b_path: str, factor: float = 10.0) -> None:
+    a = json.load(open(a_path))
+    b = json.load(open(b_path))
+    rows = []
+    for k in sorted(set(a) & set(b)):
+        # grace floor: fixed per-query overhead (session, planning,
+        # driver rounds) stays constant across sf and must not read as
+        # super-linear scaling on sub-second queries
+        ratio = b[k] / max(a[k], 0.25)
+        rows.append((ratio, k, a[k], b[k]))
+    rows.sort(reverse=True)
+    print(f"{'ratio':>7}  {'base_s':>7}  {'scaled_s':>8}  query")
+    for ratio, k, av, bv in rows:
+        flag = "  <-- SUPERLINEAR?" if ratio > factor * 1.6 else ""
+        print(f"{ratio:7.2f}  {av:7.2f}  {bv:8.2f}  {k}{flag}")
+    bad = [k for r, k, _, _ in rows if r > factor * 1.6]
+    print(f"\n{len(rows)} compared, {len(bad)} above {factor * 1.6:.0f}x: {bad}")
+
+
+def main() -> None:
+    if sys.argv[1] == "--compare":
+        compare(
+            sys.argv[2],
+            sys.argv[3],
+            float(sys.argv[4]) if len(sys.argv) > 4 else 10.0,
+        )
+        return
+    sf_dir, out_path = sys.argv[1], sys.argv[2]
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from trading_etl_python_spark.suite import QUERIES
+
+    times: dict[str, float] = {}
+    names = [
+        n
+        for n in QUERIES
+        if only is None or any(n.startswith(p) or n == p for p in only)
+    ]
+    for i, name in enumerate(names):
+        t0 = time.time()
+        try:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            times[name] = round(time.time() - t0, 3)
+            status = f"{times[name]:.2f}s"
+        except Exception as exc:  # noqa: BLE001 - sweep records, not halts
+            times[name] = -1.0
+            status = f"ERR {type(exc).__name__}: {exc}"[:200]
+        print(f"[{i + 1}/{len(names)}] {name}: {status}", flush=True)
+    with open(out_path, "w") as fh:
+        json.dump(times, fh, indent=1, sort_keys=True)
+    errs = [k for k, v in times.items() if v < 0]
+    print(f"\nwrote {out_path}: {len(times)} queries, {len(errs)} errors {errs}")
+
+
+if __name__ == "__main__":
+    main()
