@@ -288,3 +288,142 @@ def hll_set_estimates(
     ru = {b: max(ra.get(b, 0), rb.get(b, 0)) for b in set(ra) | set(rb)}
     ea, eb, eu = (_hll_estimate_py(r, p) for r in (ra, rb, ru))
     return {"a": ea, "b": eb, "union": eu, "intersection": max(0.0, ea + eb - eu)}
+
+
+# --------------------------------------------------------------- bloom
+
+
+def _bloom_pos(item_col: str, d: int, m_bits: int):
+    """d-th salted bit position of an item — porthash32 of
+    ``value#b<d>``, mod m.  Identical integer on any engine with md5
+    (the same portable family as cm_sketch/hll_buckets)."""
+    from .dedup import porthash32
+
+    return (
+        porthash32(
+            F.concat_ws("#", F.col(item_col).cast("string"), F.lit(f"b{d}"))
+        )
+        % m_bits
+    )
+
+
+def _pow2_mask(pos):
+    """2^(pos % 32) as a BIGINT — powers of two below 2^32 are exact in
+    doubles, so the pow/cast round-trips identically on both engines
+    (avoids shiftleft, whose PySpark binding takes only literal shifts)."""
+    return F.pow(F.lit(2.0), (pos % 32).cast("double")).cast("long")
+
+
+def bloom_build(
+    items: DataFrame, item_col: str, m_bits: int = 32768, k: int = 4
+) -> DataFrame:
+    """Bloom filter of a key set in coordinate form: (widx, bits) rows
+    over 32-bit words, bits = OR of 2^(pos%32) for each of ``k`` salted
+    positions per item.
+
+    Scale shape: one map-side explode into k rows per item, then a
+    combiner-reduced groupBy whose key space is m/32 words — CONSTANT
+    regardless of input size, and two blooms of the same (m, k) merge
+    by bit_or (every partition/shard/day can sketch independently).
+    This is the portable, oracle-checkable twin of what Spark's own
+    runtime bloom-filter join (spark.sql.optimizer.runtime.bloomFilter)
+    injects automatically for selective joins."""
+    items = items.filter(F.col(item_col).isNotNull())
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.shiftright(_bloom_pos(item_col, d, m_bits), 5)
+                    .cast("int")
+                    .alias("widx"),
+                    _pow2_mask(_bloom_pos(item_col, d, m_bits)).alias("mask"),
+                )
+                for d in range(k)
+            ]
+        )
+    )
+    return (
+        items.select(rows.alias("r"))
+        .groupBy(F.col("r.widx").alias("widx"))
+        .agg(F.bit_or("r.mask").alias("bits"))
+    )
+
+
+def bloom_collect(words: DataFrame, m_bits: int) -> list[int]:
+    """Densify the (widx, bits) rows into a m/32-word Python list —
+    bounded driver state (m_bits/32 longs; 1 KiB per 32k bits), the
+    same posture as k-means centroids.  Words never set stay 0."""
+    arr = [0] * ((m_bits + 31) // 32)
+    for r in words.collect():
+        arr[int(r["widx"])] = int(r["bits"])
+    return arr
+
+
+def bloom_might_contain(item_col: str, words: list[int], m_bits: int, k: int):
+    """In-plan membership test against a collected bloom: k bit probes
+    of a literal word array — pure codegen expressions, no join, no
+    shuffle.  True for every inserted key (no false negatives); false
+    positives at the standard (1 - e^(-kn/m))^k rate."""
+    lit_words = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    cond = F.lit(True)
+    for d in range(k):
+        pos = _bloom_pos(item_col, d, m_bits)
+        widx = F.shiftright(pos, 5).cast("int")
+        mask = _pow2_mask(pos)
+        cond = cond & (
+            F.element_at(lit_words, widx + 1).bitwiseAND(mask) == mask
+        )
+    return cond
+
+
+def bloom_semi_audit(
+    build: DataFrame,
+    build_col: str,
+    probe: DataFrame,
+    probe_col: str,
+    group_col: str,
+    m_bits: int = 32768,
+    k: int = 4,
+) -> DataFrame:
+    """Bloom-pruned semi-join audited against the exact join — the
+    shuffle-reduction primitive: build a bloom over the (selective)
+    build side's keys, test the probe side MAP-SIDE, and count per
+    group how many rows pass the bloom vs truly match.  n_false_pos is
+    the price of skipping the shuffle for non-matching rows; zero false
+    NEGATIVES is the correctness guarantee (asserted by construction —
+    n_pass >= n_true per group always).
+
+    At 100 TB this is the pre-filter in front of a shuffled join: only
+    bloom-passing rows enter the exchange, cutting shuffled bytes by
+    ~(1 - selectivity) at a fixed fp overhead.  Spark's AQE injects
+    the same structure automatically (runtime.bloomFilter); this
+    operator is the explicit, portable, oracle-checkable form.
+
+    Returns (group, n_probe, n_pass, n_true, n_false_pos), integers
+    only."""
+    words_df = bloom_build(build.select(build_col), build_col, m_bits, k)
+    words = bloom_collect(words_df, m_bits)
+    keys = (
+        build.select(F.col(build_col).cast("long").alias(probe_col))
+        .distinct()
+        .withColumn("_t", F.lit(True))
+    )
+    flagged = (
+        probe.select(group_col, probe_col)
+        .withColumn("_p", bloom_might_contain(probe_col, words, m_bits, k))
+        .join(F.broadcast(keys), probe_col, "left")
+    )
+    return (
+        flagged.groupBy(F.col(group_col).alias("group"))
+        .agg(
+            F.count(F.lit(1)).alias("n_probe"),
+            F.sum(F.col("_p").cast("long")).alias("n_pass"),
+            F.sum(F.coalesce(F.col("_t"), F.lit(False)).cast("long")).alias(
+                "n_true"
+            ),
+            F.sum(
+                (F.col("_p") & F.coalesce(~F.col("_t"), F.lit(True)))
+                .cast("long")
+            ).alias("n_false_pos"),
+        )
+    )

@@ -589,3 +589,37 @@ def pruned_read(spark, path: str, col: str, lo, hi):
         len(keep),
         len(files),
     )
+
+
+def json_props_stats(
+    events: DataFrame,
+    json_col: str = "props",
+    path: str = "k",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Semi-structured property analysis over a JSON string column,
+    parsed ONCE into Spark 4's VARIANT (binary representation, the
+    shredded-storage scale path for schema-on-read columns — one parse
+    per row, typed field access after, vs ``get_json_object`` re-parsing
+    the string per extraction).  ``try_parse_json`` +
+    ``try_variant_get`` isolate malformed payloads and missing/mistyped
+    fields as NULLs instead of failing the job (the same per-message
+    error-isolation contract as T7) — n vs n_valid exposes the reject
+    count per group.
+
+    Returns (group, n, n_valid, min_k, max_k, sum_k, avg_k)."""
+    v = F.try_variant_get(
+        F.try_parse_json(F.col(json_col)), f"$.{path}", "long"
+    )
+    return (
+        events.select(F.col(group_col).alias("group"), v.alias("_k"))
+        .groupBy("group")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("_k").alias("n_valid"),
+            F.min("_k").alias("min_k"),
+            F.max("_k").alias("max_k"),
+            F.sum("_k").alias("sum_k"),
+            F.round(F.avg("_k"), 6).alias("avg_k"),
+        )
+    )

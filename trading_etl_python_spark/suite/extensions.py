@@ -2883,3 +2883,97 @@ def q_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CDC_IDX_CACHE: dict[str, str] = {}
+
+
+# --------------------------------------------------------- r5 additions
+
+_BLOOM_PH = "('0x' || substring(md5({c}), 1, 8))::BIGINT"
+
+
+def _bloom_sql(m_bits: int = 4096, k: int = 4) -> str:
+    """SQL twin of sketches.bloom_build/bloom_might_contain over the
+    BUILDING-segment customer keys probed by orders — same salted
+    porthash32 positions, same 32-bit words, same k-bit test."""
+    ph = _BLOOM_PH.format(c="CAST(c_custkey AS VARCHAR) || '#b' || d")
+    php = _BLOOM_PH.format(c="CAST(o_custkey AS VARCHAR) || '#b' || d")
+    salts = ", ".join(f"({d})" for d in range(k))
+    return f"""WITH salts(d) AS (VALUES {salts}),
+       keys AS (
+         SELECT DISTINCT c_custkey FROM customer
+         WHERE c_mktsegment = 'BUILDING'),
+       kpos AS (
+         SELECT ({ph} % {m_bits}) AS pos FROM keys CROSS JOIN salts),
+       words AS (
+         SELECT pos // 32 AS widx,
+                bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+         FROM kpos GROUP BY 1),
+       ppos AS (
+         SELECT o_orderkey, o_orderpriority, o_custkey, d,
+                ({php} % {m_bits}) AS pos
+         FROM orders CROSS JOIN salts),
+       chk AS (
+         SELECT o_orderkey, o_orderpriority, o_custkey,
+                COUNT(*) FILTER (WHERE
+                  (COALESCE(w.bits, 0)
+                   & (1::BIGINT << CAST(pos % 32 AS INT))) <> 0) AS nbits
+         FROM ppos LEFT JOIN words w ON pos // 32 = w.widx
+         GROUP BY 1, 2, 3),
+       fl AS (
+         SELECT o_orderpriority AS grp, (nbits = {k}) AS p,
+                (o_custkey IN (SELECT c_custkey FROM keys)) AS t
+         FROM chk)
+       SELECT grp AS "group",
+              CAST(COUNT(*) AS BIGINT) AS n_probe,
+              CAST(SUM(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+              CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+              CAST(SUM(CASE WHEN p AND NOT t THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_false_pos
+       FROM fl GROUP BY 1"""
+
+
+@q("q_bloom_semi", _bloom_sql(4096, 4))
+def q_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi-join audit (operators/sketches.bloom_build /
+    bloom_might_contain / bloom_semi_audit): a 4096-bit k=4 portable
+    bloom over the BUILDING-segment customer keys tests every order
+    MAP-SIDE; per priority the audit counts bloom passes vs exact
+    matches.  m is deliberately small enough that false positives are
+    NON-ZERO at the gate sf (the fp accounting is the point); the
+    production knob is m ~ 10 bits/key.  n_pass >= n_true in every row
+    is the no-false-negative guarantee, oracle-pinned."""
+    from ..operators.sketches import bloom_semi_audit
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return bloom_semi_audit(
+        cust.filter(F.col("c_mktsegment") == "BUILDING"),
+        "c_custkey",
+        orders,
+        "o_custkey",
+        "o_orderpriority",
+        m_bits=4096,
+        k=4,
+    )
+
+
+@q(
+    "q_props_variant",
+    """WITH x AS (
+         SELECT event_type AS grp,
+                TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events)
+       SELECT grp AS "group",
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(COUNT(k) AS BIGINT) AS n_valid,
+              MIN(k) AS min_k, MAX(k) AS max_k,
+              CAST(SUM(k) AS BIGINT) AS sum_k,
+              ROUND(AVG(CAST(k AS DOUBLE)), 6) AS avg_k
+       FROM x GROUP BY grp""",
+)
+def q_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read property stats via Spark 4 VARIANT — one
+    parse_json per row, typed variant_get extraction, per-type reject
+    accounting (operators/transforms.json_props_stats)."""
+    from ..operators.transforms import json_props_stats
+
+    return json_props_stats(load_events(spark, sf_dir))
