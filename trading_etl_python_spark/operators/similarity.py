@@ -888,18 +888,6 @@ def pq_codebooks(
     ]
 
 
-def _pq_subdist(sub, cent: list[float]):
-    """Strict left-fold squared L2 distance between a subvector column
-    and a literal centroid — the same accumulation order as ``dot()``
-    and the SQL twin's list_reduce, so argmin ties break identically."""
-    pairs = F.zip_with(
-        sub,
-        F.array(*[F.lit(c) for c in cent]),
-        lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-    )
-    return F.aggregate(pairs, F.lit(0.0), lambda a, v: a + v)
-
-
 def pq_encode(
     embeddings: DataFrame,
     codebooks: list[list[list[float]]],
@@ -908,37 +896,78 @@ def pq_encode(
 ) -> DataFrame:
     """PQ encoding, entirely MAP-SIDE: each subvector takes the index of
     its nearest subspace centroid (squared-L2 argmin, ties to the
-    smaller index via the negated-index max trick — exactly
-    ``ivf_assign``'s construction per subspace).  d floats compress to
-    m small codes (4 bits each at k=16) — the FAISS-style memory step
-    between scalar quantization (8x) and binary sketches.
+    smaller index).  d floats compress to m small codes (4 bits each at
+    k=16) — the FAISS-style memory step between scalar quantization
+    (8x) and binary sketches.
 
-    Adds ``pq_codes`` (array<int>, length m) to (id, embedding);
+    Execution is an Arrow-vectorized ``mapInPandas`` kernel (SURVEY
+    §7.4 license — the same class as the linear recurrences): the m*k
+    distance evaluations per row are elementwise float64 numpy ops.
+    Numeric contract for oracle parity: distances accumulate in STRICT
+    ascending-dimension order (``acc = acc + diff*diff`` per dimension
+    — elementwise IEEE adds in exactly a left fold's order, so every
+    distance is bit-identical to the SQL twin's ``list_reduce``), and
+    ``np.argmin`` returns the FIRST minimum, matching the
+    smaller-index tie-break.  The pure-JVM twin (zip_with+aggregate
+    fold per centroid, or the unrolled add chain) computes the same
+    bits but pays per-element interpreted-lambda cost — measured 8 s /
+    13 s respectively for 2000 vectors at (m=8, k=16); the unrolled
+    form also overflows janino's 64 KB method limit and loses codegen
+    entirely.  Vectorized: ~0.1 s.
+
+    Adds ``pq_codes`` (array<int>, length m) to the input columns;
     ``with_dists=True`` also emits ``pq_dists`` — the per-subspace
     chosen squared distances the argmin already computed (so auditors
     like ``pq_error`` never re-derive them)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
     m = len(codebooks)
     ds = len(codebooks[0][0])
-    codes, dists = [], []
-    for s, cents in enumerate(codebooks):
-        sub = F.slice("embedding", s * ds + 1, ds)
-        best = F.array_max(
-            F.array(
-                *[
-                    F.struct(
-                        (-_pq_subdist(sub, c)).alias("nd"),
-                        F.lit(-j).alias("nj"),
-                    )
-                    for j, c in enumerate(cents)
-                ]
-            )
+    cents = [
+        [[float(v) for v in c] for c in cb] for cb in codebooks
+    ]  # plain lists: picklable, no Spark objects in the closure
+    out_schema = T.StructType(
+        list(embeddings.schema.fields)
+        + [T.StructField("pq_codes", T.ArrayType(T.IntegerType()))]
+        + (
+            [T.StructField("pq_dists", T.ArrayType(T.DoubleType()))]
+            if with_dists
+            else []
         )
-        codes.append((-best["nj"]).cast("int"))
-        dists.append(-best["nd"])
-    cols = [id_col, "embedding", F.array(*codes).alias("pq_codes")]
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.empty((n, m * ds), dtype=np.float64)
+            for r, v in enumerate(pdf["embedding"]):
+                X[r, :] = np.asarray(v, dtype=np.float64)
+            codes = np.empty((n, m), dtype=np.int64)
+            dists = np.empty((n, m), dtype=np.float64)
+            for s in range(m):
+                sub = X[:, s * ds : (s + 1) * ds]
+                C = np.asarray(cents[s], dtype=np.float64)  # (k, ds)
+                acc = np.zeros((n, C.shape[0]), dtype=np.float64)
+                for i in range(ds):  # strict ascending-dim fold
+                    diff = sub[:, i : i + 1] - C[None, :, i]
+                    acc = acc + diff * diff
+                j = np.argmin(acc, axis=1)  # first min = smaller index
+                codes[:, s] = j
+                dists[:, s] = acc[np.arange(n), j]
+            out = pdf.copy()
+            out["pq_codes"] = [[int(x) for x in row] for row in codes]
+            if with_dists:
+                out["pq_dists"] = [[float(x) for x in row] for row in dists]
+            yield out
+
+    enc_df = embeddings.mapInPandas(enc, out_schema)
+    cols = [id_col, "embedding", "pq_codes"]
     if with_dists:
-        cols.append(F.array(*dists).alias("pq_dists"))
-    return embeddings.select(*cols)
+        cols.append("pq_dists")
+    return enc_df.select(*cols)
 
 
 def pq_error(
@@ -983,22 +1012,33 @@ def pq_adc_topk(
     against the recall you need — the ``ann_recall`` harness measures
     it).
 
-    The LUT is built in-plan from the broadcast 1-row query (strict-
-    fold dots), so the whole query is oracle-checkable; at deployment
-    the codes table is the only thing scanned (m bytes/vector) and the
-    LUT is a literal."""
+    The LUT is built ONCE on the driver from the (1-row, bounded) query
+    vector with ``_seq_dot`` — the strict left fold whose accumulation
+    order matches the SQL twin bit-for-bit — and inlined as literal
+    arrays, so per-row scoring is m pure element_at lookups (an in-plan
+    per-row dot would re-fold all m*k LUT entries for EVERY candidate —
+    the interpreted-HOF cost class, measured ~3.5 s of this query at
+    2000 vectors).  At deployment the codes table is the only thing
+    scanned (m bytes/vector) and the LUT is a literal, exactly as
+    here."""
     m = len(codebooks)
     ds = len(codebooks[0][0])
+    qrows = (
+        embeddings.filter(F.col(id_col) == query_vec_id)
+        .select("embedding")
+        .collect()
+    )
+    if not qrows:
+        raise ValueError(f"query vector {id_col}={query_vec_id} not found")
+    qvec = [float(v) for v in qrows[0]["embedding"]]
     q = embeddings.filter(F.col(id_col) == query_vec_id).select(
         F.col("embedding").alias("_qv")
     )
     enc = pq_encode(embeddings, codebooks, id_col).crossJoin(F.broadcast(q))
     approx = F.lit(0.0)
     for s, cents in enumerate(codebooks):
-        qsub = F.slice("_qv", s * ds + 1, ds)
-        lut = F.array(
-            *[dot(qsub, F.array(*[F.lit(v) for v in c])) for c in cents]
-        )
+        qsub = qvec[s * ds : (s + 1) * ds]
+        lut = F.array(*[F.lit(_seq_dot(qsub, c)) for c in cents])
         approx = approx + F.element_at(lut, F.element_at("pq_codes", s + 1) + 1)
     cand = (
         enc.select(id_col, "embedding", "_qv", approx.alias("_adc"))

@@ -900,16 +900,26 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     within = lambda approx, exact, tol: (  # noqa: E731
         F.abs(approx.cast("double") - exact.cast("double")) <= tol * exact.cast("double")
     )
-    agg = li.agg(
+    # Two aggregates over the same scan, NOT one: mixing multi-column
+    # exact count_distinct (Expand-planned — every input row replicated
+    # per distinct column) with percentile/HLL buffers in a single agg
+    # drags the wide sketch state through the expanded data — the same
+    # pathology fixed on q_table_stats in r4 (238 s -> 3 s there;
+    # 8.7 s -> ~1 s here at sf0.1).  Exact NDVs aggregate alone;
+    # percentiles + sketches aggregate alone; the 1-row results
+    # broadcast-cross-join.
+    exact = li.agg(
         F.count_distinct("l_partkey").alias("exact_parts"),
         F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+    agg = li.agg(
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
         F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
         F.approx_count_distinct("l_partkey").alias("_ap"),
         F.approx_count_distinct("l_orderkey").alias("_ao"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_p50"),
         F.percentile_approx("l_extendedprice", 0.95, 10000).alias("_p95"),
-    )
+    ).crossJoin(F.broadcast(exact))
     return agg.select(
         "exact_parts", "exact_orders", "p50_price", "p95_price",
         within(F.col("_ap"), F.col("exact_parts"), 0.10).alias("parts_sketch_ok"),
