@@ -113,3 +113,30 @@ def test_json_props_stats_parses_once_per_row(spark):
     )
     assert plan.count("parse_json") <= 1
     assert "get_json_object" not in plan
+
+
+def test_hist_quantile_error_bounded_by_bucket_width(spark, sf_dir):
+    """Interpolated histogram quantiles must land within ~one bucket
+    width of the exact percentile (the sketch's error contract),
+    emitted as err_ratio."""
+    from trading_etl_python_spark.operators.sketches import hist_quantile_audit
+    from trading_etl_python_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    rows = hist_quantile_audit(ev, "value", "event_type", 64, (0.5, 0.9)).collect()
+    assert len(rows) == 10  # 5 event types x 2 quantiles
+    for r in rows:
+        assert r.err_ratio <= 1.05, r
+        assert r.est_q is not None and r.exact_q is not None
+
+
+def test_hist_quantile_constant_column_degenerates_cleanly(spark):
+    """mx == mn (constant column): estimate equals the constant, error
+    zero — no division by the zero-width bucket."""
+    from trading_etl_python_spark.operators.sketches import hist_quantile_audit
+
+    df = spark.createDataFrame([("a", 7.0)] * 5 + [("b", 1.0)], "g string, v double")
+    out = {(r["group"], r.q): r for r in
+           hist_quantile_audit(df, "v", "g", 16, (0.5,)).collect()}
+    assert out[("a", 0.5)].est_q == 7.0 and out[("a", 0.5)].err_ratio == 0.0
+    assert out[("b", 0.5)].est_q == 1.0

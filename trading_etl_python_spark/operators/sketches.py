@@ -427,3 +427,105 @@ def bloom_semi_audit(
             ).alias("n_false_pos"),
         )
     )
+
+
+# --------------------------------------------- histogram quantile sketch
+
+
+def hist_quantile_audit(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    n_buckets: int = 64,
+    qs: tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """Quantiles from an equal-width histogram SKETCH, audited against
+    the exact interpolated percentile — the mergeable-quantile member
+    of the sketch family (MG = top-k, CM = counts, HLL = distinct,
+    Bloom = membership, histogram = quantiles): per-group state is
+    n_buckets counters, map-side combinable, and two histograms of the
+    same (min, max, n_buckets) frame merge by adding counts.
+
+    Estimate: within the first bucket whose cumulative count reaches
+    q*n, interpolate linearly by the remaining mass — classic
+    histogram quantiles, error bounded by one bucket width (emitted as
+    ``err_ratio`` = |est - exact| / width, <= ~1.0 by construction).
+    All arithmetic is closed-form doubles mirrored exactly in the SQL
+    twin; no sort of the data, only of the n_buckets coordinate rows.
+
+    Scale: one scan for the per-group (min, max, n, exact) frame + one
+    scan for bucket counts (both partial-aggregated); the window runs
+    over |groups| x n_buckets rows.  Exact percentile rides along ONLY
+    as the audit — a production rollup keeps the histogram and drops
+    the exact pass.
+
+    Returns (group, q, n, est_q, exact_q, err_ratio)."""
+    from pyspark.sql import Window
+
+    v = F.col("v")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v")
+    )
+    q_arr = "array(" + ", ".join(repr(float(q)) for q in qs) + ")"
+    rng = base.groupBy("g").agg(
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"percentile(v, {q_arr})").alias("_ex"),
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(n_buckets))
+    bidx = F.when(F.col("mx") <= F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((v - F.col("mn")) / (F.col("mx") - F.col("mn")) * n_buckets),
+            ),
+        )
+    ).cast("int")
+    hist = (
+        base.join(F.broadcast(rng.select("g", "mn", "mx")), "g")
+        .groupBy("g", bidx.alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("g").orderBy("b")
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    quants = rng.select(
+        "g", "mn", "mx", "n", "_ex",
+        F.posexplode(F.array(*[F.lit(float(q)) for q in qs])).alias("qi", "q"),
+    ).withColumn("target", F.col("q") * F.col("n").cast("double"))
+    # first bucket whose cumulative count reaches the target mass
+    hit = (
+        quants.join(cum, "g")
+        .filter(F.col("cum").cast("double") >= F.col("target"))
+        .groupBy("g", "qi", "q", "mn", "mx", "n", "_ex", "target")
+        .agg(
+            F.min_by(
+                F.struct("b", "c", "cum"), F.col("b")
+            ).alias("_h")
+        )
+    )
+    est = F.when(F.col("mx") <= F.col("mn"), F.col("mn")).otherwise(
+        F.col("mn")
+        + (
+            F.col("_h.b").cast("double")
+            + (
+                F.col("target")
+                - (F.col("_h.cum") - F.col("_h.c")).cast("double")
+            )
+            / F.col("_h.c").cast("double")
+        )
+        * ((F.col("mx") - F.col("mn")) / F.lit(float(n_buckets)))
+    )
+    exact = F.element_at("_ex", F.col("qi") + 1)
+    width_out = (F.col("mx") - F.col("mn")) / F.lit(float(n_buckets))
+    return hit.select(
+        F.col("g").alias("group"),
+        F.round("q", 2).alias("q"),
+        F.col("n"),
+        F.round(est, 4).alias("est_q"),
+        F.round(exact, 4).alias("exact_q"),
+        F.when(F.col("mx") <= F.col("mn"), F.lit(0.0))
+        .otherwise(F.round(F.abs(est - exact) / width_out, 2))
+        .alias("err_ratio"),
+    )

@@ -47,7 +47,9 @@ _NEVER_CERTIFIED_R5 = [
     "q_cdc_incremental",
 ]
 # Queries BORN in r5 (new operators) — certified in their first round.
-_NEW_R5: list[str] = ["q_semdedup_joined", "q_bloom_semi", "q_props_variant"]
+_NEW_R5: list[str] = [
+    "q_semdedup_joined", "q_bloom_semi", "q_props_variant", "q_hist_quantiles",
+]
 # r4-certified blocks, kept in their r4 order to fill the window tail.
 _CERTIFIED_R4 = [
     "q_doc_fingerprint", "q_doc_winnow", "q_tfidf", "q_doc_repetition",

@@ -2987,3 +2987,62 @@ def q_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.transforms import json_props_stats
 
     return json_props_stats(load_events(spark, sf_dir))
+
+
+@q(
+    "q_hist_quantiles",
+    """WITH base AS (
+         SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+         FROM events WHERE value IS NOT NULL),
+       rng AS (
+         SELECT g, MIN(v) AS mn, MAX(v) AS mx, COUNT(*) AS n,
+                quantile_cont(v, [0.5, 0.9]) AS ex
+         FROM base GROUP BY g),
+       hist AS (
+         SELECT t.g,
+                CASE WHEN r.mx <= r.mn THEN 0
+                     ELSE CAST(LEAST(63, GREATEST(0,
+                       FLOOR((t.v - r.mn) / (r.mx - r.mn) * 64))) AS INT)
+                END AS b,
+                COUNT(*) AS c
+         FROM base t JOIN rng r USING (g) GROUP BY 1, 2),
+       cum AS (
+         SELECT g, b, c, SUM(c) OVER (PARTITION BY g ORDER BY b) AS cum
+         FROM hist),
+       quants AS (
+         SELECT r.g, r.mn, r.mx, r.n, r.ex, qv.qi, qv.q,
+                qv.q * CAST(r.n AS DOUBLE) AS target
+         FROM rng r CROSS JOIN (VALUES (1, 0.5), (2, 0.9)) qv(qi, q)),
+       hit AS (
+         SELECT q.g, q.qi, q.q, q.mn, q.mx, q.n, q.ex, q.target,
+                MIN(c.b) AS b
+         FROM quants q JOIN cum c USING (g)
+         WHERE CAST(c.cum AS DOUBLE) >= q.target
+         GROUP BY ALL),
+       hb AS (
+         SELECT h.*, c.c, c.cum,
+                CASE WHEN h.mx <= h.mn THEN h.mn
+                     ELSE h.mn + (CAST(h.b AS DOUBLE)
+                       + (h.target - CAST(c.cum - c.c AS DOUBLE))
+                         / CAST(c.c AS DOUBLE))
+                       * ((h.mx - h.mn) / 64.0)
+                END AS est,
+                h.ex[h.qi] AS exact
+         FROM hit h JOIN cum c ON h.g = c.g AND h.b = c.b)
+       SELECT g AS "group", ROUND(q, 2) AS q, CAST(n AS BIGINT) AS n,
+              ROUND(est, 4) AS est_q, ROUND(exact, 4) AS exact_q,
+              CASE WHEN mx <= mn THEN 0.0
+                   ELSE ROUND(ABS(est - exact) / ((mx - mn) / 64.0), 2)
+              END AS err_ratio
+       FROM hb""",
+)
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles audited against exact percentiles per
+    event_type — the mergeable-quantile member of the sketch family
+    (operators/sketches.hist_quantile_audit): constant per-group state,
+    interpolation error bounded by one bucket width and EMITTED as
+    err_ratio."""
+    from ..operators.sketches import hist_quantile_audit
+
+    ev = load_events(spark, sf_dir)
+    return hist_quantile_audit(ev, "value", "event_type", n_buckets=64, qs=(0.5, 0.9))
