@@ -763,3 +763,55 @@ def test_stream_cardinality_monitor_matches_batch_hll(spark, sf_dir, tmp_path):
         for r in hll_estimate(it, "_item", "event_type").collect()
     }
     assert got == want and got
+
+
+def test_stream_bloom_dedup_two_overlapping_batches(spark, tmp_path):
+    """Two micro-batches with overlapping keys: the sink must hold each
+    key exactly once, the bloom state must persist between runs, and
+    correctness must not depend on the bloom (false positives only
+    route rows to the verify join)."""
+    from trading_etl_python_spark.streaming.pipeline import stream_bloom_dedup
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+
+    schema = "doc_id long, text string"
+
+    def run_once(subdir):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / subdir))
+        )
+        q = stream_bloom_dedup(stream, out, ckpt, key_col="doc_id")
+        q.awaitTermination()
+
+    # separate checkpoints per source dir (same bloom state dir would be
+    # ideal but the file source tracks offsets per path); share ckpt so
+    # the bloom words persist across runs
+    run_once("b1")
+    spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(50, 150)], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b1" / "more.tmp"))
+    # append a second file into the SAME watched dir so the restarted
+    # stream sees exactly the new file
+    import os
+    import shutil
+
+    newfile = [f for f in os.listdir(str(src / "b1" / "more.tmp")) if f.endswith(".parquet")][0]
+    shutil.move(
+        str(src / "b1" / "more.tmp" / newfile), str(src / "b1" / "overlap.parquet")
+    )
+    shutil.rmtree(str(src / "b1" / "more.tmp"))
+    run_once("b1")
+
+    got = spark.read.parquet(out)
+    assert got.count() == 150
+    assert got.select("doc_id").distinct().count() == 150
+    assert os.path.isdir(os.path.join(ckpt, "bloom_words.parquet"))
+
+

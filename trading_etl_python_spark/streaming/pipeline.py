@@ -723,3 +723,89 @@ def stream_cardinality_monitor(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_bloom_dedup(
+    docs: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    key_col: str = "doc_id",
+    m_bits: int = 65536,
+    k: int = 4,
+):
+    """Streaming exact-key dedup with a BLOOM pre-filter: per micro-batch,
+    rows whose key the persisted bloom says was never seen append
+    directly (a bloom has no false negatives, so "definitely new" is
+    sound); only the maybe-seen remainder pays the anti-join against
+    the sink's keys — then the bloom merges in the batch's keys
+    (bit_or, the mergeability the batch operator pins) and persists
+    beside the checkpoint.
+
+    This is the streaming twin of ``bloom_semi_audit``'s join-pruning
+    posture: at crawl-ingest scale the sink key set is huge and mostly
+    non-colliding, so the expensive membership join runs on the
+    fp-rate-sized slice instead of every batch row.  Exactness is
+    unconditional — false positives only route rows to the verify join,
+    never drop them.
+
+    State on disk: ``<checkpoint>/bloom_words.parquet`` (m/32 rows).
+    Sink: append-only parquet at ``out_path`` holding first-writer rows.
+    """
+    import os
+
+    from ..operators.sketches import (
+        bloom_build,
+        bloom_collect,
+        bloom_might_contain,
+    )
+
+    words_path = os.path.join(checkpoint, "bloom_words.parquet")
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        # first-writer-wins WITHIN the batch
+        batch_df = batch_df.dropDuplicates([key_col])
+        if os.path.isdir(words_path):
+            words = bloom_collect(spark.read.parquet(words_path), m_bits)
+            maybe = batch_df.filter(
+                bloom_might_contain(key_col, words, m_bits, k)
+            )
+            fresh = batch_df.filter(
+                ~bloom_might_contain(key_col, words, m_bits, k)
+            )
+            if os.path.isdir(out_path):
+                seen = spark.read.parquet(out_path).select(key_col)
+                maybe = maybe.join(seen, key_col, "left_anti")
+            new_rows = fresh.unionByName(maybe).localCheckpoint()
+        else:
+            new_rows = batch_df.localCheckpoint()
+        new_rows.write.mode("append").parquet(out_path)
+        add = bloom_build(new_rows.select(key_col), key_col, m_bits, k)
+        if os.path.isdir(words_path):
+            prev = spark.read.parquet(words_path)
+            merged = (
+                prev.unionByName(add)
+                .groupBy("widx")
+                .agg(F.bit_or("bits").alias("bits"))
+            )
+        else:
+            merged = add
+        # task-private temp + atomic swap, same posture as the tar sink
+        tmp = words_path + f".tmp-{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(words_path):
+            import shutil
+
+            shutil.rmtree(words_path)
+        os.replace(tmp, words_path)
+
+    return (
+        docs.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
