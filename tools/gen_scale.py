@@ -43,9 +43,13 @@ SHIFT_TABLES: dict[str, tuple[str, dict[str, str]]] = {
     "supplier": ("s_suppkey", {}),
     "part": ("p_partkey", {}),
     "orders": ("o_orderkey", {"o_custkey": "customer"}),
+    # l_orderkey is an FK to orders, NOT a lineitem-local key: it must
+    # shift by the ORDERS stride, or childless top orders (which exist
+    # in the corpus) would desynchronize the two strides and collide
+    # copy i's lineitems into copy i-1's order key range
     "lineitem": (
         "l_orderkey",
-        {"l_partkey": "part", "l_suppkey": "supplier"},
+        {"l_orderkey": "orders", "l_partkey": "part", "l_suppkey": "supplier"},
     ),
     "events": ("event_id", {"user_id": "events_user"}),
 }
@@ -84,10 +88,12 @@ def scale_relational(con, src: str, out: str, factor: int) -> None:
         for i in range(factor):
             exprs = []
             for c in cols:
-                if c == pk:
-                    exprs.append(f"{c} + {i * strides[t]} AS {c}")
-                elif c in fks:
+                # FK mapping wins over the pk rule (l_orderkey is both
+                # lineitem's sort key and an FK into orders)
+                if c in fks:
                     exprs.append(f"{c} + {i * strides[fks[c]]} AS {c}")
+                elif c == pk:
+                    exprs.append(f"{c} + {i * strides[t]} AS {c}")
                 else:
                     exprs.append(c)
             selects.append(

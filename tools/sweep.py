@@ -28,7 +28,14 @@ def compare(a_path: str, b_path: str, factor: float = 10.0) -> None:
     a = json.load(open(a_path))
     b = json.load(open(b_path))
     rows = []
+    errored = []
     for k in sorted(set(a) & set(b)):
+        # -1.0 is main()'s ERROR sentinel: a query that failed at either
+        # sf must be reported as broken, never fed into the ratio math
+        # (where it would sort to the bottom and read as a pass)
+        if a[k] < 0 or b[k] < 0:
+            errored.append(k)
+            continue
         # grace floor: fixed per-query overhead (session, planning,
         # driver rounds) stays constant across sf and must not read as
         # super-linear scaling on sub-second queries
@@ -41,6 +48,8 @@ def compare(a_path: str, b_path: str, factor: float = 10.0) -> None:
         print(f"{ratio:7.2f}  {av:7.2f}  {bv:8.2f}  {k}{flag}")
     bad = [k for r, k, _, _ in rows if r > factor * 1.6]
     print(f"\n{len(rows)} compared, {len(bad)} above {factor * 1.6:.0f}x: {bad}")
+    if errored:
+        print(f"{len(errored)} ERRORED (excluded from ratios): {errored}")
 
 
 def main() -> None:

@@ -942,25 +942,40 @@ def pq_encode(
             n = len(pdf)
             if n == 0:
                 continue
-            X = np.empty((n, m * ds), dtype=np.float64)
-            for r, v in enumerate(pdf["embedding"]):
-                X[r, :] = np.asarray(v, dtype=np.float64)
-            codes = np.empty((n, m), dtype=np.int64)
-            dists = np.empty((n, m), dtype=np.float64)
+            # NULL / wrong-length embeddings propagate as NULL codes —
+            # the same posture as the expression twin (a zip_with over
+            # a NULL array is NULL), never an executor crash
+            emb = list(pdf["embedding"])
+            vidx = [
+                r
+                for r, v in enumerate(emb)
+                if v is not None and len(v) == m * ds
+            ]
+            nv = len(vidx)
+            X = np.empty((nv, m * ds), dtype=np.float64)
+            for r, ii in enumerate(vidx):
+                X[r, :] = np.asarray(emb[ii], dtype=np.float64)
+            codes = np.empty((nv, m), dtype=np.int64)
+            dists = np.empty((nv, m), dtype=np.float64)
             for s in range(m):
                 sub = X[:, s * ds : (s + 1) * ds]
                 C = np.asarray(cents[s], dtype=np.float64)  # (k, ds)
-                acc = np.zeros((n, C.shape[0]), dtype=np.float64)
+                acc = np.zeros((nv, C.shape[0]), dtype=np.float64)
                 for i in range(ds):  # strict ascending-dim fold
                     diff = sub[:, i : i + 1] - C[None, :, i]
                     acc = acc + diff * diff
                 j = np.argmin(acc, axis=1)  # first min = smaller index
                 codes[:, s] = j
-                dists[:, s] = acc[np.arange(n), j]
+                dists[:, s] = acc[np.arange(nv), j]
+            codes_out: list = [None] * n
+            dists_out: list = [None] * n
+            for r, ii in enumerate(vidx):
+                codes_out[ii] = [int(x) for x in codes[r]]
+                dists_out[ii] = [float(x) for x in dists[r]]
             out = pdf.copy()
-            out["pq_codes"] = [[int(x) for x in row] for row in codes]
+            out["pq_codes"] = codes_out
             if with_dists:
-                out["pq_dists"] = [[float(x) for x in row] for row in dists]
+                out["pq_dists"] = dists_out
             yield out
 
     enc_df = embeddings.mapInPandas(enc, out_schema)
@@ -1031,10 +1046,12 @@ def pq_adc_topk(
     if not qrows:
         raise ValueError(f"query vector {id_col}={query_vec_id} not found")
     qvec = [float(v) for v in qrows[0]["embedding"]]
-    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
-        F.col("embedding").alias("_qv")
+    # qvec is already on the driver — inline it as a literal column
+    # (same inlining as the LUT) instead of re-scanning embeddings for
+    # a 1-row DataFrame to crossJoin
+    enc = pq_encode(embeddings, codebooks, id_col).withColumn(
+        "_qv", F.array(*[F.lit(v) for v in qvec])
     )
-    enc = pq_encode(embeddings, codebooks, id_col).crossJoin(F.broadcast(q))
     approx = F.lit(0.0)
     for s, cents in enumerate(codebooks):
         qsub = qvec[s * ds : (s + 1) * ds]

@@ -403,15 +403,20 @@ def bloom_semi_audit(
     only."""
     words_df = bloom_build(build.select(build_col), build_col, m_bits, k)
     words = bloom_collect(words_df, m_bits)
+    # exact-truth join in the STRING domain — the same domain the bloom
+    # hashes — so the audit is type-agnostic (a long cast here would
+    # NULL out string/date keys and report every true match as a false
+    # positive)
     keys = (
-        build.select(F.col(build_col).cast("long").alias(probe_col))
+        build.select(F.col(build_col).cast("string").alias("_k"))
         .distinct()
         .withColumn("_t", F.lit(True))
     )
     flagged = (
         probe.select(group_col, probe_col)
+        .withColumn("_k", F.col(probe_col).cast("string"))
         .withColumn("_p", bloom_might_contain(probe_col, words, m_bits, k))
-        .join(F.broadcast(keys), probe_col, "left")
+        .join(F.broadcast(keys), "_k", "left")
     )
     return (
         flagged.groupBy(F.col(group_col).alias("group"))
@@ -473,7 +478,7 @@ def hist_quantile_audit(
         F.count(F.lit(1)).alias("n"),
         F.expr(f"percentile(v, {q_arr})").alias("_ex"),
     )
-    width = (F.col("mx") - F.col("mn")) / F.lit(float(n_buckets))
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(n_buckets))  # bucket span
     bidx = F.when(F.col("mx") <= F.col("mn"), F.lit(0)).otherwise(
         F.least(
             F.lit(n_buckets - 1),
@@ -515,10 +520,9 @@ def hist_quantile_audit(
             )
             / F.col("_h.c").cast("double")
         )
-        * ((F.col("mx") - F.col("mn")) / F.lit(float(n_buckets)))
+        * width
     )
     exact = F.element_at("_ex", F.col("qi") + 1)
-    width_out = (F.col("mx") - F.col("mn")) / F.lit(float(n_buckets))
     return hit.select(
         F.col("g").alias("group"),
         F.round("q", 2).alias("q"),
@@ -526,6 +530,6 @@ def hist_quantile_audit(
         F.round(est, 4).alias("est_q"),
         F.round(exact, 4).alias("exact_q"),
         F.when(F.col("mx") <= F.col("mn"), F.lit(0.0))
-        .otherwise(F.round(F.abs(est - exact) / width_out, 2))
+        .otherwise(F.round(F.abs(est - exact) / width, 2))
         .alias("err_ratio"),
     )

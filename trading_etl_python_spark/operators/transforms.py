@@ -543,30 +543,33 @@ def pruned_read(spark, path: str, col: str, lo, hi):
     unpruned filter's.
 
     Returns (df, n_files_read, n_files_total)."""
-    from pyspark.errors import AnalysisException
-
     try:
         idx = spark.read.parquet(_stats_path(path)).select(
             "file", f"{col}_mn", f"{col}_mx"
         )
-    except AnalysisException as exc:
-        # Missing index → expected fallback (unindexed table).  A
-        # present-but-unreadable index (corrupt file, schema drift)
-        # also lands here, but loudly: correct results either way via
-        # the one-off stats scan, yet the manifest posture degraded.
+        files = idx.limit(MAX_INDEXED_FILES + 1).collect()
+    except Exception as exc:  # noqa: BLE001 — see comment
+        # Missing index → expected fallback (unindexed table), quiet.
+        # A present-but-unreadable index lands here LOUDLY: a truncated
+        # or garbage parquet footer surfaces as Py4JJavaError (from the
+        # JVM footer reader), schema drift as AnalysisException — so
+        # the catch must stay broad; the collect sits inside the try
+        # because footer corruption can also defer to first job launch.
+        # Correct results either way via the one-off stats scan, but
+        # the manifest posture degraded and the caller should know.
         import warnings
 
         if "PATH_NOT_FOUND" not in str(exc):
             warnings.warn(
                 f"pruned_read: stats index at {_stats_path(path)} "
-                f"unreadable ({exc.getErrorClass() or exc}); falling "
-                "back to a one-off stats scan",
+                f"unreadable ({exc}); falling back to a one-off "
+                "stats scan",
                 stacklevel=2,
             )
         idx = file_stats_index(spark, path, [col]).select(
             "file", f"{col}_mn", f"{col}_mx"
         )
-    files = idx.limit(MAX_INDEXED_FILES + 1).collect()
+        files = idx.limit(MAX_INDEXED_FILES + 1).collect()
     if len(files) > MAX_INDEXED_FILES:
         raise ValueError(
             f"pruned_read: >{MAX_INDEXED_FILES} files under {path}; "

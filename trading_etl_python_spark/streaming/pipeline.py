@@ -748,6 +748,17 @@ def stream_bloom_dedup(
     unconditional — false positives only route rows to the verify join,
     never drop them.
 
+    Replay safety (foreachBatch is at-least-once): the bloom persists
+    BEFORE the sink append.  A crash between the two writes leaves the
+    batch's keys bloom-marked but absent from the sink, so the replayed
+    batch routes them through the verify anti-join and appends them
+    exactly once.  The reverse order would let the replay's stale bloom
+    call already-appended keys "fresh" and duplicate them.  For the
+    same reason a MISSING bloom (first batch, crash inside the swap
+    window, operator reset) demotes to verify-everything: the whole
+    batch pays the anti-join against the sink's keys — slower, never
+    duplicating.
+
     State on disk: ``<checkpoint>/bloom_words.parquet`` (m/32 rows).
     Sink: append-only parquet at ``out_path`` holding first-writer rows.
     """
@@ -767,7 +778,8 @@ def stream_bloom_dedup(
         spark = batch_df.sparkSession
         # first-writer-wins WITHIN the batch
         batch_df = batch_df.dropDuplicates([key_col])
-        if os.path.isdir(words_path):
+        have_bloom = os.path.isdir(words_path)
+        if have_bloom:
             words = bloom_collect(spark.read.parquet(words_path), m_bits)
             maybe = batch_df.filter(
                 bloom_might_contain(key_col, words, m_bits, k)
@@ -775,15 +787,20 @@ def stream_bloom_dedup(
             fresh = batch_df.filter(
                 ~bloom_might_contain(key_col, words, m_bits, k)
             )
-            if os.path.isdir(out_path):
-                seen = spark.read.parquet(out_path).select(key_col)
-                maybe = maybe.join(seen, key_col, "left_anti")
-            new_rows = fresh.unionByName(maybe).localCheckpoint()
         else:
-            new_rows = batch_df.localCheckpoint()
-        new_rows.write.mode("append").parquet(out_path)
-        add = bloom_build(new_rows.select(key_col), key_col, m_bits, k)
-        if os.path.isdir(words_path):
+            # no bloom state -> no "definitely new" claim is sound;
+            # route the whole batch through the verify join
+            maybe = batch_df
+            fresh = None
+        if os.path.isdir(out_path):
+            seen = spark.read.parquet(out_path).select(key_col)
+            maybe = maybe.join(seen, key_col, "left_anti")
+        new_rows = (
+            fresh.unionByName(maybe) if fresh is not None else maybe
+        ).localCheckpoint()
+        # bloom covers ALL batch keys (sink-duplicates were seen too)
+        add = bloom_build(batch_df.select(key_col), key_col, m_bits, k)
+        if have_bloom:
             prev = spark.read.parquet(words_path)
             merged = (
                 prev.unionByName(add)
@@ -792,7 +809,9 @@ def stream_bloom_dedup(
             )
         else:
             merged = add
-        # task-private temp + atomic swap, same posture as the tar sink
+        # task-private temp + swap; a crash inside the window leaves
+        # words_path absent, which the next batch treats as
+        # verify-everything (safe, see docstring)
         tmp = words_path + f".tmp-{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
         if os.path.isdir(words_path):
@@ -800,6 +819,9 @@ def stream_bloom_dedup(
 
             shutil.rmtree(words_path)
         os.replace(tmp, words_path)
+        # sink append LAST: replay after a crash here re-verifies via
+        # the anti-join instead of trusting the already-updated bloom
+        new_rows.write.mode("append").parquet(out_path)
 
     return (
         docs.writeStream.foreachBatch(ingest)
