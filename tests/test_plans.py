@@ -507,3 +507,52 @@ def test_pq_topk_two_take_ordered_tiers_no_join_on_vectors(spark, sf_dir):
     )
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sql_q2_decorrelates_min_cost(spark, sf_dir):
+    """Q2-shape's correlated MIN-cost scalar subquery must decorrelate
+    into an aggregate-then-join on partkey (no per-part re-execution,
+    no nested-loop fallback), with the part filters pushed to the
+    scan."""
+    plan = _explain_formatted(QUERIES["q_sql_tpch_q2"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "p_size" in pushed and "p_type" in pushed, pushed
+
+
+def test_sql_q9_partial_profit_rollup(spark, sf_dir):
+    """Q9-shape's profit expression must fold into a map-side partial
+    aggregate (the exchange carries nation x year partials, not
+    lineitems), with the p_name LIKE filter pushed to the part scan."""
+    plan = _explain_formatted(QUERIES["q_sql_tpch_q9"](spark, sf_dir))
+    assert "partial_sum" in plan.lower() or "HashAggregate" in plan
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "p_name" in pushed, pushed
+    assert "CartesianProduct" not in plan
+
+
+def test_sql_q11_scalar_threshold_no_nested_loop(spark, sf_dir):
+    """Q11-shape's HAVING threshold is an uncorrelated scalar subquery:
+    it must evaluate once (subquery node), never as a nested-loop join
+    against the grouped output."""
+    plan = _executed(QUERIES["q_sql_tpch_q11"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_sql_q16_null_aware_anti_join(spark, sf_dir):
+    """Q16-shape's NOT IN must plan as an anti join against the (tiny,
+    broadcast) excluded-supplier set, not a per-row subquery."""
+    plan = _executed(QUERIES["q_sql_tpch_q16"](spark, sf_dir))
+    assert "LeftAnti" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_sql_q20_semi_join_over_correlated_having(spark, sf_dir):
+    """Q20-shape's IN must plan as a left-semi join on s_suppkey, and
+    the correlated 0.5x-of-part-total HAVING must decorrelate to a
+    per-part aggregate joined back on partkey (equi-joins only)."""
+    plan = _executed(QUERIES["q_sql_tpch_q20"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

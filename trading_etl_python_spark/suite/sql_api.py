@@ -412,3 +412,160 @@ def q_sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_nationkey since c_phone is absent; the no-recent-orders NOT EXISTS
     keeps the anti-join + scalar-average shape)."""
     return _sql(spark, sf_dir, TPCH_Q22)
+
+
+# -------------------------------------------------------- r5: the last
+# five TPC-H shapes.  The driver schema has no PARTSUPP table (and no
+# comment columns), so q2/q9/q11/q16/q20 — all partsupp-dependent —
+# derive the supplier-part facts from lineitem instead, keeping each
+# query's SIGNATURE plan shape intact: q2's correlated min-cost scalar
+# subquery, q9's profit rollup by (nation, year), q11's
+# HAVING-above-scalar-subquery, q16's NOT IN + COUNT(DISTINCT), q20's
+# semi-join over a correlated-HAVING aggregate.  With these, all 22
+# TPC-H query shapes run through spark.sql and are oracle-pinned.
+
+TPCH_Q2 = """WITH supply AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         MIN(l_extendedprice / l_quantity) AS cost
+  FROM lineitem GROUP BY 1, 2)
+SELECT ROUND(s.s_acctbal, 4) AS s_acctbal, s.s_name, n.n_name,
+       p.p_partkey, p.p_name, ROUND(ps.cost, 6) AS supply_cost
+FROM part p
+JOIN supply ps ON ps.partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = ps.suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE p.p_size <= 10 AND p.p_type = 'STANDARD' AND r.r_name = 'EUROPE'
+  AND ps.cost = (SELECT MIN(ps2.cost)
+                 FROM supply ps2
+                 JOIN supplier s2 ON s2.s_suppkey = ps2.suppkey
+                 JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+                 JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+                 WHERE ps2.partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+LIMIT 100"""
+
+TPCH_Q9 = """SELECT n.n_name AS nation,
+       EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                 - 0.6 * p.p_retailprice * l.l_quantity), 4) AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, EXTRACT(YEAR FROM o.o_orderdate)
+ORDER BY nation, o_year DESC"""
+
+TPCH_Q11 = """SELECT l.l_partkey AS partkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS value
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'EUROPE'
+GROUP BY l.l_partkey
+HAVING SUM(l.l_extendedprice * (1 - l.l_discount)) >
+  (SELECT 1.5 * SUM(l2.l_extendedprice * (1 - l2.l_discount))
+          / COUNT(DISTINCT l2.l_partkey)
+   FROM lineitem l2
+   JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+   JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+   JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+   WHERE r2.r_name = 'EUROPE')
+ORDER BY value DESC, partkey"""
+
+TPCH_Q16 = """SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#5'
+  AND p.p_type NOT LIKE 'MEDIUM%'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size"""
+
+TPCH_Q20 = """SELECT s.s_name, ROUND(s.s_acctbal, 4) AS s_acctbal
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'EUROPE'
+  AND s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE 'small%'
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_suppkey, l.l_partkey
+    HAVING SUM(l.l_quantity) > 0.5 *
+      (SELECT SUM(l2.l_quantity) FROM lineitem l2
+       WHERE l2.l_partkey = l.l_partkey
+         AND l2.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND l2.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))
+ORDER BY s.s_name"""
+
+
+@q("q_sql_tpch_q2", TPCH_Q2)
+def q_sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier).  Supply cost is
+    MIN(l_extendedprice/l_quantity) per (part, supplier) from lineitem
+    (no PARTSUPP in this schema); the correlated min-over-region scalar
+    subquery — Q2's signature — is intact.  Catalyst plans the
+    correlation as an aggregate + join on partkey (one re-usable
+    shuffle), not per-row re-execution; the cost equality is exact
+    because both sides pick the same IEEE double out of the same set
+    (elementwise division then MIN — no accumulation-order hazard)."""
+    return _sql(spark, sf_dir, TPCH_Q2)
+
+
+@q("q_sql_tpch_q9", TPCH_Q9)
+def q_sql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit by nation and order year).  Cost
+    basis is 0.6 * p_retailprice per unit (no ps_supplycost); the
+    5-table join + LIKE part filter + (nation, year) rollup shape is
+    canonical.  The part filter and projection push to the part scan;
+    the profit expression folds into the pre-shuffle partial agg, so
+    the exchange carries 25 nations x 7 years of partial sums."""
+    return _sql(spark, sf_dir, TPCH_Q9)
+
+
+@q("q_sql_tpch_q11", TPCH_Q11)
+def q_sql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock).  Per-part value is revenue from
+    EUROPE-region suppliers (no ps_availqty*ps_supplycost); the HAVING
+    above-an-uncorrelated-scalar-subquery — Q11's signature — is
+    intact, with the threshold expressed as a multiple of the AVERAGE
+    per-part value so the predicate stays selective at every scale
+    factor (a fixed fraction of the total, as in pristine Q11, goes
+    vacuous as the part count grows).  Spark evaluates the scalar
+    subquery once and broadcasts it into the HAVING filter."""
+    return _sql(spark, sf_dir, TPCH_Q11)
+
+
+@q("q_sql_tpch_q16", TPCH_Q16)
+def q_sql_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (supplier-part relationship count).  The supplier-part
+    pairs come from lineitem (no PARTSUPP) and the excluded-supplier
+    predicate is s_acctbal < 0 (no s_comment to grep for complaints);
+    the NOT IN anti-join + COUNT(DISTINCT) over brand/type/size groups
+    — Q16's signature — is intact.  The NOT IN subquery is a broadcast
+    null-aware anti-join (supplier is tiny); the distinct count
+    shuffles once on the 3-column group key."""
+    return _sql(spark, sf_dir, TPCH_Q16)
+
+
+@q("q_sql_tpch_q20", TPCH_Q20)
+def q_sql_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion).  A supplier qualifies by
+    DOMINATING the year's shipped volume of some 'small%' part (>50% of
+    that part's total — the availqty>half-of-shipped correlated
+    predicate re-expressed over lineitem), then the outer semi-join
+    keeps EUROPE suppliers.  Quantity sums are integer-valued doubles,
+    so the 0.5x threshold comparison is exact on both engines; the
+    correlated subquery plans as a per-part aggregate joined back on
+    partkey, not per-group re-execution."""
+    return _sql(spark, sf_dir, TPCH_Q20)
