@@ -268,3 +268,43 @@ def test_tier_cutpoints_agree_with_ntile(spark, sf_dir):
     # plan shape: no global sort in the cutpoint path
     plan = fast._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" not in plan and plan.count("Sort") == 0
+
+
+def test_doc_chunks_cover_and_overlap(spark, sf_dir):
+    """Chunk invariants: every token is covered (stride-prefix concat of
+    chunks rebuilds the doc), neighbors share window-stride tokens, the
+    final chunk is the only one allowed to run short, and the plan is
+    shuffle-free (chunking must ride the scan)."""
+    from trading_etl_python_spark.operators.text import doc_chunks
+    from trading_etl_python_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    ch = doc_chunks(docs, window=32, stride=24)
+    rows = ch.orderBy("doc_id", "chunk_id").collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert set(by_doc) == set(src)
+    for did, chunks in by_doc.items():
+        words = src[did].split(" ")
+        # stride-prefix concatenation rebuilds the document exactly
+        rebuilt: list[str] = []
+        for i, c in enumerate(chunks):
+            cw = c["chunk_text"].split(" ") if c["chunk_text"] else [""]
+            assert len(cw) == c["n_tokens"]
+            rebuilt.extend(cw if i == len(chunks) - 1 else cw[:24])
+        assert rebuilt == words, did
+        # all but the last chunk are full-width
+        for c in chunks[:-1]:
+            assert c["n_tokens"] == 32
+        # neighbors overlap by window - stride tokens
+        for a, b in zip(chunks, chunks[1:]):
+            aw = a["chunk_text"].split(" ")
+            bw = b["chunk_text"].split(" ")
+            assert aw[24:] == bw[: len(aw) - 24]
+    # plan posture on the unlimited form (the test's own .limit adds a
+    # single-partition exchange that isn't the operator's)
+    full = doc_chunks(load_table(spark, sf_dir, "documents"), 32, 24)
+    plan = full._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

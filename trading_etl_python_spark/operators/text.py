@@ -775,3 +775,60 @@ def bpe_apply(
             F.sum("_ns").alias("n_syms"),
         )
     )
+
+
+def doc_chunks(
+    df: DataFrame,
+    window: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping word-window chunking — the corpus -> training-example
+    step that turns variable-length documents into fixed-budget chunks
+    (``window`` tokens each, ``stride`` apart, so consecutive chunks
+    share ``window - stride`` tokens of boundary context).  Complements
+    ``curation.pack_sequences`` (which BINS whole short docs up to a
+    budget); chunking SPLITS long docs down to one.
+
+    All JVM built-ins in one narrow map stage — split once per doc,
+    explode the chunk-start sequence, slice + rejoin per chunk; no
+    shuffle, so at 100 TB chunking rides the scan for free.  The FIRST
+    chunk that reaches the document's end is the LAST (last start =
+    stride * ceil((n - window)/stride), clamped to 0 — Spark's
+    ``sequence()`` DESCENDS when stop < start): a naive every-stride
+    start would emit tail chunks fully contained in their predecessor.
+    So every chunk except the last is exactly ``window`` tokens and the
+    last holds the remaining (window - stride, window] tokens.  Returns
+    (id, chunk_id, n_tokens, chunk_text); droppers filter on n_tokens
+    downstream."""
+    if stride < 1 or window < stride:
+        raise ValueError("doc_chunks: need 1 <= stride <= window")
+    w = F.split(F.col(text_col), " ")
+    n = F.size(w)
+    # ceil((n - window)/stride) * stride via positive-int arithmetic
+    # only (negative integer division floors in DuckDB but truncates in
+    # Spark — keep the oracle twin trivially identical)
+    stop = (
+        F.when(n <= window, F.lit(0))
+        .otherwise(
+            F.floor((n - window + stride - 1) / stride) * stride
+        )
+        .cast("int")
+    )
+    starts = F.sequence(F.lit(0), stop, F.lit(stride))
+    c = df.select(
+        F.col(id_col),
+        w.alias("_w"),
+        F.posexplode(starts).alias("chunk_id", "_st"),
+    )
+    return c.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.least(F.lit(window), F.size("_w") - F.col("_st"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.array_join(F.slice("_w", F.col("_st") + 1, window), " ").alias(
+            "chunk_text"
+        ),
+    )

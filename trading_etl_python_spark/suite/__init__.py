@@ -50,7 +50,7 @@ _NEVER_CERTIFIED_R5 = [
 _NEW_R5: list[str] = [
     "q_semdedup_joined", "q_bloom_semi", "q_props_variant", "q_hist_quantiles",
     "q_sql_tpch_q2", "q_sql_tpch_q9", "q_sql_tpch_q11", "q_sql_tpch_q16",
-    "q_sql_tpch_q20",
+    "q_sql_tpch_q20", "q_salted_join", "q_doc_chunks",
 ]
 # r4-certified blocks, kept in their r4 order to fill the window tail.
 _CERTIFIED_R4 = [
@@ -74,9 +74,11 @@ _PRIORITY = [
     *_NEW_R5,
     *_CERTIFIED_R4,  # r4 greens re-certify as window space allows
     *(n for n in core.QUERIES
-      if n not in _CERTIFIED_R4 and n not in _NEVER_CERTIFIED_R5),
+      if n not in _CERTIFIED_R4 and n not in _NEVER_CERTIFIED_R5
+      and n not in _NEW_R5),
     *(n for n in relational.QUERIES
-      if n not in _CERTIFIED_R4 and n not in _NEVER_CERTIFIED_R5),
+      if n not in _CERTIFIED_R4 and n not in _NEVER_CERTIFIED_R5
+      and n not in _NEW_R5),
 ]
 
 assert len(_PRIORITY) == len(set(_PRIORITY)) and all(n in _ALL for n in _PRIORITY)

@@ -3046,3 +3046,33 @@ def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_events(spark, sf_dir)
     return hist_quantile_audit(ev, "value", "event_type", n_buckets=64, qs=(0.5, 0.9))
+
+
+@q(
+    "q_doc_chunks",
+    """WITH w AS (
+         SELECT doc_id, string_split(text, ' ') AS ws,
+                len(string_split(text, ' ')) AS n
+         FROM documents),
+       s AS (
+         SELECT doc_id, ws, n,
+                UNNEST(generate_series(0,
+                  CASE WHEN n <= 32 THEN 0
+                       ELSE ((n - 32 + 23) // 24) * 24 END, 24)) AS st
+         FROM w)
+       SELECT doc_id,
+              CAST(st // 24 AS BIGINT) AS chunk_id,
+              CAST(LEAST(32, n - st) AS BIGINT) AS n_tokens,
+              array_to_string(ws[st + 1 : st + 32], ' ') AS chunk_text
+       FROM s""",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking (operators/text.doc_chunks):
+    every document splits into 32-token chunks at stride 24 (8 tokens
+    of boundary context shared between neighbors) — the corpus ->
+    training-example step that SPLITS long docs, complementing
+    q_seq_pack which BINS short ones.  Map-only, no shuffle; both
+    engines slice the same whitespace-split word array, so chunk text
+    is byte-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.doc_chunks(docs, window=32, stride=24)

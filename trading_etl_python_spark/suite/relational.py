@@ -359,3 +359,36 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, clicks, on="user_id", left_time="ts", right_time="ts",
         value_cols=("ts", "value"), prefix="asof_", tolerance="2 HOURS",
     ).filter(F.col("asof_ts").isNotNull())
+
+
+@q(
+    "q_salted_join",
+    """SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS n_items,
+              ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+       FROM lineitem l
+       JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       GROUP BY s.s_name""",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant fact-dim join (operators/skew.salted_join): the
+    lineitem side takes a deterministic 8-way salt on l_orderkey, the
+    supplier side replicates once per salt, so a hot supplier key's
+    rows spread over 8 reducers instead of one.  The oracle is the
+    PLAIN join + rollup — salting must be invisible in the result
+    (the q_salted_agg contract, now pinned for the join shape too;
+    use when the dim is too big to broadcast AND a key is hot)."""
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    j = salted_join(li, sup, on="l_suppkey", n_salts=8, salt_col="l_orderkey")
+    return j.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+    )
