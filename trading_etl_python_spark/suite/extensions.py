@@ -3076,3 +3076,64 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     is byte-identical."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.doc_chunks(docs, window=32, stride=24)
+
+
+@q(
+    "q_stream_sessions",
+    """WITH s AS (
+         SELECT user_id, ts, value,
+           SUM(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id
+         FROM (SELECT user_id, ts, event_id, value,
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev
+               FROM events) t),
+       agg AS (
+         SELECT user_id, MIN(ts) AS session_start,
+                MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+         FROM s GROUP BY user_id, session_id)
+       SELECT user_id, session_start, session_end, n_events, sum_value
+       FROM agg
+       WHERE session_end <=
+         (SELECT MAX(ts) - INTERVAL 30 MINUTE FROM events)""",
+)
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming SESSION windows (streaming/pipeline.
+    stream_session_windows) replayed availableNow to a parquet sink —
+    the second judged streaming entry beside q_stream_replay, covering
+    the engine-native session-merge state path (T2/T3) rather than the
+    applyInPandasWithState buffer path.
+
+    Append-mode emission is DETERMINISTIC and SQL-expressible: a
+    session is emitted iff its end precedes the final watermark
+    (max event time - 30 min), so the oracle is the verified batch
+    sessionize SQL filtered to closed sessions — streaming/batch parity
+    is the judged contract itself (tests/test_streaming.py pins the
+    same equality per-session)."""
+    import tempfile
+
+    from ..streaming.pipeline import (
+        events_file_stream,
+        stream_session_windows,
+    )
+
+    sink = os.path.join(_sink_root(), f"sess_{next(_SINK_SEQ)}", "out")
+    with tempfile.TemporaryDirectory(prefix="ckpt_sess_q_") as ckpt:
+        ev_stream = events_file_stream(spark, sf_dir).select(
+            "user_id", "ts", "value"
+        )
+        handle = (
+            stream_session_windows(ev_stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        handle.awaitTermination()
+    return spark.read.parquet(sink)
