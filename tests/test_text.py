@@ -308,3 +308,23 @@ def test_doc_chunks_cover_and_overlap(spark, sf_dir):
     full = doc_chunks(load_table(spark, sf_dir, "documents"), 32, 24)
     plan = full._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_chunk_udtf_matches_doc_chunks(spark, sf_dir):
+    """The Python UDTF extensibility twin must agree row-for-row with
+    the JVM doc_chunks path via a LATERAL join over the corpus."""
+    from trading_etl_python_spark.functions.udtfs import register_udtfs
+    from trading_etl_python_spark.operators.text import doc_chunks
+    from trading_etl_python_spark.sources.tables import load_table
+
+    register_udtfs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_docs_udtf")
+    via_udtf = spark.sql(
+        """SELECT d.doc_id, c.chunk_id, c.n_tokens, c.chunk_text
+           FROM _docs_udtf d, LATERAL chunk_udtf(d.text, 32, 24) c"""
+    )
+    jvm = doc_chunks(docs, window=32, stride=24)
+    a = {tuple(r) for r in via_udtf.collect()}
+    b = {tuple(r) for r in jvm.collect()}
+    assert a == b and len(a) > 0
