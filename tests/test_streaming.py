@@ -815,3 +815,50 @@ def test_stream_bloom_dedup_two_overlapping_batches(spark, tmp_path):
     assert os.path.isdir(os.path.join(ckpt, "bloom_words.parquet"))
 
 
+
+
+def test_stream_bloom_dedup_survives_state_reset(spark, tmp_path):
+    """Losing the bloom state (crash inside the swap window, operator
+    reset) must NEVER duplicate sink keys: the next run verify-joins
+    everything and rebuilds the bloom seeded with the sink's historical
+    keys, so later batches can't bloom-miss old keys either."""
+    import os
+    import shutil
+
+    from trading_etl_python_spark.streaming.pipeline import stream_bloom_dedup
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    def write_batch(name, lo, hi):
+        tmp = src / f"{name}.tmp"
+        spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(lo, hi)], schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        f = [x for x in os.listdir(tmp) if x.endswith(".parquet")][0]
+        os.makedirs(src, exist_ok=True)
+        shutil.move(str(tmp / f), str(src / f"{name}.parquet"))
+        shutil.rmtree(str(tmp))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        stream_bloom_dedup(stream, out, ckpt, key_col="doc_id").awaitTermination()
+
+    write_batch("b1", 0, 100)
+    run_once()
+    # simulate the crash window / reset: bloom gone, sink + offsets kept
+    shutil.rmtree(os.path.join(ckpt, "bloom_words.parquet"))
+    write_batch("b2", 50, 150)  # overlaps sink keys with no bloom to catch them
+    run_once()
+    write_batch("b3", 0, 200)  # pre-reset keys must be in the REBUILT bloom
+    run_once()
+
+    got = spark.read.parquet(out)
+    assert got.count() == 200
+    assert got.select("doc_id").distinct().count() == 200

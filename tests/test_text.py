@@ -278,7 +278,9 @@ def test_doc_chunks_cover_and_overlap(spark, sf_dir):
     from trading_etl_python_spark.operators.text import doc_chunks
     from trading_etl_python_spark.sources.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents").limit(50)
+    # deterministic subset (an un-ordered .limit can pick different
+    # rows in the two collect() actions below)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     ch = doc_chunks(docs, window=32, stride=24)
     rows = ch.orderBy("doc_id", "chunk_id").collect()
     by_doc: dict[int, list] = {}

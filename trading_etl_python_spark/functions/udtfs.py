@@ -29,7 +29,9 @@ class ChunkUDTF:
     (tests/test_text.py::test_chunk_udtf_matches_doc_chunks)."""
 
     def eval(self, text: str, window: int, stride: int):  # noqa: D102
-        words = (text or "").split(" ")
+        if text is None:
+            return  # parity: doc_chunks' posexplode drops NULL-text rows
+        words = text.split(" ")
         n = len(words)
         st = 0
         cid = 0

@@ -942,19 +942,25 @@ def pq_encode(
             n = len(pdf)
             if n == 0:
                 continue
-            # NULL / wrong-length embeddings propagate as NULL codes —
-            # the same posture as the expression twin (a zip_with over
-            # a NULL array is NULL), never an executor crash
+            # NULL / wrong-length / non-finite-element embeddings
+            # propagate as NULL codes — the same posture as the
+            # expression twin (a zip_with over a NULL array is NULL;
+            # NULL elements arrive as NaN through Arrow and would
+            # otherwise argmin to a confident wrong code 0), never an
+            # executor crash
             emb = list(pdf["embedding"])
-            vidx = [
+            cand = [
                 r
                 for r, v in enumerate(emb)
                 if v is not None and len(v) == m * ds
             ]
+            Xc = np.empty((len(cand), m * ds), dtype=np.float64)
+            for r, ii in enumerate(cand):
+                Xc[r, :] = np.asarray(emb[ii], dtype=np.float64)
+            finite = np.isfinite(Xc).all(axis=1)
+            vidx = [cand[i] for i in np.flatnonzero(finite)]
             nv = len(vidx)
-            X = np.empty((nv, m * ds), dtype=np.float64)
-            for r, ii in enumerate(vidx):
-                X[r, :] = np.asarray(emb[ii], dtype=np.float64)
+            X = Xc[finite]
             codes = np.empty((nv, m), dtype=np.int64)
             dists = np.empty((nv, m), dtype=np.float64)
             for s in range(m):

@@ -798,8 +798,14 @@ def stream_bloom_dedup(
         new_rows = (
             fresh.unionByName(maybe) if fresh is not None else maybe
         ).localCheckpoint()
-        # bloom covers ALL batch keys (sink-duplicates were seen too)
-        add = bloom_build(batch_df.select(key_col), key_col, m_bits, k)
+        # bloom covers ALL batch keys (sink-duplicates were seen too);
+        # on a rebuild-from-nothing it must ALSO cover the sink's
+        # historical keys, or post-reset batches would bloom-miss old
+        # keys and append them unverified
+        seed = batch_df.select(key_col)
+        if not have_bloom and os.path.isdir(out_path):
+            seed = seed.unionByName(spark.read.parquet(out_path).select(key_col))
+        add = bloom_build(seed, key_col, m_bits, k)
         if have_bloom:
             prev = spark.read.parquet(words_path)
             merged = (

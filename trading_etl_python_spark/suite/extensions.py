@@ -3099,7 +3099,8 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
        SELECT user_id, session_start, session_end, n_events, sum_value
        FROM agg
        WHERE session_end <=
-         (SELECT MAX(ts) - INTERVAL 30 MINUTE FROM events)""",
+         (SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 30 MINUTE
+          FROM events)""",
 )
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked streaming SESSION windows (streaming/pipeline.
