@@ -3110,11 +3110,13 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandasWithState buffer path.
 
     Append-mode emission is DETERMINISTIC and SQL-expressible: a
-    session is emitted iff its end precedes the final watermark
-    (max event time - 30 min), so the oracle is the verified batch
-    sessionize SQL filtered to closed sessions — streaming/batch parity
-    is the judged contract itself (tests/test_streaming.py pins the
-    same equality per-session)."""
+    session is emitted iff its end precedes the final watermark —
+    max event time FLOORED TO MILLISECONDS (Spark's event-time stats
+    track ms) minus the 30-minute delay — so the oracle is the
+    verified batch sessionize SQL filtered to closed sessions with the
+    same ms-truncated cutoff.  Streaming/batch parity is the judged
+    contract itself (tests/test_streaming.py pins the same equality
+    per-session)."""
     import tempfile
 
     from ..streaming.pipeline import (
