@@ -116,3 +116,26 @@ def test_export_training_data_job_tar_archives(spark, sf_dir, tmp_path):
         assert os.path.isdir(tdir)
         back = read_tar_shards(spark, tdir)
         assert back.count() == sizes.get(split, 0)
+
+
+def test_incremental_backfill_bounded_context_plan(spark, sf_dir, tmp_path):
+    """Scale posture of the incremental recompute context: idle symbols
+    drop via a broadcast LEFT-SEMI join before the window shuffle, and
+    the history tail is a per-symbol row_number filter (no global
+    sort) — the shapes that keep the increment O(affected keys), not
+    O(history)."""
+    from pyspark.sql import functions as F
+
+    from trading_etl_python_spark.operators.indicators import indicator_table
+    from trading_etl_python_spark.sinks import upsert_ignore
+    from trading_etl_python_spark.sources.tables import bars
+
+    cut = "2024-01-24 00:00:00"
+    b = bars(spark, sf_dir)
+    syms = b.filter(F.col("time") >= F.lit(cut)).select("symbol").distinct()
+    hist = b.filter(F.col("time") < F.lit(cut)).join(
+        F.broadcast(syms), "symbol", "left_semi"
+    )
+    plan = hist._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "Broadcast" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
