@@ -171,3 +171,36 @@ def test_tar_shards_roundtrip(spark, tmp_path):
         names = [m.name for m in tf.getmembers()]
         assert names == sorted(names)
         assert all(m.mtime == 0 for m in tf.getmembers())
+
+
+def test_tar_datasource_matches_mapinpandas_reader(spark, sf_dir, tmp_path):
+    """spark.read.format('tar_shards') (Python DataSource API) must
+    return exactly what the binaryFile+mapInPandas reader returns, with
+    one partition per archive."""
+    from pyspark.sql import functions as F
+
+    from trading_etl_python_spark.sources.formats import (
+        read_tar_shards,
+        write_tar_shards,
+    )
+    from trading_etl_python_spark.sources.tables import load_table
+    from trading_etl_python_spark.sources.tar_datasource import (
+        register_tar_datasource,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    out = str(tmp_path / "shards")
+    write_tar_shards(docs, out, n_shards=4)
+
+    register_tar_datasource(spark)
+    via_ds = spark.read.format("tar_shards").load(out)
+    assert via_ds.rdd.getNumPartitions() == 4  # one per archive
+    a = {(r.shard, r.key, bytes(r.payload)) for r in via_ds.collect()}
+    b = {
+        (r.shard, r.key, bytes(r.payload))
+        for r in read_tar_shards(spark, out).collect()
+    }
+    assert a == b and len(a) > 0
