@@ -66,5 +66,5 @@ class TarShardReader(DataSourceReader):
 
 
 def register_tar_datasource(spark) -> None:
-    """Idempolently register the source on the session."""
+    """Idempotently register the source on the session."""
     spark.dataSource.register(TarShardDataSource)
