@@ -123,19 +123,12 @@ def test_incremental_backfill_bounded_context_plan(spark, sf_dir, tmp_path):
     drop via a broadcast LEFT-SEMI join before the window shuffle, and
     the history tail is a per-symbol row_number filter (no global
     sort) — the shapes that keep the increment O(affected keys), not
-    O(history)."""
-    from pyspark.sql import functions as F
+    O(history).  Pins the PRODUCTION context builder the job itself
+    calls, not a test-local reconstruction."""
+    from trading_etl_python_spark.jobs import _incremental_context
 
-    from trading_etl_python_spark.operators.indicators import indicator_table
-    from trading_etl_python_spark.sinks import upsert_ignore
-    from trading_etl_python_spark.sources.tables import bars
-
-    cut = "2024-01-24 00:00:00"
-    b = bars(spark, sf_dir)
-    syms = b.filter(F.col("time") >= F.lit(cut)).select("symbol").distinct()
-    hist = b.filter(F.col("time") < F.lit(cut)).join(
-        F.broadcast(syms), "symbol", "left_semi"
-    )
-    plan = hist._jdf.queryExecution().executedPlan().toString()
+    ctx = _incremental_context(spark, sf_dir, since="2024-01-24 00:00:00")
+    plan = ctx._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan and "Broadcast" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # the semi join must broadcast

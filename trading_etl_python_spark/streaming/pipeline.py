@@ -792,8 +792,13 @@ def stream_bloom_dedup(
             # route the whole batch through the verify join
             maybe = batch_df
             fresh = None
+        seen = None
         if os.path.isdir(out_path):
             seen = spark.read.parquet(out_path).select(key_col)
+            if not have_bloom:
+                # the rebuild path reads the sink keys TWICE (verify
+                # join + bloom seed) — checkpoint the one scan
+                seen = seen.localCheckpoint()
             maybe = maybe.join(seen, key_col, "left_anti")
         new_rows = (
             fresh.unionByName(maybe) if fresh is not None else maybe
@@ -803,8 +808,8 @@ def stream_bloom_dedup(
         # historical keys, or post-reset batches would bloom-miss old
         # keys and append them unverified
         seed = batch_df.select(key_col)
-        if not have_bloom and os.path.isdir(out_path):
-            seed = seed.unionByName(spark.read.parquet(out_path).select(key_col))
+        if not have_bloom and seen is not None:
+            seed = seed.unionByName(seen)
         add = bloom_build(seed, key_col, m_bits, k)
         if have_bloom:
             prev = spark.read.parquet(words_path)
