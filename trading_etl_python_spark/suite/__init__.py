@@ -51,7 +51,7 @@ _NEW_R5: list[str] = [
     "q_semdedup_joined", "q_bloom_semi", "q_props_variant", "q_hist_quantiles",
     "q_sql_tpch_q2", "q_sql_tpch_q9", "q_sql_tpch_q11", "q_sql_tpch_q16",
     "q_sql_tpch_q20", "q_salted_join", "q_doc_chunks", "q_stream_sessions",
-    "q_backfill_job", "q_backfill_incremental",
+    "q_backfill_job", "q_backfill_incremental", "q_tar_datasource",
 ]
 # r4-certified blocks, kept in their r4 order to fill the window tail.
 _CERTIFIED_R4 = [
