@@ -392,3 +392,29 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("revenue"),
     )
+
+
+@q(
+    "q_rollup",
+    """SELECT l_returnflag, l_linestatus,
+         CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+         CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+         ROUND(SUM(l_quantity), 4) AS sum_qty,
+         COUNT(*) AS n_rows
+       FROM lineitem
+       GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP — the hierarchical member of the grouping family
+    (grouping_sets/cube/pivot/unpivot are judged beside it): detail,
+    per-returnflag subtotal, grand total in ONE pass via the same
+    Expand + partial-agg plan as CUBE but with only n+1 grouping sets
+    instead of 2^n — the shape to prefer for drill-down rollups at
+    scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
