@@ -52,7 +52,7 @@ _NEW_R5: list[str] = [
     "q_sql_tpch_q2", "q_sql_tpch_q9", "q_sql_tpch_q11", "q_sql_tpch_q16",
     "q_sql_tpch_q20", "q_salted_join", "q_doc_chunks", "q_stream_sessions",
     "q_backfill_job", "q_backfill_incremental", "q_tar_datasource",
-    "q_rollup",
+    "q_grouping_explicit",
 ]
 # r4-certified blocks, kept in their r4 order to fill the window tail.
 _CERTIFIED_R4 = [

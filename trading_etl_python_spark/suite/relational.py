@@ -394,27 +394,25 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
-    "q_rollup",
-    """SELECT l_returnflag, l_linestatus,
+_GS_EXPLICIT = """SELECT l_returnflag, l_linestatus,
          CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
          CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
          ROUND(SUM(l_quantity), 4) AS sum_qty,
          COUNT(*) AS n_rows
        FROM lineitem
-       GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
-)
-def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP — the hierarchical member of the grouping family
-    (grouping_sets/cube/pivot/unpivot are judged beside it): detail,
-    per-returnflag subtotal, grand total in ONE pass via the same
-    Expand + partial-agg plan as CUBE but with only n+1 grouping sets
-    instead of 2^n — the shape to prefer for drill-down rollups at
-    scale."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.grouping("l_returnflag").cast("int").alias("g_rf"),
-        F.grouping("l_linestatus").cast("int").alias("g_ls"),
-        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
+       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"""
+
+
+@q("q_grouping_explicit", _GS_EXPLICIT)
+def q_grouping_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLICIT non-hierarchical GROUPING SETS — two independent
+    single-column rollups in ONE pass, a set combination neither
+    ROLLUP (hierarchical prefixes; judged as q_grouping_sets) nor CUBE
+    (all 2^n subsets; q_cube) can express.  Same Expand + partial-agg
+    plan, but only the two requested sets are materialized — the shape
+    for dashboard-style independent breakdowns at scale.  Submitted as
+    SQL text verbatim to both engines."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GS_EXPLICIT)
