@@ -1,11 +1,19 @@
 """Driver simulation: run every registry query under a VANILLA
 SparkSession — no tuned configs, exactly how the external driver calls
-``__spark_entry__`` — and report failures.  The tuned-session oracle gate
-(check_correctness.py) proves values; this proves none of the queries
-silently depend on session defaults the driver doesn't set
-(shuffle-partition counts, Arrow flags, broadcast thresholds...).
+``__spark_entry__`` — and compare FULL VALUES against the DuckDB oracle
+(row count + schema + order-insensitive exact values, the same
+comparator as check_correctness.py).
 
-Usage: python tools/driver_sim.py [sf_dir] [first_n]
+Two blind spots this closes vs the old count-only sim (r5 lesson —
+q_spearman executed fine under the sim but hash-mismatched at the
+driver):
+
+- queries whose VALUES (not just execution) depend on tuned session
+  configs or partition counts now fail here, not at the driver;
+- the DuckDB side runs at >1 thread (SET threads) so float
+  accumulation-order sensitivity in an oracle shakes out locally.
+
+Usage: python tools/driver_sim.py [sf_dir] [first_n] [query ...]
 """
 
 from __future__ import annotations
@@ -14,10 +22,16 @@ import os
 import sys
 import time
 
+import duckdb
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.check_correctness import compare  # noqa: E402
+from trading_etl_python_spark.sources.tables import TABLES  # noqa: E402
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 FIRST_N = int(sys.argv[2]) if len(sys.argv) > 2 else 0  # 0 = all
+ONLY = set(sys.argv[3:])
 
 
 def main() -> None:
@@ -33,20 +47,47 @@ def main() -> None:
     n = len(entry.entry(spark).collect())
     print(f"entry(): {n} rows")
 
-    failures = []
-    queries = entry.queries()
+    con = duckdb.connect()
+    con.sql("SET threads TO 8")  # shake accumulation-order sensitivity
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    failures, rows_only, n_run = [], [], 0
+    queries, oracles = entry.queries(), entry.oracle_sql()
     for i, (name, fn) in enumerate(queries.items()):
         if FIRST_N and i >= FIRST_N:
             break
+        if ONLY and name not in ONLY:
+            continue
+        n_run += 1
         t0 = time.time()
         try:
-            cnt = fn(spark, SF_DIR).count()
-            print(f"ok    {name}: {cnt} rows ({time.time() - t0:.1f}s)")
+            sdf = fn(spark, SF_DIR).toPandas()
         except Exception as e:  # noqa: BLE001 - report and continue
             failures.append(name)
-            print(f"FAIL  {name}: {str(e)[:200]}")
-    print(f"\n{len(queries) if not FIRST_N else FIRST_N} run, {len(failures)} failed")
+            print(f"FAIL  {name}: spark: {type(e).__name__}: {str(e)[:200]}")
+            continue
+        if name not in oracles:
+            rows_only.append(name)
+            print(f"rows  {name}: {len(sdf)} rows ({time.time() - t0:.1f}s)")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: oracle: {type(e).__name__}: {str(e)[:200]}")
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name} ({time.time() - t0:.1f}s):")
+            for p in problems:
+                print(f"      {p}")
+        else:
+            print(f"ok    {name}: {len(sdf)} rows ({time.time() - t0:.1f}s)")
+    print(f"\n{n_run} run, {len(rows_only)} rows-only, {len(failures)} failed")
     if failures:
+        print("failed:", " ".join(failures))
         sys.exit(1)
     spark.stop()
 

@@ -251,7 +251,14 @@ def basket_spearman(
     Scale shape: the windows and aggregation all run on the
     |basket|² x |days| pair table built from the same |basket| x |days|
     pre-aggregate as ``basket_correlation`` — the basket bound keeps
-    the square small; corr itself is one map-side-combinable agg."""
+    the square small; corr itself is one map-side-combinable agg.
+
+    Parity note: the rank input is ROUNDED to 6dp (the module parity
+    rule, suite/analytics.py:5-7). RANK over a raw float aggregate is
+    order-fragile — a 1-ulp difference in AVG accumulation order can
+    tie/untie two closes, shift the fractional ranks, and flip the
+    4dp-rounded CORR (the r5 driver flake). Rounding before ranking
+    makes the tie structure engine- and partition-order-invariant."""
     from pyspark.sql import Window
 
     d = daily_close(df.filter(F.col("symbol") < basket_max_symbol))
@@ -263,8 +270,8 @@ def basket_spearman(
     ).select(
         F.col("a.symbol").alias("symbol_a"),
         F.col("b.symbol").alias("symbol_b"),
-        F.col("a.close_d").alias("ca"),
-        F.col("b.close_d").alias("cb"),
+        F.round(F.col("a.close_d"), 6).alias("ca"),
+        F.round(F.col("b.close_d"), 6).alias("cb"),
     )
     pw = ["symbol_a", "symbol_b"]
     ra = F.rank().over(Window.partitionBy(*pw).orderBy("ca")) + (

@@ -965,7 +965,7 @@ def pq_encode(
             nv = len(vidx)
             X = Xc[finite]
             codes = np.empty((nv, m), dtype=np.int64)
-            dists = np.empty((nv, m), dtype=np.float64)
+            dists = np.empty((nv, m), dtype=np.float64) if with_dists else None
             for s in range(m):
                 sub = X[:, s * ds : (s + 1) * ds]
                 C = np.asarray(cents[s], dtype=np.float64)  # (k, ds)
@@ -975,15 +975,17 @@ def pq_encode(
                     acc = acc + diff * diff
                 j = np.argmin(acc, axis=1)  # first min = smaller index
                 codes[:, s] = j
-                dists[:, s] = acc[np.arange(nv), j]
+                if with_dists:
+                    dists[:, s] = acc[np.arange(nv), j]
             codes_out: list = [None] * n
-            dists_out: list = [None] * n
             for r, ii in enumerate(vidx):
                 codes_out[ii] = [int(x) for x in codes[r]]
-                dists_out[ii] = [float(x) for x in dists[r]]
             out = pdf.copy()
             out["pq_codes"] = codes_out
             if with_dists:
+                dists_out: list = [None] * n
+                for r, ii in enumerate(vidx):
+                    dists_out[ii] = [float(x) for x in dists[r]]
                 out["pq_dists"] = dists_out
             yield out
 

@@ -412,10 +412,19 @@ def bloom_semi_audit(
         .distinct()
         .withColumn("_t", F.lit(True))
     )
+    # NULL probe keys are never members: concat_ws inside the bloom hash
+    # drops NULLs, so without the guard every NULL row would hash as the
+    # bare salt string and share one arbitrary pass/fail signature.
     flagged = (
         probe.select(group_col, probe_col)
         .withColumn("_k", F.col(probe_col).cast("string"))
-        .withColumn("_p", bloom_might_contain(probe_col, words, m_bits, k))
+        .withColumn(
+            "_p",
+            F.when(
+                F.col(probe_col).isNotNull(),
+                bloom_might_contain(probe_col, words, m_bits, k),
+            ).otherwise(F.lit(False)),
+        )
         .join(F.broadcast(keys), "_k", "left")
     )
     return (

@@ -610,10 +610,17 @@ def json_props_stats(
     error-isolation contract as T7) — n vs n_valid exposes the reject
     count per group.
 
+    Coercion pin (oracle parity): the field is extracted as DOUBLE and
+    accepted only when integer-valued — a fractional payload (5.7) is a
+    reject (NULL), never truncated.  Extracting as 'long' directly would
+    TRUNCATE doubles JVM-side while a string-cast oracle NULLs them, a
+    latent mismatch on any non-integer corpus.
+
     Returns (group, n, n_valid, min_k, max_k, sum_k, avg_k)."""
-    v = F.try_variant_get(
-        F.try_parse_json(F.col(json_col)), f"$.{path}", "long"
+    d = F.try_variant_get(
+        F.try_parse_json(F.col(json_col)), f"$.{path}", "double"
     )
+    v = F.when(d == F.floor(d), d.cast("long"))
     return (
         events.select(F.col(group_col).alias("group"), v.alias("_k"))
         .groupBy("group")

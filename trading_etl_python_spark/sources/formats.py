@@ -289,6 +289,10 @@ def read_tar_shards(spark: SparkSession, path: str) -> DataFrame:
                 with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
                     names, keys, payloads = [], [], []
                     for m in tf.getmembers():
+                        if not m.isfile():
+                            # directories/symlinks/hardlinks in foreign
+                            # archives: extractfile() returns None
+                            continue
                         names.append(shard)
                         keys.append(_os.path.splitext(m.name)[0])
                         payloads.append(tf.extractfile(m).read())

@@ -62,6 +62,10 @@ class TarShardReader(DataSourceReader):
         shard = os.path.basename(p)
         with tarfile.open(p) as tf:
             for m in tf.getmembers():
+                if not m.isfile():
+                    # directories/symlinks/hardlinks in foreign archives:
+                    # extractfile() returns None
+                    continue
                 yield (shard, os.path.splitext(m.name)[0], tf.extractfile(m).read())
 
 

@@ -29,32 +29,40 @@ for mod in (core, relational, extensions, analytics, behavior, sql_api):
 
 # Registry order = driver-certification rotation.  The external driver
 # records CORRECTNESS rows for only the FIRST ~50 registry entries per
-# round.  Cumulative state entering round 5: every query has been
-# driver-certified green in SOME round EXCEPT the 19 late-r4 additions
-# below, which landed after r4's window closed (judge re-verified all
-# 19 green locally — VERDICT r4 "Next round" #1).  Round 5 therefore
+# round.  Cumulative state entering round 6: 181/182 queries have a
+# driver-green row across r1-r5; the single red is q_spearman (r5
+# hash_match=false — float-rank tie flake, fixed this round by rounding
+# the rank input to 6dp on both engines).  Round 6 therefore
 # front-loads:
-#   1. the 19 never-driver-certified late-r4 queries,
-#   2. queries whose semantics change in r5 and need fresh rows
-#      (q_ks_drift's NULL-filter fix is already in block 1),
-#   3. queries BORN in r5 (first driver rows beat re-certification),
-#   4. r4-certified blocks fill the remaining window slots.
-_NEVER_CERTIFIED_R5 = [
+#   1. q_spearman — the only query without an ever-green driver row,
+#   2. queries whose semantics changed in r6 (q_embed_neardup bounded
+#      blocking, q_triangles degree cap, q_props_variant coercion pin),
+#   3. queries BORN in r6 (first driver rows beat re-certification),
+#   4. oldest-certified blocks (r2/r3 greens) fill the window tail so
+#      the rotation keeps refreshing stale rows.
+_RECERTIFY_R6 = [
+    "q_spearman",          # r5 red -> fixed (rank input rounded 6dp)
+    "q_embed_neardup",     # blocking key subdivided (VERDICT #4)
+    "q_triangles",         # degree-capped wedges (VERDICT #5)
+    "q_props_variant",     # numeric coercion pinned (ADVICE #1)
+    "q_bloom_semi",        # NULL-probe audit fix (ADVICE #2)
+]
+# Queries BORN in r6 (new operators) — certified in their first round.
+# (Appended as each lands; every name must exist in a module's QUERIES.)
+_NEW_R6: list[str] = []
+# r5-certified block (fresh greens, rotate last among certified).
+_CERTIFIED_R5 = [
     "q_pca_power", "q_group_sample", "q_bpe_learn", "q_fuzzy_vocab",
     "q_ann_recall", "q_ks_drift", "q_token_pmi", "q_zorder", "q_skip_read",
-    "q_bpe_apply", "q_tar_shards", "q_spearman", "q_pq_error", "q_pq_topk",
+    "q_bpe_apply", "q_tar_shards", "q_pq_error", "q_pq_topk",
     "q_ann_ivfpq", "q_cm_sketch", "q_hll_portable", "q_kmeans_fit3",
-    "q_cdc_incremental",
-]
-# Queries BORN in r5 (new operators) — certified in their first round.
-_NEW_R5: list[str] = [
-    "q_semdedup_joined", "q_bloom_semi", "q_props_variant", "q_hist_quantiles",
+    "q_cdc_incremental", "q_semdedup_joined", "q_hist_quantiles",
     "q_sql_tpch_q2", "q_sql_tpch_q9", "q_sql_tpch_q11", "q_sql_tpch_q16",
     "q_sql_tpch_q20", "q_salted_join", "q_doc_chunks", "q_stream_sessions",
     "q_backfill_job", "q_backfill_incremental", "q_tar_datasource",
     "q_grouping_explicit",
 ]
-# r4-certified blocks, kept in their r4 order to fill the window tail.
+# r4-certified blocks, kept in their r4 order.
 _CERTIFIED_R4 = [
     "q_doc_fingerprint", "q_doc_winnow", "q_tfidf", "q_doc_repetition",
     "q_split_assign", "q_sample_profile", "q_group_quantiles",
@@ -64,23 +72,26 @@ _CERTIFIED_R4 = [
     "q_sql_tpch_q12", "q_dedup_minhash_ml", "q_dedup_clusters",
     "q_text_redact", "q_seq_pack", "q_doc_logprob", "q_dedup_incremental",
     "q_span_dedup", "q_domain_mix", "q_embed_quantize", "q_heavy_hitters",
-    "q_pagerank", "q_bm25", "q_triangles", "q_ppl_tiers", "q_weighted_sample",
+    "q_pagerank", "q_bm25", "q_ppl_tiers", "q_weighted_sample",
     "q_hard_negatives", "q_media_dhash", "q_media_dhash_pairs", "q_bigram_next",
     "q_communities", "q_psi_drift", "q_media_wav", "q_table_stats",
     "q_split_leakage", "q_dedup_containment", "q_dup_weights", "q_epoch_order",
     "q_asof_forward", "q_asof_nearest",
     "q_semdedup", "q_bpe_pairs", "q_cdc_dedup",
 ]
+_RECERT_SET = set(_RECERTIFY_R6)
 _PRIORITY = [
-    *_NEVER_CERTIFIED_R5,  # 19 — the only queries without a driver row
-    *_NEW_R5,
-    *_CERTIFIED_R4,  # r4 greens re-certify as window space allows
+    *_RECERTIFY_R6,  # q_spearman first — the only never-green row
+    *_NEW_R6,
+    # oldest greens first (r2/r3 core+relational), then r4, then r5
     *(n for n in core.QUERIES
-      if n not in _CERTIFIED_R4 and n not in _NEVER_CERTIFIED_R5
-      and n not in _NEW_R5),
+      if n not in _CERTIFIED_R4 and n not in _CERTIFIED_R5
+      and n not in _RECERT_SET and n not in _NEW_R6),
     *(n for n in relational.QUERIES
-      if n not in _CERTIFIED_R4 and n not in _NEVER_CERTIFIED_R5
-      and n not in _NEW_R5),
+      if n not in _CERTIFIED_R4 and n not in _CERTIFIED_R5
+      and n not in _RECERT_SET and n not in _NEW_R6),
+    *(n for n in _CERTIFIED_R4 if n not in _RECERT_SET),
+    *(n for n in _CERTIFIED_R5 if n not in _RECERT_SET),
 ]
 
 assert len(_PRIORITY) == len(set(_PRIORITY)) and all(n in _ALL for n in _PRIORITY)

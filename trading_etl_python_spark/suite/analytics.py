@@ -522,7 +522,8 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q_spearman",
     f"""WITH {BARS_CTE},
-    d AS (SELECT symbol, CAST(time AS DATE) AS day, AVG(close) AS close_d
+    d AS (SELECT symbol, CAST(time AS DATE) AS day,
+                 ROUND(AVG(close), 6) AS close_d
           FROM bars WHERE symbol < 50 GROUP BY symbol, CAST(time AS DATE)),
     p AS (SELECT a.symbol AS symbol_a, b.symbol AS symbol_b,
                  a.close_d AS ca, b.close_d AS cb

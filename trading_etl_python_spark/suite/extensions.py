@@ -2969,10 +2969,14 @@ def q_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "q_props_variant",
-    """WITH x AS (
+    """WITH x0 AS (
          SELECT event_type AS grp,
-                TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-         FROM events)
+                TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS kd
+         FROM events),
+       x AS (
+         SELECT grp,
+                CASE WHEN kd = floor(kd) THEN CAST(kd AS BIGINT) END AS k
+         FROM x0)
        SELECT grp AS "group",
               CAST(COUNT(*) AS BIGINT) AS n,
               CAST(COUNT(k) AS BIGINT) AS n_valid,
