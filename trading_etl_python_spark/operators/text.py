@@ -401,12 +401,17 @@ def bm25_topk(
             ),
         )
     )
+    # rank on the ROUNDED score (6dp) with an id tiebreak: the raw
+    # per-doc sum is float-accumulation-order sensitive, and a 1-ulp
+    # engine difference at the k/k+1 boundary would flip the LIMIT cut
+    # (the q_spearman hazard class — rounded-score+id is the proven
+    # order-invariant pattern)
     return (
         scored.groupBy(id_col)
-        .agg(F.sum("_s").alias("_score"))
-        .orderBy(F.col("_score").desc(), F.col(id_col).asc())
+        .agg(F.round(F.sum("_s"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
-        .select(id_col, F.round("_score", 6).alias("bm25"))
+        .select(id_col, "bm25")
     )
 
 

@@ -1612,7 +1612,7 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
               JOIN dl l ON t.doc_id = l.doc_id, stats)
        SELECT doc_id, ROUND(SUM(s), 6) AS bm25
        FROM sc GROUP BY doc_id
-       ORDER BY SUM(s) DESC, doc_id LIMIT 10""",
+       ORDER BY ROUND(SUM(s), 6) DESC, doc_id LIMIT 10""",
 )
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 for the query 'hash join table scan'

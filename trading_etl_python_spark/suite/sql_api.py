@@ -287,7 +287,7 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
 TPCH_Q22 = """SELECT c.c_nationkey AS cntrycode, COUNT(*) AS numcust,
        ROUND(SUM(c.c_acctbal), 4) AS totacctbal
 FROM customer c
-WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+WHERE c.c_acctbal > (SELECT ROUND(AVG(c2.c_acctbal), 4) FROM customer c2
                      WHERE c2.c_acctbal > 0.00)
   AND NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
@@ -466,9 +466,9 @@ JOIN nation n ON n.n_nationkey = s.s_nationkey
 JOIN region r ON r.r_regionkey = n.n_regionkey
 WHERE r.r_name = 'EUROPE'
 GROUP BY l.l_partkey
-HAVING SUM(l.l_extendedprice * (1 - l.l_discount)) >
-  (SELECT 1.5 * SUM(l2.l_extendedprice * (1 - l2.l_discount))
-          / COUNT(DISTINCT l2.l_partkey)
+HAVING ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) >
+  (SELECT ROUND(1.5 * SUM(l2.l_extendedprice * (1 - l2.l_discount))
+          / COUNT(DISTINCT l2.l_partkey), 4)
    FROM lineitem l2
    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
