@@ -44,6 +44,28 @@ def test_triangle_counts_no_triangles(spark):
     assert triangle_counts(df).count() == 0
 
 
+def test_triangle_counts_degree_cap_audits_super_node(spark):
+    from trading_etl_python_spark.operators.graph import triangle_counts
+
+    # node 0 is a hub touching everything (degree 6); {1,2,3} is a
+    # clique.  With max_degree=3 the hub is cut: its hub-spoke
+    # triangles (0,1,2),(0,1,3),(0,2,3) vanish, the {1,2,3} clique
+    # survives, and the hub is audited with its centered wedge count
+    # C(6,2)=15 instead of silently disappearing.
+    hub = [(0, n) for n in range(1, 7)]
+    clique = [(1, 2), (1, 3), (2, 3)]
+    df = spark.createDataFrame(hub + clique, ["doc_a", "doc_b"])
+    rows = triangle_counts(df, max_degree=3).collect()
+    out = {r["node"]: (r["n_triangles"], r["wedges_dropped"]) for r in rows}
+    assert out == {0: (0, 15), 1: (1, 0), 2: (1, 0), 3: (1, 0)}
+    # uncapped: each clique node sits in 2 hub triangles + the clique
+    full = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(df, max_degree=64).collect()
+    }
+    assert full == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
 def test_label_propagation_separates_cliques(spark):
     from trading_etl_python_spark.operators.graph import label_propagation
 

@@ -102,19 +102,45 @@ def pagerank(
     return ranks.select("node", F.round("score", 6).alias("score"))
 
 
-def triangle_counts(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+def triangle_counts(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_degree: int = 64,
+) -> DataFrame:
     """Per-node triangle participation over an undirected graph given as
     canonically-oriented pairs (a < b).  Each triangle (x < y < z) is
     enumerated exactly once by closing the wedge (x,y)+(y,z) with (x,z).
 
-    Scale: the wedge join is the classic hotspot, bounded by sum of
-    squared out-degrees under the orientation; orienting low-id -> high-id
-    (swap in degree-order for power-law graphs — same plan, different
-    canonical key) keeps out-degrees balanced.  Join keys are node ids,
-    partial-aggregated counts; nothing driver-side."""
+    Super-node cut (the standard heavy-hitter bound): nodes whose
+    undirected degree exceeds ``max_degree`` are removed before the
+    wedge join and AUDITED — each contributes a row with
+    ``n_triangles = 0`` and ``wedges_dropped = d*(d-1)/2`` (the wedge
+    count it would have centered).  Without the cut the wedge space is
+    Σ deg² and one celebrity node at web scale owns almost all of it;
+    with it, the wedge space is bounded by N·max_degree² and the drop
+    is visible in the output instead of silent.  Triangles counted are
+    exactly those of the degree-capped subgraph.
+
+    Scale: the wedge join is bounded by sum of squared out-degrees
+    under the orientation (≤ N·max_degree² after the cut); join keys
+    are node ids, partial-aggregated counts; nothing driver-side.
+
+    Returns (node, n_triangles, wedges_dropped)."""
     # the edge table participates in the join THREE times (e1/e2/e3);
     # checkpoint so the caller's pair-construction plan runs once
-    e = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).localCheckpoint()
+    e0 = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).localCheckpoint()
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionAll(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    heavy = deg.filter(F.col("_d") > max_degree)
+    e = (
+        e0.join(F.broadcast(heavy), e0["u"] == heavy["node"], "left_anti")
+        .join(F.broadcast(heavy), e0["v"] == heavy["node"], "left_anti")
+    )
     tri = (
         e.alias("e1")
         .join(e.alias("e2"), F.col("e1.v") == F.col("e2.u"))
@@ -126,11 +152,18 @@ def triangle_counts(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> Dat
             F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z")
         )
     )
-    return (
+    counted = (
         tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .withColumn("wedges_dropped", F.lit(0).cast("long"))
     )
+    audited = heavy.select(
+        "node",
+        F.lit(0).cast("long").alias("n_triangles"),
+        F.expr("(_d * (_d - 1)) div 2").alias("wedges_dropped"),
+    )
+    return counted.unionAll(audited)
 
 
 def label_propagation(

@@ -55,21 +55,57 @@ def cosine_pairs_blocked(
     threshold: float = 0.8,
     block_col: str = "label",
     id_col: str = "vec_id",
+    rows_per_block: int = 500,
 ) -> DataFrame:
     """X2-embedding — near-duplicate vector pairs within a blocking key.
-    The block join keeps the pair space at Σ_b |b|^2 instead of N^2."""
+
+    The block key is COMPOSITE: (block_col, porthash(id) % nb) with
+    nb = max(1, N // rows_per_block), so the bucket count GROWS with the
+    corpus and the pair space stays Σ_b |b|² ≈ N·rows_per_block /
+    |labels| — LINEAR in N, not quadratic.  A fixed low-cardinality
+    block key (the pre-r6 shape) does not subdivide with N: 10× data
+    meant 100× pairs and this query died at scale while its banded
+    siblings (MinHash/SimHash/LSH) survived.  The price is recall:
+    near-dup pairs split across hash buckets are not compared —
+    acceptable for the enumeration variant because the
+    probability-complete paths (q_dedup_minhash, q_ann_lsh) exist; at
+    gate scale (N <= rows_per_block) nb = 1 and the enumeration is
+    label-complete, which keeps the oracle values identical to the
+    unbucketed semantics there.
+
+    ``rows_per_block=0`` disables subdivision (label-only blocking).
+    N is computed in-plan (1-row agg, broadcast) — no driver collect;
+    the oracle computes the same nb in a CTE."""
+    from .dedup import porthash32
+
     # spread the probe side across cores (single-file scans arrive as one
     # partition); the build side is NOT force-broadcast — Catalyst picks
     # broadcast under autoBroadcastJoinThreshold and falls back to a
     # shuffle join when the table outgrows it (a mandatory hint would
     # abort >8GB tables instead of shuffling)
-    a = spread(embeddings).alias("a")
-    b = embeddings.alias("b")
+    if rows_per_block:
+        tot = embeddings.agg(F.count(F.lit(1)).alias("_n"))
+        nb = F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(F.col("_n") / F.lit(rows_per_block)).cast("long"),
+        )
+        keyed = (
+            embeddings.crossJoin(F.broadcast(tot))
+            .withColumn(
+                "_blk", porthash32(F.col(id_col).cast("string")) % nb
+            )
+            .drop("_n")
+        )
+    else:
+        keyed = embeddings.withColumn("_blk", F.lit(0).cast("long"))
+    a = spread(keyed).alias("a")
+    b = keyed.alias("b")
     sim = dot(F.col("a.embedding"), F.col("b.embedding"))
     return (
         a.join(
             b,
             (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col("a._blk") == F.col("b._blk"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(

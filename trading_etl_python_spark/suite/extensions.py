@@ -424,16 +424,29 @@ def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "q_embed_neardup",
-    f"""SELECT vec_a, vec_b, ROUND(sim, 6) AS cos_sim FROM (
+    f"""WITH nbt AS (SELECT GREATEST(1, COUNT(*) // 500) AS nb
+                     FROM embeddings),
+       e AS (SELECT vec_id, label, embedding,
+                    ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+                      % nbt.nb AS blk
+             FROM embeddings, nbt)
+       SELECT vec_a, vec_b, ROUND(sim, 6) AS cos_sim FROM (
          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                 {_DOT.format(a='a.embedding', b='b.embedding')} AS sim
-         FROM embeddings a
-         JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id) t
+         FROM e a
+         JOIN e b ON a.label = b.label AND a.blk = b.blk
+                 AND a.vec_id < b.vec_id) t
        WHERE sim >= 0.8""",
 )
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded pair enumeration: composite (label, scale-adaptive hash
+    bucket) blocking — nb = max(1, N // 500) buckets, so the pair space
+    grows linearly with the corpus (at gate scale nb = 1 and the
+    enumeration is label-complete)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.cosine_pairs_blocked(emb, threshold=0.8, block_col="label")
+    return S.cosine_pairs_blocked(
+        emb, threshold=0.8, block_col="label", rows_per_block=500
+    )
 
 
 # strict left-fold dot (exactly mirrors the F.aggregate fold in
@@ -1574,23 +1587,38 @@ def q_ppl_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
        pairs AS (SELECT doc_a, doc_b FROM p
                  JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
                  WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5),
+       deg AS (SELECT node, COUNT(*) AS d FROM (
+                 SELECT doc_a AS node FROM pairs
+                 UNION ALL SELECT doc_b FROM pairs) u GROUP BY node),
+       heavy AS (SELECT node, d FROM deg WHERE d > 64),
+       kept AS (SELECT doc_a, doc_b FROM pairs
+                WHERE doc_a NOT IN (SELECT node FROM heavy)
+                  AND doc_b NOT IN (SELECT node FROM heavy)),
        tri AS (SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
-               FROM pairs e1 JOIN pairs e2 ON e1.doc_b = e2.doc_a
-               JOIN pairs e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b),
+               FROM kept e1 JOIN kept e2 ON e1.doc_b = e2.doc_a
+               JOIN kept e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b),
        m AS (SELECT x AS node FROM tri UNION ALL
              SELECT y FROM tri UNION ALL SELECT z FROM tri)
-       SELECT node, COUNT(*) AS n_triangles FROM m GROUP BY node""",
+       SELECT node, COUNT(*) AS n_triangles,
+              CAST(0 AS BIGINT) AS wedges_dropped
+       FROM m GROUP BY node
+       UNION ALL
+       SELECT node, CAST(0 AS BIGINT) AS n_triangles,
+              CAST(d * (d - 1) // 2 AS BIGINT) AS wedges_dropped
+       FROM heavy""",
 )
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document triangle counts in the exact near-dup graph
     (mutually-similar triples — the tight-cluster signal CC's star
     labels can't see): canonical low-id orientation, single-enumeration
-    wedge close (operators/graph.triangle_counts)."""
+    wedge close, super-nodes (degree > 64) cut before the wedge join
+    and surfaced via the wedges_dropped audit column
+    (operators/graph.triangle_counts)."""
     from ..operators.graph import triangle_counts
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).select("doc_a", "doc_b")
-    return triangle_counts(pairs)
+    return triangle_counts(pairs, max_degree=64)
 
 
 @q(
