@@ -209,3 +209,119 @@ def test_documents_as_wav_parses_with_stdlib(spark):
     assert len(meta["samples"]) == 256
     # ascii text -> strictly negative samples after unsigned offset
     assert (meta["samples"] < 0).all()
+
+
+# ------------------------------------------------------- PNG codec
+
+
+def test_png_round_trip_all_shapes():
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    for shape in [(16, 18), (7, 5, 3), (4, 4, 2), (3, 9, 4), (1, 1)]:
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+        im = M.parse_png(M.encode_png(px))
+        ref = px if px.ndim == 3 else px[:, :, None]
+        assert im["pixels"].shape == ref.shape
+        assert (im["pixels"] == ref).all()
+        assert im["width"] == ref.shape[1] and im["height"] == ref.shape[0]
+        assert im["n_channels"] == ref.shape[2] and im["maxval"] == 255
+
+
+def test_png_decodes_all_five_filter_types():
+    """Hand-encode a PNG whose rows cycle filters 0..4 (our encoder only
+    emits 0) and check the unfilter path reconstructs the pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    w, h, c = 6, 5, 3
+    px = rng.randint(0, 256, size=(h, w, c)).astype(np.uint8)
+
+    def paeth(a, b, cc):
+        p = a + b - cc
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+
+    stride, raw, prev = w * c, b"", [0] * (w * c)
+    for y in range(h):
+        line = [int(v) for v in px[y].ravel()]
+        f = y % 5
+        enc = [f]
+        for x in range(stride):
+            a = line[x - c] if x >= c else 0
+            b = prev[x]
+            cc2 = prev[x - c] if x >= c else 0
+            if f == 0:
+                v = line[x]
+            elif f == 1:
+                v = (line[x] - a) & 0xFF
+            elif f == 2:
+                v = (line[x] - b) & 0xFF
+            elif f == 3:
+                v = (line[x] - (a + b) // 2) & 0xFF
+            else:
+                v = (line[x] - paeth(a, b, cc2)) & 0xFF
+            enc.append(v)
+        raw += bytes(enc)
+        prev = line
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    p = (
+        M.PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert (M.parse_png(p)["pixels"] == px).all()
+
+
+def test_png_rejects_malformed_payloads():
+    import numpy as np
+
+    good = M.encode_png(np.zeros((4, 4), dtype=np.uint8))
+    for bad in [
+        b"",
+        b"\x89PNG\r\n\x1a\x00" + good[8:],  # wrong signature byte
+        good[:40],                            # truncated mid-chunk
+        good[:20] + b"\xff" + good[21:],      # corrupt IHDR -> CRC fail
+    ]:
+        with pytest.raises(ValueError):
+            M.parse_png(bad)
+
+
+def test_probe_media_sniffs_png(spark):
+    docs = spark.createDataFrame([(0, "hello " * 60)], ["doc_id", "text"])
+    media = M.documents_as_png(docs)
+    row = M.probe_media(media).collect()[0]
+    assert row["format"] == "png"
+    assert row["width"] == 18 and row["height"] == 16
+    assert row["n_channels"] == 1
+
+
+def test_png_and_pgm_dhash_identical(spark):
+    """The same text grid must hash identically through either container
+    — any inflate/unfilter bug in the PNG path changes the bits."""
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma " * 20), (1, "zz qq ww " * 30)],
+        ["doc_id", "text"],
+    )
+    pgm = {r["media_id"]: (r["dh_lo"], r["dh_hi"])
+           for r in M.media_dhash(M.documents_as_pgm(docs)).collect()}
+    png = {r["media_id"]: (r["dh_lo"], r["dh_hi"])
+           for r in M.media_dhash(M.documents_as_png(docs)).collect()}
+    assert pgm == png
+
+
+def test_decode_media_png_codec(spark):
+    docs = spark.createDataFrame([(0, "x " * 200)], ["doc_id", "text"])
+    out = M.decode_media(M.documents_as_png(docs), codec="png").collect()[0]
+    assert len(out["feat"]) == 8
+    assert abs(sum(out["feat"]) - 1.0) < 1e-6

@@ -49,7 +49,9 @@ _RECERTIFY_R6 = [
 ]
 # Queries BORN in r6 (new operators) — certified in their first round.
 # (Appended as each lands; every name must exist in a module's QUERIES.)
-_NEW_R6: list[str] = []
+_NEW_R6: list[str] = [
+    "q_media_png", "q_media_png_dhash",
+]
 # r5-certified block (fresh greens, rotate last among certified).
 _CERTIFIED_R5 = [
     "q_pca_power", "q_group_sample", "q_bpe_learn", "q_fuzzy_vocab",

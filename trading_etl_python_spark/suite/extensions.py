@@ -1494,6 +1494,55 @@ def q_media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_media_png",
+    """WITH pad AS (SELECT doc_id, rpad(coalesce(text, ''), 288, ' ') AS t
+                  FROM documents),
+       ch AS (SELECT doc_id,
+                     LEAST(7, CAST(FLOOR(
+                       ascii(substring(t, CAST(i + 1 AS INT), 1)) / 255.0 * 8)
+                       AS INT)) AS b
+              FROM pad, UNNEST(range(0, 288)) AS r(i)),
+       cnt AS (SELECT doc_id, b, COUNT(*) AS n FROM ch GROUP BY 1, 2),
+       grid AS (SELECT doc_id, CAST(gb.g AS INT) AS feat_idx
+                FROM pad, UNNEST(range(0, 8)) AS gb(g))
+       SELECT g.doc_id AS media_id, g.feat_idx,
+              ROUND(COALESCE(n, 0) / 288.0, 6) AS val
+       FROM grid g
+       LEFT JOIN cnt ON cnt.doc_id = g.doc_id AND cnt.b = g.feat_idx""",
+)
+def q_media_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image features through the REAL stdlib PNG codec: documents
+    encoded as valid baseline 18x16 greyscale PNGs (zlib IDAT, CRC'd
+    chunks) -> parse_png (chunk walk + CRC verify + inflate + unfilter)
+    -> 8-bucket intensity histogram (operators/multimodal.parse_png /
+    png_feature_table).  The oracle recomputes the histogram from the
+    character grid (pixel == ascii char, bucket == floor(c/255*8),
+    exact because the bin edges are binary fractions), pinning the
+    whole compressed-container decode path byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = M.png_feature_table(M.documents_as_png(docs))
+    return feats.select(
+        "media_id", F.posexplode("feat").alias("feat_idx", "val")
+    ).withColumn("val", F.round("val", 6))
+
+
+@q(
+    "q_media_png_dhash",
+    f"WITH {_DHASH_CTES}\nSELECT media_id, dh_lo, dh_hi FROM hs",
+)
+def q_media_png_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash through the PNG container: the same 18x16 text
+    grid as q_media_dhash, but encoded as compressed PNG and decoded by
+    parse_png before the shared NN-resample + gradient-bit pipeline
+    (operators/multimodal.media_dhash magic-dispatch).  The oracle is
+    IDENTICAL to q_media_dhash's — the format must be invisible in the
+    signatures, which pins decoder correctness end-to-end: any
+    unfilter/inflate bug changes the bits."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.media_dhash(M.documents_as_png(docs))
+
+
+@q(
     "q_hard_negatives",
     f"""WITH p AS (SELECT vec_id AS probe_id, label AS plabel, embedding AS pv
                  FROM embeddings WHERE vec_id < 20),
