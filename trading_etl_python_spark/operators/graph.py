@@ -47,18 +47,25 @@ def pagerank(
     # plan — measured as ~5 s of a 5.4 s query on the TPC-H trade graph
     edges = edges.localCheckpoint()
     outw = edges.groupBy(src).agg(F.sum(weight).alias("_ow"))
-    norm = (
-        edges.join(outw, src)
-        .select(F.col(src), F.col(dst), (F.col(weight) / F.col("_ow")).alias("_frac"))
-        .localCheckpoint()
+    norm = edges.join(outw, src).select(
+        F.col(src), F.col(dst), (F.col(weight) / F.col("_ow")).alias("_frac")
     )
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionAll(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .localCheckpoint()
     )
     n = nodes.count()
+    # parallelism tracks the GRAPH size, not the (often much larger)
+    # edge-construction input: below the threshold the per-iteration
+    # state is driver-page-sized and 32-task stages are pure scheduler
+    # overhead — one partition runs the whole loop in single-task
+    # stages (measured ~0.3 s off the 8-iteration warm floor at sf0.1).
+    # Above it, the shuffles keep the session's partitioning and AQE
+    # right-sizes each exchange.
+    if n <= 100_000:
+        norm, nodes = norm.coalesce(1), nodes.coalesce(1)
+    norm, nodes = norm.localCheckpoint(), nodes.localCheckpoint()
     # distinct sources come from the CHECKPOINTED norm table, never from
     # outw: outw's lineage contains the caller's whole edge-construction
     # plan, and the per-iteration dangling anti-join would re-run it
@@ -92,13 +99,13 @@ def pagerank(
                 ).alias("score"),
             )
         )
-        # Checkpoint every SECOND iteration: the eager materialization
-        # job is the fixed floor at small graph sizes (~0.6 s/round
-        # measured), while two rounds of lineage (ranks read twice per
-        # round -> ~2x recompute of one lazy round) stay bounded.  The
-        # final round is left lazy for the caller's single action.
+        # Checkpoint every SECOND iteration, LAZILY: lineage is still
+        # truncated at the mark, but materialization folds into the
+        # next job that reads ranks instead of paying a dedicated
+        # eager job per mark (~0.6 s/round measured at small sizes).
+        # The final round is left unmarked for the caller's action.
         if it % 2 == 1 and it != iters - 1:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", F.round("score", 6).alias("score"))
 
 
@@ -187,7 +194,13 @@ def label_propagation(
     # symmetrizing union (which references it twice — an un-checkpointed
     # upstream would run twice inside the union's checkpoint)
     p = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).localCheckpoint()
-    edges = p.unionAll(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # parallelism tracks the graph size, same rationale and threshold as
+    # ``pagerank``: below it the loop runs single-task stages
+    if p.count() <= 100_000:
+        p = p.coalesce(1)
+    edges = p.unionAll(
+        p.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
@@ -202,9 +215,9 @@ def label_propagation(
             .filter(F.col("_rn") == 1)
             .select("node", "label")
         )
-        # every-2nd-round checkpoint, same fixed-floor rationale as
+        # every-2nd-round LAZY checkpoint, same fixed-floor rationale as
         # ``pagerank`` (labels are read once per round, so the lazy
         # round costs one extra round of recompute at most)
         if it % 2 == 1 and it != iters - 1:
-            labels = labels.localCheckpoint()
+            labels = labels.localCheckpoint(eager=False)
     return labels.select("node", F.col("label").alias("community"))
