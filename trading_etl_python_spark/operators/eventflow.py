@@ -112,3 +112,130 @@ def events_in_windows(
         .groupBy(user_col)
         .agg(F.countDistinct("event_id").alias("n_probe_events"))
     )
+
+
+def event_runs(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Longest consecutive same-type streak per user — the classic
+    gaps-and-islands shape: the difference of two ROW_NUMBERs (overall
+    vs per-type, both over the same deterministic (ts, id) order) is
+    constant exactly within a consecutive run, so one groupBy collapses
+    each island without any self-join or iteration.
+
+    Scale: two window specs and the aggregation all ride ONE
+    hash(user) exchange (the per-type window partitions by a superset
+    key — no second shuffle); per-user frame state is O(1).  Pick of
+    the longest run is a deterministic argmax window
+    (run_len DESC, run_start, type).
+
+    Returns (user_id, event_type, run_len, run_start)."""
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    w_typ = Window.partitionBy(user_col, type_col).orderBy(ts_col, id_col)
+    runs = (
+        events.select(user_col, type_col, ts_col, id_col)
+        .withColumn(
+            "_grp", F.row_number().over(w_all) - F.row_number().over(w_typ)
+        )
+        .groupBy(user_col, type_col, "_grp")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min(ts_col).alias("run_start"),
+        )
+    )
+    w_pick = Window.partitionBy(user_col).orderBy(
+        F.col("run_len").desc(), F.col("run_start").asc(), F.col(type_col).asc()
+    )
+    return (
+        runs.withColumn("_rn", F.row_number().over(w_pick))
+        .filter(F.col("_rn") == 1)
+        .select(user_col, type_col, "run_len", "run_start")
+    )
+
+
+def concurrency_profile(
+    events: DataFrame,
+    session_minutes: int = 30,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Peak concurrency per event type: every event opens a half-open
+    interval [ts, ts + session_minutes); the maximum number of
+    simultaneously-open intervals is the max prefix sum of the +1/-1
+    boundary stream — the interval-stabbing answer without any
+    interval self-join.
+
+    Ordering at equal timestamps processes closes (-1) BEFORE opens
+    (+1) — half-open semantics: an interval ending exactly when
+    another starts does not overlap it.  (t, delta, id) is a total
+    order, so the running sum is deterministic; all arithmetic is
+    integer.
+
+    Scale: 2 rows per event, one hash(type) exchange for the window,
+    integer prefix sums in O(1) frame state — the same plan at any
+    corpus size.  Returns (event_type, n_events, max_concurrent)."""
+    from pyspark.sql import Window
+
+    iv = F.expr(f"INTERVAL {session_minutes} MINUTES")
+    opens = events.select(
+        F.col(type_col),
+        F.col(ts_col).alias("_t"),
+        F.lit(1).alias("_d"),
+        F.col(id_col).alias("_id"),
+    )
+    closes = events.select(
+        F.col(type_col),
+        (F.col(ts_col) + iv).alias("_t"),
+        F.lit(-1).alias("_d"),
+        F.col(id_col).alias("_id"),
+    )
+    w = (
+        Window.partitionBy(type_col)
+        .orderBy("_t", "_d", "_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = opens.unionAll(closes).withColumn("_c", F.sum("_d").over(w))
+    return run.groupBy(type_col).agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_events"),
+        F.max("_c").cast("long").alias("max_concurrent"),
+    )
+
+
+def delta_encode(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key delta encoding — the columnar-compression / feature-
+    engineering primitive: for each key's (ts, id)-ordered stream, emit
+    the value delta and the inter-arrival gap in microseconds.  First
+    row per key has NULL deltas (nothing to difference against).
+
+    Gap arithmetic is INTEGER microseconds end-to-end (the corpus is
+    us-resolution; float subtraction of epoch values would round above
+    2^53).  Value deltas are single IEEE subtractions of stored
+    doubles — deterministic — rounded 6dp by convention.
+
+    Returns (event_id, user_id, ts, dv, dt_us)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    prev_v = F.lag(val_col, 1).over(w)
+    prev_t = F.lag(ts_col, 1).over(w)
+    return events.select(
+        id_col,
+        key_col,
+        ts_col,
+        F.round(F.col(val_col) - prev_v, 6).alias("dv"),
+        (F.unix_micros(F.col(ts_col).cast("timestamp"))
+         - F.unix_micros(prev_t.cast("timestamp"))).alias("dt_us"),
+    )

@@ -144,3 +144,57 @@ def pivot_orders_by_priority(orders: DataFrame) -> DataFrame:
     zeroed = [F.coalesce(F.col(f"`{p}`"), F.lit(0).cast("long")).alias(n)
               for p, n in zip(priorities, names)]
     return wide.select("order_year", *zeroed)
+
+
+def rank_distributions(customer: DataFrame, n_tiles: int = 4) -> DataFrame:
+    """The distribution-rank window family over one partition spec:
+    dense_rank, percent_rank, cume_dist, and ntile per market segment,
+    ordered by (acctbal DESC, custkey) — the tie-free total order that
+    makes every value deterministic.  percent_rank = (rank-1)/(n-1)
+    and cume_dist = rows<=current / n are exact rationals of integers,
+    so cross-engine values are bit-identical without rounding (rounded
+    6dp anyway by module convention).
+
+    Scale: one hash(segment) exchange serves all four functions — a
+    single Window physical operator, frame state O(1); ntile's
+    bucketing is computed from the partition row count the same window
+    already tracks."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return customer.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round("c_acctbal", 4).alias("c_acctbal"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(n_tiles).over(w).cast("int").alias("tile"),
+    )
+
+
+def date_features(orders: DataFrame) -> DataFrame:
+    """Calendar feature extraction — the date-dimension builder every
+    warehouse and every time-aware feature pipeline needs.  Every
+    feature is derived with ENGINE-NEUTRAL arithmetic: epoch_day is a
+    date difference from 1970-01-01, the weekday is (epoch_day + 3) % 7
+    with 0 = Monday (1970-01-01 was a Thursday — pure integer
+    arithmetic instead of the engines' conflicting DOW conventions),
+    and quarter is derived from the month.  Map-side only — zero
+    shuffles, trivially scale-free."""
+    d = F.col("o_orderdate").cast("date")
+    epoch_day = F.datediff(d, F.lit("1970-01-01").cast("date"))
+    month = F.month(d)
+    return orders.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        epoch_day.cast("int").alias("epoch_day"),
+        ((epoch_day + 3) % 7).cast("int").alias("dow_mon0"),
+        F.dayofmonth(d).cast("int").alias("day_of_month"),
+        F.dayofyear(d).cast("int").alias("day_of_year"),
+        month.cast("int").alias("month"),
+        (((month - 1) / 3).cast("int") + 1).cast("int").alias("quarter"),
+        (d == F.last_day(d)).alias("is_month_end"),
+    )

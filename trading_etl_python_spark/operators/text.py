@@ -837,3 +837,77 @@ def doc_chunks(
             "chunk_text"
         ),
     )
+
+
+def char_entropy_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Character-level Shannon entropy per document — the compression-
+    proxy quality signal (near-zero entropy = degenerate/repeated text,
+    very high = binary junk; CCNet/Gopher-style filters cut both
+    tails).  entropy = -Σ p_c·ln(p_c) over the lowercased character
+    distribution, plus the distinct-char count and length.
+
+    Plan: explode to (doc, char) via an in-row index sequence (same
+    JVM-codegen shape as the media oracles — no Python), one
+    hash(doc, char) count, one hash(doc) sum.  The entropy sum's
+    accumulation order is engine-dependent but terms are O(0.1) and
+    the output is rounded 6dp (output value, not a decision —
+    PLANS.md §23.4 posture)."""
+    t = F.lower(F.col(text_col))
+    chars = df.select(
+        F.col(id_col),
+        F.length(t).alias("_n"),
+        F.explode(F.sequence(F.lit(0), F.length(t) - 1)).alias("_i"),
+        t.alias("_t"),
+    ).select(
+        id_col, "_n", F.substring("_t", F.col("_i") + 1, F.lit(1)).alias("_c")
+    )
+    counts = chars.groupBy(id_col, "_n", "_c").agg(
+        F.count(F.lit(1)).alias("_k")
+    )
+    p = F.col("_k") / F.col("_n")
+    return (
+        counts.groupBy(id_col, "_n")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+        )
+        .select(
+            id_col,
+            F.col("_n").cast("long").alias("n_chars"),
+            "entropy",
+            "n_distinct_chars",
+        )
+    )
+
+
+def hash_tf(
+    df: DataFrame,
+    n_features: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashing-trick term frequencies (the HashingTF / feature-hashing
+    vectorizer): token -> portable-hash bucket in [0, n_features),
+    per-doc bucket counts — fixed-width features with NO vocabulary
+    state, the property that makes it the default text vectorizer at
+    corpus scale (no global dictionary to build, broadcast, or keep
+    consistent across runs).
+
+    The hash is the repo's portable md5 prefix (operators/dedup.
+    porthash32), so signatures are reproducible across engines, runs,
+    and partitionings — unlike Spark ML's HashingTF (murmur3, JVM-
+    specific seed), which this mirrors in shape but replaces for
+    oracle-checkability.  One explode + one hash(doc, bucket) count;
+    sparse output (only occupied buckets emit rows).
+
+    Returns (doc_id, bucket, tf)."""
+    from .dedup import porthash32, tokens_col
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("_tok")
+    )
+    return (
+        toks.withColumn("bucket", porthash32(F.col("_tok")) % n_features)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )

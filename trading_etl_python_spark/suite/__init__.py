@@ -50,7 +50,9 @@ _RECERTIFY_R6 = [
 # Queries BORN in r6 (new operators) — certified in their first round.
 # (Appended as each lands; every name must exist in a module's QUERIES.)
 _NEW_R6: list[str] = [
-    "q_media_png", "q_media_png_dhash",
+    "q_media_png", "q_media_png_dhash", "q_event_runs", "q_concurrency",
+    "q_delta_encode", "q_rank_pct", "q_date_features", "q_entropy_profile",
+    "q_hash_tf",
 ]
 # r5-certified block (fresh greens, rotate last among certified).
 _CERTIFIED_R5 = [

@@ -130,3 +130,69 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@q(
+    "q_event_runs",
+    """WITH r AS (
+         SELECT user_id, event_type, ts, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS grp
+         FROM events),
+       runs AS (
+         SELECT user_id, event_type, grp,
+                COUNT(*) AS run_len, MIN(ts) AS run_start
+         FROM r GROUP BY 1, 2, 3),
+       pick AS (
+         SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY user_id
+           ORDER BY run_len DESC, run_start, event_type) AS rn
+         FROM runs)
+       SELECT user_id, event_type, CAST(run_len AS BIGINT) AS run_len,
+              run_start
+       FROM pick WHERE rn = 1""",
+)
+def q_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest same-type streak per user via the gaps-and-islands
+    row-number difference (operators/eventflow.event_runs) — one
+    hash(user) exchange serves both windows and the collapse."""
+    return EV.event_runs(load_events(spark, sf_dir))
+
+
+@q(
+    "q_concurrency",
+    """WITH b AS (
+         SELECT event_type, ts AS t, 1 AS d, event_id AS id FROM events
+         UNION ALL
+         SELECT event_type, ts + INTERVAL 30 MINUTE, -1, event_id
+         FROM events),
+       run AS (
+         SELECT event_type,
+                SUM(d) OVER (PARTITION BY event_type ORDER BY t, d, id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS c
+         FROM b)
+       SELECT event_type, CAST(COUNT(*) / 2 AS BIGINT) AS n_events,
+              CAST(MAX(c) AS BIGINT) AS max_concurrent
+       FROM run GROUP BY event_type""",
+)
+def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent 30-minute event intervals per type via +1/-1
+    boundary prefix sums — interval stabbing with no interval join
+    (operators/eventflow.concurrency_profile)."""
+    return EV.concurrency_profile(load_events(spark, sf_dir))
+
+
+@q(
+    "q_delta_encode",
+    """SELECT event_id, user_id, ts,
+         ROUND(value - LAG(value) OVER w, 6) AS dv,
+         date_diff('microseconds', LAG(ts) OVER w, ts) AS dt_us
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+)
+def q_delta_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user delta encoding of values and integer-microsecond
+    inter-arrival gaps (operators/eventflow.delta_encode)."""
+    return EV.delta_encode(load_events(spark, sf_dir))

@@ -683,6 +683,42 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_entropy_profile",
+    """WITH ch AS (
+         SELECT doc_id, len(lower(text)) AS n,
+                substring(lower(text), CAST(i + 1 AS INT), 1) AS c
+         FROM documents, UNNEST(range(0, len(lower(text)))) AS r(i)),
+       cnt AS (SELECT doc_id, n, c, COUNT(*) AS k
+               FROM ch GROUP BY 1, 2, 3)
+       SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+              ROUND(-SUM((k / CAST(n AS DOUBLE))
+                         * ln(k / CAST(n AS DOUBLE))), 6) AS entropy,
+              CAST(COUNT(*) AS BIGINT) AS n_distinct_chars
+       FROM cnt GROUP BY doc_id, n""",
+)
+def q_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character Shannon entropy + distinct-char count —
+    the compression-proxy quality tail filter
+    (operators/text.char_entropy_profile)."""
+    return TX.char_entropy_profile(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "q_hash_tf",
+    f"""WITH tok AS (SELECT doc_id, UNNEST({TOKS}) AS t FROM documents)
+       SELECT doc_id,
+              ('0x' || substring(md5(t), 1, 8))::BIGINT % 64 AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok GROUP BY 1, 2""",
+)
+def q_hash_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick term frequencies (vocabulary-free fixed-width text
+    features, portable md5-prefix hash so signatures reproduce across
+    engines/runs — operators/text.hash_tf)."""
+    return TX.hash_tf(load_table(spark, sf_dir, "documents"), n_features=64)
+
+
+@q(
     "q_doc_repetition",
     f"""WITH tf AS (
          SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS c FROM (

@@ -416,3 +416,51 @@ def q_grouping_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_GS_EXPLICIT)
+
+
+@q(
+    "q_rank_pct",
+    """SELECT c_mktsegment, c_custkey, ROUND(c_acctbal, 4) AS c_acctbal,
+         CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+         ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+         ROUND(CUME_DIST() OVER w, 6) AS cume,
+         CAST(NTILE(4) OVER w AS INTEGER) AS tile
+       FROM customer
+       WINDOW w AS (PARTITION BY c_mktsegment
+                    ORDER BY c_acctbal DESC, c_custkey)""",
+)
+def q_rank_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window family (dense_rank / percent_rank /
+    cume_dist / ntile) over one tie-free partition spec — exact
+    rationals of integers, one Window operator
+    (operators/relational.rank_distributions)."""
+    return REL.rank_distributions(load_table(spark, sf_dir, "customer"))
+
+
+@q(
+    "q_date_features",
+    """SELECT o_orderkey,
+         CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) AS INTEGER) AS epoch_day,
+         CAST((date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) + 3) % 7
+              AS INTEGER) AS dow_mon0,
+         CAST(dayofmonth(o_orderdate) AS INTEGER) AS day_of_month,
+         CAST(dayofyear(o_orderdate) AS INTEGER) AS day_of_year,
+         CAST(month(o_orderdate) AS INTEGER) AS month,
+         CAST((month(o_orderdate) - 1) // 3 + 1 AS INTEGER) AS quarter,
+         CAST(o_orderdate AS DATE)
+           = last_day(CAST(o_orderdate AS DATE)) AS is_month_end
+       FROM orders""",
+)
+def q_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar feature extraction with engine-neutral arithmetic
+    (weekday from epoch-day modulo, not engine DOW conventions) —
+    operators/relational.date_features.  order_date surfaces as
+    TIMESTAMP (driver compare normalizes timestamps, not DATE — the
+    q_retention convention)."""
+    out = REL.date_features(load_table(spark, sf_dir, "orders"))
+    return out.withColumn(
+        "order_date", F.col("order_date").cast("timestamp_ntz")
+    )
