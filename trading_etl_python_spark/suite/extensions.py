@@ -3261,6 +3261,71 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_stream_candles",
+    """WITH c AS (
+         SELECT user_id AS symbol,
+                CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+                ROUND(arg_min(value, ts), 4) AS open_px,
+                ROUND(MAX(value), 4) AS high_px,
+                ROUND(MIN(value), 4) AS low_px,
+                ROUND(arg_max(value, ts), 4) AS close_px,
+                COUNT(*) AS n_ticks
+         FROM events GROUP BY 1, 2)
+       SELECT symbol, bucket_start, open_px, high_px, low_px, close_px,
+              n_ticks
+       FROM c
+       WHERE bucket_start + INTERVAL 1 HOUR <=
+         (SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 30 MINUTE
+          FROM events)""",
+)
+def q_stream_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked TUMBLING-window streaming aggregation — the third
+    judged streaming entry beside q_stream_replay (keyed state) and
+    q_stream_sessions (session merge): streaming/pipeline.stream_candles
+    replayed availableNow to a parquet sink.  Covers the workhorse
+    structured-streaming shape (windowed groupBy + append-mode
+    watermark eviction, T1/T3).
+
+    Emission is deterministic and SQL-expressible: a 1-hour window is
+    emitted iff its END precedes the final watermark (ms-floored max
+    event time minus the 30-minute delay), so the oracle is the batch
+    hourly OHLC rollup filtered to closed windows — streaming/batch
+    parity IS the judged contract.  min_by/max_by are unambiguous
+    because the corpus has no duplicate (user_id, ts) pairs."""
+    import tempfile
+
+    from ..streaming.pipeline import events_file_stream, stream_candles
+
+    sink = os.path.join(_sink_root(), f"cndl_{next(_SINK_SEQ)}", "out")
+    with tempfile.TemporaryDirectory(prefix="ckpt_cndl_q_") as ckpt:
+        ticks = events_file_stream(spark, sf_dir).select(
+            F.col("user_id").alias("symbol"),
+            F.col("ts").alias("time"),
+            F.col("value").alias("close"),
+        )
+        handle = (
+            stream_candles(ticks)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        handle.awaitTermination()
+    out = spark.read.parquet(sink)
+    return out.select(
+        "symbol",
+        F.col("bucket_start").cast("timestamp_ntz").alias("bucket_start"),
+        F.round("open_px", 4).alias("open_px"),
+        F.round("high_px", 4).alias("high_px"),
+        F.round("low_px", 4).alias("low_px"),
+        F.round("close_px", 4).alias("close_px"),
+        F.col("n_ticks").cast("long").alias("n_ticks"),
+    )
+
+
+@q(
     "q_backfill_job",
     f"""WITH {BARS_CTE},
        s AS (
