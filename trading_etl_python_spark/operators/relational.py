@@ -198,3 +198,75 @@ def date_features(orders: DataFrame) -> DataFrame:
         (((month - 1) / 3).cast("int") + 1).cast("int").alias("quarter"),
         (d == F.last_day(d)).alias("is_month_end"),
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 reconstruction from a change
+    stream: collapse each key's (ts, id)-ordered attribute history into
+    validity ranges — one row per VALUE CHANGE with [valid_from,
+    valid_to) bounds (valid_to NULL = currently open) and a 1-based
+    version number.  The warehouse dimension-history primitive: applied
+    to a CDC feed it yields exactly the SCD2 table a MERGE-based
+    pipeline maintains incrementally.
+
+    Plan: lag to detect changes, filter, then lead/row_number over the
+    surviving change rows — all three windows share one hash(key)
+    exchange (same partition spec), O(1) frame state, no joins."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    changes = (
+        df.select(key_col, attr_col, ts_col, id_col)
+        .withColumn("_prev", F.lag(attr_col).over(w))
+        .filter(F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev")))
+    )
+    return changes.select(
+        key_col,
+        attr_col,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+        F.row_number().over(w).cast("int").alias("version"),
+    )
+
+
+def hopping_window_agg(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    hours: int = 2,
+    slide_hours: int = 1,
+) -> DataFrame:
+    """Batch HOPPING (sliding) window aggregation via Spark's native
+    ``window(ts, size, slide)`` — every event lands in size/slide
+    overlapping windows (here 2, epoch-aligned, identical to the
+    streaming operator's assignment, so batch backfill and the live
+    stream bucket identically).  Returns per (window_start, type):
+    count and 4dp sum.
+
+    Scale: the window expression EXPLODES each row into its
+    size/slide assignments map-side, then one hash(window, type)
+    aggregation — the replication factor is the overlap count, a
+    constant chosen by the caller, never a join."""
+    w = F.window(ts_col, f"{hours} hours", f"{slide_hours} hours")
+    return (
+        events.groupBy(
+            w.alias("_w"), F.col(type_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(val_col), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("_w.start").alias("window_start"),
+            type_col,
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -196,3 +196,48 @@ def q_delta_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user delta encoding of values and integer-microsecond
     inter-arrival gaps (operators/eventflow.delta_encode)."""
     return EV.delta_encode(load_events(spark, sf_dir))
+
+
+@q(
+    "q_scd2",
+    """WITH ch AS (
+         SELECT user_id, event_type, ts, event_id,
+                LAG(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev
+         FROM events),
+       f AS (SELECT user_id, event_type, ts, event_id FROM ch
+             WHERE prev IS NULL OR event_type <> prev)
+       SELECT user_id, event_type, ts AS valid_from,
+              LEAD(ts) OVER w AS valid_to,
+              CAST(ROW_NUMBER() OVER w AS INTEGER) AS version
+       FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history from a change stream: one row per
+    attribute change with [valid_from, valid_to) ranges and version
+    numbers — three windows on one hash(user) exchange
+    (operators/relational.scd2_history)."""
+    from ..operators.relational import scd2_history
+
+    return scd2_history(load_events(spark, sf_dir))
+
+
+@q(
+    "q_hopping_window",
+    """WITH x AS (
+         SELECT event_type, value,
+                date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS ws
+         FROM events, UNNEST([0, 1]) AS u(k))
+       SELECT CAST(ws AS TIMESTAMP) AS window_start, event_type,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              ROUND(SUM(value), 4) AS sum_value
+       FROM x GROUP BY 1, 2""",
+)
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregation (2-hour windows sliding hourly) via
+    Spark's native window(ts, size, slide) — each event explodes into
+    its two epoch-aligned windows map-side, identical bucketing to the
+    streaming operator (operators/relational.hopping_window_agg)."""
+    from ..operators.relational import hopping_window_agg
+
+    return hopping_window_agg(load_events(spark, sf_dir))
