@@ -556,3 +556,43 @@ def test_sql_q20_semi_join_over_correlated_having(spark, sf_dir):
     assert "LeftSemi" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_event_runs_single_user_exchange(spark, sf_dir):
+    """Both gaps-and-islands windows and the run collapse must ride ONE
+    hash(user) exchange — the per-type window partitions by a superset
+    key of an already-satisfied distribution."""
+    plan = _executed(QUERIES["q_event_runs"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_scd2_single_key_exchange(spark, sf_dir):
+    """lag-filter-lead/version: three windows, one hash(user) exchange,
+    zero joins."""
+    plan = _executed(QUERIES["q_scd2"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "Join" not in plan
+
+
+def test_label_encode_broadcasts_mapping(spark, sf_dir):
+    """The index mapping is |distinct types| rows — it must broadcast;
+    the corpus side must not shuffle for the join."""
+    plan = _executed(QUERIES["q_label_encode"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hopping_window_is_map_side_explode(spark, sf_dir):
+    """window(size, slide) must expand in-row (Expand/Explode before the
+    single aggregation exchange) — never via a join."""
+    plan = _executed(QUERIES["q_hopping_window"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_embed_neardup_blocks_on_composite_key(spark, sf_dir):
+    """The bounded near-dup enumeration must join on (label, bucket) —
+    the hash bucket must appear in the join key so the pair space
+    subdivides with corpus size."""
+    plan = _executed(QUERIES["q_embed_neardup"](spark, sf_dir))
+    assert "_blk" in plan, "composite block key missing from join"

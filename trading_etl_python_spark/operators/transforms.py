@@ -633,3 +633,67 @@ def json_props_stats(
             F.round(F.avg("_k"), 6).alias("avg_k"),
         )
     )
+
+
+def zscore_normalize(
+    events,
+    val_col: str = "value",
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+):
+    """Per-group z-score feature scaling — the standard numeric
+    normalizer before any distance- or gradient-based consumer:
+    z = (v - mean) / stddev_samp within the group, NULL when the group
+    is degenerate (stddev 0 or a single row).
+
+    Plan: one partial-aggregated group stats pass joined back on the
+    group key (AQE broadcasts the stats side — |groups| rows); the
+    normalization itself is map-side.  Outputs rounded 6dp (group
+    moments are accumulation-order floats; output value, not a
+    decision — PLANS.md §23.4 posture)."""
+    from pyspark.sql import functions as F
+
+    stats = events.groupBy(group_col).agg(
+        F.avg(val_col).alias("_mu"),
+        F.stddev_samp(val_col).alias("_sd"),
+    )
+    return (
+        events.join(stats, group_col)
+        .select(
+            id_col,
+            group_col,
+            val_col,
+            F.round(
+                (F.col(val_col) - F.col("_mu")) / F.nullif("_sd", F.lit(0.0)),
+                6,
+            ).alias("z"),
+        )
+    )
+
+
+def label_encode(
+    events,
+    col: str = "event_type",
+    id_col: str = "event_id",
+):
+    """Deterministic label (index) encoding — Spark ML's StringIndexer
+    semantics (frequency-descending dense indices from 0) made
+    engine-reproducible with a total order: (count DESC, value ASC).
+    The categorical -> int step every feature pipeline needs; unlike
+    the ML stage, the mapping is a DataFrame (persistable, joinable,
+    auditable), not opaque model state.
+
+    Plan: one count aggregation (|distinct| rows), a window over that
+    tiny table, broadcast join back — the corpus never shuffles."""
+    from pyspark.sql import Window, functions as F
+
+    w = Window.orderBy(F.col("_n").desc(), F.col(col).asc())
+    idx = (
+        events.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("idx", (F.row_number().over(w) - 1).cast("int"))
+        .select(col, "idx", F.col("_n").alias("n_rows"))
+    )
+    return events.select(id_col, col).join(F.broadcast(idx), col).select(
+        id_col, col, "idx"
+    )

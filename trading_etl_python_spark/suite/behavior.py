@@ -241,3 +241,41 @@ def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import hopping_window_agg
 
     return hopping_window_agg(load_events(spark, sf_dir))
+
+
+@q(
+    "q_zscore",
+    """WITH s AS (SELECT event_type, AVG(value) AS mu,
+                         STDDEV_SAMP(value) AS sd
+                  FROM events GROUP BY 1)
+       SELECT event_id, e.event_type, value,
+              ROUND((value - mu) / NULLIF(sd, 0.0), 6) AS z
+       FROM events e JOIN s ON e.event_type = s.event_type""",
+)
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score feature scaling — group moments joined back
+    (broadcast stats side), map-side normalization
+    (operators/transforms.zscore_normalize)."""
+    from ..operators.transforms import zscore_normalize
+
+    return zscore_normalize(load_events(spark, sf_dir))
+
+
+@q(
+    "q_label_encode",
+    """WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+       i AS (SELECT event_type,
+                    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, event_type) - 1
+                         AS INTEGER) AS idx
+             FROM c)
+       SELECT event_id, e.event_type, idx
+       FROM events e JOIN i USING (event_type)""",
+)
+def q_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic StringIndexer-style label encoding (frequency-
+    descending dense ids, value tiebreak); the mapping is an auditable
+    broadcast table, the corpus never shuffles
+    (operators/transforms.label_encode)."""
+    from ..operators.transforms import label_encode
+
+    return label_encode(load_events(spark, sf_dir))
