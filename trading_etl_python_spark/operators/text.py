@@ -170,13 +170,17 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, id_col: str = "doc_id") -> DataFr
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(dfreq, "token").withColumn(
-        "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+        "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
     )
+    # rank on the ROUNDED score (token tiebreak): the raw product is a
+    # deterministic scalar of counts, but ln() can differ by 1 ulp
+    # across libm implementations — rounded-score+id ordering is the
+    # engine-invariant pattern (PLANS.md §23.4)
     w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("token").asc())
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
-        .select(id_col, "token", F.round("tfidf", 6).alias("tfidf"))
+        .select(id_col, "token", "tfidf")
     )
 
 

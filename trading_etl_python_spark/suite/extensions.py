@@ -669,13 +669,13 @@ def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
        s AS (
          SELECT tf.doc_id, tf.token,
-                tf.tf * ln(n.n / dfreq.df) AS tfidf,
+                ROUND(tf.tf * ln(n.n / dfreq.df), 6) AS tfidf,
                 ROW_NUMBER() OVER (
                   PARTITION BY tf.doc_id
-                  ORDER BY tf.tf * ln(n.n / dfreq.df) DESC, tf.token
+                  ORDER BY ROUND(tf.tf * ln(n.n / dfreq.df), 6) DESC, tf.token
                 ) AS rn
          FROM tf JOIN dfreq ON tf.token = dfreq.token, n)
-       SELECT doc_id, token, ROUND(tfidf, 6) AS tfidf FROM s WHERE rn <= 5""",
+       SELECT doc_id, token, tfidf FROM s WHERE rn <= 5""",
 )
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document with exact document frequencies."""
