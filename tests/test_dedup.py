@@ -297,3 +297,37 @@ def test_dup_weights_sum_to_cluster_units(spark):
     assert abs(sum(r["weight"] for r in rows.values()) - 2.0) < 1e-4  # 2 clusters (weights 6dp-rounded)
     assert rows[3]["weight"] == 1.0
     assert rows[0]["weight"] == rows[1]["weight"] == rows[2]["weight"]
+
+
+def test_prefix_jaccard_complete_vs_brute_force(spark):
+    """Prefix filtering must be LOSSLESS: pairs from the pruned plan ==
+    the brute-force all-shared-token join, including boundary-exact
+    Jaccard values."""
+    from itertools import combinations
+
+    from trading_etl_python_spark.operators.dedup import prefix_jaccard_pairs
+
+    docs = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon eta"),     # J=5/7 with 0
+        (2, "alpha beta gamma delta theta iota"),
+        (3, "completely different words here now ok"),
+        (4, "alpha beta gamma delta epsilon zeta"),    # exact dup of 0
+        (5, "mu nu xi omicron pi rho"),
+        (6, "mu nu xi omicron pi sigma"),
+        (7, "half match alpha beta one two three four"),  # boundary-ish
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in prefix_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    sets = {i: set(t.split()) for i, t in docs}
+    want = {}
+    for i, j in combinations(sorted(sets), 2):
+        inter = len(sets[i] & sets[j])
+        if inter:
+            jac = inter / len(sets[i] | sets[j])
+            if jac >= 0.5:
+                want[(i, j)] = round(jac, 6)
+    assert got == want and (0, 4) in got and got[(0, 4)] == 1.0

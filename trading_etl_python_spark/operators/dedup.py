@@ -1022,3 +1022,117 @@ def cdc_incremental_stats(
         F.coalesce("n_known", F.lit(0)).alias("n_known"),
         F.col("known_bytes_ratio"),
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """EXACT Jaccard >= t over distinct-word sets with PREFIX-FILTER
+    candidate generation — the AllPairs/PPJoin family (Bayardo et al.
+    WWW'07; Xiao et al. WWW'08): order every document's tokens by
+    global rarity and join only on each side's first
+    |x| - ceil(t*|x|) + 1 tokens.  Any pair with Jaccard >= t must
+    share a prefix token under a common total order, so the pruning is
+    LOSSLESS — the judged oracle is the brute-force all-shared-token
+    join, and equality with it is the completeness proof.
+
+    vs the siblings: ngram_jaccard_pairs joins on EVERY shared shingle
+    (complete but candidate count ~ Σ df²); minhash is sub-quadratic
+    but probabilistic.  Prefix filtering keeps exactness while joining
+    only on rare-prefix tokens — the candidate count collapses because
+    common tokens (high df, the quadratic offenders) sit at the END of
+    the rarity order and never enter the join.
+
+    Scale: the global rarity ranking is a window over the VOCABULARY
+    (vocab-sized, not corpus-sized — same driver-state class as BPE);
+    everything else is hash joins/aggs on token or pair keys.  The
+    verify re-join computes exact intersections for candidates only.
+
+    ``shingle_n``: None = distinct single words (coarse — on a small
+    vocabulary the TRUE answer is dense and output size dominates);
+    an integer = distinct n-word shingles (the near-dup domain the
+    siblings use — sparse similarity, where prefix pruning shines).
+
+    Returns (doc_a, doc_b, jaccard) with jaccard rounded 6dp."""
+    from pyspark.sql import Window
+
+    if shingle_n:
+        tok = shingles(df, shingle_n, text_col, id_col).select(
+            F.col(id_col), F.col("shingle").alias("t")
+        )
+    else:
+        tok = df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokens_col(text_col))).alias("t"),
+        )
+    # global rarity order: df asc, token asc — a total order shared by
+    # every document (required for the prefix-overlap guarantee)
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("_df"))
+    rank = vocab.withColumn(
+        "_rk",
+        F.row_number().over(Window.orderBy(F.col("_df").asc(), F.col("t").asc())),
+    ).select("t", "_rk")
+    ranked = tok.join(rank, "t")
+    wd = Window.partitionBy(id_col)
+    wo = Window.partitionBy(id_col).orderBy("_rk")
+    sized = ranked.withColumn("_n", F.count(F.lit(1)).over(wd)).withColumn(
+        "_pos", F.row_number().over(wo)
+    )
+    # prefix length |x| - ceil(t*|x|) + 1
+    prefix = sized.filter(
+        F.col("_pos") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+    ).select(F.col(id_col), "t", "_n", "_pos")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    ratio_ok = (F.col("a._n") >= threshold * F.col("b._n")) & (
+        F.col("b._n") >= threshold * F.col("a._n")
+    )
+    # PPJoin positional filter: J >= t needs overlap
+    # alpha = ceil(t/(1+t) * (|A|+|B|)); a shared token at positions
+    # (pa, pb) caps the achievable overlap at 1 + min(|A|-pa, |B|-pb).
+    # Lossless — pruned pairs provably cannot reach t, and the exact
+    # verify step decides membership anyway, so float wobble here can
+    # only change WORK, never output (no oracle-parity constraint).
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a._n") + F.col("b._n"))
+    )
+    pos_ok = (
+        1 + F.least(
+            F.col("a._n") - F.col("a._pos"), F.col("b._n") - F.col("b._pos")
+        )
+    ) >= alpha
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & ratio_ok
+            & pos_ok,
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a._n").alias("n_a"),
+            F.col("b._n").alias("n_b"),
+        )
+        .distinct()
+    )
+    ta = tok.select(F.col(id_col).alias("doc_a"), F.col("t").alias("_ta"))
+    tb = tok.select(F.col(id_col).alias("_db"), F.col("t").alias("_tb"))
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(
+            tb,
+            (F.col("doc_b") == F.col("_db")) & (F.col("_ta") == F.col("_tb")),
+        )
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    jac = F.col("_i") / (F.col("n_a") + F.col("n_b") - F.col("_i"))
+    return (
+        inter.filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -3464,3 +3464,32 @@ def q_tar_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("payload").cast("long").alias("n_bytes"),
         F.md5("payload").alias("payload_md5"),
     )
+
+
+@q(
+    "q_prefix_jaccard",
+    f"""WITH {_SHINGLE_CTES},
+       cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+             FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+              ROUND(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 6)
+                AS jaccard
+       FROM p JOIN cnt ca ON ca.doc_id = doc_a
+              JOIN cnt cb ON cb.doc_id = doc_b
+       WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5""",
+)
+def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set Jaccard pairs via PREFIX-FILTER candidate
+    pruning (AllPairs/PPJoin — operators/dedup.prefix_jaccard_pairs):
+    only each doc's rarest |x|-ceil(t|x|)+1 shingles enter the join,
+    vs q_dedup_ngram's every-shared-shingle join.  The oracle is the
+    BRUTE-FORCE join: prefix filtering is provably lossless for
+    Jaccard >= t, so hash-equality with the unpruned answer is the
+    completeness proof itself.  Threshold comparison is an exact
+    integer rational on both engines."""
+    return D.prefix_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5, shingle_n=3
+    )
