@@ -290,3 +290,38 @@ def basket_spearman(
         )
         .filter(F.col("n_days") >= min_days)
     )
+
+
+def symbol_sharpe(df: DataFrame, min_days: int = 15, periods: int = 252) -> DataFrame:
+    """Annualized Sharpe ratio per symbol over day-aligned daily log
+    returns: mean(r) / stddev_samp(r) * sqrt(periods) (risk-free rate
+    0 — the standard screening form), plus the annualized volatility.
+    Symbols with fewer than ``min_days`` returns are dropped (moments
+    over a handful of days are noise, same rule as the basket stats).
+
+    Scale shape: identical to ``basket_beta`` minus the market join —
+    the one hash(symbol, day) pre-aggregation is the only heavy
+    lineage; returns and the per-symbol moments run on the tiny
+    |symbols| x |days| grid."""
+    d = daily_close(df)
+    wd = Window.partitionBy("symbol").orderBy("day")
+    prev_d = F.lag("close_d", 1).over(wd)
+    r = d.withColumn(
+        "r",
+        F.when(
+            (prev_d > 0) & (F.col("close_d") > 0),
+            F.round(F.log(F.col("close_d") / prev_d), 6),
+        ),
+    ).filter(F.col("r").isNotNull())
+    ann = float(periods) ** 0.5
+    return (
+        r.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(
+                F.avg("r") / F.nullif(F.stddev_samp("r"), F.lit(0.0)) * ann, 4
+            ).alias("sharpe"),
+            F.round(F.stddev_samp("r") * ann, 6).alias("ann_vol"),
+        )
+        .filter(F.col("n_days") >= min_days)
+    )

@@ -543,3 +543,27 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation per basket pair (fractional ranks ->
     Pearson over ranks) — operators/analytics.basket_spearman."""
     return AN.basket_spearman(bars(spark, sf_dir), basket_max_symbol=50, min_days=15)
+
+
+@q(
+    "q_sharpe",
+    f"""WITH {BARS_CTE},
+    d AS (SELECT symbol, CAST(time AS DATE) AS day, AVG(close) AS close_d
+          FROM bars GROUP BY symbol, CAST(time AS DATE)),
+    r AS (SELECT symbol, day,
+            CASE WHEN LAG(close_d) OVER (PARTITION BY symbol ORDER BY day) > 0
+                      AND close_d > 0
+                 THEN ROUND(LN(close_d / LAG(close_d)
+                      OVER (PARTITION BY symbol ORDER BY day)), 6) END AS r
+          FROM d QUALIFY r IS NOT NULL)
+    SELECT symbol, COUNT(*) AS n_days,
+           ROUND(AVG(r) / NULLIF(STDDEV_SAMP(r), 0.0) * sqrt(252.0), 4)
+             AS sharpe,
+           ROUND(STDDEV_SAMP(r) * sqrt(252.0), 6) AS ann_vol
+    FROM r GROUP BY symbol
+    HAVING COUNT(*) >= 15""",
+)
+def q_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized Sharpe ratio + volatility per symbol over daily log
+    returns (operators/analytics.symbol_sharpe)."""
+    return AN.symbol_sharpe(bars(spark, sf_dir), min_days=15)

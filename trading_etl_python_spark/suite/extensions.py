@@ -3261,6 +3261,56 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_stream_join",
+    """SELECT e.user_id, e.event_id AS probe_event_id,
+              w.event_id AS window_event_id, e.ts AS probe_ts
+       FROM events e JOIN events w
+         ON e.user_id = w.user_id AND w.event_type = 'error'
+        AND e.ts >= w.ts AND e.ts <= w.ts + INTERVAL 10 MINUTE
+       WHERE e.event_type IN ('view', 'click')""",
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join judged end-to-end — the
+    fourth judged streaming entry: both sides watermarked, the time
+    range bounds each side's buffered state
+    (streaming/pipeline.stream_stream_join), availableNow replay to a
+    parquet sink.  An inner stream-stream join emits every matched
+    pair as it forms (watermarks bound STATE, not emission), so under
+    a single-batch replay the emitted set is exactly the batch
+    equi+range join — the oracle."""
+    import tempfile
+
+    from ..streaming.pipeline import events_file_stream, stream_stream_join
+
+    sink = os.path.join(_sink_root(), f"ssj_{next(_SINK_SEQ)}", "out")
+    with tempfile.TemporaryDirectory(prefix="ckpt_ssj_q_") as ckpt:
+        src = events_file_stream(spark, sf_dir)
+        probes = src.filter(
+            F.col("event_type").isin("view", "click")
+        ).select("user_id", "event_id", "ts")
+        wins = src.filter(F.col("event_type") == "error").select(
+            "user_id", "event_id", "ts"
+        )
+        handle = (
+            stream_stream_join(probes, wins)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        handle.awaitTermination()
+    out = spark.read.parquet(sink)
+    return out.select(
+        "user_id",
+        "probe_event_id",
+        "window_event_id",
+        F.col("probe_ts").cast("timestamp_ntz").alias("probe_ts"),
+    )
+
+
+@q(
     "q_stream_candles",
     """WITH c AS (
          SELECT user_id AS symbol,
