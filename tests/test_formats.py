@@ -204,3 +204,32 @@ def test_tar_datasource_matches_mapinpandas_reader(spark, sf_dir, tmp_path):
         for r in read_tar_shards(spark, out).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_tar_datasource_writer_roundtrip(spark, tmp_path):
+    """Write path through the Spark 4 DataSource surface: two-phase
+    commit, one archive per partition, overwrite leaves no stale
+    shards, bytes survive the roundtrip."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from trading_etl_python_spark.sources.tar_datasource import (
+        write_tar_shards_ds,
+    )
+
+    df = spark.createDataFrame(
+        [(f"doc{i}", bytes(f"payload-{i}", "utf8")) for i in range(20)],
+        ["key", "payload"],
+    )
+    d = str(tmp_path / "shards")
+    write_tar_shards_ds(df, d, n_shards=4)
+    files = sorted(os.listdir(d))
+    assert files and all(f.endswith(".tar") for f in files)
+    back = spark.read.format("tar_shards").load(d)
+    rows = {(r["key"], bytes(r["payload"])) for r in back.collect()}
+    assert rows == {(f"doc{i}", bytes(f"payload-{i}", "utf8")) for i in range(20)}
+    # overwrite with a smaller dataset must leave no stale archives
+    write_tar_shards_ds(df.limit(5), d, n_shards=2)
+    assert spark.read.format("tar_shards").load(d).count() == 5
+    assert not [f for f in os.listdir(d) if ".tmp-" in f]

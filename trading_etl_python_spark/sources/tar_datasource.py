@@ -20,12 +20,16 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 
 class TarShardDataSource(DataSource):
-    """``format("tar_shards")`` — one row per tar member."""
+    """``format("tar_shards")`` — one row per tar member; write support
+    emits one archive per input partition (the caller chooses shard
+    count/assignment by repartitioning — see ``write_tar_shards_ds``)."""
 
     @classmethod
     def name(cls) -> str:
@@ -36,6 +40,9 @@ class TarShardDataSource(DataSource):
 
     def reader(self, schema) -> "TarShardReader":
         return TarShardReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "TarShardWriter":
+        return TarShardWriter(self.options, overwrite)
 
 
 class TarShardReader(DataSourceReader):
@@ -67,6 +74,104 @@ class TarShardReader(DataSourceReader):
                     # extractfile() returns None
                     continue
                 yield (shard, os.path.splitext(m.name)[0], tf.extractfile(m).read())
+
+
+class TarShardWriter(DataSourceWriter):
+    """One tar per input partition, written task-side to a temp name and
+    ``os.replace``d at COMMIT time — the two-phase task-commit protocol
+    through the DataSource surface: a failed/speculatively-retried task
+    leaves only invisible ``.tmp-*`` orphans (readers glob ``*.tar``),
+    and the job's effects appear atomically when the driver commits.
+
+    Input rows are (key string, payload binary).  Shard naming uses the
+    task's partition id; shard count/assignment is the caller's
+    repartition — the same contract as ``formats.write_tar_shards``."""
+
+    def __init__(self, options, overwrite: bool) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("tar_shards: .save(path) is required")
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> WriterCommitMessage:
+        import io
+        import os
+        import tarfile
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows = sorted(
+            ((r[0], bytes(r[1])) for r in iterator), key=lambda kv: kv[0]
+        )
+        if not rows:
+            return WriterCommitMessage()
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, f"shard-{pid:05d}.tar")
+        tmp = f"{out}.tmp-{uuid.uuid4().hex}"
+        with tarfile.open(tmp, "w") as tf:
+            for k, payload in rows:
+                info = tarfile.TarInfo(name=f"{k}.bin")
+                info.size = len(payload)
+                info.mtime = 0  # byte-reproducible archives
+                tf.addfile(info, io.BytesIO(payload))
+        msg = WriterCommitMessage()
+        msg.tmp, msg.final, msg.n = tmp, out, len(rows)
+        return msg
+
+    def commit(self, messages) -> None:
+        import os
+
+        if self.overwrite and os.path.isdir(self.path):
+            for old in os.listdir(self.path):
+                if old.endswith(".tar"):
+                    os.remove(os.path.join(self.path, old))
+        for m in messages:
+            if m is not None and getattr(m, "tmp", None):
+                os.replace(m.tmp, m.final)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and getattr(m, "tmp", None):
+                try:
+                    os.remove(m.tmp)
+                except OSError:
+                    pass
+
+
+def write_tar_shards_ds(
+    df,
+    path: str,
+    n_shards: int = 4,
+    key_col: str = "key",
+    payload_col: str = "payload",
+) -> None:
+    """Write (key, payload) rows as tar shards through the DataSource
+    surface: portable-hash shard assignment (same bucketing as
+    ``formats.write_tar_shards``, so re-exports are reproducible), one
+    archive per partition, two-phase commit."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sampling import hash_bucket
+
+    register_tar_datasource(df.sparkSession)
+    (
+        df.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(payload_col).cast("binary").alias("payload"),
+            hash_bucket(F.col(key_col), n_shards).alias("_shard"),
+        )
+        .repartition(n_shards, "_shard")
+        .select("key", "payload")
+        .write.format("tar_shards")
+        .mode("overwrite")
+        .option("path", path)
+        .save()
+    )
 
 
 def register_tar_datasource(spark) -> None:

@@ -3261,6 +3261,38 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_tar_writer",
+    """SELECT CAST(doc_id AS VARCHAR) AS key,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              md5(text) AS payload_md5
+       FROM documents""",
+)
+def q_tar_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tar WRITE path judged through the Spark 4 Python DataSource
+    surface (sources/tar_datasource.TarShardWriter): documents written
+    via ``df.write.format("tar_shards")`` — one archive per partition,
+    two-phase task commit (tmp + os.replace at driver commit) — then
+    read back through the DataSource reader and reduced to the
+    (key, n_bytes, md5) byte-survival contract.  Completes the
+    DataSource surface: q_tar_shards/q_tar_datasource pin the two READ
+    paths; this pins the WRITE path against the same oracle."""
+    from ..sources.tar_datasource import write_tar_shards_ds
+
+    path = os.path.join(_sink_root(), f"tarw_{next(_SINK_SEQ)}")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    write_tar_shards_ds(docs, path, n_shards=4)
+    back = spark.read.format("tar_shards").load(path)
+    return back.select(
+        "key",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+@q(
     "q_stream_join",
     """SELECT e.user_id, e.event_id AS probe_event_id,
               w.event_id AS window_event_id, e.ts AS probe_ts
