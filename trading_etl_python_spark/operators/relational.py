@@ -270,3 +270,79 @@ def hopping_window_agg(
             "sum_value",
         )
     )
+
+
+def table_diff(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Snapshot reconciliation (the anti-entropy / data-diff primitive
+    behind every table-sync audit): FULL OUTER join two snapshots on
+    the key and classify each key as added (only in b), removed (only
+    in a), changed (both, any compared column differs — NULL-safe), or
+    unchanged.  Returns per-class row counts — the summary a sync job
+    alerts on; the same join with a filter yields the row-level diff.
+
+    Scale: one co-partitioned full join on the key, everything else
+    map-side classification + one tiny aggregate.  NULL-safe equality
+    (<=>) so NULL-vs-value counts as a change and NULL-vs-NULL does
+    not."""
+    # presence flags via a dedicated marker — using the compared
+    # columns' NULLness would misclassify keys whose compared columns
+    # are legitimately all NULL
+    an = a.select(
+        *key_cols, *[F.col(c).alias(f"_a_{c}") for c in compare_cols]
+    ).withColumn("_in_a", F.lit(True))
+    bn = b.select(
+        *key_cols, *[F.col(c).alias(f"_b_{c}") for c in compare_cols]
+    ).withColumn("_in_b", F.lit(True))
+    j = an.join(bn, key_cols, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))
+    status = (
+        F.when(F.col("_in_a").isNull(), F.lit("added"))
+        .when(F.col("_in_b").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """MERGE INTO semantics as a declarative plan (WHEN MATCHED THEN
+    UPDATE, WHEN NOT MATCHED THEN INSERT): the update row wins wherever
+    its key exists, target rows without an update pass through, update
+    rows with new keys insert.  The batch form of the warehouse MERGE
+    every lakehouse table format implements — here as one full-outer
+    join + per-column coalesce(update, target), so it composes with
+    partition-overwrite sinks for the incremental-refresh path.
+
+    Scale: one co-partitioned full join on the key; at 100 TB the win
+    is pairing this with partition pruning — merge only the partitions
+    the update set touches (sinks/parquet.upsert_replace)."""
+    value_cols = [c for c in target.columns if c not in key_cols]
+    t = target.select(
+        *key_cols, *[F.col(c).alias(f"_t_{c}") for c in value_cols]
+    )
+    u = updates.select(
+        *key_cols, *[F.col(c).alias(f"_u_{c}") for c in value_cols]
+    ).withColumn("_has_u", F.lit(True))
+    j = t.join(u, key_cols, "full_outer")
+    picked = [
+        F.when(F.col("_has_u").isNotNull(), F.col(f"_u_{c}"))
+        .otherwise(F.col(f"_t_{c}"))
+        .alias(c)
+        for c in value_cols
+    ]
+    return j.select(*key_cols, *picked)

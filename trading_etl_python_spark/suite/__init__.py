@@ -54,7 +54,7 @@ _NEW_R6: list[str] = [
     "q_delta_encode", "q_rank_pct", "q_date_features", "q_entropy_profile",
     "q_hash_tf", "q_stream_candles", "q_scd2", "q_hopping_window",
     "q_zscore", "q_label_encode", "q_prefix_jaccard", "q_stream_join",
-    "q_sharpe", "q_tar_writer",
+    "q_sharpe", "q_tar_writer", "q_table_diff", "q_merge_upsert",
 ]
 # r5-certified block (fresh greens, rotate last among certified).
 _CERTIFIED_R5 = [

@@ -464,3 +464,116 @@ def q_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "order_date", F.col("order_date").cast("timestamp_ntz")
     )
+
+
+# deterministic second snapshot for the diff/merge family: drop every
+# 19th key, bump acctbal on every 7th, append re-keyed copies of every
+# 13th as new rows — pure integer predicates, identical in both engines
+_SNAP_B_SQL = """SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0
+              ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+       FROM customer WHERE c_custkey % 19 <> 0
+       UNION ALL
+       SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+       FROM customer WHERE c_custkey % 13 = 0"""
+
+
+def _snapshot_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    kept = c.filter(F.col("c_custkey") % 19 != 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 10.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    added = c.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    return kept.unionAll(added)
+
+
+@q(
+    "q_table_diff",
+    f"""WITH b AS ({_SNAP_B_SQL}),
+       a AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+       j AS (SELECT COALESCE(a.c_custkey, b.c_custkey) AS k,
+                    a.c_custkey IS NOT NULL AS in_a,
+                    b.c_custkey IS NOT NULL AS in_b,
+                    (a.c_acctbal IS NOT DISTINCT FROM b.c_acctbal)
+                    AND (a.c_mktsegment IS NOT DISTINCT FROM b.c_mktsegment)
+                      AS same
+             FROM a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey)
+       SELECT CASE WHEN NOT in_a THEN 'added'
+                   WHEN NOT in_b THEN 'removed'
+                   WHEN same THEN 'unchanged'
+                   ELSE 'changed' END AS status,
+              CAST(COUNT(*) AS BIGINT) AS n_rows
+       FROM j GROUP BY 1""",
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation summary (added/removed/changed/unchanged
+    by NULL-safe comparison) over a deterministically mutated second
+    customer snapshot — operators/relational.table_diff."""
+    a = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    return REL.table_diff(
+        a, _snapshot_b(spark, sf_dir), ["c_custkey"],
+        ["c_acctbal", "c_mktsegment"],
+    )
+
+
+@q(
+    "q_merge_upsert",
+    f"""WITH u AS (
+         SELECT c_custkey, c_acctbal + 10.0 AS c_acctbal, c_mktsegment
+         FROM customer WHERE c_custkey % 7 = 0
+         UNION ALL
+         SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+         FROM customer WHERE c_custkey % 13 = 0),
+       t AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer)
+       SELECT COALESCE(t.c_custkey, u.c_custkey) AS c_custkey,
+              ROUND(CASE WHEN u.c_custkey IS NOT NULL
+                         THEN u.c_acctbal ELSE t.c_acctbal END, 4)
+                AS c_acctbal,
+              CASE WHEN u.c_custkey IS NOT NULL
+                   THEN u.c_mktsegment ELSE t.c_mktsegment END
+                AS c_mktsegment
+       FROM t FULL OUTER JOIN u ON t.c_custkey = u.c_custkey""",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (WHEN MATCHED UPDATE / WHEN NOT MATCHED
+    INSERT) as one full-outer join + coalesce —
+    operators/relational.merge_upsert applied to a deterministic
+    change set."""
+    t = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    c = load_table(spark, sf_dir, "customer")
+    u = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal") + 10.0).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        .unionAll(
+            c.filter(F.col("c_custkey") % 13 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                "c_acctbal",
+                "c_mktsegment",
+            )
+        )
+    )
+    out = REL.merge_upsert(t, u, ["c_custkey"])
+    return out.select(
+        "c_custkey",
+        F.round("c_acctbal", 4).alias("c_acctbal"),
+        "c_mktsegment",
+    )
