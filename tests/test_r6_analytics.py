@@ -1,0 +1,144 @@
+"""Round-6 analytics family: ichimoku, pivot points, VaR/ES, ACF,
+EWMA volatility, volume profile, pairs spread, return moments, DSIR
+weights (operators/analytics.py, operators/curation.dsir_weights)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from trading_etl_python_spark.operators import analytics as AN
+from trading_etl_python_spark.operators.curation import dsir_weights
+
+
+def _ohlc(spark, rows):
+    """rows: (symbol, time_str, event_id, high, low, close)"""
+    return spark.createDataFrame(
+        [(s, t, e, float(h), float(lo), float(c)) for s, t, e, h, lo, c in rows],
+        "symbol long, time string, event_id long, high double, low double, close double",
+    ).withColumn("time", F.col("time").cast("timestamp"))
+
+
+def _daily(spark, rows):
+    """rows: (symbol, day_str, close) -> one bar per day."""
+    return _ohlc(
+        spark,
+        [(s, d, i, c, c, c) for i, (s, d, c) in enumerate(rows)],
+    ).withColumn("volume", F.lit(1).cast("long"))
+
+
+def test_ichimoku_midpoints_and_warmup(spark):
+    rows = [(1, f"2024-01-{d:02d}", d, 10.0 + d, 5.0 + d, 7.0 + d) for d in range(1, 12)]
+    out = {r.event_id: r for r in AN.ichimoku(_ohlc(spark, rows), tenkan=3, kijun=5, senkou=9).collect()}
+    assert out[1].tenkan is None and out[2].tenkan is None
+    # rows 1..3: max high 13, min low 6 -> tenkan (13+6)/2
+    assert out[3].tenkan == (13.0 + 6.0) / 2
+    assert out[4].kijun is None and out[4].senkou_a is None
+    # rows 1..5: max high 15, min low 6
+    assert out[5].kijun == (15.0 + 6.0) / 2
+    assert out[5].senkou_a == (out[5].tenkan + out[5].kijun) / 2
+    assert out[8].senkou_b is None
+    assert out[9].senkou_b == (19.0 + 6.0) / 2
+
+
+def test_pivot_points_classic_levels(spark):
+    rows = [
+        (1, "2024-01-01 09:00", 1, 110.0, 90.0, 100.0),
+        (1, "2024-01-01 16:00", 2, 105.0, 95.0, 102.0),  # last close day 1
+        (1, "2024-01-02 09:00", 3, 120.0, 100.0, 110.0),
+    ]
+    out = AN.pivot_points(_ohlc(spark, rows)).collect()
+    assert len(out) == 1  # day 1 has no prior session
+    r = out[0]
+    p = (110.0 + 90.0 + 102.0) / 3.0
+    assert r.pivot == p
+    assert r.r1 == 2.0 * p - 90.0 and r.s1 == 2.0 * p - 110.0
+    assert r.r2 == p + 20.0 and r.s2 == p - 20.0
+
+
+def test_var_es_rank_based_tail(spark):
+    # 21 daily closes -> 20 returns, k = ceil(20/20) = 1: VaR = ES = worst return
+    closes = [100.0] * 21
+    closes[10] = 80.0  # one big drop (and recovery)
+    rows = [(1, f"2024-01-{d:02d}", closes[d - 1]) for d in range(1, 22)]
+    out = AN.var_es(_daily(spark, rows), tail=20, min_days=15).collect()
+    assert len(out) == 1
+    worst = round(math.log(80.0 / 100.0), 6)
+    assert out[0].var_95 == worst
+    assert out[0].es_95 == math.floor(worst * 1e6) / 1e6
+    assert out[0].n_days == 20
+
+
+def test_acf_alternating_series_negative_lag1(spark):
+    # closes alternate 100, 110 -> returns alternate +x, -x: acf(1) = -1, acf(2) = +1
+    rows = [(1, f"2024-01-{d:02d}", 100.0 if d % 2 else 110.0) for d in range(1, 31)]
+    out = {r.lag: r for r in AN.return_acf(_daily(spark, rows), max_lag=2, min_pairs=10).collect()}
+    assert out[1].acf == pytest.approx(-1.0, abs=1e-3)
+    assert out[2].acf == pytest.approx(1.0, abs=1e-3)
+
+
+def test_ewma_vol_matches_manual_fold(spark):
+    closes = [100.0, 102.0, 99.0, 101.0, 98.0, 103.0]
+    rows = [(1, f"2024-01-{d:02d}", closes[d - 1]) for d in range(1, 7)]
+    out = sorted(AN.ewma_volatility(_daily(spark, rows), lam=0.94).collect(), key=lambda r: r.day)
+    rs = [round(math.log(closes[i + 1] / closes[i]), 6) for i in range(5)]
+    v = 0.0
+    for i, x in enumerate(rs):
+        v = x * x if i == 0 else 0.94 * v + (1.0 - 0.94) * (x * x)
+        got = out[i].ewma_vol
+        assert got == pytest.approx(math.sqrt(v), abs=1e-6)
+
+
+def test_volume_profile_shares_sum_to_one(spark):
+    rows = [(1, "2024-01-01", 1, 10.0, 10.0, 15.0), (1, "2024-01-01", 2, 10.0, 10.0, 25.0),
+            (1, "2024-01-01", 3, 10.0, 10.0, 26.0), (2, "2024-01-01", 4, 10.0, 10.0, 5.0)]
+    df = _ohlc(spark, rows).withColumn("volume", F.col("event_id") * 10)
+    out = AN.volume_profile(df, bin_width=10.0).collect()
+    assert {(r.symbol, r.bin_low) for r in out} == {(1, 10.0), (1, 20.0), (2, 0.0)}
+    by_sym = {}
+    for r in out:
+        by_sym.setdefault(r.symbol, 0.0)
+        by_sym[r.symbol] += r.vol_share
+    assert all(abs(v - 1.0) < 1e-9 for v in by_sym.values())
+    b1 = {r.bin_low: r.bin_volume for r in out if r.symbol == 1}
+    assert b1 == {10.0: 10, 20.0: 50}
+
+
+def test_pairs_spread_constant_ratio_zero_z(spark):
+    # symbol 2 = 2x symbol 1 every day -> ratio constant, sd ~ 0, last_z NULL
+    rows = []
+    for d in range(1, 21):
+        rows += [(1, f"2024-01-{d:02d}", 100.0 + d), (2, f"2024-01-{d:02d}", 2 * (100.0 + d))]
+    out = AN.pairs_spread(_daily(spark, rows), basket_max_symbol=50, min_days=15).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.symbol_a == 1 and r.symbol_b == 2 and r.n_days == 20
+    assert r.mean_ratio == pytest.approx(0.5, abs=1e-6)
+    assert r.sd_ratio == pytest.approx(0.0, abs=1e-6)
+    assert r.last_z is None  # sd == 0 -> NULLIF guard
+
+
+def test_return_moments_symmetric_zero_skew(spark):
+    # symmetric +x/-x return pattern -> skew ~ 0
+    closes = [100.0]
+    for i in range(20):
+        closes.append(closes[-1] * (1.1 if i % 2 == 0 else 1 / 1.1))
+    rows = [(1, f"2024-01-{d:02d}", closes[d - 1]) for d in range(1, 22)]
+    out = AN.return_moments(_daily(spark, rows), min_days=15).collect()
+    assert len(out) == 1
+    assert out[0].skew == pytest.approx(0.0, abs=1e-2)
+
+
+def test_dsir_weights_upweight_target_language(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat", "en"), (2, "the dog ran to the cat", "en"),
+         (3, "el gato y el perro", "es"), (4, "le chat et le chien", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in dsir_weights(docs, target_lang="en").collect()}
+    assert len(out) == 4 and all(out[i].n_tokens > 0 for i in out)
+    en_scores = [out[1].avg_logratio, out[2].avg_logratio]
+    other = [out[3].avg_logratio, out[4].avg_logratio]
+    assert min(en_scores) > max(other)

@@ -325,3 +325,325 @@ def symbol_sharpe(df: DataFrame, min_days: int = 15, periods: int = 252) -> Data
         )
         .filter(F.col("n_days") >= min_days)
     )
+
+
+def ichimoku(
+    df: DataFrame, tenkan: int = 9, kijun: int = 26, senkou: int = 52
+) -> DataFrame:
+    """Ichimoku baseline lines per bar: tenkan/kijun/senkou-B are the
+    midpoint (max(high)+min(low))/2 over their row lookbacks, senkou-A
+    the mean of tenkan and kijun (the standard definitions; the chart's
+    26-bar forward displacement is a rendering offset, not a
+    computation, so values are emitted at their source row).  Each line
+    is NULL until its full lookback exists (the reference's SMA warmup
+    discipline, SURVEY.md W12).
+
+    Scale shape: four fixed-frame window aggregates over ONE
+    hash(symbol) exchange — identical envelope to the indicator table
+    (PLANS.md §1); max/min midpoints are exact float arithmetic, so
+    the lines are emitted UNROUNDED: every input is selected (max/min)
+    then combined with fixed IEEE ops in identical order on both
+    engines, so the doubles are bit-equal — rounding would only
+    INTRODUCE parity risk at decimal boundaries (engines round
+    differently on .xxxx5 representations)."""
+    kw = W.by_key()
+    rn = F.row_number().over(kw)
+
+    def mid(n: int):
+        w = kw.rowsBetween(-(n - 1), Window.currentRow)
+        return (F.max("high").over(w) + F.min("low").over(w)) / 2.0
+
+    t, k, s = mid(tenkan), mid(kijun), mid(senkou)
+    return (
+        df.withColumn("_rn", rn)
+        .withColumn("tenkan", F.when(F.col("_rn") >= tenkan, t))
+        .withColumn("kijun", F.when(F.col("_rn") >= kijun, k))
+        .withColumn("senkou_a", F.when(F.col("_rn") >= kijun, (t + k) / 2.0))
+        .withColumn("senkou_b", F.when(F.col("_rn") >= senkou, s))
+        .drop("_rn")
+    )
+
+
+def pivot_points(df: DataFrame) -> DataFrame:
+    """Classic floor-trader pivot levels for each (symbol, day) from the
+    PRIOR day's high/low/close: P=(H+L+C)/3, R1=2P-L, S1=2P-H,
+    R2=P+(H-L), S2=P-(H-L).  Days without a prior session are dropped
+    (no levels to trade).  Levels are UNROUNDED: selection (max/min/
+    last-row) plus fixed-order IEEE arithmetic is bit-equal across
+    engines, while decimal rounding of these near-boundary dyadic
+    values is not (ichimoku rationale).
+
+    The daily H/L/C reduce is one hash(symbol, day) exchange (the same
+    grid every cross-sectional query rides); C is the last tick by the
+    deterministic (time, event_id) order, picked by row_number — no
+    engine-specific last_value frame semantics."""
+    b = df.withColumn("day", F.to_date("time"))
+    wd = Window.partitionBy("symbol", "day")
+    wlast = wd.orderBy(F.col("time").desc(), F.col("event_id").desc())
+    daily = (
+        b.select(
+            "symbol",
+            "day",
+            F.max("high").over(wd).alias("h"),
+            F.min("low").over(wd).alias("l"),
+            F.col("close").alias("c"),
+            F.row_number().over(wlast).alias("_rn"),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    ws = Window.partitionBy("symbol").orderBy("day")
+    ph, pl, pc = (F.lag(c, 1).over(ws) for c in ("h", "l", "c"))
+    p = (ph + pl + pc) / 3.0
+    return (
+        daily.select(
+            "symbol",
+            F.col("day").cast("timestamp").alias("day"),
+            p.alias("pivot"),
+            (2.0 * p - pl).alias("r1"),
+            (2.0 * p - ph).alias("s1"),
+            (p + (ph - pl)).alias("r2"),
+            (p - (ph - pl)).alias("s2"),
+        )
+        .filter(F.col("pivot").isNotNull())
+    )
+
+
+def _daily_returns(df: DataFrame) -> DataFrame:
+    """Day-aligned 6dp log returns per symbol — the shared input of the
+    risk statistics (sharpe/VaR/ACF/moments); one hash(symbol, day)
+    exchange then window math on the tiny |symbols| x |days| grid."""
+    d = daily_close(df)
+    wd = Window.partitionBy("symbol").orderBy("day")
+    prev_d = F.lag("close_d", 1).over(wd)
+    return d.withColumn(
+        "r",
+        F.when(
+            (prev_d > 0) & (F.col("close_d") > 0),
+            F.round(F.log(F.col("close_d") / prev_d), 6),
+        ),
+    ).filter(F.col("r").isNotNull())
+
+
+def var_es(df: DataFrame, tail: int = 20, min_days: int = 15) -> DataFrame:
+    """Historical Value-at-Risk and Expected Shortfall per symbol at the
+    1/``tail`` level (tail=20 -> 95%), RANK-BASED: with k =
+    ceil(n/tail), VaR is the k-th smallest daily return and ES the mean
+    of the k smallest.  The rank form (order statistics, no quantile
+    interpolation) is deliberately chosen over quantile_cont: ranks
+    over 6dp-rounded returns with a day tiebreak are integer-exact on
+    every engine, so the oracle can never flip on interpolation-formula
+    or float-accumulation differences (the q_spearman lesson,
+    PLANS.md §23)."""
+    r = _daily_returns(df)
+    wn = Window.partitionBy("symbol")
+    wr = wn.orderBy(F.col("r").asc(), F.col("day").asc())
+    s = r.select(
+        "symbol",
+        "r",
+        F.row_number().over(wr).alias("_rn"),
+        F.floor(
+            (F.count(F.lit(1)).over(wn) + F.lit(tail - 1)) / F.lit(float(tail))
+        ).alias("_k"),
+    )
+    in_tail = F.when(F.col("_rn") <= F.col("_k"), F.col("r"))
+    # ES averages k exact-6dp decimals, so a plain 6dp ROUND sits on a
+    # rounding boundary every other symbol (half-digit quotients) and
+    # the engines disagree there.  Scaled-integer form instead: sum the
+    # returns in exact micro units (BIGINT), floor-divide by k, scale
+    # back — pure integer + one correctly-rounded double division, no
+    # decimal rounding anywhere.
+    micro = F.when(
+        F.col("_rn") <= F.col("_k"),
+        F.round(F.col("r") * F.lit(1000000.0), 0).cast("long"),
+    )
+    return (
+        s.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.max(in_tail).alias("var_95"),
+            (
+                F.floor(
+                    F.sum(micro).cast("double") / F.max("_k").cast("double")
+                )
+                / F.lit(1000000.0)
+            ).alias("es_95"),
+        )
+        .filter(F.col("n_days") >= min_days)
+    )
+
+
+def return_acf(df: DataFrame, max_lag: int = 3, min_pairs: int = 15) -> DataFrame:
+    """Autocorrelation of daily log returns at lags 1..``max_lag`` per
+    symbol (the mean-reversion / momentum screen): corr(r_t, r_{t-L})
+    over the day grid, pairs where both sides exist.  The lag columns
+    unpivot through ``stack`` so all lags ride ONE window pass and one
+    aggregation — no per-lag re-scan."""
+    r = _daily_returns(df)
+    wd = Window.partitionBy("symbol").orderBy("day")
+    lagged = r.select(
+        "symbol",
+        "r",
+        *[F.lag("r", L).over(wd).alias(f"_p{L}") for L in range(1, max_lag + 1)],
+    )
+    stack_args = ", ".join(f"{L}, _p{L}" for L in range(1, max_lag + 1))
+    u = lagged.select(
+        "symbol",
+        "r",
+        F.expr(f"stack({max_lag}, {stack_args}) AS (lag, r_prev)"),
+    ).filter(F.col("r_prev").isNotNull())
+    return (
+        u.groupBy("symbol", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.corr("r", "r_prev"), 4).alias("acf"),
+        )
+        .filter(F.col("n_pairs") >= min_pairs)
+    )
+
+
+def ewma_volatility(df: DataFrame, lam: float = 0.94) -> DataFrame:
+    """RiskMetrics EWMA volatility over daily returns: v_1 = r_1^2,
+    v_t = lam*v_{t-1} + (1-lam)*r_t^2, emitted as sqrt(v) 6dp.  A true
+    linear recurrence (previous OUTPUT feeds each step), so like the
+    EMA family it runs as a grouped Arrow kernel per symbol
+    (operators/recursive.py rationale) — the day grid it folds over is
+    |days| per key regardless of tick volume, and the heavy lineage is
+    the one hash(symbol, day) pre-aggregation.  The numpy fold mirrors
+    the oracle's recursive CTE operation-for-operation (lam*v then
+    (1.0-lam)*(r*r), strict left order) so the floats are bit-equal."""
+    import pandas as pd
+
+    from .recursive import round_half_up
+
+    r = _daily_returns(df).select("symbol", "day", "r")
+    beta = 1.0 - lam
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        rv = pdf["r"].to_numpy(dtype="float64")
+        v = 0.0
+        out = []
+        for i, x in enumerate(rv):
+            v = x * x if i == 0 else lam * v + beta * (x * x)
+            out.append(v)
+        import numpy as np
+
+        pdf["ewma_vol"] = round_half_up(np.sqrt(np.array(out)), 6)
+        return pdf[["symbol", "day", "ewma_vol"]]
+
+    out = r.groupBy("symbol").applyInPandas(
+        kernel, "symbol long, day date, ewma_vol double"
+    )
+    return out.select(
+        "symbol", F.col("day").cast("timestamp").alias("day"), "ewma_vol"
+    )
+
+
+def volume_profile(df: DataFrame, bin_width: float = 10.0) -> DataFrame:
+    """Volume-at-price profile per symbol: total volume and tick count
+    per fixed price bin (floor(close/width)*width), plus each bin's
+    share of the symbol's volume — the market-structure histogram
+    behind point-of-control / value-area analytics.  One
+    hash(symbol, bin) exchange over exact integer volume sums; the
+    share divides two exact BIGINTs so the 6dp round is stable."""
+    b = df.withColumn(
+        "bin_low", F.floor(F.col("close") / F.lit(bin_width)) * F.lit(bin_width)
+    )
+    agg = b.groupBy("symbol", "bin_low").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum("volume").alias("bin_volume"),
+    )
+    wtot = Window.partitionBy("symbol")
+    return agg.select(
+        "symbol",
+        "bin_low",
+        "n_ticks",
+        "bin_volume",
+        F.round(
+            F.col("bin_volume").cast("double")
+            / F.sum("bin_volume").over(wtot).cast("double"),
+            6,
+        ).alias("vol_share"),
+    )
+
+
+def pairs_spread(
+    df: DataFrame, basket_max_symbol: int = 50, min_days: int = 15
+) -> DataFrame:
+    """Pairs-trading ratio statistics per basket pair: the day-aligned
+    close ratio's mean and sample stddev, and the LATEST day's z-score
+    against them (the entry/exit signal).  Same |basket|^2 x |days|
+    envelope as basket_correlation; the latest ratio is arg_max by the
+    unique day key (deterministic, no last_value frames).  Closes are
+    6dp-rounded BEFORE the ratio (module parity rule) and the ratio
+    6dp-rounded before the moments."""
+    d = daily_close(df.filter(F.col("symbol") < basket_max_symbol))
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.symbol") < F.col("b.symbol")),
+    ).select(
+        F.col("a.symbol").alias("symbol_a"),
+        F.col("b.symbol").alias("symbol_b"),
+        F.col("a.day").alias("day"),
+        F.round(
+            F.round(F.col("a.close_d"), 6) / F.round(F.col("b.close_d"), 6), 6
+        ).alias("ratio"),
+    )
+    sd = F.stddev_samp("ratio")
+    # mean of exact-6dp ratios sits on decimal rounding boundaries
+    # (var_es rationale) — scaled-integer floor instead; sd/z involve
+    # sqrt and stay safely irrational under a plain round.
+    micro = F.round(F.col("ratio") * F.lit(1000000.0), 0).cast("long")
+    return (
+        pairs.withColumn("_micro", micro)
+        .groupBy("symbol_a", "symbol_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            (
+                F.floor(
+                    F.sum("_micro").cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                )
+                / F.lit(1000000.0)
+            ).alias("mean_ratio"),
+            F.round(sd, 6).alias("sd_ratio"),
+            F.round(
+                (F.max_by("ratio", "day") - F.avg("ratio"))
+                / F.nullif(sd, F.lit(0.0)),
+                4,
+            ).alias("last_z"),
+        )
+        .filter(F.col("n_days") >= min_days)
+    )
+
+
+def return_moments(df: DataFrame, min_days: int = 15) -> DataFrame:
+    """Skewness and excess kurtosis of daily log returns per symbol via
+    the explicit two-pass central-moment form: center on the 6dp-rounded
+    per-symbol mean, then skew = m3/sqrt(m2^3), kurt = m4/m2^2 - 3.
+    The formula is spelled out (not the built-in skewness/kurtosis)
+    because engines disagree on bias correction — the explicit form is
+    the same arithmetic everywhere, and sqrt(m2*m2*m2) avoids pow()
+    libm drift (sqrt is IEEE correctly-rounded; pow is not)."""
+    r = _daily_returns(df)
+    mu = F.round(F.avg("r").over(Window.partitionBy("symbol")), 6)
+    c = r.select("symbol", "r", (F.col("r") - mu).alias("d"))
+    m2 = F.avg(F.col("d") * F.col("d"))
+    m3 = F.avg(F.col("d") * F.col("d") * F.col("d"))
+    m4 = F.avg(F.col("d") * F.col("d") * F.col("d") * F.col("d"))
+    return (
+        c.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(
+                m3 / F.nullif(F.sqrt(m2 * m2 * m2), F.lit(0.0)), 4
+            ).alias("skew"),
+            F.round(m4 / F.nullif(m2 * m2, F.lit(0.0)) - 3.0, 4).alias(
+                "ex_kurtosis"
+            ),
+        )
+        .filter(F.col("n_days") >= min_days)
+    )

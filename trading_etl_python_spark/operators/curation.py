@@ -182,3 +182,65 @@ def tier_by_cutpoints(
             F.col(score_col) <= F.element_at(F.col("_cuts"), i + 1), F.lit(labels[i])
         ).otherwise(tier)
     return df.crossJoin(F.broadcast(cuts)).withColumn("tier", tier).drop("_cuts")
+
+
+def dsir_weights(
+    docs: DataFrame, target_lang: str = "en", id_col: str = "doc_id"
+) -> DataFrame:
+    """Data-Selection-with-Importance-Resampling weights (Xie et al.
+    2023, arXiv:2302.03169, the hashed-ngram variant simplified to
+    unigrams): score every document by the mean per-token log-ratio
+    ln(p_target(w) / p_source(w)) between an add-1-smoothed unigram LM
+    of the TARGET domain (here: lang == ``target_lang``) and one of the
+    full corpus.  High scores mark documents that look like the target
+    domain — the standard pretraining-data upsampling signal.
+
+    Scale posture: both LMs are vocabulary-sized aggregates of the one
+    exploded token stream (shared scan); the per-token score joins the
+    stream against the two frequency tables on the token key (AQE
+    broadcasts them when small — never hard-broadcast, web-scale vocab
+    is not driver-sized) and the totals ride a broadcast 1-row cross
+    join.  No Python anywhere; smoothing keeps every token finite so
+    the join can stay inner over the source vocab (a token absent from
+    the source LM cannot occur — the stream IS the source corpus)."""
+    from .text import with_tokens
+
+    tok = with_tokens(docs).select(
+        F.col(id_col), "lang", F.explode("_toks").alias("token")
+    )
+    freq_s = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cs"))
+    freq_t = (
+        tok.filter(F.col("lang") == target_lang)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = freq_s.agg(
+        F.sum("cs").alias("tot_s"),
+        F.count(F.lit(1)).alias("vocab"),
+    ).crossJoin(
+        tok.filter(F.col("lang") == target_lang).agg(
+            F.count(F.lit(1)).alias("tot_t")
+        )
+    )
+    scored = (
+        tok.join(freq_s, "token")
+        .join(freq_t, "token", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col(id_col),
+            F.log(
+                (
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tot_t") + F.col("vocab")).cast("double")
+                )
+                / (
+                    (F.col("cs") + 1).cast("double")
+                    / (F.col("tot_s") + F.col("vocab")).cast("double")
+                )
+            ).alias("lr"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg("lr"), 4).alias("avg_logratio"),
+    )

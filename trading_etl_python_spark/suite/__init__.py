@@ -55,6 +55,8 @@ _NEW_R6: list[str] = [
     "q_hash_tf", "q_stream_candles", "q_scd2", "q_hopping_window",
     "q_zscore", "q_label_encode", "q_prefix_jaccard", "q_stream_join",
     "q_sharpe", "q_tar_writer", "q_table_diff", "q_merge_upsert",
+    "q_ichimoku", "q_pivot_points", "q_var_es", "q_acf", "q_ewma_vol",
+    "q_volume_profile", "q_pairs_spread", "q_moments", "q_dsir_weights",
 ]
 # r5-certified block (fresh greens, rotate last among certified).
 _CERTIFIED_R5 = [

@@ -567,3 +567,199 @@ def q_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Annualized Sharpe ratio + volatility per symbol over daily log
     returns (operators/analytics.symbol_sharpe)."""
     return AN.symbol_sharpe(bars(spark, sf_dir), min_days=15)
+
+
+# Day-aligned 6dp daily-return CTE shared by the risk statistics
+# (mirrors operators/analytics._daily_returns exactly).
+DAILY_RET = """d AS (SELECT symbol, CAST(time AS DATE) AS day, AVG(close) AS close_d
+          FROM bars GROUP BY symbol, CAST(time AS DATE)),
+    r AS (SELECT symbol, day,
+            CASE WHEN LAG(close_d) OVER (PARTITION BY symbol ORDER BY day) > 0
+                      AND close_d > 0
+                 THEN ROUND(LN(close_d / LAG(close_d)
+                      OVER (PARTITION BY symbol ORDER BY day)), 6) END AS r
+          FROM d QUALIFY r IS NOT NULL)"""
+
+
+@q(
+    "q_ichimoku",
+    f"""WITH {BARS_CTE},
+    b AS (SELECT symbol, time, event_id,
+            ROW_NUMBER() OVER ({KW}) AS rn,
+            (MAX(high) OVER w9 + MIN(low) OVER w9) / 2.0 AS t,
+            (MAX(high) OVER w26 + MIN(low) OVER w26) / 2.0 AS k,
+            (MAX(high) OVER w52 + MIN(low) OVER w52) / 2.0 AS s
+          FROM bars
+          WINDOW w9 AS ({KW} ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+                 w26 AS ({KW} ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+                 w52 AS ({KW} ROWS BETWEEN 51 PRECEDING AND CURRENT ROW))
+    SELECT symbol, time, event_id,
+      CASE WHEN rn >= 9 THEN t END AS tenkan,
+      CASE WHEN rn >= 26 THEN k END AS kijun,
+      CASE WHEN rn >= 26 THEN (t + k) / 2.0 END AS senkou_a,
+      CASE WHEN rn >= 52 THEN s END AS senkou_b
+    FROM b""",
+)
+def q_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ichimoku midpoint lines (tenkan/kijun/senkou A+B) per bar —
+    operators/analytics.ichimoku."""
+    return AN.ichimoku(bars(spark, sf_dir)).select(
+        "symbol", "time", "event_id", "tenkan", "kijun", "senkou_a", "senkou_b"
+    )
+
+
+@q(
+    "q_pivot_points",
+    f"""WITH {BARS_CTE},
+    b AS (SELECT symbol, CAST(time AS DATE) AS day, time, event_id, high, low, close
+          FROM bars),
+    d AS (SELECT symbol, day,
+            MAX(high) OVER w AS h, MIN(low) OVER w AS l, close AS c,
+            ROW_NUMBER() OVER (PARTITION BY symbol, day
+                               ORDER BY time DESC, event_id DESC) AS rn
+          FROM b WINDOW w AS (PARTITION BY symbol, day)),
+    dd AS (SELECT symbol, day, h, l, c FROM d WHERE rn = 1),
+    p AS (SELECT symbol, day,
+            LAG(h) OVER ws AS ph, LAG(l) OVER ws AS pl, LAG(c) OVER ws AS pc
+          FROM dd WINDOW ws AS (PARTITION BY symbol ORDER BY day))
+    SELECT symbol, CAST(day AS TIMESTAMP) AS day,
+      (ph + pl + pc) / 3.0 AS pivot,
+      2.0 * ((ph + pl + pc) / 3.0) - pl AS r1,
+      2.0 * ((ph + pl + pc) / 3.0) - ph AS s1,
+      (ph + pl + pc) / 3.0 + (ph - pl) AS r2,
+      (ph + pl + pc) / 3.0 - (ph - pl) AS s2
+    FROM p WHERE ph IS NOT NULL""",
+)
+def q_pivot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic prior-day floor-trader pivot levels per (symbol, day) —
+    operators/analytics.pivot_points."""
+    return AN.pivot_points(bars(spark, sf_dir))
+
+
+@q(
+    "q_var_es",
+    f"""WITH {BARS_CTE},
+    {DAILY_RET},
+    s AS (SELECT symbol, r,
+            ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY r, day) AS rn,
+            COUNT(*) OVER (PARTITION BY symbol) AS n
+          FROM r)
+    SELECT symbol, COUNT(*) AS n_days,
+      MAX(CASE WHEN rn <= CAST(FLOOR((n + 19) / 20.0) AS BIGINT) THEN r END)
+        AS var_95,
+      FLOOR(CAST(SUM(CASE WHEN rn <= CAST(FLOOR((n + 19) / 20.0) AS BIGINT)
+                     THEN CAST(ROUND(r * 1000000.0, 0) AS BIGINT) END) AS DOUBLE)
+            / CAST(MAX(CASE WHEN rn <= CAST(FLOOR((n + 19) / 20.0) AS BIGINT)
+                        THEN rn END) AS DOUBLE)) / 1000000.0
+        AS es_95
+    FROM s GROUP BY symbol HAVING COUNT(*) >= 15""",
+)
+def q_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based historical VaR-95 / ES-95 per symbol (order
+    statistics, no quantile interpolation) — operators/analytics.var_es."""
+    return AN.var_es(bars(spark, sf_dir), tail=20, min_days=15)
+
+
+@q(
+    "q_acf",
+    f"""WITH {BARS_CTE},
+    {DAILY_RET},
+    l AS (SELECT symbol, r,
+            LAG(r, 1) OVER ws AS p1, LAG(r, 2) OVER ws AS p2,
+            LAG(r, 3) OVER ws AS p3
+          FROM r WINDOW ws AS (PARTITION BY symbol ORDER BY day)),
+    u AS (SELECT symbol, 1 AS lag, r, p1 AS r_prev FROM l
+          UNION ALL SELECT symbol, 2, r, p2 FROM l
+          UNION ALL SELECT symbol, 3, r, p3 FROM l)
+    SELECT symbol, lag, COUNT(*) AS n_pairs, ROUND(CORR(r, r_prev), 4) AS acf
+    FROM u WHERE r_prev IS NOT NULL
+    GROUP BY symbol, lag HAVING COUNT(*) >= 15""",
+)
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-return autocorrelation at lags 1..3 per symbol —
+    operators/analytics.return_acf."""
+    return AN.return_acf(bars(spark, sf_dir), max_lag=3, min_pairs=15)
+
+
+@q(
+    "q_ewma_vol",
+    f"""WITH RECURSIVE {BARS_CTE},
+    {DAILY_RET},
+    rr AS (SELECT symbol, day, r,
+             ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day) AS rn
+           FROM r),
+    rec AS (
+      SELECT symbol, day, rn, r * r AS v FROM rr WHERE rn = 1
+      UNION ALL
+      SELECT b.symbol, b.day, b.rn, 0.94 * rec.v + (1.0 - 0.94) * (b.r * b.r)
+      FROM rr b JOIN rec ON b.symbol = rec.symbol AND b.rn = rec.rn + 1)
+    SELECT symbol, CAST(day AS TIMESTAMP) AS day,
+      ROUND(SQRT(v), 6) AS ewma_vol FROM rec""",
+)
+def q_ewma_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RiskMetrics EWMA volatility (lambda=0.94) over daily returns,
+    recursive Arrow kernel vs recursive-CTE oracle —
+    operators/analytics.ewma_volatility."""
+    return AN.ewma_volatility(bars(spark, sf_dir), lam=0.94)
+
+
+@q(
+    "q_volume_profile",
+    f"""WITH {BARS_CTE},
+    b AS (SELECT symbol, FLOOR(close / 10.0) * 10.0 AS bin_low, volume FROM bars),
+    a AS (SELECT symbol, bin_low, COUNT(*) AS n_ticks,
+            CAST(SUM(volume) AS BIGINT) AS bin_volume
+          FROM b GROUP BY symbol, bin_low)
+    SELECT symbol, bin_low, n_ticks, bin_volume,
+      ROUND(CAST(bin_volume AS DOUBLE)
+            / CAST(SUM(bin_volume) OVER (PARTITION BY symbol) AS DOUBLE), 6)
+        AS vol_share
+    FROM a""",
+)
+def q_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-at-price histogram per symbol (fixed 10.0-wide bins) with
+    per-bin volume share — operators/analytics.volume_profile."""
+    return AN.volume_profile(bars(spark, sf_dir), bin_width=10.0)
+
+
+@q(
+    "q_pairs_spread",
+    f"""WITH {BARS_CTE},
+    d AS (SELECT symbol, CAST(time AS DATE) AS day, ROUND(AVG(close), 6) AS close_d
+          FROM bars WHERE symbol < 50 GROUP BY symbol, CAST(time AS DATE)),
+    p AS (SELECT a.symbol AS symbol_a, b.symbol AS symbol_b, a.day AS day,
+            ROUND(a.close_d / b.close_d, 6) AS ratio
+          FROM d a JOIN d b ON a.day = b.day AND a.symbol < b.symbol)
+    SELECT symbol_a, symbol_b, COUNT(*) AS n_days,
+      FLOOR(CAST(SUM(CAST(ROUND(ratio * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE)) / 1000000.0 AS mean_ratio,
+      ROUND(STDDEV_SAMP(ratio), 6) AS sd_ratio,
+      ROUND((arg_max(ratio, day) - AVG(ratio))
+            / NULLIF(STDDEV_SAMP(ratio), 0.0), 4) AS last_z
+    FROM p GROUP BY symbol_a, symbol_b HAVING COUNT(*) >= 15""",
+)
+def q_pairs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs-trading ratio mean/stddev + latest-day z-score per basket
+    pair — operators/analytics.pairs_spread."""
+    return AN.pairs_spread(bars(spark, sf_dir), basket_max_symbol=50, min_days=15)
+
+
+@q(
+    "q_moments",
+    f"""WITH {BARS_CTE},
+    {DAILY_RET},
+    m AS (SELECT symbol, r,
+            ROUND(AVG(r) OVER (PARTITION BY symbol), 6) AS mu
+          FROM r),
+    c AS (SELECT symbol, r - mu AS d FROM m)
+    SELECT symbol, COUNT(*) AS n_days,
+      ROUND(AVG(d * d * d)
+            / NULLIF(SQRT(AVG(d * d) * AVG(d * d) * AVG(d * d)), 0.0), 4) AS skew,
+      ROUND(AVG(d * d * d * d)
+            / NULLIF(AVG(d * d) * AVG(d * d), 0.0) - 3.0, 4) AS ex_kurtosis
+    FROM c GROUP BY symbol HAVING COUNT(*) >= 15""",
+)
+def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit two-pass skewness / excess kurtosis of daily returns per
+    symbol — operators/analytics.return_moments."""
+    return AN.return_moments(bars(spark, sf_dir), min_days=15)

@@ -3575,3 +3575,31 @@ def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.prefix_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.5, shingle_n=3
     )
+
+
+@q(
+    "q_dsir_weights",
+    f"""WITH tok AS (
+         SELECT doc_id, lang, unnest({TOKS}) AS token FROM documents),
+       fs AS (SELECT token, COUNT(*) AS cs FROM tok GROUP BY token),
+       ft AS (SELECT token, COUNT(*) AS ct FROM tok WHERE lang = 'en'
+              GROUP BY token),
+       tot AS (SELECT (SELECT COUNT(*) FROM tok) AS tot_s,
+                      (SELECT COUNT(*) FROM fs) AS vocab,
+                      (SELECT COUNT(*) FROM tok WHERE lang = 'en') AS tot_t),
+       j AS (SELECT t.doc_id,
+               LN(((COALESCE(ft.ct, 0) + 1)
+                     / CAST(tot.tot_t + tot.vocab AS DOUBLE))
+                  / ((fs.cs + 1)
+                     / CAST(tot.tot_s + tot.vocab AS DOUBLE))) AS lr
+             FROM tok t JOIN fs USING (token) LEFT JOIN ft USING (token), tot)
+       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              ROUND(AVG(lr), 4) AS avg_logratio
+       FROM j GROUP BY doc_id""",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (add-1 unigram LM log-ratio, target =
+    lang 'en') per document — operators/curation.dsir_weights."""
+    from ..operators.curation import dsir_weights
+
+    return dsir_weights(load_table(spark, sf_dir, "documents"), target_lang="en")
