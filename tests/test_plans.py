@@ -596,3 +596,72 @@ def test_embed_neardup_blocks_on_composite_key(spark, sf_dir):
     subdivides with corpus size."""
     plan = _executed(QUERIES["q_embed_neardup"](spark, sf_dir))
     assert "_blk" in plan, "composite block key missing from join"
+
+
+def test_ichimoku_single_symbol_exchange(spark, sf_dir):
+    """All four ichimoku lines are fixed-frame windows over the same
+    hash(symbol) distribution — ONE exchange, zero joins (the indicator
+    pipeline envelope)."""
+    plan = _executed(QUERIES["q_ichimoku"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "Join" not in plan
+
+
+def test_pivot_points_two_exchanges_no_join(spark, sf_dir):
+    """Daily H/L/C reduce rides hash(symbol, day); the prior-day lag
+    rides hash(symbol).  Two exchanges, no join anywhere."""
+    plan = _executed(QUERIES["q_pivot_points"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
+    assert "Join" not in plan
+
+
+def test_var_es_rank_windows_reuse_symbol_exchange(spark, sf_dir):
+    """Daily pre-agg + rank windows: the final groupBy(symbol) must
+    reuse the window's hash(symbol) distribution — two exchanges total,
+    no join."""
+    plan = _executed(QUERIES["q_var_es"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
+    assert "Join" not in plan
+
+
+def test_acf_single_window_pass_all_lags(spark, sf_dir):
+    """The three lag columns must come out of one window pass (stack
+    unpivot, not per-lag re-scans): one scan of events, no join."""
+    plan = _executed(QUERIES["q_acf"](spark, sf_dir))
+    assert plan.count("Scan parquet") <= 1, plan[:2000]
+    assert "Join" not in plan
+
+
+def test_ewma_vol_grouped_arrow_kernel(spark, sf_dir):
+    """The recurrence must run as ONE grouped Arrow stage (per-symbol
+    kernel), with the daily grid pre-aggregated before Python."""
+    plan = _executed(QUERIES["q_ewma_vol"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "Join" not in plan
+
+
+def test_volume_profile_partial_agg_before_exchange(spark, sf_dir):
+    """Bin aggregation must partial-aggregate map-side (HashAggregate
+    below the exchange) and the share window reuses hash(symbol): at
+    most two exchanges, no join."""
+    plan = _executed(QUERIES["q_volume_profile"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
+    assert "Join" not in plan
+
+
+def test_moments_two_pass_reuses_symbol_exchange(spark, sf_dir):
+    """Mean window + centered-moment aggregation share hash(symbol)
+    after the daily pre-agg — at most two exchanges, no join."""
+    plan = _executed(QUERIES["q_moments"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
+    assert "Join" not in plan
+
+
+def test_dsir_single_conditional_freq_aggregation(spark, sf_dir):
+    """Both LMs must come from ONE conditional aggregation of the token
+    stream: at most two scans of documents (freq build + score join),
+    and no third pass for the totals."""
+    plan = _executed(QUERIES["q_dsir_weights"](spark, sf_dir))
+    scans = plan.count("Scan parquet")
+    assert scans <= 2, f"{scans} document scans\n{plan[:2000]}"

@@ -195,42 +195,45 @@ def dsir_weights(
     full corpus.  High scores mark documents that look like the target
     domain — the standard pretraining-data upsampling signal.
 
-    Scale posture: both LMs are vocabulary-sized aggregates of the one
-    exploded token stream (shared scan); the per-token score joins the
-    stream against the two frequency tables on the token key (AQE
-    broadcasts them when small — never hard-broadcast, web-scale vocab
-    is not driver-sized) and the totals ride a broadcast 1-row cross
-    join.  No Python anywhere; smoothing keeps every token finite so
-    the join can stay inner over the source vocab (a token absent from
-    the source LM cannot occur — the stream IS the source corpus)."""
+    Scale posture: BOTH LMs come out of one conditional aggregation of
+    the exploded token stream (source count + filtered target count per
+    token — one shuffle, not two); the totals and vocab size ride an
+    unbounded window OVER the vocabulary-sized freq table (one extra
+    vocab-sized exchange — a separate 1-row aggregate would make Spark
+    re-evaluate the whole corpus subtree, which is the expensive side
+    at scale); the per-token score then joins the stream against that
+    table on the token key (AQE broadcasts it when small — never
+    hard-broadcast, web-scale vocab is not driver-sized).  No Python
+    anywhere; smoothing keeps every token finite, and the join stays
+    inner (a token absent from the source LM cannot occur — the stream
+    IS the source corpus)."""
+    from pyspark.sql import Window
+
     from .text import with_tokens
 
     tok = with_tokens(docs).select(
         F.col(id_col), "lang", F.explode("_toks").alias("token")
     )
-    freq_s = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cs"))
-    freq_t = (
-        tok.filter(F.col("lang") == target_lang)
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    freq = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("cs"),
+        F.count(F.when(F.col("lang") == target_lang, F.lit(1))).alias("ct"),
     )
-    tot = freq_s.agg(
-        F.sum("cs").alias("tot_s"),
-        F.count(F.lit(1)).alias("vocab"),
-    ).crossJoin(
-        tok.filter(F.col("lang") == target_lang).agg(
-            F.count(F.lit(1)).alias("tot_t")
-        )
+    wall = Window.partitionBy()
+    freq = freq.select(
+        "token",
+        "cs",
+        "ct",
+        F.sum("cs").over(wall).alias("tot_s"),
+        F.sum("ct").over(wall).alias("tot_t"),
+        F.count(F.lit(1)).over(wall).alias("vocab"),
     )
     scored = (
-        tok.join(freq_s, "token")
-        .join(freq_t, "token", "left")
-        .crossJoin(F.broadcast(tot))
+        tok.join(freq, "token")
         .select(
             F.col(id_col),
             F.log(
                 (
-                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    (F.col("ct") + 1).cast("double")
                     / (F.col("tot_t") + F.col("vocab")).cast("double")
                 )
                 / (
