@@ -142,3 +142,13 @@ def test_dsir_weights_upweight_target_language(spark):
     en_scores = [out[1].avg_logratio, out[2].avg_logratio]
     other = [out[3].avg_logratio, out[4].avg_logratio]
     assert min(en_scores) > max(other)
+
+
+def test_ewma_sql_matches_arrow_kernel(spark, sf_dir):
+    """The Spark 4 recursive-CTE formulation (q_ewma_sql) and the
+    grouped Arrow kernel (q_ewma_vol) must produce identical tables."""
+    from trading_etl_python_spark.suite import QUERIES
+
+    a = {(r.symbol, r.day): r.ewma_vol for r in QUERIES["q_ewma_vol"](spark, sf_dir).collect()}
+    b = {(r.symbol, r.day): r.ewma_vol for r in QUERIES["q_ewma_sql"](spark, sf_dir).collect()}
+    assert a == b and len(a) > 0

@@ -569,3 +569,45 @@ def q_sql_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated subquery plans as a per-part aggregate joined back on
     partkey, not per-group re-execution."""
     return _sql(spark, sf_dir, TPCH_Q20)
+
+
+# Spark 4 recursive CTE (WITH RECURSIVE, SPARK-24497): the same
+# RiskMetrics EWMA recursion the DuckDB oracles have always used, now
+# runnable AS-IS by Catalyst.  The one SQL text below goes verbatim to
+# both engines — certifying Spark's recursive-CTE surface end-to-end
+# and cross-checking the grouped Arrow kernel (q_ewma_vol computes the
+# identical table through applyInPandas).  Recursion depth is the day
+# grid (~30 levels), independent of tick volume — the per-key history
+# axis stays with the Arrow kernel; this surface is for genuinely
+# iterative SQL (hierarchies, reachability, recurrences on small grids).
+EWMA_RECURSIVE = """WITH RECURSIVE bars AS (
+  SELECT user_id AS symbol, ts AS time, event_id,
+         value AS close
+  FROM events
+),
+d AS (SELECT symbol, CAST(time AS DATE) AS day, AVG(close) AS close_d
+      FROM bars GROUP BY symbol, CAST(time AS DATE)),
+r0 AS (SELECT symbol, day, close_d,
+        LAG(close_d) OVER (PARTITION BY symbol ORDER BY day) AS prev
+       FROM d),
+r AS (SELECT symbol, day, ROUND(LN(close_d / prev), 6) AS r
+      FROM r0 WHERE prev > 0 AND close_d > 0),
+rr AS (SELECT symbol, day, r,
+        ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day) AS rn
+       FROM r),
+rec AS (
+  SELECT symbol, day, rn, r * r AS v FROM rr WHERE rn = 1
+  UNION ALL
+  SELECT b.symbol, b.day, b.rn, 0.94 * rec.v + (1.0 - 0.94) * (b.r * b.r)
+  FROM rr b JOIN rec ON b.symbol = rec.symbol AND b.rn = rec.rn + 1
+)
+SELECT symbol, CAST(day AS TIMESTAMP) AS day, ROUND(SQRT(v), 6) AS ewma_vol
+FROM rec"""
+
+
+@q("q_ewma_sql", EWMA_RECURSIVE)
+def q_ewma_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RiskMetrics EWMA volatility as a Spark 4 RECURSIVE CTE — the
+    exact SQL text the oracle runs, submitted verbatim to spark.sql.
+    Values equal q_ewma_vol's Arrow-kernel output row-for-row."""
+    return _sql(spark, sf_dir, EWMA_RECURSIVE)
