@@ -152,3 +152,18 @@ def test_ewma_sql_matches_arrow_kernel(spark, sf_dir):
     a = {(r.symbol, r.day): r.ewma_vol for r in QUERIES["q_ewma_vol"](spark, sf_dir).collect()}
     b = {(r.symbol, r.day): r.ewma_vol for r in QUERIES["q_ewma_sql"](spark, sf_dir).collect()}
     assert a == b and len(a) > 0
+
+
+def test_hll_set_algebra_exact_and_estimates(spark):
+    from trading_etl_python_spark.operators.sketches import hll_set_algebra
+
+    rows = [("a", str(i)) for i in range(1, 101)] + [("b", str(i)) for i in range(51, 151)]
+    items = spark.createDataFrame(rows, "cohort string, item string")
+    r = hll_set_algebra(items, "item", "cohort", p=8).collect()[0]
+    assert (r.exact_a, r.exact_b, r.exact_union, r.exact_inter) == (100, 100, 150, 50)
+    # p=8 -> sigma ~ 6.5%; allow 3 sigma on each estimate
+    assert abs(r.est_a - 100) / 100 < 0.2 and abs(r.est_b - 100) / 100 < 0.2
+    assert abs(r.est_union - 150) / 150 < 0.2
+    # union sketch merges by max: estimate can never fall below either side
+    assert r.est_union >= max(r.est_a, r.est_b) - 1e-9
+    assert r.jacc_est == pytest.approx(r.est_inter / r.est_union, abs=1e-6)

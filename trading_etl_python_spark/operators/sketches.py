@@ -235,10 +235,18 @@ def hll_estimate(
     (ln, in the linear-counting branch) sits under the output rounding.
 
     Returns (group?, hll_est) — rounded 4dp."""
-    m = 1 << p
-    alpha = 0.7213 / (1 + 1.079 / m)
     gcols = [group_col] if group_col else []
     regs = hll_buckets(items, item_col, group_col, p)
+    return hll_estimate_from_regs(regs, gcols, p)
+
+
+def hll_estimate_from_regs(regs: DataFrame, gcols: list[str], p: int = 8) -> DataFrame:
+    """The estimate expression over an already-built register table —
+    the entry point for MERGED sketches (shard/cohort registers combined
+    by max), kept as the single implementation so sketch-and-merge
+    pipelines and direct estimates can never drift apart."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
     agg = regs.groupBy(*gcols).agg(
         F.aggregate(
             F.sort_array(F.collect_list(F.struct("bucket", "m_reg"))),
@@ -255,6 +263,79 @@ def hll_estimate(
         F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty),
     ).otherwise(raw)
     return agg.select(*gcols, F.round(est, 4).alias("hll_est"))
+
+
+def hll_set_algebra(
+    items: DataFrame, item_col: str, cohort_col: str = "cohort", p: int = 8
+) -> DataFrame:
+    """Set algebra on mergeable HLL sketches — the audience-overlap
+    primitive: per-cohort registers, a UNION sketch built by register
+    MAX (the merge law that lets every shard/day/partition sketch
+    independently and combine later), and the intersection via
+    inclusion-exclusion |A|+|B|-|A u B| (HLLs cannot intersect
+    directly).  Exact counterparts ride the same scan for the accuracy
+    audit.
+
+    Expects exactly two cohort values 'a' and 'b'.  Scale: register
+    tables are cohorts x 2^p rows — constant in stream length; the
+    exact twin is the only distinct-shuffle and exists for the audit,
+    not the production path.
+
+    Returns ONE row: est_a/b/union/inter, exact_a/b/union/inter,
+    jacc_est (estimated Jaccard, 6dp)."""
+    regs = hll_buckets(items, item_col, cohort_col, p)
+    union_regs = (
+        regs.groupBy("bucket")
+        .agg(F.max("m_reg").alias("m_reg"))
+        .select(F.lit("union").alias(cohort_col), "bucket", "m_reg")
+    )
+    est = hll_estimate_from_regs(
+        regs.select(cohort_col, "bucket", "m_reg").unionByName(union_regs),
+        [cohort_col],
+        p,
+    )
+    pick = lambda c: F.max(F.when(F.col(cohort_col) == c, F.col("hll_est")))
+    e = est.agg(
+        pick("a").alias("est_a"),
+        pick("b").alias("est_b"),
+        pick("union").alias("est_union"),
+    ).select(
+        "est_a",
+        "est_b",
+        "est_union",
+        F.round(
+            F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
+        ).alias("est_inter"),
+    )
+    ex = items.agg(
+        F.count_distinct(
+            F.when(F.col(cohort_col) == "a", F.col(item_col))
+        ).alias("exact_a"),
+        F.count_distinct(
+            F.when(F.col(cohort_col) == "b", F.col(item_col))
+        ).alias("exact_b"),
+        F.count_distinct(F.col(item_col)).alias("exact_union"),
+    ).select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        (F.col("exact_a") + F.col("exact_b") - F.col("exact_union")).alias(
+            "exact_inter"
+        ),
+    )
+    return e.crossJoin(ex).select(
+        "est_a",
+        "est_b",
+        "est_union",
+        "est_inter",
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_inter",
+        F.round(
+            F.col("est_inter") / F.nullif(F.col("est_union"), F.lit(0.0)), 6
+        ).alias("jacc_est"),
+    )
 
 
 def _hll_estimate_py(regs: dict[int, int], p: int) -> float:

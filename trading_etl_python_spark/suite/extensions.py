@@ -3603,3 +3603,83 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import dsir_weights
 
     return dsir_weights(load_table(spark, sf_dir, "documents"), target_lang="en")
+
+
+def _hll_union_sql(p: int = 8) -> str:
+    """SQL twin of sketches.hll_set_algebra over the click/purchase
+    value sets: per-cohort portable registers, max-merged union sketch,
+    inclusion-exclusion intersection, exact audit on the same scan."""
+    w = 32 - p
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    bits = " + ".join(
+        f"CASE WHEN rem >= {1 << i} THEN 1 ELSE 0 END" for i in range(w)
+    )
+    return f"""WITH it AS (
+         SELECT CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS cohort,
+                CAST(value AS VARCHAR) AS item
+         FROM events WHERE event_type IN ('click', 'purchase')),
+       h AS (SELECT cohort, {_PH_HI.format(c='item')} AS hv FROM it),
+       r AS (SELECT cohort, hv // {1 << w} AS bucket,
+                    {w + 1} - ({bits}) AS rho
+             FROM (SELECT cohort, hv, hv % {1 << w} AS rem FROM h) t),
+       regs AS (SELECT cohort, bucket, MAX(rho) AS m_reg
+                FROM r GROUP BY cohort, bucket),
+       allregs AS (
+         SELECT cohort, bucket, m_reg FROM regs
+         UNION ALL
+         SELECT 'union' AS cohort, bucket, MAX(m_reg) AS m_reg
+         FROM regs GROUP BY bucket),
+       agg AS (
+         SELECT cohort,
+                list_reduce(list_prepend(0.0,
+                  list(POWER(2.0, -m_reg) ORDER BY bucket)),
+                  (acc, v) -> acc + v) AS hsum,
+                COUNT(*) AS nb
+         FROM allregs GROUP BY cohort),
+       est AS (
+         SELECT cohort,
+                ROUND(CASE WHEN {alpha * m * m} / (hsum + ({m} - nb)) <= {2.5 * m}
+                           AND ({m} - nb) > 0
+                      THEN {float(m)} * ln({float(m)} / CAST({m} - nb AS DOUBLE))
+                      ELSE {alpha * m * m} / (hsum + ({m} - nb)) END, 4) AS e
+         FROM agg),
+       ep AS (
+         SELECT MAX(CASE WHEN cohort = 'a' THEN e END) AS est_a,
+                MAX(CASE WHEN cohort = 'b' THEN e END) AS est_b,
+                MAX(CASE WHEN cohort = 'union' THEN e END) AS est_union
+         FROM est),
+       ex AS (
+         SELECT COUNT(DISTINCT CASE WHEN cohort = 'a' THEN item END) AS exact_a,
+                COUNT(DISTINCT CASE WHEN cohort = 'b' THEN item END) AS exact_b,
+                COUNT(DISTINCT item) AS exact_union
+         FROM it)
+       SELECT est_a, est_b, est_union,
+              ROUND(est_a + est_b - est_union, 4) AS est_inter,
+              CAST(exact_a AS BIGINT) AS exact_a,
+              CAST(exact_b AS BIGINT) AS exact_b,
+              CAST(exact_union AS BIGINT) AS exact_union,
+              CAST(exact_a + exact_b - exact_union AS BIGINT) AS exact_inter,
+              ROUND(ROUND(est_a + est_b - est_union, 4)
+                    / NULLIF(est_union, 0.0), 6) AS jacc_est
+       FROM ep, ex"""
+
+
+@q("q_hll_union", _hll_union_sql(8))
+def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap set algebra on mergeable portable HLL sketches
+    (click vs purchase value sets): per-cohort estimates, max-merged
+    union, inclusion-exclusion intersection, exact audit —
+    operators/sketches.hll_set_algebra."""
+    from ..operators.sketches import hll_set_algebra
+
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    items = ev.select(
+        F.when(F.col("event_type") == "click", F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("cohort"),
+        F.col("value").cast("string").alias("item"),
+    )
+    return hll_set_algebra(items, "item", "cohort", p=8)
