@@ -167,3 +167,21 @@ def test_hll_set_algebra_exact_and_estimates(spark):
     # union sketch merges by max: estimate can never fall below either side
     assert r.est_union >= max(r.est_a, r.est_b) - 1e-9
     assert r.jacc_est == pytest.approx(r.est_inter / r.est_union, abs=1e-6)
+
+
+def test_logreg_quality_learns_separable_corpus(spark):
+    """On a corpus where 'en' docs are stopword-dense and others have
+    none, GD must beat the majority-class baseline."""
+    from trading_etl_python_spark.operators.curation import logreg_quality
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "the a of and to in is the of and the is to", "en"))
+    for i in range(40, 100):
+        rows.append((i, "tabla fila datos consulta flujo lote ventana", "es"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    r = logreg_quality(docs, "en", iters=10, lr=2.0).collect()[0]
+    assert r.n_docs == 100
+    assert r.n_correct > 60  # majority baseline = 60
+    assert r.accuracy == pytest.approx(r.n_correct / 100.0, abs=1e-6)
+    assert r.w_stop > 0  # stopword density must carry positive weight

@@ -247,3 +247,80 @@ def dsir_weights(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.round(F.avg("lr"), 4).alias("avg_logratio"),
     )
+
+
+def logreg_quality(
+    docs: DataFrame,
+    target_lang: str = "en",
+    iters: int = 3,
+    lr: float = 1.0,
+) -> DataFrame:
+    """Trainable quality/domain classifier — logistic regression fit by
+    full-batch gradient descent over engine-deterministic document
+    features (the fastText-classifier slot in a curation pipeline,
+    e.g. GPT-3's WebText-vs-CommonCrawl filter, trained *inside* the
+    engine instead of imported): features x = [1, n_tokens/100,
+    en-stopword ratio, mean-word-length/10], label y = [lang ==
+    ``target_lang``], w_{t+1,j} = round(w_tj - lr * avg_i((sigmoid(w·x_i)
+    - y_i) * x_ij), 6).
+
+    Scale posture: each iteration is ONE map-side-combinable aggregate
+    producing a d-vector gradient (d=4) — per-iteration state is
+    corpus-size-independent, the kmeans/PCA house pattern; the driver
+    holds only the weight vector.  Weights are 6dp-rounded between
+    iterations ON BOTH ENGINES so the recursion never amplifies a
+    float-accumulation ulp into a different trajectory (PLANS.md §23),
+    and the final accuracy decision is the sign of the deterministic
+    dot product (z > 0), never a rounded-probability compare.
+
+    Returns ONE row: w_bias/w_len/w_stop/w_wlen (6dp), n_correct,
+    n_docs, accuracy (6dp)."""
+    from .text import STOPWORDS, with_tokens
+
+    sw = list(STOPWORDS[target_lang])
+    t = with_tokens(docs)
+    nt = F.size("_toks").cast("double")
+    feats = t.select(
+        F.lit(1.0).alias("x0"),
+        (nt / F.lit(100.0)).alias("x1"),
+        (
+            F.size(F.filter(F.col("_toks"), lambda x: x.isin(*sw))).cast("double")
+            / F.nullif(nt, F.lit(0.0))
+        ).alias("x2"),
+        (
+            F.length(F.concat_ws("", F.col("_toks"))).cast("double")
+            / F.nullif(nt, F.lit(0.0))
+            / F.lit(10.0)
+        ).alias("x3"),
+        F.when(F.col("lang") == target_lang, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    )
+    feats = feats.localCheckpoint(eager=True)  # d+1 cols; reused iters+1 times
+    w = [0.0, 0.0, 0.0, 0.0]
+
+    def dot(ws):
+        z = F.lit(ws[0]) * F.col("x0")
+        for j in (1, 2, 3):
+            z = z + F.lit(ws[j]) * F.col(f"x{j}")
+        return z
+
+    for _ in range(iters):
+        sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-dot(w)))
+        g = feats.agg(
+            *[F.avg((sig - F.col("y")) * F.col(f"x{j}")).alias(f"g{j}") for j in range(4)]
+        ).first()
+        w = [round(w[j] - lr * g[f"g{j}"], 6) for j in range(4)]
+
+    correct = F.sum(
+        F.when((dot(w) > 0) == (F.col("y") == 1.0), F.lit(1)).otherwise(F.lit(0))
+    )
+    return feats.agg(
+        correct.alias("n_correct"), F.count(F.lit(1)).alias("n_docs")
+    ).select(
+        F.lit(w[0]).alias("w_bias"),
+        F.lit(w[1]).alias("w_len"),
+        F.lit(w[2]).alias("w_stop"),
+        F.lit(w[3]).alias("w_wlen"),
+        F.col("n_correct").cast("long").alias("n_correct"),
+        "n_docs",
+        F.round(F.col("n_correct") / F.col("n_docs"), 6).alias("accuracy"),
+    )

@@ -3683,3 +3683,68 @@ def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("string").alias("item"),
     )
     return hll_set_algebra(items, "item", "cohort", p=8)
+
+
+def _logreg_sql(iters: int = 3, lr: float = 1.0) -> str:
+    """SQL twin of curation.logreg_quality: the same batch-GD recursion
+    unrolled into one CTE per iteration (weights 6dp-rounded between
+    iterations on both engines), final accuracy by dot-product sign."""
+    sw = "'the', 'a', 'of', 'and', 'to', 'in', 'is'"
+    feats = f"""f AS (
+  SELECT 1.0 AS x0,
+         CAST(len(toks) AS DOUBLE) / 100.0 AS x1,
+         CAST(len(list_filter(toks, x -> x IN ({sw}))) AS DOUBLE)
+           / NULLIF(CAST(len(toks) AS DOUBLE), 0.0) AS x2,
+         CAST(len(array_to_string(toks, '')) AS DOUBLE)
+           / NULLIF(CAST(len(toks) AS DOUBLE), 0.0) / 10.0 AS x3,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM (SELECT {TOKS} AS toks, lang FROM documents) t)"""
+    ctes = [feats]
+    prev = None
+    for i in range(1, iters + 1):
+        if prev is None:
+            dot = "0.0 * x0 + 0.0 * x1 + 0.0 * x2 + 0.0 * x3"
+            base = ["0.0"] * 4
+            src = "f"
+        else:
+            # the prior CTE is one row, so its columns are per-row
+            # constants inside AVG; outside the aggregate they must be
+            # wrapped (MAX of a single value) to satisfy grouping rules
+            dot = " + ".join(f"{prev}.w{j} * x{j}" for j in range(4))
+            base = [f"MAX({prev}.w{j})" for j in range(4)]
+            src = f"f CROSS JOIN {prev}"
+        sig = f"1.0 / (1.0 + EXP(-({dot})))"
+        cols = ", ".join(
+            f"ROUND({base[j]} - {lr} * AVG(({sig} - y) * x{j}), 6) AS w{j}"
+            for j in range(4)
+        )
+        ctes.append(f"w{i} AS (SELECT {cols} FROM {src})")
+        prev = f"w{i}"
+    final_dot = " + ".join(f"{prev}.w{j} * x{j}" for j in range(4))
+    cte_block = ",\n".join(ctes)
+    return f"""WITH {cte_block},
+s AS (
+  SELECT CAST(SUM(CASE WHEN (({final_dot}) > 0) = (y = 1.0)
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         COUNT(*) AS n_docs,
+         MAX({prev}.w0) AS w_bias, MAX({prev}.w1) AS w_len,
+         MAX({prev}.w2) AS w_stop, MAX({prev}.w3) AS w_wlen
+  FROM f CROSS JOIN {prev})
+SELECT w_bias, w_len, w_stop, w_wlen, n_correct, n_docs,
+       ROUND(CAST(n_correct AS DOUBLE) / n_docs, 6) AS accuracy
+FROM s"""
+
+
+@q("q_logreg_quality", _logreg_sql(3, 1.0))
+def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic-regression quality/domain classifier trained in-engine
+    by 3 full-batch GD steps (deterministic doc features, weights
+    6dp-rounded between iterations) — curation.logreg_quality.
+    Corpus note: the generator assigns lang independently of text, so
+    feature separability is ~nil here and the learned model converges
+    to the majority class (the Bayes limit on this corpus — verified
+    per-lang stopword ratios differ <0.7pp); learnability on a
+    separable corpus is pinned by tests/test_r6_analytics.py."""
+    from ..operators.curation import logreg_quality
+
+    return logreg_quality(load_table(spark, sf_dir, "documents"), "en", iters=3, lr=1.0)
