@@ -665,3 +665,10 @@ def test_dsir_single_conditional_freq_aggregation(spark, sf_dir):
     plan = _executed(QUERIES["q_dsir_weights"](spark, sf_dir))
     scans = plan.count("Scan parquet")
     assert scans <= 2, f"{scans} document scans\n{plan[:2000]}"
+
+
+def test_gopher_rules_shuffle_free(spark, sf_dir):
+    """The first curation gate is a pure map-side pass — zero exchanges
+    of any kind."""
+    plan = _executed(QUERIES["q_gopher_rules"](spark, sf_dir))
+    assert "Exchange" not in plan, plan[:2000]

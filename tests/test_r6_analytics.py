@@ -185,3 +185,24 @@ def test_logreg_quality_learns_separable_corpus(spark):
     assert r.n_correct > 60  # majority baseline = 60
     assert r.accuracy == pytest.approx(r.n_correct / 100.0, abs=1e-6)
     assert r.w_stop > 0  # stopword density must carry positive weight
+
+
+def test_gopher_rules_integer_gates(spark):
+    from trading_etl_python_spark.operators.text import gopher_rules
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["the word fine is a stop"] * 5)),       # 30 toks, stopworded -> keep
+            (2, "the a of and to"),                                # 5 toks -> r_len fails
+            (3, " ".join(["supercalifragilistic"] * 25)),          # wlen 20 -> r_wlen fails
+            (4, " ".join(["the a"] * 10 + ["1 2 3 4 5 6 7 8 9"] * 4)),  # digits -> r_alpha fails
+            (5, " ".join(["data table spark rows cols"] * 5)),     # no stopwords -> r_stop fails
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_rules(docs).collect()}
+    assert out[1].keep
+    assert not out[2].r_len and not out[2].keep
+    assert not out[3].r_wlen and not out[3].keep
+    assert not out[4].r_alpha and not out[4].keep
+    assert not out[5].r_stop and not out[5].keep

@@ -915,3 +915,36 @@ def hash_tf(
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+def gopher_rules(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style hard rule gates (Rae et al. 2021 §A1.1, adapted to
+    this corpus's 10-99-word documents): token-count bounds, mean word
+    length in [3, 10], >=80% alphabetic tokens, >=2 stopword hits —
+    each emitted as its own audit flag plus the conjunctive keep.
+
+    Every rule is INTEGER arithmetic (mean-word-length in [3,10] is
+    3n <= chars <= 10n, the 80% gate is 5*alpha >= 4*n) — no float
+    anywhere, so the oracle compares hash-exact.  One map-side pass,
+    no shuffle at all; at 100 TB this is the first, cheapest gate in
+    the curation funnel and must never cost an exchange."""
+    df = with_tokens(df)
+    n = F.size("_toks").cast("long")
+    chars = F.length(F.concat_ws("", F.col("_toks"))).cast("long")
+    n_alpha = F.size(F.filter(F.col("_toks"), lambda t: t.rlike("[a-z]"))).cast("long")
+    n_stop = F.size(
+        F.filter(F.col("_toks"), lambda t: t.isin(*STOPWORDS["en"]))
+    ).cast("long")
+    r_len = (n >= 20) & (n <= 100000)
+    r_wlen = (F.lit(3) * n <= chars) & (chars <= F.lit(10) * n)
+    r_alpha = F.lit(5) * n_alpha >= F.lit(4) * n
+    r_stop = n_stop >= 2
+    return df.select(
+        id_col,
+        n.alias("n_tokens"),
+        r_len.alias("r_len"),
+        r_wlen.alias("r_wlen"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stop"),
+        (r_len & r_wlen & r_alpha & r_stop).alias("keep"),
+    )

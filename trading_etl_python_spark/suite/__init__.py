@@ -57,7 +57,7 @@ _NEW_R6: list[str] = [
     "q_sharpe", "q_tar_writer", "q_table_diff", "q_merge_upsert",
     "q_ichimoku", "q_pivot_points", "q_var_es", "q_acf", "q_ewma_vol",
     "q_volume_profile", "q_pairs_spread", "q_moments", "q_dsir_weights",
-    "q_ewma_sql", "q_hll_union", "q_logreg_quality",
+    "q_ewma_sql", "q_hll_union", "q_logreg_quality", "q_gopher_rules",
 ]
 # r5-certified block (fresh greens, rotate last among certified).
 _CERTIFIED_R5 = [

@@ -3748,3 +3748,30 @@ def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import logreg_quality
 
     return logreg_quality(load_table(spark, sf_dir, "documents"), "en", iters=3, lr=1.0)
+
+
+@q(
+    "q_gopher_rules",
+    f"""WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+       m AS (SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n,
+               CAST(len(array_to_string(toks, '')) AS BIGINT) AS chars,
+               CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                    AS BIGINT) AS n_alpha,
+               CAST(len(list_filter(toks,
+                    x -> x IN ('the','a','of','and','to','in','is')))
+                    AS BIGINT) AS n_stop
+             FROM t)
+       SELECT doc_id, n AS n_tokens,
+              n >= 20 AND n <= 100000 AS r_len,
+              3 * n <= chars AND chars <= 10 * n AS r_wlen,
+              5 * n_alpha >= 4 * n AS r_alpha,
+              n_stop >= 2 AS r_stop,
+              (n >= 20 AND n <= 100000) AND (3 * n <= chars AND chars <= 10 * n)
+                AND (5 * n_alpha >= 4 * n) AND (n_stop >= 2) AS keep
+       FROM m""",
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style hard rule gates per document (integer-only audit
+    flags + conjunctive keep) — operators/text.gopher_rules."""
+    return TX.gopher_rules(load_table(spark, sf_dir, "documents"))
