@@ -358,7 +358,10 @@ def ichimoku(
         df.withColumn("_rn", rn)
         .withColumn("tenkan", F.when(F.col("_rn") >= tenkan, t))
         .withColumn("kijun", F.when(F.col("_rn") >= kijun, k))
-        .withColumn("senkou_a", F.when(F.col("_rn") >= kijun, (t + k) / 2.0))
+        .withColumn(
+            "senkou_a",
+            F.when(F.col("_rn") >= max(tenkan, kijun), (t + k) / 2.0),
+        )
         .withColumn("senkou_b", F.when(F.col("_rn") >= senkou, s))
         .drop("_rn")
     )
@@ -378,19 +381,15 @@ def pivot_points(df: DataFrame) -> DataFrame:
     deterministic (time, event_id) order, picked by row_number — no
     engine-specific last_value frame semantics."""
     b = df.withColumn("day", F.to_date("time"))
-    wd = Window.partitionBy("symbol", "day")
-    wlast = wd.orderBy(F.col("time").desc(), F.col("event_id").desc())
-    daily = (
-        b.select(
-            "symbol",
-            "day",
-            F.max("high").over(wd).alias("h"),
-            F.min("low").over(wd).alias("l"),
-            F.col("close").alias("c"),
-            F.row_number().over(wlast).alias("_rn"),
-        )
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    # groupBy, not whole-partition windows: the daily reduce partial-
+    # aggregates MAP-SIDE, so only one row per (symbol, day) crosses
+    # the exchange — the window form shuffled every tick unreduced.
+    # max_by on the unique (time, event_id) struct is the deterministic
+    # last-tick pick (the pairs_spread house pattern).
+    daily = b.groupBy("symbol", "day").agg(
+        F.max("high").alias("h"),
+        F.min("low").alias("l"),
+        F.max_by("close", F.struct("time", "event_id")).alias("c"),
     )
     ws = Window.partitionBy("symbol").orderBy("day")
     ph, pl, pc = (F.lag(c, 1).over(ws) for c in ("h", "l", "c"))

@@ -275,17 +275,15 @@ def logreg_quality(
 
     Returns ONE row: w_bias/w_len/w_stop/w_wlen (6dp), n_correct,
     n_docs, accuracy (6dp)."""
-    from .text import STOPWORDS, with_tokens
+    from .text import _hits, with_tokens
 
-    sw = list(STOPWORDS[target_lang])
     t = with_tokens(docs)
     nt = F.size("_toks").cast("double")
     feats = t.select(
         F.lit(1.0).alias("x0"),
         (nt / F.lit(100.0)).alias("x1"),
         (
-            F.size(F.filter(F.col("_toks"), lambda x: x.isin(*sw))).cast("double")
-            / F.nullif(nt, F.lit(0.0))
+            _hits(target_lang).cast("double") / F.nullif(nt, F.lit(0.0))
         ).alias("x2"),
         (
             F.length(F.concat_ws("", F.col("_toks"))).cast("double")
@@ -303,12 +301,20 @@ def logreg_quality(
             z = z + F.lit(ws[j]) * F.col(f"x{j}")
         return z
 
+    def _round6(x: float) -> float:
+        # half-UP, the DuckDB ROUND behavior the oracle uses — python
+        # round() is half-even and would fork the GD trajectory on a
+        # representable tie (operators/recursive.round_half_up rationale)
+        import math
+
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
     for _ in range(iters):
         sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-dot(w)))
         g = feats.agg(
             *[F.avg((sig - F.col("y")) * F.col(f"x{j}")).alias(f"g{j}") for j in range(4)]
         ).first()
-        w = [round(w[j] - lr * g[f"g{j}"], 6) for j in range(4)]
+        w = [_round6(w[j] - lr * g[f"g{j}"]) for j in range(4)]
 
     correct = F.sum(
         F.when((dot(w) > 0) == (F.col("y") == 1.0), F.lit(1)).otherwise(F.lit(0))

@@ -932,9 +932,7 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     n = F.size("_toks").cast("long")
     chars = F.length(F.concat_ws("", F.col("_toks"))).cast("long")
     n_alpha = F.size(F.filter(F.col("_toks"), lambda t: t.rlike("[a-z]"))).cast("long")
-    n_stop = F.size(
-        F.filter(F.col("_toks"), lambda t: t.isin(*STOPWORDS["en"]))
-    ).cast("long")
+    n_stop = _hits("en").cast("long")
     r_len = (n >= 20) & (n <= 100000)
     r_wlen = (F.lit(3) * n <= chars) & (chars <= F.lit(10) * n)
     r_alpha = F.lit(5) * n_alpha >= F.lit(4) * n

@@ -2817,7 +2817,8 @@ def _hll_sql(p: int = 8) -> str:
         f"CASE WHEN rem >= {1 << i} THEN 1 ELSE 0 END" for i in range(w)
     )
     return f"""WITH it AS (
-         SELECT event_type, CAST(value AS VARCHAR) AS item FROM events),
+         SELECT event_type, CAST(value AS VARCHAR) AS item FROM events
+         WHERE value IS NOT NULL),
        h AS (
          SELECT event_type,
                 {_PH_HI.format(c='item')} AS hv
@@ -3618,7 +3619,8 @@ def _hll_union_sql(p: int = 8) -> str:
     return f"""WITH it AS (
          SELECT CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS cohort,
                 CAST(value AS VARCHAR) AS item
-         FROM events WHERE event_type IN ('click', 'purchase')),
+         FROM events
+         WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
        h AS (SELECT cohort, {_PH_HI.format(c='item')} AS hv FROM it),
        r AS (SELECT cohort, hv // {1 << w} AS bucket,
                     {w + 1} - ({bits}) AS rho
@@ -3812,8 +3814,13 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.coalesce(1).write.partitionBy("slice").mode("overwrite").parquet(src)
     flat = _os.path.join(root, "flat")
     _os.makedirs(flat, exist_ok=True)
-    for i in range(3):
-        d = _os.path.join(src, f"slice={i}")
+    # iterate the slice dirs that actually exist — a tiny corpus may
+    # leave a residue class empty, which just means fewer micro-batches
+    slices = sorted(
+        d for d in _os.listdir(src) if d.startswith("slice=")
+    )
+    for i, sl in enumerate(slices):
+        d = _os.path.join(src, sl)
         part = next(f for f in _os.listdir(d) if f.endswith(".parquet"))
         _os.rename(_os.path.join(d, part), _os.path.join(flat, f"b{i}.parquet"))
     with tempfile.TemporaryDirectory(prefix="ckpt_sdedup_") as ckpt:
