@@ -3836,3 +3836,57 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream, out, ckpt, key_col="key", m_bits=8192
         ).awaitTermination()
     return spark.read.parquet(out).select("key")
+
+
+@q(
+    "q_bucket_join",
+    """SELECT user_id % 5 AS grp,
+         COUNT(*) AS n_events,
+         ROUND(SUM(value), 4) AS total_value
+       FROM events GROUP BY user_id % 5""",
+)
+def q_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged co-located bucketed join (SURVEY.md §7.0 / S6): fact and
+    dimension are written as managed tables bucketed by user_id into
+    the same bucket count, then joined with a MERGE hint — the
+    write-time bucketing IS the shuffle, so the join itself needs no
+    exchange on user_id (pinned in tests/test_plans.py).  The oracle is
+    the join's algebraic collapse (dim holds every distinct user), so
+    values check exactly while the PLAN exercises the bucketed path.
+    Tables are overwritten per run in the session warehouse and left
+    for the lazy read-back (sinks/parquet.write_bucketed)."""
+    import os as _os
+
+    import shutil
+    from urllib.parse import urlparse
+
+    from ..sinks.parquet import write_bucketed
+
+    # idempotent across sessions: the in-memory catalog forgets the
+    # table but its warehouse directory survives — drop both
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("q_bucket_fact", "q_bucket_dim"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(_os.path.join(wh, t), ignore_errors=True)
+
+    ev = load_events(spark, sf_dir)
+    write_bucketed(
+        ev.select("event_id", "user_id", "value"),
+        "q_bucket_fact", "user_id", 8, sort_col="user_id",
+    )
+    write_bucketed(
+        ev.select("user_id").distinct().withColumn(
+            "grp", F.pmod("user_id", F.lit(5))
+        ),
+        "q_bucket_dim", "user_id", 8, sort_col="user_id",
+    )
+    fact, dim = spark.table("q_bucket_fact"), spark.table("q_bucket_dim")
+    return (
+        fact.hint("merge")
+        .join(dim, "user_id")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
