@@ -3890,3 +3890,35 @@ def q_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+@q(
+    "q_schema_evolution",
+    """SELECT event_id, user_id, value,
+         CASE WHEN event_id % 2 = 1 THEN event_type END AS event_type
+       FROM events""",
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged schema-drift read (sources/formats.read_merged_schema):
+    generation 1 (even event_ids) is written WITHOUT event_type,
+    generation 2 (odd) with it, appended into the same parquet root —
+    the accreting-columns shape a long-lived dataset takes.  The
+    mergeSchema scan unions the per-file footers, surfacing the column
+    as NULL on pre-drift rows; the oracle reproduces exactly that NULL
+    pattern.  Metadata-only merging: no rewrite of generation-1 files,
+    and pruning still reaches every file."""
+    import os as _os
+
+    from ..sources.formats import read_merged_schema
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    root = _os.path.join(_sink_root(), f"schema_{next(_SINK_SEQ)}")
+    ev.filter(F.col("event_id") % 2 == 0).drop("event_type").write.mode(
+        "overwrite"
+    ).parquet(root)
+    ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(root)
+    return read_merged_schema(spark, root).select(
+        "event_id", "user_id", "value", "event_type"
+    )
