@@ -466,3 +466,37 @@ def test_cdc_chunks_partition_text(spark, text):
     for r, c in zip(rows, ref):
         assert r.chunk_len == len(c) and len(c) > 0
         assert r.chunk_hash == hashlib.md5(c.encode()).hexdigest()
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9), min_size=1, max_size=50
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_scaled_integer_floor_mean_is_exact(micros):
+    """The r6 parity rule: mean of exact-6dp decimals via BIGINT
+    micro-units + floor-divide must equal the true rational mean
+    floored at 1e-6 — for ANY count and sign, with no float rounding
+    boundary anywhere."""
+    n = len(micros)
+    total = sum(micros)
+    got = math.floor(total / float(n)) / 1e6
+    # exact rational floor via integer math (Python // floors toward -inf)
+    want = (total // n) / 1e6
+    assert got == want
+
+
+@given(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False))
+@settings(max_examples=300, deadline=None)
+def test_round_half_up_matches_decimal_half_up(x):
+    """round_half_up must agree with exact decimal ROUND_HALF_UP of the
+    double's true value at 4dp (the DuckDB ROUND contract)."""
+    import decimal
+
+    got = float(R.round_half_up(np.array([x]), 4)[0])
+    d = decimal.Decimal(x).scaleb(4)
+    want = float(
+        d.quantize(decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP)
+    ) / 1e4
+    assert got == want
