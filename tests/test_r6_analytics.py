@@ -206,3 +206,25 @@ def test_gopher_rules_integer_gates(spark):
     assert not out[3].r_wlen and not out[3].keep
     assert not out[4].r_alpha and not out[4].keep
     assert not out[5].r_stop and not out[5].keep
+
+
+def test_pit_state_by_day_picks_covering_version(spark):
+    from trading_etl_python_spark.operators.relational import pit_state_by_day
+
+    rows = [
+        (1, "2024-01-01 09:00:00", 1, "trial"),
+        (1, "2024-01-02 10:00:00", 2, "paid"),     # change on day 2
+        (1, "2024-01-02 15:00:00", 3, "paid"),     # no change
+        (1, "2024-01-04 09:00:00", 4, "churned"),  # change on day 4
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(r.user_id, str(r.day)[:10]): (r.state, r.version)
+           for r in pit_state_by_day(ev).collect()}
+    # end of day 1: still trial (v1); end of day 2: paid (v2);
+    # end of day 4: churned (v3).  Day 3 has no events -> no probe row.
+    assert out[(1, "2024-01-01")] == ("trial", 1)
+    assert out[(1, "2024-01-02")] == ("paid", 2)
+    assert out[(1, "2024-01-04")] == ("churned", 3)
+    assert len(out) == 3

@@ -58,7 +58,7 @@ _NEW_R6: list[str] = [
     "q_ichimoku", "q_pivot_points", "q_var_es", "q_acf", "q_ewma_vol",
     "q_volume_profile", "q_pairs_spread", "q_moments", "q_dsir_weights",
     "q_ewma_sql", "q_hll_union", "q_logreg_quality", "q_gopher_rules",
-    "q_stream_dedup", "q_bucket_join", "q_schema_evolution",
+    "q_stream_dedup", "q_bucket_join", "q_schema_evolution", "q_pit_join",
 ]
 # r5-certified block (fresh greens, rotate last among certified).
 _CERTIFIED_R5 = [

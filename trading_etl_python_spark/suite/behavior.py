@@ -279,3 +279,35 @@ def q_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.transforms import label_encode
 
     return label_encode(load_events(spark, sf_dir))
+
+
+@q(
+    "q_pit_join",
+    """WITH ch AS (
+         SELECT user_id, event_type, ts, event_id,
+                LAG(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev
+         FROM events),
+       f AS (SELECT user_id, event_type, ts, event_id FROM ch
+             WHERE prev IS NULL OR event_type <> prev),
+       h AS (SELECT user_id, event_type, ts AS valid_from,
+                    LEAD(ts) OVER w AS valid_to,
+                    CAST(ROW_NUMBER() OVER w AS INTEGER) AS version
+             FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+       pp AS (SELECT user_id, day,
+                     CAST(day AS TIMESTAMP) + INTERVAL 1 DAY AS ts_p
+              FROM p)
+       SELECT pp.user_id, CAST(pp.day AS TIMESTAMP) AS day,
+              h.event_type AS state, h.version
+       FROM pp JOIN h ON pp.user_id = h.user_id
+        AND h.valid_from <= pp.ts_p
+        AND (h.valid_to IS NULL OR pp.ts_p < h.valid_to)""",
+)
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD2 dimension history:
+    end-of-day state + version per (user, day) — the as-was join every
+    versioned-dimension report runs (operators/relational.pit_state_by_day)."""
+    from ..operators.relational import pit_state_by_day
+
+    return pit_state_by_day(load_events(spark, sf_dir))
