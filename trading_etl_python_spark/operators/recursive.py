@@ -300,6 +300,104 @@ def with_adx(df: DataFrame, n: int = 14) -> DataFrame:
     return _indicator_map(df, {f"adx_{n}": "double"}, fn)
 
 
+def holt_rec(
+    x: np.ndarray, alpha: float = 0.2, beta: float = 0.1
+) -> tuple[np.ndarray, np.ndarray]:
+    """Holt double exponential smoothing (linear trend): level l_i =
+    a*x_i + (1-a)*(l_{i-1} + b_{i-1}), trend b_i = b*(l_i - l_{i-1}) +
+    (1-b)*b_{i-1}, seeded l_0 = x_0, b_0 = x_1 - x_0 (Holt 1957 /
+    Hyndman FPP initialization).  Returns (level, trend); a single-row
+    key gets level=x_0 and NaN trend — exactly the recursive-CTE
+    oracle's seed row with a NULL LEAD."""
+    L = len(x)
+    lev, tr = np.full(L, np.nan), np.full(L, np.nan)
+    if L == 0:
+        return lev, tr
+    lev[0] = x[0]
+    if L == 1:
+        return lev, tr
+    tr[0] = x[1] - x[0]
+    for i in range(1, L):
+        lev[i] = alpha * x[i] + (1.0 - alpha) * (lev[i - 1] + tr[i - 1])
+        tr[i] = beta * (lev[i] - lev[i - 1]) + (1.0 - beta) * tr[i - 1]
+    return lev, tr
+
+
+def efi_rec(c: np.ndarray, v: np.ndarray, n: int = 13) -> np.ndarray:
+    """Elder Force Index(n): EMA(n) of (close - prev_close) * volume,
+    SMA-seeded over the first n deltas (the family's uniform seeding
+    convention; pandas-ta efi uses the same delta*volume input).  The
+    delta series starts at row 1, so the first output lands at row n."""
+    out = np.full(len(c), np.nan)
+    if len(c) < 2:
+        return out
+    fi = (c[1:] - c[:-1]) * v[1:]
+    out[1:] = ema_rec(fi, n)
+    return out
+
+
+def with_keltner(
+    df: DataFrame, n_ema: int = 20, n_atr: int = 10, mult: float = 2.0
+) -> DataFrame:
+    """Keltner Channel(n_ema, n_atr, mult): mid = EMA(close, n_ema),
+    upper/lower = mid ± mult * ATR(n_atr) — the EMA/ATR composition
+    indicator (pandas-ta kc family, classic Chester Keltner bands with
+    Wilder ATR).  One Arrow pass computes both recurrences per key;
+    bands are NULL until BOTH components are warm (NaN propagates
+    through the sum, mirroring SQL NULL arithmetic)."""
+
+    def fn(pdf: pd.DataFrame):
+        c = pdf["close"].to_numpy(np.float64)
+        mid = ema_rec(c, n_ema)
+        atr = atr_rec(
+            pdf["high"].to_numpy(np.float64),
+            pdf["low"].to_numpy(np.float64),
+            c,
+            n_atr,
+        )
+        return {
+            "kc_mid": mid,
+            "kc_upper": mid + mult * atr,
+            "kc_lower": mid - mult * atr,
+        }
+
+    return _indicator_map(
+        df, {"kc_mid": "double", "kc_upper": "double", "kc_lower": "double"}, fn
+    )
+
+
+def with_holt(df: DataFrame, alpha: float = 0.2, beta: float = 0.1) -> DataFrame:
+    """Holt linear-trend smoothing per key over close: smoothed level,
+    trend, and the one-step-ahead forecast level+trend (computed from
+    the UNROUNDED states, then rounded — the oracle rounds l+b the same
+    way)."""
+
+    def fn(pdf: pd.DataFrame):
+        lev, tr = holt_rec(pdf["close"].to_numpy(np.float64), alpha, beta)
+        return {"holt_level": lev, "holt_trend": tr, "holt_fcst": lev + tr}
+
+    return _indicator_map(
+        df,
+        {"holt_level": "double", "holt_trend": "double", "holt_fcst": "double"},
+        fn,
+    )
+
+
+def with_force_index(df: DataFrame, n: int = 13) -> DataFrame:
+    """Force Index(n) — EMA-smoothed price-change × volume."""
+
+    def fn(pdf: pd.DataFrame):
+        return {
+            f"efi_{n}": efi_rec(
+                pdf["close"].to_numpy(np.float64),
+                pdf["volume"].to_numpy(np.float64),
+                n,
+            )
+        }
+
+    return _indicator_map(df, {f"efi_{n}": "double"}, fn)
+
+
 # -------------------------------------------- SQL HOF alternative (bounded)
 
 

@@ -232,6 +232,145 @@ def with_donchian(df: DataFrame, n: int = 20) -> DataFrame:
     )
 
 
+def with_willr(df: DataFrame, n: int = 14, out: str | None = None) -> DataFrame:
+    """Williams %R(n): -100 * (HH - close) / (HH - LL) over the last n
+    rows (pandas-ta willr family; same window spec as stoch — %R is the
+    inverted un-smoothed stochastic).  Single subtraction/division over
+    exact window extremes, so no accumulation-order hazard; NULLIF'd
+    denominator, warmup-gated at n."""
+    out = out or f"willr_{n}"
+    w = by_key().rowsBetween(-(n - 1), 0)
+    cnt = F.count("close").over(w)
+    hh, ll = F.max("high").over(w), F.min("low").over(w)
+    expr = F.lit(-100.0) * (hh - F.col("close")) / F.nullif(hh - ll, F.lit(0.0))
+    return df.withColumn(out, _guarded(expr, cnt, n))
+
+
+def _mfv_quant(df: DataFrame) -> DataFrame:
+    """Money-flow volume quantized to integer micro-units: mfm =
+    ((close-low)-(high-close))/(high-low) rounded half-up at 6dp, times
+    volume — an exact BIGINT per row, so every downstream window / running
+    sum is integer arithmetic, identical in any summation order (the VWAP
+    quantization pattern; |mfm|<=1 and volume<=1e3 keep it far from
+    overflow)."""
+    mfm = (F.lit(2.0) * F.col("close") - F.col("high") - F.col("low")) / F.nullif(
+        F.col("high") - F.col("low"), F.lit(0.0)
+    )
+    return df.withColumn(
+        "_mfvq", (F.round(mfm * F.lit(1000000.0), 0).cast("long") * F.col("volume"))
+    )
+
+
+def with_cmf(df: DataFrame, n: int = 20, out: str | None = None) -> DataFrame:
+    """Chaikin Money Flow(n): sum(money-flow volume, n) / sum(volume, n).
+    Money-flow volume is quantized to integer micro-units (``_mfv_quant``)
+    so both window sums are exact integers — cross-engine parity without
+    trusting float window-sum accumulation order.  Rows with high==low
+    contribute NULL mfv (skipped by SUM on both engines) but their volume
+    still counts in the denominator, the standard CMF convention."""
+    out = out or f"cmf_{n}"
+    w = by_key().rowsBetween(-(n - 1), 0)
+    df = _mfv_quant(df)
+    cnt = F.count("close").over(w)
+    num = F.sum("_mfvq").over(w).cast("double")
+    den = F.lit(1000000.0) * F.sum("volume").over(w).cast("double")
+    return df.withColumn(out, _guarded(num / F.nullif(den, F.lit(0.0)), cnt, n)).drop(
+        "_mfvq"
+    )
+
+
+def with_ad_line(df: DataFrame, out: str = "ad_line") -> DataFrame:
+    """Accumulation/Distribution line: running Σ of money-flow volume
+    from the start of each key's history.  The cumulative sum runs over
+    quantized integer micro-units (``_mfv_quant``) — exact at any depth,
+    so the unbounded running frame is parity-safe where a float cumsum
+    would drift by summation order.  high==low rows contribute 0.
+
+    No re-rounding on the way out: the running total is an exact
+    integer, so ``cum / 1e6`` is the same IEEE division on both engines
+    (bit-identical) — while ROUND-to-4dp of that quotient is NOT parity
+    -safe (a true .xxxx5 half sits within 1 ulp of the double, and the
+    engines disagree on which side it falls)."""
+    w = by_key().rowsBetween(Window.unboundedPreceding, 0)
+    df = _mfv_quant(df).withColumn("_mfvq0", F.coalesce(F.col("_mfvq"), F.lit(0)))
+    ad = F.sum("_mfvq0").over(w).cast("double") / F.lit(1000000.0)
+    return df.withColumn(out, ad).drop("_mfvq", "_mfvq0")
+
+
+def with_ultimate(
+    df: DataFrame, n1: int = 7, n2: int = 14, n3: int = 28, out: str | None = None
+) -> DataFrame:
+    """Ultimate Oscillator(n1,n2,n3): buying pressure bp = close -
+    min(low, prev_close), true range tr = max(high, prev_close) -
+    min(low, prev_close); average ratio a_k = Σbp/Σtr over each horizon;
+    UO = 100 * (4*a_n1 + 2*a_n2 + a_n3) / 7.  bp and tr are quantized to
+    integer micro-units per row so all six window sums are exact integer
+    arithmetic (the CMF/VWAP parity pattern).  First row per key has no
+    prev_close -> NULL delta, skipped by every sum on both engines;
+    warmup-gated at n3 non-null deltas."""
+    out = out or f"uo_{n1}_{n2}_{n3}"
+    kw = by_key()
+    pc = F.lag("close").over(kw)
+    # least/greatest SKIP nulls on both engines, so the first row's
+    # missing prev_close must be gated explicitly or bp silently
+    # degrades to close-low there instead of a skipped delta
+    bp = F.when(pc.isNotNull(), F.col("close") - F.least(F.col("low"), pc))
+    tr = F.when(
+        pc.isNotNull(),
+        F.greatest(F.col("high"), pc) - F.least(F.col("low"), pc),
+    )
+    df = df.withColumn(
+        "_bpq", F.round(bp * F.lit(1000000.0), 0).cast("long")
+    ).withColumn("_trq", F.round(tr * F.lit(1000000.0), 0).cast("long"))
+
+    def avg_ratio(k: int):
+        wk = by_key().rowsBetween(-(k - 1), 0)
+        return F.sum("_bpq").over(wk).cast("double") / F.nullif(
+            F.sum("_trq").over(wk).cast("double"), F.lit(0.0)
+        )
+
+    w3 = by_key().rowsBetween(-(n3 - 1), 0)
+    cnt = F.count("_bpq").over(w3)
+    uo = (
+        F.lit(100.0)
+        * (F.lit(4.0) * avg_ratio(n1) + F.lit(2.0) * avg_ratio(n2) + avg_ratio(n3))
+        / F.lit(7.0)
+    )
+    return df.withColumn(out, _guarded(uo, cnt, n3)).drop("_bpq", "_trq")
+
+
+def with_aroon(df: DataFrame, n: int = 25) -> DataFrame:
+    """Aroon(n) up/down: position of the most recent n-row high/low
+    inside the window, scaled to [0, 100] — 100 when the extreme is the
+    current row, 0 when it sits at the oldest frame row.
+
+    The 'bars since the high' lookup is a lexicographic struct extreme:
+    MAX(struct(high, rn)) picks the highest high and, on exact ties, the
+    LATEST row (rn ascends); the low side negates rn inside
+    MIN(struct(low, -rn)) to get the same most-recent-on-tie convention.
+    Struct ordering is identical in Spark and DuckDB, and no float
+    arithmetic precedes the comparison (raw stored values), so the pick
+    is parity-exact.  One layered window pass, no self-join."""
+    kw = by_key()
+    w = by_key().rowsBetween(-(n - 1), 0)
+    df = df.withColumn("_rn", F.row_number().over(kw))
+    hi_rn = F.max(F.struct(F.col("high"), F.col("_rn"))).over(w).getField("_rn")
+    lo_rn = (
+        -F.min(F.struct(F.col("low"), (-F.col("_rn")).alias("_nrn"))).over(w).getField(
+            "_nrn"
+        )
+    )
+    cnt = F.count("close").over(w)
+    scale = float(n - 1)
+    up = F.lit(100.0) * (F.lit(scale) - (F.col("_rn") - hi_rn)) / F.lit(scale)
+    dn = F.lit(100.0) * (F.lit(scale) - (F.col("_rn") - lo_rn)) / F.lit(scale)
+    return (
+        df.withColumn(f"aroon_up_{n}", _guarded(up, cnt, n))
+        .withColumn(f"aroon_dn_{n}", _guarded(dn, cnt, n))
+        .drop("_rn")
+    )
+
+
 def with_cci(df: DataFrame, n: int = 20, out: str | None = None) -> DataFrame:
     """CCI(n) — Commodity Channel Index: (tp - SMA_n(tp)) / (0.015 *
     mean_deviation), tp = (high+low+close)/3, mean_deviation = avg |tp_i -

@@ -59,6 +59,8 @@ _NEW_R6: list[str] = [
     "q_volume_profile", "q_pairs_spread", "q_moments", "q_dsir_weights",
     "q_ewma_sql", "q_hll_union", "q_logreg_quality", "q_gopher_rules",
     "q_stream_dedup", "q_bucket_join", "q_schema_evolution", "q_pit_join",
+    "q_willr", "q_cmf", "q_ad_line", "q_ultimate", "q_aroon",
+    "q_keltner", "q_holt", "q_force_index",
 ]
 # r5-certified block (fresh greens, rotate last among certified).
 _CERTIFIED_R5 = [

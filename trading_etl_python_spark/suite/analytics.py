@@ -763,3 +763,271 @@ def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit two-pass skewness / excess kurtosis of daily returns per
     symbol — operators/analytics.return_moments."""
     return AN.return_moments(bars(spark, sf_dir), min_days=15)
+
+
+# ------------------------------------------------ r6 indicator-parity batch
+# Five window-native indicators (Williams %R, CMF, A/D line, Ultimate
+# Oscillator, Aroon) and three recurrences (Keltner, Holt, Force Index)
+# widening the pandas-ta family beyond the reference's eleven
+# (backfill.py:12-64).  Parity techniques: integer micro-unit
+# quantization for every multi-term window/running sum (the VWAP
+# pattern), lexicographic struct extremes for bars-since-high ties, and
+# the module-standard recursive-CTE oracles with seeds/coefficients
+# written EXACTLY as the numpy kernels compute them (1.0 - a, never the
+# pre-folded literal — 1.0-0.2 and the literal 0.8 are different
+# doubles).
+
+
+@q(
+    "q_willr",
+    f"""WITH {BARS_CTE},
+    l AS (SELECT symbol, time, event_id, close,
+            MAX(high) OVER w AS hh, MIN(low) OVER w AS ll,
+            COUNT(close) OVER w AS cnt
+          FROM bars WINDOW w AS ({KW} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT symbol, time, event_id,
+      CASE WHEN cnt >= 14
+           THEN ROUND(-100.0 * (hh - close) / NULLIF(hh - ll, 0.0), 4)
+      END AS willr_14
+    FROM l""",
+)
+def q_willr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Williams %R(14): inverted un-smoothed stochastic over window
+    extremes — operators/windows.with_willr."""
+    from ..operators.windows import with_willr
+
+    return with_willr(bars(spark, sf_dir), 14).select(
+        "symbol", "time", "event_id", "willr_14"
+    )
+
+
+MFVQ = (
+    "CAST(ROUND((2.0 * close - high - low) / NULLIF(high - low, 0.0)"
+    " * 1000000.0, 0) AS BIGINT) * volume"
+)
+
+
+@q(
+    "q_cmf",
+    f"""WITH {BARS_CTE},
+    m AS (SELECT symbol, time, event_id, volume, {MFVQ} AS mfvq FROM bars),
+    l AS (SELECT symbol, time, event_id,
+            SUM(mfvq) OVER w AS num, SUM(volume) OVER w AS den,
+            COUNT(*) OVER w AS cnt
+          FROM m WINDOW w AS ({KW} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+    SELECT symbol, time, event_id,
+      CASE WHEN cnt >= 20
+           THEN ROUND(CAST(num AS DOUBLE)
+                      / NULLIF(1000000.0 * CAST(den AS DOUBLE), 0.0), 4)
+      END AS cmf_20
+    FROM l""",
+)
+def q_cmf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chaikin Money Flow(20): integer-quantized money-flow volume over
+    exact window sums — operators/windows.with_cmf."""
+    from ..operators.windows import with_cmf
+
+    return with_cmf(bars(spark, sf_dir), 20).select(
+        "symbol", "time", "event_id", "cmf_20"
+    )
+
+
+@q(
+    "q_ad_line",
+    f"""WITH {BARS_CTE},
+    m AS (SELECT symbol, time, event_id,
+            COALESCE({MFVQ}, 0) AS mfvq0 FROM bars)
+    SELECT symbol, time, event_id,
+      CAST(SUM(mfvq0) OVER ({KW}
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            / 1000000.0 AS ad_line
+    FROM m""",
+)
+def q_ad_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulation/Distribution line: exact integer running sum of
+    quantized money-flow volume — operators/windows.with_ad_line."""
+    from ..operators.windows import with_ad_line
+
+    return with_ad_line(bars(spark, sf_dir)).select(
+        "symbol", "time", "event_id", "ad_line"
+    )
+
+
+@q(
+    "q_ultimate",
+    f"""WITH {BARS_CTE},
+    d AS (SELECT symbol, time, event_id,
+            CASE WHEN LAG(close) OVER ({KW}) IS NOT NULL THEN
+              CAST(ROUND((close - LEAST(low, LAG(close) OVER ({KW})))
+                   * 1000000.0, 0) AS BIGINT) END AS bpq,
+            CASE WHEN LAG(close) OVER ({KW}) IS NOT NULL THEN
+              CAST(ROUND((GREATEST(high, LAG(close) OVER ({KW}))
+                          - LEAST(low, LAG(close) OVER ({KW})))
+                   * 1000000.0, 0) AS BIGINT) END AS trq
+          FROM bars),
+    l AS (SELECT symbol, time, event_id,
+            CAST(SUM(bpq) OVER w1 AS DOUBLE)
+              / NULLIF(CAST(SUM(trq) OVER w1 AS DOUBLE), 0.0) AS a1,
+            CAST(SUM(bpq) OVER w2 AS DOUBLE)
+              / NULLIF(CAST(SUM(trq) OVER w2 AS DOUBLE), 0.0) AS a2,
+            CAST(SUM(bpq) OVER w3 AS DOUBLE)
+              / NULLIF(CAST(SUM(trq) OVER w3 AS DOUBLE), 0.0) AS a3,
+            COUNT(bpq) OVER w3 AS cnt
+          FROM d
+          WINDOW w1 AS ({KW} ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                 w2 AS ({KW} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+                 w3 AS ({KW} ROWS BETWEEN 27 PRECEDING AND CURRENT ROW))
+    SELECT symbol, time, event_id,
+      CASE WHEN cnt >= 28
+           THEN ROUND(100.0 * (4.0 * a1 + 2.0 * a2 + a3) / 7.0, 4)
+      END AS uo_7_14_28
+    FROM l""",
+)
+def q_ultimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ultimate Oscillator(7,14,28): three-horizon buying-pressure /
+    true-range ratios, quantized sums — operators/windows.with_ultimate."""
+    from ..operators.windows import with_ultimate
+
+    return with_ultimate(bars(spark, sf_dir)).select(
+        "symbol", "time", "event_id", "uo_7_14_28"
+    )
+
+
+@q(
+    "q_aroon",
+    f"""WITH {BARS_CTE},
+    b AS (SELECT symbol, time, event_id, high, low, close,
+            ROW_NUMBER() OVER ({KW}) AS rn FROM bars),
+    l AS (SELECT symbol, time, event_id, rn,
+            (MAX({{'h': high, 'rn': rn}}) OVER w).rn AS hi_rn,
+            -((MIN({{'l': low, 'nrn': -rn}}) OVER w).nrn) AS lo_rn,
+            COUNT(close) OVER w AS cnt
+          FROM b WINDOW w AS ({KW} ROWS BETWEEN 24 PRECEDING AND CURRENT ROW))
+    SELECT symbol, time, event_id,
+      CASE WHEN cnt >= 25
+           THEN ROUND(100.0 * (24.0 - (rn - hi_rn)) / 24.0, 4)
+      END AS aroon_up_25,
+      CASE WHEN cnt >= 25
+           THEN ROUND(100.0 * (24.0 - (rn - lo_rn)) / 24.0, 4)
+      END AS aroon_dn_25
+    FROM l""",
+)
+def q_aroon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aroon(25) up/down: bars-since-extreme via lexicographic struct
+    max/min (latest row wins exact ties on both engines) —
+    operators/windows.with_aroon."""
+    from ..operators.windows import with_aroon
+
+    return with_aroon(bars(spark, sf_dir), 25).select(
+        "symbol", "time", "event_id", "aroon_up_25", "aroon_dn_25"
+    )
+
+
+@q(
+    "q_keltner",
+    f"""WITH RECURSIVE {BARS_CTE},
+    base AS (
+      SELECT symbol, time, event_id, close,
+        ROW_NUMBER() OVER ({KW}) AS rn,
+        AVG(close) OVER ({KW} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sma20,
+        CASE WHEN LAG(close) OVER ({KW}) IS NULL THEN high - low
+             ELSE GREATEST(high - low,
+                           ABS(high - LAG(close) OVER ({KW})),
+                           ABS(low - LAG(close) OVER ({KW}))) END AS tr
+      FROM bars),
+    s AS (SELECT symbol, rn, tr,
+            AVG(tr) OVER (PARTITION BY symbol ORDER BY rn
+                          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS atrseed
+          FROM base),
+    re AS (
+      SELECT symbol, rn, sma20 AS ema FROM base WHERE rn = 20
+      UNION ALL
+      SELECT b.symbol, b.rn, (2.0/21.0) * b.close + (1.0 - 2.0/21.0) * r.ema
+      FROM base b JOIN re r ON b.symbol = r.symbol AND b.rn = r.rn + 1),
+    ra AS (
+      SELECT symbol, rn, atrseed AS atr FROM s WHERE rn = 10
+      UNION ALL
+      SELECT x.symbol, x.rn, (1.0/10.0) * x.tr + (1.0 - 1.0/10.0) * r.atr
+      FROM s x JOIN ra r ON x.symbol = r.symbol AND x.rn = r.rn + 1)
+    SELECT b.symbol, b.time, b.event_id,
+      ROUND(e.ema, 4) AS kc_mid,
+      ROUND(e.ema + 2.0 * a.atr, 4) AS kc_upper,
+      ROUND(e.ema - 2.0 * a.atr, 4) AS kc_lower
+    FROM base b
+    LEFT JOIN re e ON b.symbol = e.symbol AND b.rn = e.rn
+    LEFT JOIN ra a ON b.symbol = a.symbol AND b.rn = a.rn""",
+)
+def q_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keltner Channel(20,10,2): EMA mid ± 2*ATR bands — the EMA/ATR
+    composition recurrence, one Arrow pass per key
+    (operators/recursive.with_keltner)."""
+    from ..operators.recursive import with_keltner
+
+    return with_keltner(bars(spark, sf_dir)).select(
+        "symbol", "time", "event_id", "kc_mid", "kc_upper", "kc_lower"
+    )
+
+
+@q(
+    "q_holt",
+    f"""WITH RECURSIVE {BARS_CTE},
+    base AS (
+      SELECT symbol, time, event_id, close,
+        ROW_NUMBER() OVER ({KW}) AS rn,
+        LEAD(close) OVER ({KW}) AS nxt
+      FROM bars),
+    rec AS (
+      SELECT symbol, rn, close AS l, nxt - close AS b FROM base WHERE rn = 1
+      UNION ALL
+      SELECT x.symbol, x.rn,
+        CAST(0.2 AS DOUBLE) * x.close + (1.0 - CAST(0.2 AS DOUBLE)) * (r.l + r.b),
+        CAST(0.1 AS DOUBLE)
+          * ((CAST(0.2 AS DOUBLE) * x.close
+              + (1.0 - CAST(0.2 AS DOUBLE)) * (r.l + r.b)) - r.l)
+          + (1.0 - CAST(0.1 AS DOUBLE)) * r.b
+      FROM base x JOIN rec r ON x.symbol = r.symbol AND x.rn = r.rn + 1)
+    SELECT b.symbol, b.time, b.event_id,
+      ROUND(r.l, 4) AS holt_level,
+      ROUND(r.b, 4) AS holt_trend,
+      ROUND(r.l + r.b, 4) AS holt_fcst
+    FROM base b LEFT JOIN rec r ON b.symbol = r.symbol AND b.rn = r.rn""",
+)
+def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (alpha=0.2, beta=0.1): level /
+    trend states + one-step forecast, recursive Arrow kernel vs a
+    two-state recursive CTE (operators/recursive.with_holt)."""
+    from ..operators.recursive import with_holt
+
+    return with_holt(bars(spark, sf_dir)).select(
+        "symbol", "time", "event_id", "holt_level", "holt_trend", "holt_fcst"
+    )
+
+
+@q(
+    "q_force_index",
+    f"""WITH RECURSIVE {BARS_CTE},
+    t AS (SELECT symbol, time, event_id,
+            ROW_NUMBER() OVER ({KW}) AS rn,
+            (close - LAG(close) OVER ({KW})) * volume AS fi
+          FROM bars),
+    s AS (SELECT symbol, time, event_id, rn, fi,
+            AVG(fi) OVER (PARTITION BY symbol ORDER BY rn
+                          ROWS BETWEEN 12 PRECEDING AND CURRENT ROW) AS seed
+          FROM t),
+    rec AS (
+      SELECT symbol, rn, seed AS e FROM s WHERE rn = 14
+      UNION ALL
+      SELECT x.symbol, x.rn, (2.0/14.0) * x.fi + (1.0 - 2.0/14.0) * r.e
+      FROM s x JOIN rec r ON x.symbol = r.symbol AND x.rn = r.rn + 1)
+    SELECT s.symbol, s.time, s.event_id, ROUND(r.e, 4) AS efi_13
+    FROM s LEFT JOIN rec r ON s.symbol = r.symbol AND s.rn = r.rn""",
+)
+def q_force_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elder Force Index(13): EMA of price-change*volume, SMA-seeded
+    over the first 13 deltas (rows 2-14) —
+    operators/recursive.with_force_index."""
+    from ..operators.recursive import with_force_index
+
+    return with_force_index(bars(spark, sf_dir)).select(
+        "symbol", "time", "event_id", "efi_13"
+    )
