@@ -1183,3 +1183,68 @@ def kmeans_fit_steps(
         rows = kmeans_step(embeddings, cents, id_col=id_col).collect()
         cents = _centroids_from_rows(rows, dim)
     return kmeans_step(embeddings, cents, id_col=id_col)
+
+
+def mmr_select(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+    diversified top-k: iteratively pick argmax of
+    lam * sim(query) - (1-lam) * max sim(already selected) — the
+    standard redundancy-penalized retrieval/data-selection operator
+    (dedup-aware example picking for eval and fine-tune sets).
+
+    Execution: k passes over the corpus; driver state is the selected
+    (id, vector) list — k x d floats, corpus-size-independent (the
+    kmeans/PCA pattern).  Each pass is one scan: sims to the <=k-1
+    selected vectors are inline literal-array dot folds, the argmax is
+    TakeOrderedAndProject (no full sort).  Parity: query and selected
+    sims round to 6dp BEFORE entering the score; the score arithmetic
+    on those rounded doubles is bit-identical cross-engine; ties break
+    by id ascending (the (rounded score, id) ordering rule)."""
+    from ..functions.vector import dot
+
+    one_minus = 1.0 - lam
+    qrow = embeddings.filter(F.col(id_col) == query_vec_id).select("embedding").first()
+    qv = [float(x) for x in qrow[0]]
+    qlit = F.array(*[F.lit(x) for x in qv])
+    base = embeddings.select(
+        id_col, "label", "embedding", F.round(dot("embedding", qlit), 6).alias("_qs")
+    )
+    selected: list[tuple[int, list[float], float]] = []
+    for _ in range(k):
+        cand = base
+        if selected:
+            cand = cand.filter(
+                ~F.col(id_col).isin([vid for vid, _, _ in selected])
+            )
+            sims = [
+                F.round(dot("embedding", F.array(*[F.lit(x) for x in v])), 6)
+                for _, v, _ in selected
+            ]
+            ms = sims[0] if len(sims) == 1 else F.greatest(*sims)
+            score = F.lit(lam) * F.col("_qs") - F.lit(one_minus) * ms
+        else:
+            score = F.col("_qs")
+        row = (
+            cand.withColumn("_score", score)
+            .orderBy(F.col("_score").desc(), F.col(id_col).asc())
+            .select(id_col, "embedding", "_score")
+            .first()
+        )
+        selected.append((row[0], [float(x) for x in row[1]], float(row[2])))
+    spark = embeddings.sparkSession
+    # raw driver-side doubles re-enter a DataFrame so the 6dp emit uses
+    # ENGINE rounding (F.round half-up == DuckDB ROUND) — python's
+    # round() is half-even and would fork on decimal halves
+    out = spark.createDataFrame(
+        [(i + 1, vid, s) for i, (vid, _, s) in enumerate(selected)],
+        f"rank int, {id_col} long, _raw double",
+    )
+    return out.join(embeddings.select(id_col, "label"), id_col).select(
+        "rank", id_col, "label", F.round("_raw", 6).alias("mmr_score")
+    )

@@ -946,3 +946,127 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         r_stop.alias("r_stop"),
         (r_len & r_wlen & r_alpha & r_stop).alias("keep"),
     )
+
+
+def rake_keywords(
+    df: DataFrame, top_k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs; word score = deg/freq where deg
+    sums the lengths of phrases containing the word (self included) and
+    freq counts occurrences; phrase score = Σ member word scores (with
+    multiplicity); emit each document's top_k distinct phrases.
+
+    Parity engineering: word scores are quantized once —
+    ROUND(deg*1e6/freq, 0) as BIGINT (deg/freq is a small-denominator
+    rational, so the 6dp boundary is never within an ulp) — and phrase
+    scores are exact integer sums of those; ranking orders by
+    (score_q DESC, phrase ASC), integers and strings only.
+
+    Plan: NO joins — phrase length and word degree/frequency attach to
+    each occurrence via unordered windows over (doc, phrase) and
+    (doc, word), then ONE groupBy rebuilds phrases with their summed
+    scores.  Three narrow exchanges on doc-prefixed keys, each finer
+    than plain doc_id (better skew behavior at 100 TB: a giant document
+    still splits across phrase/word keys for the stats stages); per-doc
+    state is phrase-count-sized."""
+    from pyspark.sql import Window
+
+    from .dedup import tokens_col
+
+    sw = list(STOPWORDS["en"])
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens_col(text_col)).alias("pos", "tok")
+    ).withColumn("_st", F.col("tok").isin(*sw).cast("int"))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    content = tok.withColumn("phrase_id", F.sum("_st").over(w)).filter(
+        F.col("_st") == 0
+    )
+    wp = Window.partitionBy(id_col, "phrase_id")
+    wt = Window.partitionBy(id_col, "tok")
+    content = content.withColumn("plen", F.count(F.lit(1)).over(wp)).withColumn(
+        "score_q",
+        F.round(
+            F.sum("plen").over(wt).cast("double") * F.lit(1000000.0)
+            / F.count(F.lit(1)).over(wt).cast("double"),
+            0,
+        ).cast("long"),
+    )
+    ph = content.groupBy(id_col, "phrase_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("phrase"),
+        F.max("plen").alias("plen"),
+        F.sum("score_q").alias("pscore_q"),
+    )
+    agg = ph.groupBy(id_col, "phrase").agg(
+        F.max("plen").alias("plen"),
+        F.max("pscore_q").alias("score_q"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    rk = Window.partitionBy(id_col).orderBy(
+        F.col("score_q").desc(), F.col("phrase").asc()
+    )
+    return (
+        agg.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= top_k)
+        .select(
+            id_col,
+            "rk",
+            "phrase",
+            (F.col("score_q").cast("double") / F.lit(1000000.0)).alias("rake_score"),
+            "plen",
+            "n_occurrences",
+        )
+    )
+
+
+def blocked_linkage(
+    df: DataFrame,
+    name_col: str = "p_name",
+    max_dist: int = 3,
+) -> DataFrame:
+    """Record-linkage candidate pairs by blocked edit distance: distinct
+    names are blocked on their LAST token (the head noun in
+    adjective-noun entity names), and within each block every name pair
+    with Levenshtein distance <= max_dist is emitted with the number of
+    records carrying each spelling — the standard blocking-key +
+    pairwise-compare shape of entity resolution (Fellegi-Sunter
+    blocking; same family as fuzzy_token_pairs' SymSpell variant but
+    relation-level and fully JVM-side: Spark's levenshtein == DuckDB's,
+    integers end to end).
+
+    Scale: the pair space is Σ_b |b|² over DISTINCT-name blocks, not
+    records — blocks are vocabulary-sized; for heavy-tailed name
+    vocabularies subdivide the block key like cosine_pairs_blocked
+    does (documented boundary, same remedy)."""
+    names = (
+        df.groupBy(F.col(name_col).alias("name"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("block", F.element_at(F.split("name", " "), -1))
+    )
+    a, b = names.alias("a"), names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .withColumn("edit_dist", F.levenshtein(F.col("a.name"), F.col("b.name")))
+        .filter(F.col("edit_dist") <= max_dist)
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            "edit_dist",
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+    )

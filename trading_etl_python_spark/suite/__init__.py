@@ -61,6 +61,7 @@ _NEW_R6: list[str] = [
     "q_stream_dedup", "q_bucket_join", "q_schema_evolution", "q_pit_join",
     "q_willr", "q_cmf", "q_ad_line", "q_ultimate", "q_aroon",
     "q_keltner", "q_holt", "q_force_index",
+    "q_rake", "q_linkage", "q_mmr",
 ]
 # r5-certified block (fresh greens, rotate last among certified).
 _CERTIFIED_R5 = [

@@ -3922,3 +3922,134 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_merged_schema(spark, root).select(
         "event_id", "user_id", "value", "event_type"
     )
+
+
+# ----------------------------------------------------- r6 retrieval batch
+
+
+@q(
+    "q_rake",
+    f"""WITH tok AS (
+         SELECT doc_id, unnest({TOKS}) AS tok,
+                unnest(range(1, len({TOKS}) + 1)) AS pos
+         FROM documents),
+       s AS (SELECT doc_id, tok, pos,
+               CASE WHEN tok IN ('the','a','of','and','to','in','is')
+                    THEN 1 ELSE 0 END AS st
+             FROM tok),
+       g AS (SELECT doc_id, tok, pos, st,
+               SUM(st) OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+             FROM s),
+       c AS (SELECT doc_id, tok, pos, phrase_id FROM g WHERE st = 0),
+       ph AS (SELECT doc_id, phrase_id,
+                string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                COUNT(*) AS plen
+              FROM c GROUP BY doc_id, phrase_id),
+       occ AS (SELECT c.doc_id, c.tok, c.phrase_id, ph.plen
+               FROM c JOIN ph ON c.doc_id = ph.doc_id
+                             AND c.phrase_id = ph.phrase_id),
+       wsc AS (SELECT doc_id, tok,
+                 CAST(ROUND(CAST(SUM(plen) AS DOUBLE) * 1000000.0
+                            / CAST(COUNT(*) AS DOUBLE), 0) AS BIGINT) AS score_q
+               FROM occ GROUP BY doc_id, tok),
+       ps AS (SELECT o.doc_id, o.phrase_id, SUM(w.score_q) AS pscore_q
+              FROM occ o JOIN wsc w ON o.doc_id = w.doc_id AND o.tok = w.tok
+              GROUP BY o.doc_id, o.phrase_id),
+       agg AS (SELECT ph.doc_id, ph.phrase, MAX(ph.plen) AS plen,
+                 CAST(MAX(ps.pscore_q) AS BIGINT) AS score_q,
+                 COUNT(*) AS n_occurrences
+               FROM ph JOIN ps ON ph.doc_id = ps.doc_id
+                              AND ph.phrase_id = ps.phrase_id
+               GROUP BY ph.doc_id, ph.phrase),
+       r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY score_q DESC, phrase ASC) AS INTEGER) AS rk
+             FROM agg)
+       SELECT doc_id, rk, phrase,
+              CAST(score_q AS DOUBLE) / 1000000.0 AS rake_score,
+              plen, n_occurrences
+       FROM r WHERE rk <= 3""",
+)
+def q_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction: stopword-bounded candidate phrases
+    scored by summed word degree/frequency; top-3 distinct phrases per
+    document (operators/text.rake_keywords)."""
+    return TX.rake_keywords(load_table(spark, sf_dir, "documents"), top_k=3)
+
+
+@q(
+    "q_linkage",
+    """WITH n AS (SELECT p_name AS name, COUNT(*) AS n
+                  FROM part GROUP BY p_name),
+       b AS (SELECT name, n, string_split(name, ' ')[-1] AS block FROM n)
+       SELECT a.name AS name_a, c.name AS name_b,
+              CAST(levenshtein(a.name, c.name) AS INTEGER) AS edit_dist,
+              a.n AS n_a, c.n AS n_b
+       FROM b a JOIN b c ON a.block = c.block AND a.name < c.name
+       WHERE levenshtein(a.name, c.name) <= 3""",
+)
+def q_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record-linkage candidates over part names: last-token
+    block + Levenshtein <= 3, JVM-side end to end
+    (operators/text.blocked_linkage)."""
+    return TX.blocked_linkage(load_table(spark, sf_dir, "part"), "p_name", 3)
+
+
+_MMR_DOT_S1 = _DOT.format(a="b.embedding", b="s1.embedding")
+_MMR_DOT_S2 = _DOT.format(a="b.embedding", b="s2.embedding")
+_MMR_DOT_S3 = _DOT.format(a="b.embedding", b="s3.embedding")
+_MMR_DOT_S4 = _DOT.format(a="b.embedding", b="s4.embedding")
+_MMR_W = "CAST(0.7 AS DOUBLE)"
+_MMR_U = "(CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))"
+
+
+@q(
+    "q_mmr",
+    f"""WITH qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+       base AS (SELECT e.vec_id, e.label, e.embedding,
+                  ROUND({_DOT.format(a='e.embedding', b='qv.v')}, 6) AS qs
+                FROM embeddings e, qv),
+       s1 AS (SELECT vec_id, label, embedding, qs, qs AS score
+              FROM base ORDER BY qs DESC, vec_id ASC LIMIT 1),
+       c2 AS (SELECT b.vec_id, b.label, b.embedding, b.qs,
+                {_MMR_W} * b.qs - {_MMR_U} * ROUND({_MMR_DOT_S1}, 6) AS score
+              FROM base b, s1 WHERE b.vec_id <> s1.vec_id),
+       s2 AS (SELECT * FROM c2 ORDER BY score DESC, vec_id ASC LIMIT 1),
+       c3 AS (SELECT b.vec_id, b.label, b.embedding, b.qs,
+                {_MMR_W} * b.qs - {_MMR_U} * GREATEST(
+                  ROUND({_MMR_DOT_S1}, 6), ROUND({_MMR_DOT_S2}, 6)) AS score
+              FROM base b, s1, s2
+              WHERE b.vec_id NOT IN (s1.vec_id, s2.vec_id)),
+       s3 AS (SELECT * FROM c3 ORDER BY score DESC, vec_id ASC LIMIT 1),
+       c4 AS (SELECT b.vec_id, b.label, b.embedding, b.qs,
+                {_MMR_W} * b.qs - {_MMR_U} * GREATEST(
+                  ROUND({_MMR_DOT_S1}, 6), ROUND({_MMR_DOT_S2}, 6),
+                  ROUND({_MMR_DOT_S3}, 6)) AS score
+              FROM base b, s1, s2, s3
+              WHERE b.vec_id NOT IN (s1.vec_id, s2.vec_id, s3.vec_id)),
+       s4 AS (SELECT * FROM c4 ORDER BY score DESC, vec_id ASC LIMIT 1),
+       c5 AS (SELECT b.vec_id, b.label, b.embedding, b.qs,
+                {_MMR_W} * b.qs - {_MMR_U} * GREATEST(
+                  ROUND({_MMR_DOT_S1}, 6), ROUND({_MMR_DOT_S2}, 6),
+                  ROUND({_MMR_DOT_S3}, 6), ROUND({_MMR_DOT_S4}, 6)) AS score
+              FROM base b, s1, s2, s3, s4
+              WHERE b.vec_id NOT IN (s1.vec_id, s2.vec_id, s3.vec_id,
+                                     s4.vec_id)),
+       s5 AS (SELECT * FROM c5 ORDER BY score DESC, vec_id ASC LIMIT 1)
+       SELECT 1 AS rank, vec_id, label, ROUND(score, 6) AS mmr_score FROM s1
+       UNION ALL
+       SELECT 2, vec_id, label, ROUND(score, 6) FROM s2
+       UNION ALL
+       SELECT 3, vec_id, label, ROUND(score, 6) FROM s3
+       UNION ALL
+       SELECT 4, vec_id, label, ROUND(score, 6) FROM s4
+       UNION ALL
+       SELECT 5, vec_id, label, ROUND(score, 6) FROM s5""",
+)
+def q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-5 (lambda=0.7) around
+    the vec_id=0 query; unrolled 5-stage oracle, every similarity
+    rounded 6dp before entering the score
+    (operators/similarity.mmr_select)."""
+    return S.mmr_select(
+        load_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=5, lam=0.7
+    )
