@@ -646,3 +646,134 @@ def return_moments(df: DataFrame, min_days: int = 15) -> DataFrame:
         )
         .filter(F.col("n_days") >= min_days)
     )
+
+
+def amihud_illiquidity(df: DataFrame, min_days: int = 15) -> DataFrame:
+    """Amihud (2002) illiquidity: mean over days of |daily log return| /
+    daily dollar volume, scaled by 1e6 — the standard price-impact
+    proxy.  One (symbol, day) aggregation computes the return grid AND
+    the dollar volume; dollar volume is summed in exact integer CENTS
+    (round(close*volume*100) per tick) so the day total is
+    accumulation-order-free, and the cross-day mean uses the quantized
+    FLOOR pattern (pairs_spread).  Days with zero volume or an
+    undefined return are excluded on both engines."""
+    g = df.groupBy("symbol", F.to_date("time").alias("day")).agg(
+        F.avg("close").alias("close_d"),
+        F.sum(
+            F.round(F.col("close") * F.col("volume") * F.lit(100.0), 0).cast("long")
+        ).alias("dvq"),
+    )
+    wd = Window.partitionBy("symbol").orderBy("day")
+    prev = F.lag("close_d").over(wd)
+    g = g.withColumn(
+        "r",
+        F.when(
+            (prev > 0) & (F.col("close_d") > 0),
+            F.round(F.log(F.col("close_d") / prev), 6),
+        ),
+    ).filter(F.col("r").isNotNull() & (F.col("dvq") > 0))
+    ratioq = F.round(
+        F.abs(F.col("r"))
+        * F.lit(1000000.0)
+        / (F.col("dvq").cast("double") / F.lit(100.0))
+        * F.lit(1000000.0),
+        0,
+    ).cast("long")
+    out = (
+        g.withColumn("_rq", ratioq)
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.floor(
+                F.sum("_rq").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("_f"),
+        )
+    )
+    return out.filter(F.col("n_days") >= min_days).select(
+        "symbol",
+        "n_days",
+        (F.col("_f") / F.lit(1000000.0)).alias("amihud_e6"),
+    )
+
+
+def roll_spread(df: DataFrame, min_days: int = 15) -> DataFrame:
+    """Roll (1984) implied spread: 2*sqrt(-cov(dp_t, dp_{t-1})) over
+    daily close changes, NULL when the serial covariance is
+    non-negative (the model's no-estimate case).  Deltas are quantized
+    to exact 1e-4 price units, so the covariance moments (n, Σx, Σy,
+    Σxy) are exact integers and the final double arithmetic is
+    bit-identical cross-engine; the sqrt result converts back to price
+    units and rounds 6dp."""
+    d = df.groupBy("symbol", F.to_date("time").alias("day")).agg(
+        F.round(F.avg("close"), 6).alias("close_d")
+    )
+    wd = Window.partitionBy("symbol").orderBy("day")
+    dq = F.round((F.col("close_d") - F.lag("close_d").over(wd)) * F.lit(10000.0), 0).cast(
+        "long"
+    )
+    d = d.withColumn("x", dq).withColumn("y", F.lag("x").over(wd)).filter(
+        F.col("x").isNotNull() & F.col("y").isNotNull()
+    )
+    m = d.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cov = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double") / n
+    ) / (n - F.lit(1.0))
+    return (
+        m.filter(F.col("n") >= min_days)
+        .withColumn("_cov", cov)
+        .select(
+            "symbol",
+            F.col("n").alias("n_days"),
+            F.when(
+                F.col("_cov") < 0,
+                F.round(
+                    F.lit(2.0) * F.sqrt(-F.col("_cov")) / F.lit(10000.0), 6
+                ),
+            ).alias("roll_spread"),
+        )
+    )
+
+
+def holt_forecast_eval(df: DataFrame, min_rows: int = 30) -> DataFrame:
+    """Walk-forward evaluation of the Holt one-step forecast: for every
+    row with both a forecast and a realized next close, the absolute
+    and signed errors aggregate per symbol into MAE and mean bias —
+    the train-free backtest loop every forecasting pipeline needs.
+    Errors quantize to exact 1e-6 integers; means use the FLOOR
+    pattern (floor is toward -inf on both engines, so the signed bias
+    is parity-safe too)."""
+    from .recursive import with_holt
+
+    h = with_holt(df)
+    wd = Window.partitionBy("symbol").orderBy(
+        F.col("time").asc(), F.col("event_id").asc()
+    )
+    h = h.withColumn("_nxt", F.lead("close").over(wd)).filter(
+        F.col("_nxt").isNotNull() & F.col("holt_fcst").isNotNull()
+    )
+    err = F.col("_nxt") - F.col("holt_fcst")
+    h = h.withColumn(
+        "_aq", F.round(F.abs(err) * F.lit(1000000.0), 0).cast("long")
+    ).withColumn("_sq", F.round(err * F.lit(1000000.0), 0).cast("long"))
+    m = h.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_preds"),
+        F.floor(F.sum("_aq").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "_ma"
+        ),
+        F.floor(F.sum("_sq").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "_mb"
+        ),
+    )
+    return m.filter(F.col("n_preds") >= min_rows).select(
+        "symbol",
+        "n_preds",
+        (F.col("_ma") / F.lit(1000000.0)).alias("mae"),
+        (F.col("_mb") / F.lit(1000000.0)).alias("bias"),
+    )

@@ -453,3 +453,91 @@ def ema_via_sql_hof(df: DataFrame, n: int = 10, out: str = "ema_hof") -> DataFra
         F.col("rows")[F.col("pos")]["close"].alias("close"),
         F.round(F.col(out), ROUND_DP).alias(out),
     )
+
+
+def trix_rec(c: np.ndarray, n: int = 9) -> np.ndarray:
+    """TRIX(n): triple-smoothed EMA rate of change — 100 * (e3_i /
+    e3_{i-1} - 1) where e3 = EMA(EMA(EMA(close, n), n), n), each stage
+    SMA-seeded over the PREVIOUS stage's first n outputs (so stage k
+    starts at row k*n - k + n... i.e. rows n-1, 2n-2, 3n-3; TRIX itself
+    at 3n-2)."""
+    e1 = ema_rec(c, n)
+    out = np.full(len(c), np.nan)
+    if len(c) < 3 * n - 2:
+        return out
+    e2 = np.full(len(c), np.nan)
+    e2[n - 1 :] = ema_rec(e1[n - 1 :], n)
+    e3 = np.full(len(c), np.nan)
+    e3[2 * n - 2 :] = ema_rec(e2[2 * n - 2 :], n)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        # zero-guard mirrors the oracle's NULLIF (corpus closes can be 0)
+        out[1:] = np.where(
+            e3[:-1] != 0.0, 100.0 * (e3[1:] / e3[:-1] - 1.0), np.nan
+        )
+    return out
+
+
+def supertrend_rec(
+    h: np.ndarray, lo: np.ndarray, c: np.ndarray, n: int = 10, mult: float = 3.0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Supertrend(n, mult): conditional-state band recurrence — the
+    indicator family's first true state MACHINE (the others carry
+    numeric state; this one branches on it).
+
+    Definitions (documented convention, mirrored exactly by the oracle):
+    basic bands ub/lb = hl2 ± mult*ATR(n); final bands ratchet —
+    fub_i = min-style: ub_i if (ub_i < fub_{i-1} or close_{i-1} >
+    fub_{i-1}) else fub_{i-1}; flb symmetric.  Direction: up if
+    close_i > fub (pre-update comparison uses the UPDATED band of this
+    row), down if close_i < flb, else carried.  Output st = flb when
+    up, fub when down.  Seeded at the first ATR row with dir=up.
+
+    Returns (st, dir) with dir in {1.0, -1.0} (NaN during warmup)."""
+    L = len(c)
+    st, dr = np.full(L, np.nan), np.full(L, np.nan)
+    atr = atr_rec(h, lo, c, n)
+    s = n - 1
+    if L <= s or np.isnan(atr[s]):
+        return st, dr
+    hl2 = (h + lo) / 2.0
+    ub = hl2 + mult * atr
+    lb = hl2 - mult * atr
+    fub, flb, d = ub[s], lb[s], 1.0
+    st[s], dr[s] = flb, d
+    for i in range(s + 1, L):
+        if ub[i] < fub or c[i - 1] > fub:
+            fub = ub[i]
+        if lb[i] > flb or c[i - 1] < flb:
+            flb = lb[i]
+        if c[i] > fub:
+            d = 1.0
+        elif c[i] < flb:
+            d = -1.0
+        st[i] = flb if d == 1.0 else fub
+        dr[i] = d
+    return st, dr
+
+
+def with_trix(df: DataFrame, n: int = 9) -> DataFrame:
+    """TRIX(n) momentum over close."""
+
+    def fn(pdf: pd.DataFrame):
+        return {f"trix_{n}": trix_rec(pdf["close"].to_numpy(np.float64), n)}
+
+    return _indicator_map(df, {f"trix_{n}": "double"}, fn)
+
+
+def with_supertrend(df: DataFrame, n: int = 10, mult: float = 3.0) -> DataFrame:
+    """Supertrend(n, mult): ratcheted band + direction state machine."""
+
+    def fn(pdf: pd.DataFrame):
+        st, dr = supertrend_rec(
+            pdf["high"].to_numpy(np.float64),
+            pdf["low"].to_numpy(np.float64),
+            pdf["close"].to_numpy(np.float64),
+            n,
+            mult,
+        )
+        return {"supertrend": st, "st_dir": dr}
+
+    return _indicator_map(df, {"supertrend": "double", "st_dir": "double"}, fn)

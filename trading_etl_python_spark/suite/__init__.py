@@ -62,6 +62,7 @@ _NEW_R6: list[str] = [
     "q_willr", "q_cmf", "q_ad_line", "q_ultimate", "q_aroon",
     "q_keltner", "q_holt", "q_force_index",
     "q_rake", "q_linkage", "q_mmr",
+    "q_trix", "q_supertrend", "q_amihud", "q_roll_spread", "q_holt_eval",
 ]
 # r5-certified block (fresh greens, rotate last among certified).
 _CERTIFIED_R5 = [

@@ -1031,3 +1031,210 @@ def q_force_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_force_index(bars(spark, sf_dir)).select(
         "symbol", "time", "event_id", "efi_13"
     )
+
+
+# ------------------------------------------ r6 state-machine + microstructure
+
+
+@q(
+    "q_trix",
+    f"""WITH RECURSIVE {BARS_CTE},
+    base AS (
+      SELECT symbol, time, event_id, close,
+        ROW_NUMBER() OVER ({KW}) AS rn,
+        AVG(close) OVER ({KW} ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS sma9
+      FROM bars),
+    r1 AS (
+      SELECT symbol, rn, sma9 AS e FROM base WHERE rn = 9
+      UNION ALL
+      SELECT b.symbol, b.rn, (2.0/10.0) * b.close + (1.0 - 2.0/10.0) * r.e
+      FROM base b JOIN r1 r ON b.symbol = r.symbol AND b.rn = r.rn + 1),
+    s2 AS MATERIALIZED (SELECT symbol, rn, e,
+             AVG(e) OVER (PARTITION BY symbol ORDER BY rn
+                          ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS seed2
+           FROM r1),
+    r2 AS (
+      SELECT symbol, rn, seed2 AS e FROM s2 WHERE rn = 17
+      UNION ALL
+      SELECT x.symbol, x.rn, (2.0/10.0) * x.e + (1.0 - 2.0/10.0) * r.e
+      FROM s2 x JOIN r2 r ON x.symbol = r.symbol AND x.rn = r.rn + 1),
+    s3 AS MATERIALIZED (SELECT symbol, rn, e,
+             AVG(e) OVER (PARTITION BY symbol ORDER BY rn
+                          ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS seed3
+           FROM r2),
+    r3 AS (
+      SELECT symbol, rn, seed3 AS e FROM s3 WHERE rn = 25
+      UNION ALL
+      SELECT x.symbol, x.rn, (2.0/10.0) * x.e + (1.0 - 2.0/10.0) * r.e
+      FROM s3 x JOIN r3 r ON x.symbol = r.symbol AND x.rn = r.rn + 1),
+    t AS (SELECT symbol, rn, e,
+            LAG(e) OVER (PARTITION BY symbol ORDER BY rn) AS pe
+          FROM r3)
+    SELECT b.symbol, b.time, b.event_id,
+      CASE WHEN t.pe IS NOT NULL AND t.pe <> 0
+           THEN ROUND(100.0 * (t.e / t.pe - 1.0), 4) END AS trix_9
+    FROM base b LEFT JOIN t ON b.symbol = t.symbol AND b.rn = t.rn""",
+)
+def q_trix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIX(9): triple-smoothed EMA rate of change — three CHAINED
+    recursions, each SMA-seeded on the previous stage's first nine
+    outputs (operators/recursive.with_trix)."""
+    from ..operators.recursive import with_trix
+
+    return with_trix(bars(spark, sf_dir), 9).select(
+        "symbol", "time", "event_id", "trix_9"
+    )
+
+
+@q(
+    "q_supertrend",
+    f"""WITH RECURSIVE {BARS_CTE},
+    base AS (
+      SELECT symbol, time, event_id, close,
+        (high + low) / 2.0 AS hl2,
+        ROW_NUMBER() OVER ({KW}) AS rn,
+        LAG(close) OVER ({KW}) AS pclose,
+        CASE WHEN LAG(close) OVER ({KW}) IS NULL THEN high - low
+             ELSE GREATEST(high - low,
+                           ABS(high - LAG(close) OVER ({KW})),
+                           ABS(low - LAG(close) OVER ({KW}))) END AS tr
+      FROM bars),
+    s AS (SELECT symbol, rn, tr,
+            AVG(tr) OVER (PARTITION BY symbol ORDER BY rn
+                          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS atrseed
+          FROM base),
+    ra AS (
+      SELECT symbol, rn, atrseed AS atr FROM s WHERE rn = 10
+      UNION ALL
+      SELECT x.symbol, x.rn, (1.0/10.0) * x.tr + (1.0 - 1.0/10.0) * r.atr
+      FROM s x JOIN ra r ON x.symbol = r.symbol AND x.rn = r.rn + 1),
+    bl AS MATERIALIZED (SELECT b.symbol, b.rn, b.close, b.pclose,
+             b.hl2 + 3.0 * ra.atr AS ub, b.hl2 - 3.0 * ra.atr AS lb
+           FROM base b JOIN ra ON b.symbol = ra.symbol AND b.rn = ra.rn),
+    rec AS (
+      SELECT symbol, rn, ub AS fub, lb AS flb, CAST(1.0 AS DOUBLE) AS dir
+      FROM bl WHERE rn = 10
+      UNION ALL
+      SELECT x.symbol, x.rn,
+        CASE WHEN x.ub < r.fub OR x.pclose > r.fub THEN x.ub ELSE r.fub END,
+        CASE WHEN x.lb > r.flb OR x.pclose < r.flb THEN x.lb ELSE r.flb END,
+        CASE WHEN x.close >
+               (CASE WHEN x.ub < r.fub OR x.pclose > r.fub
+                     THEN x.ub ELSE r.fub END)
+             THEN CAST(1.0 AS DOUBLE)
+             WHEN x.close <
+               (CASE WHEN x.lb > r.flb OR x.pclose < r.flb
+                     THEN x.lb ELSE r.flb END)
+             THEN CAST(-1.0 AS DOUBLE)
+             ELSE r.dir END
+      FROM bl x JOIN rec r ON x.symbol = r.symbol AND x.rn = r.rn + 1)
+    SELECT b.symbol, b.time, b.event_id,
+      ROUND(CASE WHEN rec.dir = 1.0 THEN rec.flb ELSE rec.fub END, 4)
+        AS supertrend,
+      ROUND(rec.dir, 4) AS st_dir
+    FROM base b LEFT JOIN rec ON b.symbol = rec.symbol AND b.rn = rec.rn""",
+)
+def q_supertrend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supertrend(10, 3): ratcheted ATR bands + direction — the
+    conditional-state recurrence, branch decisions on bit-identical
+    doubles (operators/recursive.with_supertrend)."""
+    from ..operators.recursive import with_supertrend
+
+    return with_supertrend(bars(spark, sf_dir), 10, 3.0).select(
+        "symbol", "time", "event_id", "supertrend", "st_dir"
+    )
+
+
+@q(
+    "q_amihud",
+    f"""WITH {BARS_CTE},
+    g AS (SELECT symbol, CAST(time AS DATE) AS day, AVG(close) AS close_d,
+            SUM(CAST(ROUND(close * volume * 100.0, 0) AS BIGINT)) AS dvq
+          FROM bars GROUP BY symbol, CAST(time AS DATE)),
+    r AS (SELECT symbol, day, dvq,
+            CASE WHEN LAG(close_d) OVER w > 0 AND close_d > 0
+                 THEN ROUND(LN(close_d / LAG(close_d) OVER w), 6) END AS r
+          FROM g WINDOW w AS (PARTITION BY symbol ORDER BY day)),
+    f AS (SELECT symbol,
+            CAST(ROUND(ABS(r) * 1000000.0 / (CAST(dvq AS DOUBLE) / 100.0)
+                       * 1000000.0, 0) AS BIGINT) AS rq
+          FROM r WHERE r IS NOT NULL AND dvq > 0)
+    SELECT symbol, COUNT(*) AS n_days,
+      FLOOR(CAST(SUM(rq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1000000.0
+        AS amihud_e6
+    FROM f GROUP BY symbol HAVING COUNT(*) >= 15""",
+)
+def q_amihud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amihud illiquidity (|ret|/dollar-volume, x1e6) per symbol —
+    operators/analytics.amihud_illiquidity."""
+    return AN.amihud_illiquidity(bars(spark, sf_dir), min_days=15)
+
+
+@q(
+    "q_roll_spread",
+    f"""WITH {BARS_CTE},
+    d AS (SELECT symbol, CAST(time AS DATE) AS day,
+            ROUND(AVG(close), 6) AS close_d
+          FROM bars GROUP BY symbol, CAST(time AS DATE)),
+    x AS (SELECT symbol, day,
+            CAST(ROUND((close_d - LAG(close_d) OVER w) * 10000.0, 0)
+                 AS BIGINT) AS x
+          FROM d WINDOW w AS (PARTITION BY symbol ORDER BY day)),
+    p AS (SELECT symbol, x,
+            LAG(x) OVER (PARTITION BY symbol ORDER BY day) AS y
+          FROM x),
+    m AS (SELECT symbol, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+            SUM(x * y) AS sxy
+          FROM p WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY symbol),
+    c AS (SELECT symbol, n,
+            (CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+            / (CAST(n AS DOUBLE) - 1.0) AS cov
+          FROM m WHERE n >= 15)
+    SELECT symbol, n AS n_days,
+      CASE WHEN cov < 0
+           THEN ROUND(2.0 * SQRT(-cov) / 10000.0, 6) END AS roll_spread
+    FROM c""",
+)
+def q_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll implied spread from serial covariance of daily price
+    changes — operators/analytics.roll_spread."""
+    return AN.roll_spread(bars(spark, sf_dir), min_days=15)
+
+
+@q(
+    "q_holt_eval",
+    f"""WITH RECURSIVE {BARS_CTE},
+    base AS (
+      SELECT symbol, time, event_id, close,
+        ROW_NUMBER() OVER ({KW}) AS rn,
+        LEAD(close) OVER ({KW}) AS nxt
+      FROM bars),
+    rec AS (
+      SELECT symbol, rn, close AS l, nxt - close AS b FROM base WHERE rn = 1
+      UNION ALL
+      SELECT x.symbol, x.rn,
+        CAST(0.2 AS DOUBLE) * x.close + (1.0 - CAST(0.2 AS DOUBLE)) * (r.l + r.b),
+        CAST(0.1 AS DOUBLE)
+          * ((CAST(0.2 AS DOUBLE) * x.close
+              + (1.0 - CAST(0.2 AS DOUBLE)) * (r.l + r.b)) - r.l)
+          + (1.0 - CAST(0.1 AS DOUBLE)) * r.b
+      FROM base x JOIN rec r ON x.symbol = r.symbol AND x.rn = r.rn + 1),
+    f AS (SELECT b.symbol, b.nxt, ROUND(r.l + r.b, 4) AS fcst
+          FROM base b JOIN rec r ON b.symbol = r.symbol AND b.rn = r.rn
+          WHERE b.nxt IS NOT NULL AND r.l IS NOT NULL AND r.b IS NOT NULL),
+    e AS (SELECT symbol,
+            CAST(ROUND(ABS(nxt - fcst) * 1000000.0, 0) AS BIGINT) AS aq,
+            CAST(ROUND((nxt - fcst) * 1000000.0, 0) AS BIGINT) AS sq
+          FROM f)
+    SELECT symbol, COUNT(*) AS n_preds,
+      FLOOR(CAST(SUM(aq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1000000.0
+        AS mae,
+      FLOOR(CAST(SUM(sq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1000000.0
+        AS bias
+    FROM e GROUP BY symbol HAVING COUNT(*) >= 30""",
+)
+def q_holt_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward MAE + bias of the Holt one-step forecast per
+    symbol — operators/analytics.holt_forecast_eval."""
+    return AN.holt_forecast_eval(bars(spark, sf_dir), min_rows=30)
