@@ -89,3 +89,68 @@ def test_holt_eval_perfect_forecast_on_linear_series(spark):
     out = AN.holt_forecast_eval(_bars(spark, rows), min_rows=10).collect()
     assert len(out) == 1
     assert out[0].mae == 0.0 and out[0].bias == 0.0
+
+
+def test_kalman_converges_to_constant():
+    from trading_etl_python_spark.operators.recursive import kalman_rec
+
+    z = np.full(200, 42.0)
+    xs, ks = kalman_rec(z, 0.01, 1.0)
+    assert xs[0] == 42.0 and np.isnan(ks[0])
+    assert abs(xs[-1] - 42.0) < 1e-9
+    # gain settles to the steady-state Riccati value k* where
+    # k = (p+q)/(p+q+r) and p = (1-k)(p+q)
+    kss = ks[-1]
+    pss = (1.0 - kss) * (kss / (1.0 - kss))  # p+q = k/(1-k) * r with r=1
+    assert abs(ks[-1] - ks[-2]) < 1e-9 and 0 < kss < 1 and pss > 0
+
+
+def test_kalman_tracks_step_change():
+    from trading_etl_python_spark.operators.recursive import kalman_rec
+
+    z = np.concatenate([np.zeros(50), np.full(50, 10.0)])
+    xs, _ = kalman_rec(z, 0.01, 1.0)
+    assert xs[49] < 0.5 and xs[-1] > 9.0  # smooths, then converges
+
+
+def test_ols_trend_exact_line(spark):
+    rows = [(1, f"2024-01-{d+1:02d} 10:00:00", d, 5.0 + 2.0 * d, 5.0 + 2.0 * d,
+             5.0 + 2.0 * d, 1) for d in range(20)]
+    out = AN.ols_trend(_bars(spark, rows), min_days=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    # y = 3 + 2x on the day index (x starts at 1 -> intercept 5-2=3)
+    assert r.slope == 2.0 and r.intercept == 3.0 and r.r2 == 1.0
+
+
+def test_dow_seasonality_buckets(spark):
+    # Mondays up 1%, Tuesdays down: two weeks of alternating moves
+    rows = []
+    closes = {"2024-01-01": 100.0, "2024-01-02": 99.0, "2024-01-08": 100.0,
+              "2024-01-09": 99.0, "2024-01-15": 100.0}
+    prev = None
+    for i, (d, c) in enumerate(sorted(closes.items())):
+        rows.append((1, f"{d} 10:00:00", i, c, c, c, 1))
+    out = {r.dow: r for r in AN.dow_seasonality(_bars(spark, rows)).collect()}
+    # returns exist for every day after the first: Tue (2) and Mon (1)
+    assert out[2].mean_ret < 0 < out[1].mean_ret
+    assert out[1].n_obs == 2 and out[2].n_obs == 2
+
+
+def test_leadlag_detects_shifted_series(spark):
+    # symbol 2 repeats symbol 1's daily move one day later -> best_lag=1
+    import math
+    moves = [1.0, -1.0, 2.0, -2.0, 1.5, -0.5, 1.0, -1.0, 0.5, 1.0,
+             -1.5, 1.0, -1.0, 2.0, -1.0, 1.0, -0.5, 0.5, 1.0, -1.0]
+    c1, c2 = [100.0], [100.0]
+    for i, m in enumerate(moves):
+        c1.append(c1[-1] + m)
+        c2.append(c2[-1] + (moves[i - 1] if i >= 1 else 0.0))
+    rows = []
+    for d in range(len(c1)):
+        rows.append((1, f"2024-01-{d+1:02d} 10:00:00", 2 * d, c1[d], c1[d], c1[d], 1))
+        rows.append((2, f"2024-01-{d+1:02d} 10:00:00", 2 * d + 1, c2[d], c2[d], c2[d], 1))
+    out = AN.leadlag_best(_bars(spark, rows), basket_max_symbol=10, max_lag=2,
+                          min_days=10).collect()
+    assert len(out) == 1
+    assert out[0].best_lag == 1 and out[0].best_corr > 0.9

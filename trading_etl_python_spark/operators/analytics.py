@@ -777,3 +777,114 @@ def holt_forecast_eval(df: DataFrame, min_rows: int = 30) -> DataFrame:
         (F.col("_ma") / F.lit(1000000.0)).alias("mae"),
         (F.col("_mb") / F.lit(1000000.0)).alias("bias"),
     )
+
+
+def ols_trend(df: DataFrame, min_days: int = 15) -> DataFrame:
+    """Per-symbol OLS of daily close on the day index: slope (price/day),
+    intercept, and R² — the linear-trend screen.  All five regression
+    moments (n, Σx, Σy, Σxy, Σxx, Σyy) are EXACT integers (x = day rank,
+    y = close quantized to 1e-4 price units chosen so Σy² stays inside
+    BIGINT), and the closed-form solution is one deterministic double
+    expression over them — zero accumulation-order exposure, one
+    (symbol, day) exchange plus a symbol reduce."""
+    d = df.groupBy("symbol", F.to_date("time").alias("day")).agg(
+        F.round(F.avg("close"), 6).alias("close_d")
+    )
+    wd = Window.partitionBy("symbol").orderBy("day")
+    d = d.withColumn("x", F.row_number().over(wd).cast("long")).withColumn(
+        "yq", F.round(F.col("close_d") * F.lit(10000.0), 0).cast("long")
+    )
+    m = d.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("x") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("yq") * F.col("yq")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    sy, sxy = F.col("sy").cast("double"), F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    slope = num / F.nullif(denx, F.lit(0.0))
+    return (
+        m.filter(F.col("n") >= min_days)
+        .select(
+            "symbol",
+            F.col("n").alias("n_days"),
+            F.round(slope / F.lit(10000.0), 6).alias("slope"),
+            F.round(((sy - slope * sx) / n) / F.lit(10000.0), 6).alias("intercept"),
+            F.round(
+                (num * num) / F.nullif(denx * deny, F.lit(0.0)), 6
+            ).alias("r2"),
+        )
+    )
+
+
+def dow_seasonality(df: DataFrame) -> DataFrame:
+    """Day-of-week return seasonality across the corpus: mean and
+    stddev of 6dp daily log returns per ISO weekday (1=Monday).  Mean
+    uses the quantized FLOOR pattern; the stddev comes from exact
+    integer moments, so both are accumulation-order-free."""
+    r = _daily_returns(df).withColumn(
+        "dow", (F.weekday("day") + F.lit(1)).cast("int")
+    ).withColumn("rq", F.round(F.col("r") * F.lit(1000000.0), 0).cast("long"))
+    m = r.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("rq").alias("s1"),
+        F.sum(F.col("rq") * F.col("rq")).alias("s2"),
+    )
+    n = F.col("n_obs").cast("double")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    var = (n * s2 - s1 * s1) / (n * (n - F.lit(1.0)))
+    return m.select(
+        "dow",
+        "n_obs",
+        (F.floor(s1 / n) / F.lit(1000000.0)).alias("mean_ret"),
+        F.round(F.sqrt(var) / F.lit(1000000.0), 6).alias("sd_ret"),
+    )
+
+
+def leadlag_best(
+    df: DataFrame, basket_max_symbol: int = 20, max_lag: int = 2, min_days: int = 15
+) -> DataFrame:
+    """Lead-lag screen: for every basket pair, the lag in
+    [-max_lag, max_lag] maximizing corr(r_a(d), r_b(d+lag)) — positive
+    best_lag means a LEADS b.  Ranking is on the 4dp-ROUNDED
+    correlation with lag-ascending tiebreak (the (rounded score, key)
+    ordering rule), so the argmax cannot fork on engine float noise.
+    Pair space is basket² × (2·max_lag+1) day-grid joins — bounded by
+    the explicit basket, the same shape as basket_correlation."""
+    r = _daily_returns(df.filter(F.col("symbol") < basket_max_symbol)).select(
+        "symbol", "day", "r"
+    )
+    lags = df.sparkSession.range(-max_lag, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = r.alias("a").crossJoin(F.broadcast(lags))
+    b = r.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.symbol") < F.col("b.symbol"))
+        & (F.col("b.day") == F.date_add(F.col("a.day"), F.col("lag"))),
+    )
+    g = j.groupBy(
+        F.col("a.symbol").alias("symbol_a"),
+        F.col("b.symbol").alias("symbol_b"),
+        "lag",
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.corr("a.r", "b.r"), 4).alias("corr_r"),
+    ).filter((F.col("n_days") >= min_days) & F.col("corr_r").isNotNull())
+    w = Window.partitionBy("symbol_a", "symbol_b").orderBy(
+        F.col("corr_r").desc(), F.col("lag").asc()
+    )
+    return (
+        g.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("symbol_a", "symbol_b", F.col("lag").alias("best_lag"),
+                F.col("corr_r").alias("best_corr"), "n_days")
+    )

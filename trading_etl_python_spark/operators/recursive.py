@@ -541,3 +541,36 @@ def with_supertrend(df: DataFrame, n: int = 10, mult: float = 3.0) -> DataFrame:
         return {"supertrend": st, "st_dir": dr}
 
     return _indicator_map(df, {"supertrend": "double", "st_dir": "double"}, fn)
+
+
+def kalman_rec(
+    z: np.ndarray, q: float = 0.01, r: float = 1.0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Local-level Kalman filter (random-walk state, noisy observation):
+    predict P+Q, gain K = P/(P+R), update x += K*(z-x), P *= (1-K) —
+    the simplest exponential-like smoother whose weight ADAPTS to its
+    own uncertainty (vs Holt/EMA's fixed alpha).  Seeded x=z_0, P=1.
+    Returns (filtered level, gain)."""
+    L = len(z)
+    xs, ks = np.full(L, np.nan), np.full(L, np.nan)
+    if L == 0:
+        return xs, ks
+    x, p = z[0], 1.0
+    xs[0] = x
+    for i in range(1, L):
+        pp = p + q
+        k = pp / (pp + r)
+        x = x + k * (z[i] - x)
+        p = (1.0 - k) * pp
+        xs[i], ks[i] = x, k
+    return xs, ks
+
+
+def with_kalman(df: DataFrame, q: float = 0.01, r: float = 1.0) -> DataFrame:
+    """Kalman local-level filtered close + gain per key."""
+
+    def fn(pdf: pd.DataFrame):
+        xs, ks = kalman_rec(pdf["close"].to_numpy(np.float64), q, r)
+        return {"kalman_x": xs, "kalman_gain": ks}
+
+    return _indicator_map(df, {"kalman_x": "double", "kalman_gain": "double"}, fn)

@@ -1238,3 +1238,122 @@ def q_holt_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Walk-forward MAE + bias of the Holt one-step forecast per
     symbol — operators/analytics.holt_forecast_eval."""
     return AN.holt_forecast_eval(bars(spark, sf_dir), min_rows=30)
+
+
+@q(
+    "q_kalman",
+    f"""WITH RECURSIVE {BARS_CTE},
+    base AS (SELECT symbol, time, event_id, close,
+               ROW_NUMBER() OVER ({KW}) AS rn FROM bars),
+    rec AS (
+      SELECT symbol, rn, close AS x, CAST(1.0 AS DOUBLE) AS p,
+             CAST(NULL AS DOUBLE) AS k
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.symbol, b.rn,
+        r.x + ((r.p + CAST(0.01 AS DOUBLE))
+               / ((r.p + CAST(0.01 AS DOUBLE)) + 1.0)) * (b.close - r.x),
+        (1.0 - ((r.p + CAST(0.01 AS DOUBLE))
+                / ((r.p + CAST(0.01 AS DOUBLE)) + 1.0)))
+          * (r.p + CAST(0.01 AS DOUBLE)),
+        (r.p + CAST(0.01 AS DOUBLE)) / ((r.p + CAST(0.01 AS DOUBLE)) + 1.0)
+      FROM base b JOIN rec r ON b.symbol = r.symbol AND b.rn = r.rn + 1)
+    SELECT b.symbol, b.time, b.event_id,
+      ROUND(r.x, 4) AS kalman_x, ROUND(r.k, 4) AS kalman_gain
+    FROM base b LEFT JOIN rec r ON b.symbol = r.symbol AND b.rn = r.rn""",
+)
+def q_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-level Kalman filter (Q=0.01, R=1): filtered close + gain —
+    the uncertainty-adaptive smoother, two-state recursion
+    (operators/recursive.with_kalman)."""
+    from ..operators.recursive import with_kalman
+
+    return with_kalman(bars(spark, sf_dir)).select(
+        "symbol", "time", "event_id", "kalman_x", "kalman_gain"
+    )
+
+
+@q(
+    "q_ols_trend",
+    f"""WITH {BARS_CTE},
+    d AS (SELECT symbol, CAST(time AS DATE) AS day,
+            ROUND(AVG(close), 6) AS close_d
+          FROM bars GROUP BY symbol, CAST(time AS DATE)),
+    x AS (SELECT symbol,
+            ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day) AS x,
+            CAST(ROUND(close_d * 10000.0, 0) AS BIGINT) AS yq
+          FROM d),
+    m AS (SELECT symbol, COUNT(*) AS n, SUM(x) AS sx, SUM(x*x) AS sxx,
+            SUM(yq) AS sy, SUM(x*yq) AS sxy, SUM(yq*yq) AS syy
+          FROM x GROUP BY symbol),
+    c AS (SELECT symbol, n,
+            CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS num,
+            CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS denx,
+            CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS deny,
+            CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+            CAST(n AS DOUBLE) AS nd
+          FROM m WHERE n >= 15)
+    SELECT symbol, n AS n_days,
+      ROUND((num / NULLIF(denx, 0.0)) / 10000.0, 6) AS slope,
+      ROUND(((syd - (num / NULLIF(denx, 0.0)) * sxd) / nd) / 10000.0, 6)
+        AS intercept,
+      ROUND((num * num) / NULLIF(denx * deny, 0.0), 6) AS r2
+    FROM c""",
+)
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol OLS linear trend of daily close on day index: slope,
+    intercept, R² from exact integer regression moments —
+    operators/analytics.ols_trend."""
+    return AN.ols_trend(bars(spark, sf_dir), min_days=15)
+
+
+@q(
+    "q_dow_returns",
+    f"""WITH {BARS_CTE},
+    {DAILY_RET},
+    v AS (SELECT CAST(isodow(day) AS INTEGER) AS dow,
+            CAST(ROUND(r * 1000000.0, 0) AS BIGINT) AS rq
+          FROM r WHERE r IS NOT NULL),
+    m AS (SELECT dow, COUNT(*) AS n_obs, SUM(rq) AS s1, SUM(rq*rq) AS s2
+          FROM v GROUP BY dow)
+    SELECT dow, n_obs,
+      FLOOR(CAST(s1 AS DOUBLE) / CAST(n_obs AS DOUBLE)) / 1000000.0
+        AS mean_ret,
+      ROUND(SQRT((CAST(n_obs AS DOUBLE)*CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
+                 / (CAST(n_obs AS DOUBLE)*(CAST(n_obs AS DOUBLE)-1.0)))
+            / 1000000.0, 6) AS sd_ret
+    FROM m""",
+)
+def q_dow_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week return seasonality (ISO weekday) across the corpus —
+    operators/analytics.dow_seasonality."""
+    return AN.dow_seasonality(bars(spark, sf_dir))
+
+
+@q(
+    "q_leadlag",
+    f"""WITH {BARS_CTE},
+    {DAILY_RET},
+    rr AS (SELECT symbol, day, r FROM r
+           WHERE r IS NOT NULL AND symbol < 20),
+    l AS (SELECT CAST(range AS INTEGER) AS lag FROM range(-2, 3)),
+    g AS (SELECT a.symbol AS symbol_a, b.symbol AS symbol_b, l.lag,
+            COUNT(*) AS n_days, ROUND(CORR(a.r, b.r), 4) AS corr_r
+          FROM rr a CROSS JOIN l
+          JOIN rr b ON a.symbol < b.symbol AND b.day = a.day + l.lag
+          GROUP BY a.symbol, b.symbol, l.lag
+          HAVING COUNT(*) >= 15 AND CORR(a.r, b.r) IS NOT NULL),
+    rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol_a, symbol_b
+             ORDER BY corr_r DESC, lag ASC) AS rk FROM g)
+    SELECT symbol_a, symbol_b, lag AS best_lag, corr_r AS best_corr, n_days
+    FROM rk WHERE rk = 1""",
+)
+def q_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag screen: argmax over lags in [-2,2] of day-shifted return
+    correlation per basket pair, ranked on the ROUNDED correlation —
+    operators/analytics.leadlag_best."""
+    return AN.leadlag_best(bars(spark, sf_dir), basket_max_symbol=20, max_lag=2)
