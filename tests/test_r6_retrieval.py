@@ -84,3 +84,20 @@ def test_mmr_prefers_diverse_third_pick(spark):
     assert got[0] == (1, 0)
     assert got[1] == (2, 1)
     assert got[2] == (3, 3)
+
+
+def test_wordpiece_greedy_longest_match(spark):
+    from trading_etl_python_spark.operators.text import wordpiece_tokenize
+
+    # corpus makes "spark" and "par" frequent full-word vocab entries;
+    # "sparkpar" must greedily take "spark" then "par";
+    # "parks" takes "par" then chars (no suffix merge exists)
+    docs = spark.createDataFrame(
+        [(i, "spark par") for i in range(5)] + [(99, "sparkpar parks zz")],
+        "doc_id long, text string",
+    )
+    out = {r.word: r for r in wordpiece_tokenize(docs, top_words=2).collect()}
+    assert out["spark"].seg == "spark" and out["spark"].n_pieces == 1
+    assert out["sparkpar"].seg == "spark par" and out["sparkpar"].n_pieces == 2
+    assert out["parks"].seg == "par k s" and out["parks"].n_pieces == 3
+    assert out["zz"].seg == "z z"  # OOV floor: single chars always cover

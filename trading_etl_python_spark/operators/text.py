@@ -1070,3 +1070,60 @@ def blocked_linkage(
             F.col("b.n").alias("n_b"),
         )
     )
+
+
+def wordpiece_tokenize(
+    df: DataFrame, top_words: int = 20, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Greedy longest-match (WordPiece/BERT-style MaxMatch) subword
+    segmentation of every DISTINCT corpus word against a deterministic
+    vocabulary: the ``top_words`` most frequent tokens (freq DESC, token
+    ASC — fully ordered, so the rank-``top_words`` boundary cannot fork)
+    plus all 36 single characters (the OOV floor — every [a-z0-9]+ word
+    always segments).  Returns (word, n_pieces, seg).
+
+    This is the APPLY side of the tokenizer family: bpe_learn/bpe_apply
+    learn merges bottom-up; MaxMatch consumes a fixed vocabulary
+    top-down — the algorithm BERT's tokenizer runs at inference.  Pure
+    string/int outputs, hash-exact with no float anywhere.
+
+    Plan: the vocabulary is driver-collected (top_words + 36 strings —
+    legitimately tiny state, the kmeans/centroid pattern) and enters
+    the Arrow kernel by closure; segmentation runs once per DISTINCT
+    word (vocabulary-sized, not corpus-sized — the fuzzy_vocab
+    blocking insight), so at 100 TB the expensive stage is bounded by
+    the vocabulary, and per-doc fertility is a cheap join against it."""
+    import pandas as pd
+
+    from .dedup import tokens_col
+
+    tok = df.select(F.explode(tokens_col(text_col)).alias("w"))
+    top = [
+        r.w
+        for r in tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(top_words)
+        .collect()
+    ]
+    vocab = set(top) | set("abcdefghijklmnopqrstuvwxyz0123456789")
+    maxlen = max(len(v) for v in vocab)
+
+    def seg_batch(batches):
+        for pdf in batches:
+            words = pdf["w"].tolist()
+            out_np, out_seg = [], []
+            for w in words:
+                pieces, i = [], 0
+                while i < len(w):
+                    for L in range(min(maxlen, len(w) - i), 0, -1):
+                        if w[i : i + L] in vocab:
+                            pieces.append(w[i : i + L])
+                            i += L
+                            break
+                out_np.append(len(pieces))
+                out_seg.append(" ".join(pieces))
+            yield pd.DataFrame({"word": words, "n_pieces": out_np, "seg": out_seg})
+
+    words = tok.distinct()
+    return words.mapInPandas(seg_batch, schema="word string, n_pieces int, seg string")

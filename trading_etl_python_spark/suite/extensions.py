@@ -4053,3 +4053,40 @@ def q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.mmr_select(
         load_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=5, lam=0.7
     )
+
+
+@q(
+    "q_wordpiece",
+    f"""WITH RECURSIVE
+       tok AS (SELECT unnest({TOKS}) AS w FROM documents),
+       freq AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+       topw AS (SELECT w AS piece FROM freq ORDER BY c DESC, w ASC LIMIT 20),
+       chars AS (SELECT unnest(string_split(
+         'a b c d e f g h i j k l m n o p q r s t u v w x y z'
+         || ' 0 1 2 3 4 5 6 7 8 9', ' ')) AS piece),
+       vocab AS (SELECT DISTINCT piece FROM
+         (SELECT piece FROM topw UNION ALL SELECT piece FROM chars)),
+       words AS (SELECT DISTINCT w FROM tok),
+       rec AS (
+         SELECT w, 1 AS pos, 0 AS np, CAST('' AS VARCHAR) AS seg FROM words
+         UNION ALL
+         SELECT r.w, r.pos + length(v.piece), r.np + 1,
+                CASE WHEN r.seg = '' THEN v.piece
+                     ELSE r.seg || ' ' || v.piece END
+         FROM rec r JOIN vocab v
+           ON substr(r.w, r.pos, length(v.piece)) = v.piece
+         WHERE r.pos <= length(r.w)
+           AND NOT EXISTS (SELECT 1 FROM vocab v2
+                           WHERE length(v2.piece) > length(v.piece)
+                             AND substr(r.w, r.pos, length(v2.piece))
+                                 = v2.piece))
+       SELECT w AS word, np AS n_pieces, seg
+       FROM rec WHERE pos = length(w) + 1""",
+)
+def q_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match (MaxMatch/WordPiece) segmentation of every
+    distinct corpus word against the deterministic top-20+chars
+    vocabulary; the oracle replays the greedy loop as a recursive CTE
+    whose step keeps only the longest vocabulary match via NOT EXISTS
+    (operators/text.wordpiece_tokenize)."""
+    return TX.wordpiece_tokenize(load_table(spark, sf_dir, "documents"), top_words=20)
