@@ -154,3 +154,43 @@ def test_leadlag_detects_shifted_series(spark):
                           min_days=10).collect()
     assert len(out) == 1
     assert out[0].best_lag == 1 and out[0].best_corr > 0.9
+
+
+def test_portfolio_nav_single_symbol_compounds(spark):
+    import math
+    closes = [100.0, 110.0, 99.0, 105.0, 115.0, 108.0, 111.0, 120.0,
+              118.0, 125.0, 123.0, 130.0, 128.0, 135.0, 140.0]
+    rows = [(1, f"2024-01-{d+1:02d} 10:00:00", d, c, c, c, 1)
+            for d, c in enumerate(closes)]
+    out = AN.portfolio_nav(_bars(spark, rows), basket_max_symbol=10)\
+        .orderBy("day").collect()
+    # one symbol -> weight 1.0 (wq = 1e6); portfolio return == symbol return
+    r0 = round(math.log(closes[1] / closes[0]), 6)
+    assert abs(out[0].port_ret - r0) < 1e-6
+    # NAV compounds: final ~ prod(1+r_d) of the 6dp returns
+    nav_expect = 1.0
+    for i in range(1, len(closes)):
+        nav_expect *= 1.0 + round(math.log(closes[i] / closes[i - 1]), 6)
+    assert abs(out[-1].nav - nav_expect) < 1e-2
+    assert out[0].n_symbols == 1
+
+
+def test_portfolio_nav_inverse_vol_tilts_weights(spark):
+    # symbol 1 low vol, symbol 2 high vol: portfolio return should sit
+    # closer to symbol 1's return on a day where they diverge
+    rows = []
+    c1, c2 = 100.0, 100.0
+    for d in range(16):
+        m1 = 0.5 if d % 2 == 0 else -0.4
+        m2 = 5.0 if d % 2 == 0 else -4.5
+        c1 += m1
+        c2 += m2
+        rows.append((1, f"2024-01-{d+1:02d} 10:00:00", 2 * d, c1, c1, c1, 1))
+        rows.append((2, f"2024-01-{d+1:02d} 10:00:00", 2 * d + 1, c2, c2, c2, 1))
+    out = AN.portfolio_nav(_bars(spark, rows), basket_max_symbol=10)\
+        .orderBy("day").collect()
+    # on up-days both rise; the blended return must be far below the
+    # midpoint of the two symbol returns (tilted to the low-vol leg)
+    up = [r for r in out if r.port_ret and r.port_ret > 0][0]
+    assert up.n_symbols == 2
+    assert up.port_ret < 0.02  # high-vol leg alone is ~0.05

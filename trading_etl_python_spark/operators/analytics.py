@@ -888,3 +888,66 @@ def leadlag_best(
         .select("symbol_a", "symbol_b", F.col("lag").alias("best_lag"),
                 F.col("corr_r").alias("best_corr"), "n_days")
     )
+
+
+def portfolio_nav(df: DataFrame, basket_max_symbol: int = 50) -> DataFrame:
+    """Inverse-volatility-weighted basket NAV: weights ∝ 1/vol_i
+    (vol = stddev of 6dp daily returns per symbol, 6dp-rounded), daily
+    portfolio return = Σ w_i·r_i, NAV = cumulative compounding.
+
+    Every cross-symbol and cross-day accumulation is EXACT integers:
+    inverse-vols quantize to 1e-6 before the normalizing sum, weights
+    re-quantize to 1e-6 of the rational inv/Σinv, the daily portfolio
+    return sums w_q·r_q products (ints), and compounding runs as an
+    integer cumulative sum of quantized log1p terms with one final
+    EXP — so the whole pipeline is accumulation-order-free on both
+    engines.  Shape: (symbol, day) grid → symbol-level weight reduce →
+    day-level reduce → day window; each stage map-side combinable."""
+    r = _daily_returns(df.filter(F.col("symbol") < basket_max_symbol)).withColumn(
+        "rq", F.round(F.col("r") * F.lit(1000000.0), 0).cast("long")
+    )
+    mom = r.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rq").alias("s1"),
+        F.sum(F.col("rq") * F.col("rq")).alias("s2"),
+    ).filter(F.col("n") >= 2)
+    nd = F.col("n").cast("double")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    vol = mom.select(
+        "symbol",
+        F.round(
+            F.sqrt((nd * s2d - s1d * s1d) / (nd * (nd - F.lit(1.0))))
+            / F.lit(1000000.0),
+            6,
+        ).alias("vol"),
+    ).filter(F.col("vol").isNotNull() & (F.col("vol") > 0))
+    inv = vol.withColumn(
+        "invq", F.round(F.lit(1000000.0) / F.col("vol"), 0).cast("long")
+    )
+    tot = inv.agg(F.sum("invq").alias("tinv"))
+    w = inv.crossJoin(F.broadcast(tot)).withColumn(
+        "wq",
+        F.round(
+            F.col("invq").cast("double") * F.lit(1000000.0)
+            / F.col("tinv").cast("double"),
+            0,
+        ).cast("long"),
+    )
+    j = r.join(w.select("symbol", "wq"), "symbol")
+    daily = j.groupBy("day").agg(
+        F.sum(F.col("wq") * F.col("rq")).alias("pq"),
+        F.count(F.lit(1)).alias("n_symbols"),
+    )
+    port_ret = F.col("pq").cast("double") / F.lit(1.0e12)
+    daily = daily.withColumn(
+        "lq", F.round(F.log(F.lit(1.0) + port_ret) * F.lit(1000000.0), 0).cast("long")
+    )
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "n_symbols",
+        F.round(port_ret, 6).alias("port_ret"),
+        F.round(
+            F.exp(F.sum("lq").over(wd).cast("double") / F.lit(1000000.0)), 4
+        ).alias("nav"),
+    )

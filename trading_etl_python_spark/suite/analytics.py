@@ -1357,3 +1357,46 @@ def q_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlation per basket pair, ranked on the ROUNDED correlation —
     operators/analytics.leadlag_best."""
     return AN.leadlag_best(bars(spark, sf_dir), basket_max_symbol=20, max_lag=2)
+
+
+@q(
+    "q_portfolio_nav",
+    f"""WITH {BARS_CTE},
+    {DAILY_RET},
+    rr AS (SELECT symbol, day, CAST(ROUND(r * 1000000.0, 0) AS BIGINT) AS rq
+           FROM r WHERE r IS NOT NULL AND symbol < 50),
+    mom AS (SELECT symbol, COUNT(*) AS n, SUM(rq) AS s1, SUM(rq*rq) AS s2
+            FROM rr GROUP BY symbol HAVING COUNT(*) >= 2),
+    vol AS (SELECT symbol,
+              ROUND(SQRT((CAST(n AS DOUBLE)*CAST(s2 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
+                         / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0)))
+                    / 1000000.0, 6) AS vol
+            FROM mom),
+    vv AS (SELECT symbol, vol FROM vol WHERE vol IS NOT NULL AND vol > 0),
+    inv AS (SELECT symbol, CAST(ROUND(1000000.0 / vol, 0) AS BIGINT) AS invq
+            FROM vv),
+    tot AS (SELECT SUM(invq) AS tinv FROM inv),
+    w AS (SELECT symbol,
+            CAST(ROUND(CAST(invq AS DOUBLE) * 1000000.0
+                       / CAST(tinv AS DOUBLE), 0) AS BIGINT) AS wq
+          FROM inv, tot),
+    dj AS (SELECT rr.day, SUM(w.wq * rr.rq) AS pq, COUNT(*) AS n_symbols
+           FROM rr JOIN w ON rr.symbol = w.symbol GROUP BY rr.day),
+    dd AS (SELECT day, n_symbols,
+             CAST(pq AS DOUBLE) / 1000000000000.0 AS port_ret,
+             CAST(ROUND(LN(1.0 + CAST(pq AS DOUBLE) / 1000000000000.0)
+                        * 1000000.0, 0) AS BIGINT) AS lq
+           FROM dj)
+    SELECT CAST(day AS TIMESTAMP) AS day, n_symbols,
+      ROUND(port_ret, 6) AS port_ret,
+      ROUND(EXP(CAST(SUM(lq) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                / 1000000.0), 4) AS nav
+    FROM dd""",
+)
+def q_portfolio_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-vol weighted basket: daily portfolio return + compounded
+    NAV, every accumulation exact-integer —
+    operators/analytics.portfolio_nav."""
+    return AN.portfolio_nav(bars(spark, sf_dir), basket_max_symbol=50)
