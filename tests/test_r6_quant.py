@@ -194,3 +194,53 @@ def test_portfolio_nav_inverse_vol_tilts_weights(spark):
     up = [r for r in out if r.port_ret and r.port_ret > 0][0]
     assert up.n_symbols == 2
     assert up.port_ret < 0.02  # high-vol leg alone is ~0.05
+
+
+def test_garch_reduces_to_ewma_at_boundary(spark):
+    # omega=0 and alpha+beta=1 with the shock shifted one step is the
+    # defining difference from EWMA; sanity: constant returns give
+    # constant variance equal to r^2 under both
+    import math
+    closes = [100.0 * math.exp(0.01 * d) for d in range(10)]
+    rows = [(1, f"2024-01-{d+1:02d} 10:00:00", d, c, c, c, 1)
+            for d, c in enumerate(closes)]
+    out = AN.garch_volatility(_bars(spark, rows), omega=0.0, alpha=0.1, beta=0.9)\
+        .orderBy("day").collect()
+    # r = 0.01 every day -> v stays 0.0001, vol stays 0.01
+    for r in out:
+        assert abs(r.garch_vol - 0.01) < 1e-6
+
+
+def test_candle_patterns_flags(spark):
+    from trading_etl_python_spark.operators.windows import with_candle_patterns
+
+    rows = [
+        # (symbol,time,eid,open,high,low,close)
+        (1, "2024-01-01", 1, 10.0, 10.05, 9.95, 10.0),    # doji (body 0)
+        (1, "2024-01-02", 2, 10.0, 10.01, 9.0, 9.97),     # hammer: body .03, lwick .97, uwick .01
+        (1, "2024-01-03", 3, 10.0, 10.2, 9.9, 9.95),      # bearish bar
+        (1, "2024-01-04", 4, 9.9, 10.6, 9.8, 10.5),       # bull engulfing of prev
+    ]
+    df = spark.createDataFrame(
+        [(s, t, e, float(o), float(h), float(lo), float(c), 1)
+         for s, t, e, o, h, lo, c in rows],
+        "symbol long, time string, event_id long, open double, high double,"
+        " low double, close double, volume long",
+    ).withColumn("time", F.col("time").cast("timestamp"))
+    out = {r.event_id: r for r in with_candle_patterns(df).collect()}
+    assert out[1].is_doji and not out[3].is_doji
+    assert out[2].is_hammer and not out[1].is_hammer  # doji needs body>0 to hammer
+    assert out[4].bull_engulf and not out[4].bear_engulf
+    assert not out[3].bull_engulf
+
+
+def test_fractals_strict_center_extreme(spark):
+    from trading_etl_python_spark.operators.windows import with_fractals
+
+    highs = [1.0, 2.0, 5.0, 2.0, 1.0, 2.0, 5.0, 5.0, 2.0, 1.0]
+    rows = [(1, f"2024-01-{d+1:02d} 10:00:00", d, h, 0.0, 1.0, 1)
+            for d, h in enumerate(highs)]
+    out = {r.event_id: r for r in with_fractals(_bars(spark, rows), 2).collect()}
+    assert out[2].swing_high            # strict local max, full window
+    assert not out[6].swing_high        # tied with index 7 -> not strict
+    assert not out[0].swing_high        # incomplete neighborhood

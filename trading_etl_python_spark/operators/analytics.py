@@ -951,3 +951,40 @@ def portfolio_nav(df: DataFrame, basket_max_symbol: int = 50) -> DataFrame:
             F.exp(F.sum("lq").over(wd).cast("double") / F.lit(1000000.0)), 4
         ).alias("nav"),
     )
+
+
+def garch_volatility(
+    df: DataFrame, omega: float = 0.000001, alpha: float = 0.09, beta: float = 0.9
+) -> DataFrame:
+    """GARCH(1,1) conditional variance over daily returns:
+    v_1 = r_1², v_t = ω + α·r²_{t-1} + β·v_{t-1} (one-step-ahead
+    forecast convention — today's variance uses YESTERDAY's shock,
+    unlike RiskMetrics EWMA which mixes in the current return; EWMA is
+    the ω=0, α+β=1 boundary of this family).  Emitted as sqrt(v) 6dp.
+    Same execution shape as ewma_volatility: one (symbol, day)
+    pre-aggregation, then a per-key Arrow fold mirroring the oracle's
+    recursive CTE operation-for-operation."""
+    import numpy as np
+    import pandas as pd
+
+    from .recursive import round_half_up
+
+    r = _daily_returns(df).select("symbol", "day", "r")
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        rv = pdf["r"].to_numpy(dtype="float64")
+        out = np.empty(len(rv))
+        v = 0.0
+        for i, x in enumerate(rv):
+            v = x * x if i == 0 else omega + alpha * (rv[i - 1] * rv[i - 1]) + beta * v
+            out[i] = v
+        pdf["garch_vol"] = round_half_up(np.sqrt(out), 6)
+        return pdf[["symbol", "day", "garch_vol"]]
+
+    out = r.groupBy("symbol").applyInPandas(
+        kernel, "symbol long, day date, garch_vol double"
+    )
+    return out.select(
+        "symbol", F.col("day").cast("timestamp").alias("day"), "garch_vol"
+    )

@@ -396,3 +396,67 @@ def with_cci(df: DataFrame, n: int = 20, out: str | None = None) -> DataFrame:
     return tmp.withColumn(
         out, F.when(F.col("_cnt") >= n, F.round(cci, ROUND_DP))
     ).drop("_tp", "_tp_mean", "_cnt", "_lst")
+
+
+def with_candle_patterns(df: DataFrame) -> DataFrame:
+    """Single/two-bar candlestick pattern flags — doji, hammer, bullish/
+    bearish engulfing — the classic discretionary signals as pure
+    boolean window expressions (one LAG, zero Python, all comparisons
+    between raw stored values scaled by exact integer constants, so the
+    flags are hash-exact):
+
+    - doji: |close-open| * 10 <= (high-low)            (body <= 10% range)
+    - hammer: lower wick >= 2*body AND upper wick <= body
+    - bull_engulf: prev bearish, current bullish, body engulfs prev body
+    - bear_engulf: mirror"""
+    kw = by_key()
+    po, pc = F.lag("open").over(kw), F.lag("close").over(kw)
+    body = F.abs(F.col("close") - F.col("open"))
+    rng = F.col("high") - F.col("low")
+    lower = F.least(F.col("open"), F.col("close")) - F.col("low")
+    upper = F.col("high") - F.greatest(F.col("open"), F.col("close"))
+    doji = body * F.lit(10.0) <= rng
+    hammer = (lower >= F.lit(2.0) * body) & (upper <= body) & (body > 0)
+    bull = (
+        (pc < po)
+        & (F.col("close") > F.col("open"))
+        & (F.col("open") <= pc)
+        & (F.col("close") >= po)
+    )
+    bear = (
+        (pc > po)
+        & (F.col("close") < F.col("open"))
+        & (F.col("open") >= pc)
+        & (F.col("close") <= po)
+    )
+    return (
+        df.withColumn("is_doji", doji)
+        .withColumn("is_hammer", hammer)
+        .withColumn("bull_engulf", F.coalesce(bull, F.lit(False)))
+        .withColumn("bear_engulf", F.coalesce(bear, F.lit(False)))
+    )
+
+
+def with_fractals(df: DataFrame, k: int = 2) -> DataFrame:
+    """Williams fractal swing points: a row is a swing HIGH when its
+    high is the strict maximum of the ±k-row neighborhood (and the
+    neighborhood is complete — no edge-of-history fractals), symmetric
+    for swing lows.  Strictness makes ties a non-signal on both
+    engines, so no float hazard; the centered frame is the only
+    indicator in the family that LOOKS AHEAD, which is why it's a
+    labeling/backtest feature, never a live signal (documented)."""
+    w = by_key().rowsBetween(-k, k)
+    cnt = F.count(F.lit(1)).over(w)
+    hh, ll = F.max("high").over(w), F.min("low").over(w)
+    n_hh = F.size(
+        F.filter(
+            F.collect_list(F.col("high")).over(w), lambda x: x == F.col("high")
+        )
+    )
+    n_ll = F.size(
+        F.filter(F.collect_list(F.col("low")).over(w), lambda x: x == F.col("low"))
+    )
+    complete = cnt == (2 * k + 1)
+    return df.withColumn(
+        "swing_high", complete & (F.col("high") == hh) & (n_hh == 1)
+    ).withColumn("swing_low", complete & (F.col("low") == ll) & (n_ll == 1))

@@ -1400,3 +1400,96 @@ def q_portfolio_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
     NAV, every accumulation exact-integer —
     operators/analytics.portfolio_nav."""
     return AN.portfolio_nav(bars(spark, sf_dir), basket_max_symbol=50)
+
+
+@q(
+    "q_garch",
+    f"""WITH RECURSIVE {BARS_CTE},
+    {DAILY_RET},
+    rr AS (SELECT symbol, day, r,
+             ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day) AS rn
+           FROM r),
+    rec AS (
+      SELECT symbol, day, rn, r * r AS v, r FROM rr WHERE rn = 1
+      UNION ALL
+      SELECT b.symbol, b.day, b.rn,
+        CAST(0.000001 AS DOUBLE)
+          + CAST(0.09 AS DOUBLE) * (rec.r * rec.r)
+          + CAST(0.9 AS DOUBLE) * rec.v,
+        b.r
+      FROM rr b JOIN rec ON b.symbol = rec.symbol AND b.rn = rec.rn + 1)
+    SELECT symbol, CAST(day AS TIMESTAMP) AS day,
+      ROUND(SQRT(v), 6) AS garch_vol
+    FROM rec""",
+)
+def q_garch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GARCH(1,1) conditional volatility (omega=1e-6, alpha=0.09,
+    beta=0.9) over daily returns — the previous-shock generalization of
+    RiskMetrics EWMA (operators/analytics.garch_volatility)."""
+    return AN.garch_volatility(bars(spark, sf_dir))
+
+
+@q(
+    "q_candle_patterns",
+    f"""WITH {BARS_CTE},
+    b1 AS (SELECT symbol, time, event_id, high, low, close,
+             LAG(close) OVER ({KW}) AS open
+           FROM bars),
+    b2 AS (SELECT * FROM b1 WHERE open IS NOT NULL),
+    p AS (SELECT symbol, time, event_id, open, close,
+            ABS(close - open) AS body, high - low AS rng,
+            LEAST(open, close) - low AS lwick,
+            high - GREATEST(open, close) AS uwick,
+            LAG(open) OVER ({KW}) AS po, LAG(close) OVER ({KW}) AS pc
+          FROM b2)
+    SELECT symbol, time, event_id,
+      (body * 10.0 <= rng) AS is_doji,
+      (lwick >= 2.0 * body AND uwick <= body AND body > 0) AS is_hammer,
+      COALESCE(pc < po AND close > open AND open <= pc AND close >= po,
+               FALSE) AS bull_engulf,
+      COALESCE(pc > po AND close < open AND open >= pc AND close <= po,
+               FALSE) AS bear_engulf
+    FROM p""",
+)
+def q_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick pattern flags (doji / hammer / engulfing) over
+    tick-chain bars (open := previous close — the synthetic feed has
+    open==close, which would make every bar a doji) —
+    operators/windows.with_candle_patterns."""
+    from pyspark.sql import functions as F
+
+    from ..operators.windows import by_key, with_candle_patterns
+
+    b = bars(spark, sf_dir).withColumn(
+        "open", F.lag("close").over(by_key())
+    ).filter(F.col("open").isNotNull())
+    return with_candle_patterns(b).select(
+        "symbol", "time", "event_id",
+        "is_doji", "is_hammer", "bull_engulf", "bear_engulf",
+    )
+
+
+@q(
+    "q_fractals",
+    f"""WITH {BARS_CTE},
+    l AS (SELECT symbol, time, event_id, high, low,
+            COUNT(*) OVER w AS cnt,
+            MAX(high) OVER w AS hh, MIN(low) OVER w AS ll,
+            len(list_filter(list(high) OVER w, x -> x = high)) AS n_hh,
+            len(list_filter(list(low) OVER w, x -> x = low)) AS n_ll
+          FROM bars
+          WINDOW w AS ({KW} ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING))
+    SELECT symbol, time, event_id,
+      (cnt = 5 AND high = hh AND n_hh = 1) AS swing_high,
+      (cnt = 5 AND low = ll AND n_ll = 1) AS swing_low
+    FROM l""",
+)
+def q_fractals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Williams fractal swing highs/lows (±2-row strict extremes,
+    complete neighborhoods only) — the look-ahead labeling feature —
+    operators/windows.with_fractals."""
+    from ..operators.windows import with_fractals
+
+    return with_fractals(bars(spark, sf_dir), 2).select(
+        "symbol", "time", "event_id", "swing_high", "swing_low"
+    )
