@@ -244,3 +244,44 @@ def test_fractals_strict_center_extreme(spark):
     assert out[2].swing_high            # strict local max, full window
     assert not out[6].swing_high        # tied with index 7 -> not strict
     assert not out[0].swing_high        # incomplete neighborhood
+
+
+def test_monthly_growth_pct(spark):
+    from trading_etl_python_spark.operators.relational import monthly_growth
+
+    rows = [(i, 1, "O", 100.0, f"2024-{m:02d}-15 00:00:00", "P")
+            for i, m in enumerate([1, 1, 2, 3])]  # rev: 200, 100, 100
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    out = {str(r.month)[:7]: r for r in monthly_growth(orders).collect()}
+    assert out["2024-01"].revenue == 200.0 and out["2024-01"].mom_pct is None
+    assert out["2024-02"].mom_pct == -0.5   # 200 -> 100
+    assert out["2024-03"].mom_pct == 0.0
+    assert out["2024-03"].yoy_pct is None   # no 12-back month
+
+
+def test_benford_digit_extraction(spark):
+    from trading_etl_python_spark.operators.relational import benford_audit
+
+    vals = [1.23, 19.99, 100.0, 2.5, 0.05, 900.0]  # digits 1,1,1,2,5,9
+    df = spark.createDataFrame([(v,) for v in vals], "l_extendedprice double")
+    out = {r.digit: r for r in benford_audit(df).collect()}
+    assert out[1].n == 3 and out[2].n == 1 and out[5].n == 1 and out[9].n == 1
+    assert abs(out[1].benford - 0.30103) < 1e-5
+    assert abs(sum(r.share for r in out.values()) - 1.0) < 1e-5
+
+
+def test_knn_classify_majority_vote(spark):
+    from trading_etl_python_spark.operators.similarity import knn_classify
+
+    # query 0 at e1; 3 label-7 vectors hug e1, 2 label-3 vectors are far
+    rows = [(0, [1.0, 0.0], 0)]
+    rows += [(i, [0.999, 0.0447], 7) for i in (10, 11, 12)]
+    rows += [(i, [0.0, 1.0], 3) for i in (20, 21)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = knn_classify(emb, n_queries=1, k=3).collect()
+    assert len(out) == 1
+    assert out[0].pred_label == 7 and out[0].n_votes == 3

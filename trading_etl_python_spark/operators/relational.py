@@ -409,3 +409,68 @@ def pit_state_by_day(events: DataFrame) -> DataFrame:
         F.col("h.event_type").alias("state"),
         F.col("h.version").alias("version"),
     )
+
+
+def monthly_growth(orders: DataFrame) -> DataFrame:
+    """Month grid of order revenue with month-over-month and
+    year-over-year growth — the period-over-period BI shape.  Revenue
+    sums exact integer cents; the growth ratios are single divisions of
+    those integers (deterministic doubles), rounded 6dp for display.
+    One month-grid aggregation (map-side combinable) + two LAGs on the
+    tiny month axis."""
+    from pyspark.sql import Window
+
+    g = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * F.lit(100.0), 0).cast("long")
+        ).alias("revq"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    prev, prev12 = F.lag("revq", 1).over(w), F.lag("revq", 12).over(w)
+
+    def pct(cur, base):
+        return F.when(
+            base.isNotNull() & (base != 0),
+            F.round(
+                (cur.cast("double") - base.cast("double")) / base.cast("double"), 6
+            ),
+        )
+
+    return g.select(
+        "month",
+        "n_orders",
+        (F.col("revq").cast("double") / F.lit(100.0)).alias("revenue"),
+        pct(F.col("revq"), prev).alias("mom_pct"),
+        pct(F.col("revq"), prev12).alias("yoy_pct"),
+    )
+
+
+def benford_audit(df: DataFrame, amount_col: str = "l_extendedprice") -> DataFrame:
+    """Benford first-digit audit of a monetary column — the classic
+    fraud/DQ screen: observed first-significant-digit shares vs the
+    Benford expectation log10(1 + 1/d).  The digit extracts from the
+    EXACT integer cents via string head (integer-to-string is identical
+    on every engine — never first-char of a formatted float, whose
+    rendering differs), so counts are hash-exact; shares and excesses
+    are single divisions, rounded 6dp."""
+    cents = F.round(F.col(amount_col) * F.lit(100.0), 0).cast("long")
+    d = F.substring(cents.cast("string"), 1, 1).cast("int")
+    g = (
+        df.select(cents.alias("_c"), d.alias("digit"))
+        .filter(F.col("_c") > 0)
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    tot = F.sum("n").over(Window.partitionBy())
+    share = F.col("n").cast("double") / tot.cast("double")
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    return g.select(
+        "digit",
+        "n",
+        F.round(share, 6).alias("share"),
+        F.round(expected, 6).alias("benford"),
+        F.round(share - expected, 6).alias("excess"),
+    )

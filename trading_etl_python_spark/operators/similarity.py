@@ -1248,3 +1248,53 @@ def mmr_select(
     return out.join(embeddings.select(id_col, "label"), id_col).select(
         "rank", id_col, "label", F.round("_raw", 6).alias("mmr_score")
     )
+
+
+def knn_classify(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 10, id_col: str = "vec_id"
+) -> DataFrame:
+    """k-NN label vote: classify each of the first ``n_queries``
+    vectors by the majority label of its k nearest neighbors (cosine,
+    self excluded) — the evaluation-side complement of the ANN index
+    family (same brute-force scoring as topk_cosine, batched for all
+    queries in ONE corpus pass via a broadcast query side).
+
+    Determinism: neighbors rank on (ROUNDED sim DESC, id ASC); the
+    vote ranks on (count DESC, label ASC) — integers and the rounded
+    score only, so no engine float noise can flip either ranking."""
+    from pyspark.sql import Window
+
+    q = embeddings.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"), F.col("embedding").alias("qv")
+    )
+    from ..functions.vector import dot
+
+    sims = (
+        embeddings.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            F.col(id_col).alias("nid"),
+            "label",
+            F.round(dot("embedding", "qv"), 6).alias("sim"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
+    nn = sims.withColumn("_rk", F.row_number().over(wr)).filter(F.col("_rk") <= k)
+    votes = nn.groupBy("qid", "label").agg(
+        F.count(F.lit(1)).alias("n_votes"),
+        F.round(F.max("sim"), 6).alias("best_sim"),
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("_vr", F.row_number().over(wv))
+        .filter(F.col("_vr") == 1)
+        .select(
+            F.col("qid").alias(id_col),
+            F.col("label").alias("pred_label"),
+            "n_votes",
+            "best_sim",
+        )
+    )

@@ -4129,3 +4129,31 @@ def q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.tfidf_cosine_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.85, rows_per_block=500
     )
+
+
+@q(
+    "q_knn_classify",
+    f"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                  WHERE vec_id < 5),
+       s AS (SELECT q.qid, e.vec_id AS nid, e.label,
+               ROUND({_DOT.format(a='e.embedding', b='q.qv')}, 6) AS sim
+             FROM embeddings e, q WHERE e.vec_id <> q.qid),
+       nn AS (SELECT qid, nid, label, sim,
+                ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY sim DESC, nid ASC) AS rk
+              FROM s),
+       v AS (SELECT qid, label, COUNT(*) AS n_votes,
+               ROUND(MAX(sim), 6) AS best_sim
+             FROM nn WHERE rk <= 10 GROUP BY qid, label),
+       w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY n_votes DESC, label ASC) AS vr FROM v)
+       SELECT qid AS vec_id, label AS pred_label, n_votes, best_sim
+       FROM w WHERE vr = 1""",
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-label classification of the first five vectors
+    (k=10, self excluded): neighbor rank on (rounded sim, id), vote
+    rank on (count, label) — operators/similarity.knn_classify."""
+    return S.knn_classify(
+        load_table(spark, sf_dir, "embeddings"), n_queries=5, k=10
+    )

@@ -577,3 +577,52 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("c_acctbal", 4).alias("c_acctbal"),
         "c_mktsegment",
     )
+
+
+@q(
+    "q_yoy_growth",
+    """WITH g AS (SELECT date_trunc('month', o_orderdate) AS month,
+           SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) AS revq,
+           COUNT(*) AS n_orders
+         FROM orders GROUP BY date_trunc('month', o_orderdate)),
+       l AS (SELECT month, n_orders, revq,
+           LAG(revq, 1) OVER (ORDER BY month) AS prev1,
+           LAG(revq, 12) OVER (ORDER BY month) AS prev12
+         FROM g)
+       SELECT month, n_orders,
+         CAST(revq AS DOUBLE) / 100.0 AS revenue,
+         CASE WHEN prev1 IS NOT NULL AND prev1 <> 0
+              THEN ROUND((CAST(revq AS DOUBLE) - CAST(prev1 AS DOUBLE))
+                         / CAST(prev1 AS DOUBLE), 6) END AS mom_pct,
+         CASE WHEN prev12 IS NOT NULL AND prev12 <> 0
+              THEN ROUND((CAST(revq AS DOUBLE) - CAST(prev12 AS DOUBLE))
+                         / CAST(prev12 AS DOUBLE), 6) END AS yoy_pct
+       FROM l""",
+)
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year order revenue growth on the
+    month grid — exact integer-cent revenue, period-over-period LAGs
+    (operators/relational.monthly_growth)."""
+    return REL.monthly_growth(load_table(spark, sf_dir, "orders"))
+
+
+@q(
+    "q_benford",
+    """WITH c AS (SELECT CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT)
+                    AS cents FROM lineitem),
+       d AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+               AS digit FROM c WHERE cents > 0),
+       g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+       t AS (SELECT digit, n, SUM(n) OVER () AS tot FROM g)
+       SELECT digit, n,
+         ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+         ROUND(LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford,
+         ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
+               - LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS excess
+       FROM t""",
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of lineitem amounts — digit from the
+    exact integer cents' string head, shares vs log10(1+1/d)
+    (operators/relational.benford_audit)."""
+    return REL.benford_audit(load_table(spark, sf_dir, "lineitem"))
