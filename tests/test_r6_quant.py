@@ -285,3 +285,31 @@ def test_knn_classify_majority_vote(spark):
     out = knn_classify(emb, n_queries=1, k=3).collect()
     assert len(out) == 1
     assert out[0].pred_label == 7 and out[0].n_votes == 3
+
+
+def test_backtest_ma_cross_uptrend_wins(spark):
+    # steady uptrend: fast SMA stays above slow -> long throughout the
+    # traded window -> every traded day wins, positive total return
+    import math
+    closes = [100.0 * math.exp(0.01 * d) for d in range(25)]
+    rows = [(1, f"2024-01-{d+1:02d} 10:00:00", d, c, c, c, 1)
+            for d, c in enumerate(closes)]
+    out = AN.backtest_ma_cross(_bars(spark, rows), 3, 10, min_days=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.hit_rate == 1.0 and r.total_ret > 0
+    # every strategy return is exactly 0.01 -> zero variance -> NULL sharpe
+    assert r.sharpe_ann is None
+
+
+def test_backtest_ma_no_lookahead(spark):
+    # signal flips on the crash day; the POSITION only flips the day
+    # after (execution lag), so the crash itself is taken long
+    import math
+    closes = [100.0 + d for d in range(15)] + [50.0, 49.0, 48.0, 47.0, 46.0]
+    rows = [(1, f"2024-01-{d+1:02d} 10:00:00", d, c, c, c, 1)
+            for d, c in enumerate(closes)]
+    out = AN.backtest_ma_cross(_bars(spark, rows), 3, 10, min_days=3).collect()
+    r = out[0]
+    # the crash day's big negative return hits while still long
+    assert r.total_ret < 0 or r.hit_rate < 1.0

@@ -988,3 +988,76 @@ def garch_volatility(
     return out.select(
         "symbol", F.col("day").cast("timestamp").alias("day"), "garch_vol"
     )
+
+
+def backtest_ma_cross(
+    df: DataFrame, fast: int = 5, slow: int = 20, min_days: int = 10
+) -> DataFrame:
+    """Moving-average-crossover backtest on the daily grid: signal =
+    sign(SMA_fast - SMA_slow) (0 on exact equality), traded at the NEXT
+    day's return (one-day execution lag — no look-ahead), aggregated to
+    per-symbol total return, hit rate, and annualized Sharpe.
+
+    The whole loop is exact: daily closes quantize to 1e-6 integers, so
+    each SMA is an exact-integer-sum rational and the crossover compare
+    is deterministic; strategy returns are position·rq integer products;
+    total return, hit rate, and the Sharpe moments all assemble from
+    integer sums.  Shape: (symbol, day) grid → day windows → symbol
+    reduce — the same envelope as every daily statistic."""
+    d = df.groupBy("symbol", F.to_date("time").alias("day")).agg(
+        F.round(F.avg("close"), 6).alias("close_d")
+    )
+    wd = Window.partitionBy("symbol").orderBy("day")
+    d = d.withColumn("cq", F.round(F.col("close_d") * F.lit(1000000.0), 0).cast("long"))
+    prev = F.lag("close_d").over(wd)
+    d = d.withColumn(
+        "rq",
+        F.when(
+            (prev > 0) & (F.col("close_d") > 0),
+            F.round(
+                F.round(F.log(F.col("close_d") / prev), 6) * F.lit(1000000.0), 0
+            ).cast("long"),
+        ),
+    )
+    wf = wd.rowsBetween(-(fast - 1), 0)
+    ws = wd.rowsBetween(-(slow - 1), 0)
+    sf = F.sum("cq").over(wf).cast("double") / F.lit(float(fast))
+    ss = F.sum("cq").over(ws).cast("double") / F.lit(float(slow))
+    warm = F.count("cq").over(ws) >= slow
+    sig = F.when(~warm, F.lit(None).cast("int")).otherwise(
+        F.when(sf > ss, F.lit(1)).when(sf < ss, F.lit(-1)).otherwise(F.lit(0))
+    )
+    d = d.withColumn("pos", F.lag(sig).over(wd))
+    t = d.filter(F.col("pos").isNotNull() & F.col("rq").isNotNull()).withColumn(
+        "sq", F.col("pos").cast("long") * F.col("rq")
+    )
+    m = t.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("sq").alias("s1"),
+        F.sum(F.col("sq") * F.col("sq")).alias("s2"),
+        F.sum(F.when(F.col("sq") > 0, 1).otherwise(0)).alias("wins"),
+        F.sum(F.when(F.col("pos") != 0, 1).otherwise(0)).alias("active"),
+    )
+    nd = F.col("n_days").cast("double")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    var = (nd * s2d - s1d * s1d) / (nd * (nd - F.lit(1.0)))
+    sharpe = F.when(
+        var > 0,
+        F.round(
+            (s1d / nd)
+            / F.sqrt(var)
+            * F.sqrt(F.lit(252.0)),
+            4,
+        ),
+    )
+    return m.filter(F.col("n_days") >= min_days).select(
+        "symbol",
+        "n_days",
+        (F.col("s1").cast("double") / F.lit(1000000.0)).alias("total_ret"),
+        F.round(
+            F.col("wins").cast("double")
+            / F.nullif(F.col("active").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("hit_rate"),
+        sharpe.alias("sharpe_ann"),
+    )

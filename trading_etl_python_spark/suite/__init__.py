@@ -66,7 +66,7 @@ _NEW_R6: list[str] = [
     "q_kalman", "q_ols_trend", "q_dow_returns", "q_leadlag",
     "q_wordpiece", "q_portfolio_nav", "q_tfidf_cosine",
     "q_garch", "q_candle_patterns", "q_fractals",
-    "q_yoy_growth", "q_benford", "q_knn_classify",
+    "q_yoy_growth", "q_benford", "q_knn_classify", "q_backtest_ma",
 ]
 # r5-certified block (fresh greens, rotate last among certified).
 _CERTIFIED_R5 = [

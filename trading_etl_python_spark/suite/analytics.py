@@ -1493,3 +1493,60 @@ def q_fractals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fractals(bars(spark, sf_dir), 2).select(
         "symbol", "time", "event_id", "swing_high", "swing_low"
     )
+
+
+@q(
+    "q_backtest_ma",
+    f"""WITH {BARS_CTE},
+    d0 AS (SELECT symbol, CAST(time AS DATE) AS day,
+             ROUND(AVG(close), 6) AS close_d
+           FROM bars GROUP BY symbol, CAST(time AS DATE)),
+    d1 AS (SELECT symbol, day, close_d,
+             CAST(ROUND(close_d * 1000000.0, 0) AS BIGINT) AS cq,
+             LAG(close_d) OVER w AS prev
+           FROM d0 WINDOW w AS (PARTITION BY symbol ORDER BY day)),
+    d2 AS (SELECT symbol, day, cq,
+             CASE WHEN prev > 0 AND close_d > 0
+                  THEN CAST(ROUND(ROUND(LN(close_d / prev), 6)
+                       * 1000000.0, 0) AS BIGINT) END AS rq,
+             CAST(SUM(cq) OVER wf AS DOUBLE) / 3.0 AS sf,
+             CAST(SUM(cq) OVER ws AS DOUBLE) / 10.0 AS ss,
+             COUNT(cq) OVER ws AS cnt
+           FROM d1
+           WINDOW wf AS (PARTITION BY symbol ORDER BY day
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                  ws AS (PARTITION BY symbol ORDER BY day
+                         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+    d3 AS (SELECT symbol, day, rq,
+             LAG(CASE WHEN cnt < 10 THEN NULL
+                      WHEN sf > ss THEN 1 WHEN sf < ss THEN -1
+                      ELSE 0 END)
+               OVER (PARTITION BY symbol ORDER BY day) AS pos
+           FROM d2),
+    t AS (SELECT symbol, pos, CAST(pos AS BIGINT) * rq AS sq
+          FROM d3 WHERE pos IS NOT NULL AND rq IS NOT NULL),
+    m AS (SELECT symbol, COUNT(*) AS n_days, SUM(sq) AS s1,
+            SUM(sq * sq) AS s2,
+            SUM(CASE WHEN sq > 0 THEN 1 ELSE 0 END) AS wins,
+            SUM(CASE WHEN pos <> 0 THEN 1 ELSE 0 END) AS active
+          FROM t GROUP BY symbol HAVING COUNT(*) >= 5)
+    SELECT symbol, n_days,
+      CAST(s1 AS DOUBLE) / 1000000.0 AS total_ret,
+      ROUND(CAST(wins AS DOUBLE)
+            / NULLIF(CAST(active AS DOUBLE), 0.0), 6) AS hit_rate,
+      CASE WHEN (CAST(n_days AS DOUBLE)*CAST(s2 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
+                / (CAST(n_days AS DOUBLE)*(CAST(n_days AS DOUBLE)-1.0)) > 0
+           THEN ROUND((CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
+                / SQRT((CAST(n_days AS DOUBLE)*CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
+                       / (CAST(n_days AS DOUBLE)*(CAST(n_days AS DOUBLE)-1.0)))
+                * SQRT(252.0), 4) END AS sharpe_ann
+    FROM m""",
+)
+def q_backtest_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MA-crossover backtest (3/10, next-day execution): per-symbol
+    total return, hit rate, annualized Sharpe — the signal→position→
+    PnL composition, exact integers end to end
+    (operators/analytics.backtest_ma_cross)."""
+    return AN.backtest_ma_cross(bars(spark, sf_dir), 3, 10, min_days=5)
