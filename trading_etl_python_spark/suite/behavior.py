@@ -311,3 +311,81 @@ def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import pit_state_by_day
 
     return pit_state_by_day(load_events(spark, sf_dir))
+
+
+@q(
+    "q_chi2",
+    """WITH g AS (
+         SELECT event_type AS r, CAST(user_id % 3 AS BIGINT) AS cohort,
+                COUNT(*) AS n
+         FROM events GROUP BY event_type, user_id % 3),
+       e AS (
+         SELECT r, cohort, n,
+           CAST(SUM(n) OVER (PARTITION BY r) AS DOUBLE)
+             * CAST(SUM(n) OVER (PARTITION BY cohort) AS DOUBLE)
+             / CAST(SUM(n) OVER () AS DOUBLE) AS exp
+         FROM g),
+       c AS (
+         SELECT r, cohort, n,
+           ROUND(exp, 6) AS expected,
+           ROUND((CAST(n AS DOUBLE) - exp) * (CAST(n AS DOUBLE) - exp)
+                 / exp, 6) AS contrib,
+           CAST(ROUND((CAST(n AS DOUBLE) - exp) * (CAST(n AS DOUBLE) - exp)
+                      / exp * 1000000.0, 0) AS BIGINT) AS cmicro
+         FROM e)
+       SELECT r, cohort, n, expected, contrib,
+         CAST(SUM(cmicro) OVER () AS DOUBLE) / 1000000.0 AS chi2_total
+       FROM c""",
+)
+def q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of event_type x user cohort — exact
+    observed counts, double expected/contribution chains, total re-summed
+    through integer micro-units (operators/stats.chi2_independence)."""
+    from ..operators import stats as ST
+
+    return ST.chi2_independence(load_events(spark, sf_dir))
+
+
+@q(
+    "q_pr_curve",
+    """WITH s AS (
+         SELECT CAST(ROUND(value * 1000000.0, 0) AS BIGINT) AS vmicro,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+         FROM events),
+       r AS (SELECT MIN(vmicro) AS vmin, MAX(vmicro) AS vmax FROM s),
+       t AS (
+         SELECT CAST(i AS BIGINT) AS i,
+                vmin + (i * (vmax - vmin)) // 20 AS thr
+         FROM r, range(1, 20) AS u(i)),
+       g AS (
+         SELECT i, thr,
+           SUM(CASE WHEN vmicro >= thr AND label = 1 THEN 1 ELSE 0 END) AS tp,
+           SUM(CASE WHEN vmicro >= thr THEN 1 ELSE 0 END) AS pp,
+           SUM(label) AS np
+         FROM s, t GROUP BY i, thr)
+       SELECT i, CAST(thr AS DOUBLE) / 1000000.0 AS threshold,
+         CAST(tp AS BIGINT) AS tp,
+         CAST(pp AS BIGINT) AS predicted_pos,
+         CAST(np AS BIGINT) AS actual_pos,
+         CASE WHEN pp > 0
+              THEN ROUND(CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE), 6) END
+           AS precision,
+         CASE WHEN np > 0
+              THEN ROUND(CAST(tp AS DOUBLE) / CAST(np AS DOUBLE), 6) END
+           AS recall,
+         CASE WHEN pp > 0 AND np > 0 AND tp > 0
+              THEN ROUND(2.0 * (CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE))
+                             * (CAST(tp AS DOUBLE) / CAST(np AS DOUBLE))
+                         / (CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE)
+                            + CAST(tp AS DOUBLE) / CAST(np AS DOUBLE)), 6)
+              ELSE 0.0 END AS f1
+       FROM g""",
+)
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 threshold sweep for value predicting a
+    purchase event — exact-integer threshold grid over the micro-quantized
+    score range, one broadcast cross-join scan
+    (operators/stats.pr_curve)."""
+    from ..operators import stats as ST
+
+    return ST.pr_curve(load_events(spark, sf_dir))

@@ -626,3 +626,98 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer cents' string head, shares vs log10(1+1/d)
     (operators/relational.benford_audit)."""
     return REL.benford_audit(load_table(spark, sf_dir, "lineitem"))
+
+
+@q(
+    "q_welch_ttest",
+    """WITH b AS (
+         SELECT CAST(year(l_shipdate) AS BIGINT) AS grp,
+                l_returnflag AS flag,
+                CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS d
+         FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+       g AS (
+         SELECT grp,
+           SUM(CASE WHEN flag = 'A' THEN 1 ELSE 0 END) AS nx,
+           SUM(CASE WHEN flag = 'A' THEN d ELSE 0 END) AS sx,
+           SUM(CASE WHEN flag = 'A' THEN d * d ELSE 0 END) AS ssx,
+           SUM(CASE WHEN flag = 'R' THEN 1 ELSE 0 END) AS ny,
+           SUM(CASE WHEN flag = 'R' THEN d ELSE 0 END) AS sy,
+           SUM(CASE WHEN flag = 'R' THEN d * d ELSE 0 END) AS ssy
+         FROM b GROUP BY grp),
+       c AS (
+         SELECT grp, nx, ny,
+           CAST(sx AS DOUBLE) / CAST(nx AS DOUBLE) AS mx,
+           CAST(sy AS DOUBLE) / CAST(ny AS DOUBLE) AS my,
+           ((CAST(ssx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(nx AS DOUBLE))
+            / (CAST(nx AS DOUBLE) - 1.0)) / CAST(nx AS DOUBLE) AS ux,
+           ((CAST(ssy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(ny AS DOUBLE))
+            / (CAST(ny AS DOUBLE) - 1.0)) / CAST(ny AS DOUBLE) AS uy
+         FROM g)
+       SELECT grp, CAST(nx AS BIGINT) AS n_a, CAST(ny AS BIGINT) AS n_b,
+         ROUND(mx, 6) AS mean_a, ROUND(my, 6) AS mean_b,
+         ROUND((mx - my) / SQRT(ux + uy), 6) AS t_stat,
+         ROUND((ux + uy) * (ux + uy)
+               / (ux * ux / (CAST(nx AS DOUBLE) - 1.0)
+                  + uy * uy / (CAST(ny AS DOUBLE) - 1.0)), 6) AS df_welch
+       FROM c""",
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test of extendedprice between returned
+    (R) and accepted (A) lines, one test per ship year — exact integer
+    dollar moments from one conditional aggregation, then a fixed double
+    chain (operators/stats.welch_ttest)."""
+    from ..operators import stats as ST
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate").cast("long")
+    )
+    return ST.welch_ttest(li, group_col="ship_year")
+
+
+@q(
+    "q_mannwhitney",
+    """WITH b AS (
+         SELECT CAST(year(l_shipdate) AS BIGINT) AS grp,
+                CAST(l_quantity AS BIGINT) AS v,
+                CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS in_a
+         FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+       pv AS (
+         SELECT grp, v, COUNT(*) AS cnt, SUM(in_a) AS cnt_a
+         FROM b GROUP BY grp, v),
+       rk AS (
+         SELECT grp, cnt, cnt_a,
+           SUM(cnt) OVER (PARTITION BY grp ORDER BY v) AS cum
+         FROM pv),
+       r2 AS (
+         SELECT grp, cnt, cnt_a,
+           2 * (cum - cnt + 1) + cnt - 1 AS avg2 FROM rk),
+       g AS (
+         SELECT grp, SUM(cnt_a) AS na, SUM(cnt - cnt_a) AS nb,
+           SUM(cnt_a * avg2) AS r2a,
+           SUM(cnt * cnt * cnt - cnt) AS ties
+         FROM r2 GROUP BY grp)
+       SELECT grp, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         ROUND(CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0, 1) AS u_stat,
+         ROUND((CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0
+                - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+           / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+                  * ((CAST(na + nb AS DOUBLE) + 1.0)
+                     - CAST(ties AS DOUBLE)
+                       / (CAST(na + nb AS DOUBLE)
+                          * (CAST(na + nb AS DOUBLE) - 1.0)))), 6) AS z_stat,
+         ROUND(CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0
+               / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS auc
+       FROM g""",
+)
+def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Mann-Whitney U of quantity between returned and
+    accepted lines per ship year — integer rank axis, doubled average
+    ranks stay exact integers to the end (operators/stats.mann_whitney)."""
+    from ..operators import stats as ST
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate").cast("long")
+    )
+    return ST.mann_whitney(li, group_col="ship_year")
