@@ -474,3 +474,221 @@ def benford_audit(df: DataFrame, amount_col: str = "l_extendedprice") -> DataFra
         F.round(expected, 6).alias("benford"),
         F.round(share - expected, 6).alias("excess"),
     )
+
+
+def basket_rules(
+    lineitem: DataFrame,
+    part: DataFrame,
+    min_pair_orders: int = 2,
+) -> DataFrame:
+    """Market-basket association rules over brand pairs co-occurring in
+    an order — support / confidence / lift, the classic affinity-mining
+    shape (Agrawal et al.; capability extension, SURVEY.md §2.3).
+
+    The item axis is the 25-value brand dimension, so the pair space is
+    bounded (≤300 pairs) regardless of corpus size; the per-order pair
+    enumeration is a self-join of the DISTINCT (order, brand) frame on
+    the order key — at most items-per-order² rows per order, never
+    corpus-quadratic.  All counts are exact integers; support /
+    confidence / lift are single-division chains rounded 6dp.  The part
+    dim is broadcast: the fact table never shuffles for the brand lookup.
+    """
+    ob = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+        # reused 4x (total, brand counts, both pair-join sides): checkpoint
+        # the deduped 2-col frame once instead of re-scanning the fact table
+        .localCheckpoint(eager=False)
+    )
+    tot_df = ob.agg(F.count_distinct("okey").alias("n_orders"))
+    brand_n = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n_brand"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.brand") < F.col("b.brand")))
+        .groupBy(F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair_orders)
+    )
+    na = brand_n.select(F.col("brand").alias("brand_a"), F.col("n_brand").alias("n_a"))
+    nb = brand_n.select(F.col("brand").alias("brand_b"), F.col("n_brand").alias("n_b"))
+    j = (
+        pairs.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .crossJoin(F.broadcast(tot_df))
+    )
+
+    def dbl(c):
+        return F.col(c).cast("double")
+
+    tot = F.col("n_orders").cast("double")
+    return j.select(
+        "brand_a",
+        "brand_b",
+        "n_pair",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(dbl("n_pair") / tot, 6).alias("support"),
+        F.round(dbl("n_pair") / dbl("n_a"), 6).alias("confidence"),
+        F.round(dbl("n_pair") * tot / (dbl("n_a") * dbl("n_b")), 6).alias("lift"),
+    )
+
+
+def rfm_segments(orders: DataFrame, n_tiles: int = 5) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation grid:
+    per-customer exact metrics -> NTILE scores -> segment counts.
+
+    Parity: recency is an exact integer day diff from the global max
+    order date; frequency a count; monetary exact cents.  Every NTILE
+    orders by (exact metric, custkey) — fully deterministic tiling, the
+    "(rounded score, id)" rule with nothing to round.  The NTILE windows
+    run on the per-CUSTOMER frame (|customers| ~ |orders|/10); at true
+    100 TB scale the single-partition tiling would switch to the
+    percent_rank bucketing q_rank_pct uses — documented trade for exact
+    driver-parity NTILE semantics here.  Output is the bounded
+    (r, f, m) segment grid with exact counts and FLOOR-pattern means.
+    """
+    from pyspark.sql import Window
+
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_date"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * F.lit(100.0), 0).cast("long")).alias(
+            "cents"
+        ),
+    )
+    gmax = F.max("last_date").over(Window.partitionBy())
+    base = per_cust.withColumn("recency", F.datediff(gmax, F.col("last_date")))
+    r_w = Window.orderBy(F.col("recency").asc(), F.col("o_custkey").asc())
+    f_w = Window.orderBy(F.col("freq").desc(), F.col("o_custkey").asc())
+    m_w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey").asc())
+    scored = base.select(
+        "o_custkey",
+        "recency",
+        "freq",
+        "cents",
+        F.ntile(n_tiles).over(r_w).alias("r_score"),
+        F.ntile(n_tiles).over(f_w).alias("f_score"),
+        F.ntile(n_tiles).over(m_w).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").alias("_cents"),
+            F.sum("freq").alias("n_orders"),
+        )
+        .select(
+            "r_score",
+            "f_score",
+            "m_score",
+            "n_customers",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            (
+                F.floor(F.col("_cents") / F.col("n_customers")).cast("double")
+                / F.lit(100.0)
+            ).alias("avg_monetary"),
+        )
+    )
+
+
+def pareto_abc(
+    lineitem: DataFrame,
+    part: DataFrame,
+    a_cut: float = 0.8,
+    b_cut: float = 0.95,
+) -> DataFrame:
+    """ABC (Pareto) classification of brands by cumulative revenue
+    share — A up to ``a_cut``, B up to ``b_cut``, C beyond.
+
+    Revenue accumulates exact integer cents; the cumulative ordering is
+    (cents DESC, brand) — fully deterministic; shares are single
+    divisions of exact integers so the class thresholds compare
+    identical doubles on both engines.  The cumulative window runs on
+    the 25-row brand frame (post-aggregation), never the fact table.
+    """
+    from pyspark.sql import Window
+
+    g = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.lit(100.0), 0).cast("long")
+            ).alias("cents")
+        )
+    )
+    w = Window.orderBy(F.col("cents").desc(), F.col("p_brand").asc())
+    wt = Window.partitionBy()
+    cum = F.sum("cents").over(w)
+    tot = F.sum("cents").over(wt)
+    share = F.col("cents").cast("double") / tot.cast("double")
+    cum_share = cum.cast("double") / tot.cast("double")
+    return g.select(
+        "p_brand",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        F.round(share, 6).alias("share"),
+        F.round(cum_share, 6).alias("cum_share"),
+        F.when(cum_share <= F.lit(a_cut), F.lit("A"))
+        .when(cum_share <= F.lit(b_cut), F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+
+
+def gini_hhi(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Revenue-concentration audit per nation: Gini coefficient (rank
+    formula) + normalized Herfindahl-Hirschman index over per-customer
+    revenue.
+
+    x_i is exact integer DOLLARS (cents would push Σx² past int64 under
+    DuckDB's silent HUGEINT widening asymmetry); the rank axis is
+    (x, custkey) so i is deterministic; Gini = (2Σi·x − (n+1)Σx)/(n·Σx)
+    and HHI = Σx²/(Σx)² assemble from exact integer aggregates with
+    fixed double chains.  One fact aggregation + per-nation windows on
+    the customer frame.
+    """
+    from pyspark.sql import Window
+
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice"), 0).cast("long")).alias("x")
+        )
+        .join(
+            customer.select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.col("c_nationkey").cast("long").alias("nation"),
+            ),
+            "o_custkey",
+        )
+    )
+    w = Window.partitionBy("nation").orderBy(F.col("x").asc(), F.col("o_custkey").asc())
+    ranked = per_cust.withColumn("i", F.row_number().over(w))
+    g = ranked.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+
+    def dbl(c):
+        return F.col(c).cast("double")
+
+    gini = (
+        F.lit(2.0) * dbl("six") - (dbl("n") + F.lit(1.0)) * dbl("sx")
+    ) / (dbl("n") * dbl("sx"))
+    hhi = dbl("sxx") / (dbl("sx") * dbl("sx"))
+    return g.select(
+        "nation",
+        F.col("n").cast("long").alias("n_customers"),
+        dbl("sx").alias("revenue"),
+        F.round(gini, 6).alias("gini"),
+        F.round(hhi, 6).alias("hhi"),
+    )

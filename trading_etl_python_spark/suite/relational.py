@@ -721,3 +721,134 @@ def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ship_year", F.year("l_shipdate").cast("long")
     )
     return ST.mann_whitney(li, group_col="ship_year")
+
+
+@q(
+    "q_basket_rules",
+    """WITH ob AS (
+         SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+       tot AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM ob),
+       bn AS (SELECT brand, COUNT(*) AS n_brand FROM ob GROUP BY brand),
+       pr AS (
+         SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_pair
+         FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+         GROUP BY a.brand, b.brand
+         HAVING COUNT(*) >= 2)
+       SELECT pr.brand_a, pr.brand_b, pr.n_pair,
+         CAST(na.n_brand AS BIGINT) AS n_a,
+         CAST(nb.n_brand AS BIGINT) AS n_b,
+         ROUND(CAST(pr.n_pair AS DOUBLE) / CAST(t.n_orders AS DOUBLE), 6)
+           AS support,
+         ROUND(CAST(pr.n_pair AS DOUBLE) / CAST(na.n_brand AS DOUBLE), 6)
+           AS confidence,
+         ROUND(CAST(pr.n_pair AS DOUBLE) * CAST(t.n_orders AS DOUBLE)
+               / (CAST(na.n_brand AS DOUBLE) * CAST(nb.n_brand AS DOUBLE)), 6)
+           AS lift
+       FROM pr JOIN bn na ON pr.brand_a = na.brand
+               JOIN bn nb ON pr.brand_b = nb.brand, tot t""",
+)
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over brand pairs per order —
+    support/confidence/lift from exact co-occurrence counts; the pair
+    space is bounded by the 25-brand dimension
+    (operators/relational.basket_rules)."""
+    return REL.basket_rules(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@q(
+    "q_rfm",
+    """WITH pc AS (
+         SELECT o_custkey,
+           MAX(CAST(o_orderdate AS DATE)) AS last_date,
+           COUNT(*) AS freq,
+           SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) AS cents
+         FROM orders GROUP BY o_custkey),
+       b AS (
+         SELECT o_custkey, freq, cents,
+           date_diff('day', last_date, MAX(last_date) OVER ()) AS recency
+         FROM pc),
+       s AS (
+         SELECT o_custkey, freq, cents,
+           NTILE(5) OVER (ORDER BY recency ASC, o_custkey ASC) AS r_score,
+           NTILE(5) OVER (ORDER BY freq DESC, o_custkey ASC) AS f_score,
+           NTILE(5) OVER (ORDER BY cents DESC, o_custkey ASC) AS m_score
+         FROM b)
+       SELECT r_score, f_score, m_score,
+         COUNT(*) AS n_customers,
+         CAST(SUM(freq) AS BIGINT) AS n_orders,
+         CAST(FLOOR(CAST(SUM(cents) AS DOUBLE) / COUNT(*)) AS DOUBLE) / 100.0
+           AS avg_monetary
+       FROM s GROUP BY r_score, f_score, m_score""",
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation grid — exact integer recency/frequency/cents,
+    deterministic (metric, custkey) NTILE axes, FLOOR-pattern segment
+    means (operators/relational.rfm_segments)."""
+    return REL.rfm_segments(load_table(spark, sf_dir, "orders"))
+
+
+@q(
+    "q_pareto_abc",
+    """WITH g AS (
+         SELECT p.p_brand,
+           SUM(CAST(ROUND(l.l_extendedprice * 100.0, 0) AS BIGINT)) AS cents
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY p.p_brand),
+       c AS (
+         SELECT p_brand, cents,
+           SUM(cents) OVER (ORDER BY cents DESC, p_brand ASC) AS cum,
+           SUM(cents) OVER () AS tot
+         FROM g)
+       SELECT p_brand,
+         CAST(cents AS DOUBLE) / 100.0 AS revenue,
+         ROUND(CAST(cents AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+         ROUND(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share,
+         CASE WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.8 THEN 'A'
+              WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc_class
+       FROM c""",
+)
+def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/Pareto classification of brands by cumulative revenue share —
+    exact integer cents, deterministic (cents DESC, brand) cumulative
+    axis (operators/relational.pareto_abc)."""
+    return REL.pareto_abc(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@q(
+    "q_gini_hhi",
+    """WITH pc AS (
+         SELECT o_custkey, SUM(CAST(ROUND(o_totalprice, 0) AS BIGINT)) AS x
+         FROM orders GROUP BY o_custkey),
+       j AS (
+         SELECT pc.o_custkey, pc.x, CAST(c.c_nationkey AS BIGINT) AS nation
+         FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey),
+       r AS (
+         SELECT nation, x,
+           ROW_NUMBER() OVER (PARTITION BY nation
+                              ORDER BY x ASC, o_custkey ASC) AS i
+         FROM j),
+       g AS (
+         SELECT nation, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+           SUM(i * x) AS six
+         FROM r GROUP BY nation)
+       SELECT nation, CAST(n AS BIGINT) AS n_customers,
+         CAST(sx AS DOUBLE) AS revenue,
+         ROUND((2.0 * CAST(six AS DOUBLE)
+                - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini,
+         ROUND(CAST(sxx AS DOUBLE)
+               / (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS hhi
+       FROM g""",
+)
+def q_gini_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue concentration: Gini (rank formula) + HHI from
+    exact integer-dollar aggregates (operators/relational.gini_hhi)."""
+    return REL.gini_hhi(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    )
