@@ -574,3 +574,149 @@ def with_kalman(df: DataFrame, q: float = 0.01, r: float = 1.0) -> DataFrame:
         return {"kalman_x": xs, "kalman_gain": ks}
 
     return _indicator_map(df, {"kalman_x": "double", "kalman_gain": "double"}, fn)
+
+
+def psar_rec(
+    h: np.ndarray, lo: np.ndarray, c: np.ndarray, af0: float = 0.02, afmax: float = 0.2
+) -> tuple[np.ndarray, np.ndarray]:
+    """Parabolic SAR (Wilder): the acceleration-factor state machine —
+    four state variables (sar, ep, af, direction), every transition a
+    branch on doubles both engines derive through identical op chains.
+
+    Documented convention (mirrored exactly by the recursive-CTE
+    oracle): seeded at the second row — up iff close_1 >= close_0, SAR
+    = min(low_0, low_1) (up) / max(high_0, high_1) (down), EP the
+    opposite extreme, af = af0.  Each later row: predicted SAR =
+    sar + af*(ep - sar), clamped to the prior two lows (up) / highs
+    (down); reversal when price crosses the clamped SAR (then SAR:=EP,
+    EP:=current extreme, af:=af0, direction flips); otherwise EP
+    ratchets via max/min and af steps by af0 up to afmax when EP
+    improves.  Returns (sar, dir) with dir in {1.0, -1.0}."""
+    L = len(c)
+    sar_o, dir_o = np.full(L, np.nan), np.full(L, np.nan)
+    if L < 2:
+        return sar_o, dir_o
+    up = bool(c[1] >= c[0])
+    if up:
+        sar, ep = min(lo[0], lo[1]), max(h[0], h[1])
+    else:
+        sar, ep = max(h[0], h[1]), min(lo[0], lo[1])
+    af = af0
+    sar_o[1], dir_o[1] = sar, 1.0 if up else -1.0
+    for i in range(2, L):
+        pred = sar + af * (ep - sar)
+        if up:
+            s1 = min(pred, lo[i - 1], lo[i - 2])
+            rev = lo[i] < s1
+        else:
+            s1 = max(pred, h[i - 1], h[i - 2])
+            rev = h[i] > s1
+        if rev:
+            sar = ep
+            ep = lo[i] if up else h[i]
+            af = af0
+            up = not up
+        else:
+            sar = s1
+            if up:
+                if h[i] > ep:
+                    af = min(af + af0, afmax)
+                ep = max(ep, h[i])
+            else:
+                if lo[i] < ep:
+                    af = min(af + af0, afmax)
+                ep = min(ep, lo[i])
+        sar_o[i], dir_o[i] = sar, 1.0 if up else -1.0
+    return sar_o, dir_o
+
+
+def with_psar(df: DataFrame, af0: float = 0.02, afmax: float = 0.2) -> DataFrame:
+    """Parabolic SAR + direction per key."""
+
+    def fn(pdf: pd.DataFrame):
+        s, d = psar_rec(
+            pdf["high"].to_numpy(np.float64),
+            pdf["low"].to_numpy(np.float64),
+            pdf["close"].to_numpy(np.float64),
+            af0,
+            afmax,
+        )
+        return {"psar": s, "psar_dir": d}
+
+    return _indicator_map(df, {"psar": "double", "psar_dir": "double"}, fn)
+
+
+def kama_rec(
+    c: np.ndarray, n: int = 10, fast: int = 2, slow: int = 30
+) -> np.ndarray:
+    """Kaufman Adaptive Moving Average: efficiency ratio |Δn| / Σ|Δ1|
+    scales the smoothing constant between the fast and slow EMA alphas,
+    squared — kama_i = kama_{i-1} + sc·(c_i − kama_{i-1}), seeded
+    kama_n = c_n.
+
+    Parity: both ER operands are micro-quantized to exact integers
+    (|Δ| rounded half-up at 1e-6), so the rolling denominator sum is
+    exact in any accumulation order and ER is a single division of
+    identical doubles; the alphas assemble as 2.0/(fast+1) and
+    2.0/(slow+1) at runtime on both engines.  ER is 0 when the window
+    net movement is zero (flat prices)."""
+    L = len(c)
+    out = np.full(L, np.nan)
+    if L <= n:
+        return out
+    dq = round_half_up(np.abs(np.diff(c)) * 1e6, 0)  # exact ints as doubles
+    numq = round_half_up(np.abs(c[n:] - c[:-n]) * 1e6, 0)
+    kf, ks = 2.0 / (fast + 1.0), 2.0 / (slow + 1.0)
+    kama = c[n]
+    out[n] = kama
+    for i in range(n + 1, L):
+        den = dq[i - n : i].sum()
+        er = numq[i - n] / den if den > 0 else 0.0
+        s = er * (kf - ks) + ks
+        kama = kama + (s * s) * (c[i] - kama)
+        out[i] = kama
+    return out
+
+
+def with_kama(df: DataFrame, n: int = 10, fast: int = 2, slow: int = 30) -> DataFrame:
+    """KAMA(n, fast, slow) over close per key."""
+
+    def fn(pdf: pd.DataFrame):
+        return {
+            f"kama_{n}": kama_rec(pdf["close"].to_numpy(np.float64), n, fast, slow)
+        }
+
+    return _indicator_map(df, {f"kama_{n}": "double"}, fn)
+
+
+def tsi_rec(c: np.ndarray, slow: int = 25, fast: int = 13) -> np.ndarray:
+    """True Strength Index: 100 · EMA(EMA(Δc, slow), fast) /
+    EMA(EMA(|Δc|, slow), fast) — four chained SMA-seeded EMA
+    recursions on the one-step momentum, stage-aligned like TRIX
+    (stage k seeds on the previous stage's first n outputs)."""
+    L = len(c)
+    out = np.full(L, np.nan)
+    d = np.diff(c)
+    if len(d) < slow:
+        return out
+    e1 = ema_rec(d, slow)
+    e1a = ema_rec(np.abs(d), slow)
+    v, va = e1[slow - 1 :], e1a[slow - 1 :]
+    if len(v) < fast:
+        return out
+    e2 = ema_rec(v, fast)
+    e2a = ema_rec(va, fast)
+    # sub-index j maps to global row j + slow
+    with np.errstate(invalid="ignore", divide="ignore"):
+        vals = np.where(e2a != 0.0, 100.0 * (e2 / e2a), np.nan)
+    out[slow:] = vals
+    return out
+
+
+def with_tsi(df: DataFrame, slow: int = 25, fast: int = 13) -> DataFrame:
+    """TSI(slow, fast) momentum over close per key."""
+
+    def fn(pdf: pd.DataFrame):
+        return {"tsi": tsi_rec(pdf["close"].to_numpy(np.float64), slow, fast)}
+
+    return _indicator_map(df, {"tsi": "double"}, fn)

@@ -460,3 +460,38 @@ def with_fractals(df: DataFrame, k: int = 2) -> DataFrame:
     return df.withColumn(
         "swing_high", complete & (F.col("high") == hh) & (n_hh == 1)
     ).withColumn("swing_low", complete & (F.col("low") == ll) & (n_ll == 1))
+
+
+def with_vortex(df: DataFrame, n: int = 14) -> DataFrame:
+    """Vortex indicator VI+(n)/VI−(n): rolling Σ|high−prev_low| and
+    Σ|low−prev_high| over rolling ΣTR.  All three summands are
+    micro-quantized to exact integers per row (the VWAP pattern) so the
+    window sums are accumulation-order-exact; each VI is then one
+    division of exact integers, rounded 6dp.  Rows without a previous
+    bar contribute NULL (skipped) and the COUNT gate requires n
+    complete-with-prior rows."""
+    w1 = by_key()
+    pc = F.lag("close").over(w1)
+    ph = F.lag("high").over(w1)
+    pl = F.lag("low").over(w1)
+    tr = F.greatest(
+        F.col("high") - F.col("low"),
+        F.abs(F.col("high") - pc),
+        F.abs(F.col("low") - pc),
+    )
+    q = lambda x: F.when(pc.isNotNull(), F.round(x * F.lit(1000000.0), 0).cast("long"))
+    df = (
+        df.withColumn("_trq", q(tr))
+        .withColumn("_vpq", q(F.abs(F.col("high") - pl)))
+        .withColumn("_vmq", q(F.abs(F.col("low") - ph)))
+    )
+    w = by_key().rowsBetween(-(n - 1), 0)
+    cnt = F.count("_trq").over(w)
+    den = F.sum("_trq").over(w).cast("double")
+    vip = F.sum("_vpq").over(w).cast("double") / F.nullif(den, F.lit(0.0))
+    vim = F.sum("_vmq").over(w).cast("double") / F.nullif(den, F.lit(0.0))
+    return (
+        df.withColumn("vi_plus", F.when(cnt >= n, F.round(vip, 6)))
+        .withColumn("vi_minus", F.when(cnt >= n, F.round(vim, 6)))
+        .drop("_trq", "_vpq", "_vmq")
+    )

@@ -69,6 +69,7 @@ _NEW_R6: list[str] = [
     "q_yoy_growth", "q_benford", "q_knn_classify", "q_backtest_ma",
     "q_welch_ttest", "q_mannwhitney", "q_chi2", "q_pr_curve",
     "q_basket_rules", "q_rfm", "q_pareto_abc", "q_gini_hhi",
+    "q_vortex", "q_psar", "q_kama", "q_tsi",
 ]
 # r5-certified block (fresh greens, rotate last among certified).
 _CERTIFIED_R5 = [

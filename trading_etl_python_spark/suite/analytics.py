@@ -1550,3 +1550,221 @@ def q_backtest_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     PnL composition, exact integers end to end
     (operators/analytics.backtest_ma_cross)."""
     return AN.backtest_ma_cross(bars(spark, sf_dir), 3, 10, min_days=5)
+
+
+@q(
+    "q_vortex",
+    f"""WITH {BARS_CTE},
+    base AS (
+      SELECT symbol, time, event_id,
+        LAG(close) OVER ({KW}) AS pc,
+        LAG(high) OVER ({KW}) AS ph,
+        LAG(low) OVER ({KW}) AS pl,
+        high, low
+      FROM bars),
+    qd AS (
+      SELECT symbol, time, event_id,
+        CASE WHEN pc IS NOT NULL THEN
+          CAST(ROUND(GREATEST(high - low, ABS(high - pc), ABS(low - pc))
+                     * 1000000.0, 0) AS BIGINT) END AS trq,
+        CASE WHEN pc IS NOT NULL THEN
+          CAST(ROUND(ABS(high - pl) * 1000000.0, 0) AS BIGINT) END AS vpq,
+        CASE WHEN pc IS NOT NULL THEN
+          CAST(ROUND(ABS(low - ph) * 1000000.0, 0) AS BIGINT) END AS vmq
+      FROM base)
+    SELECT symbol, time, event_id,
+      CASE WHEN COUNT(trq) OVER w14 >= 14 THEN
+        ROUND(CAST(SUM(vpq) OVER w14 AS DOUBLE)
+              / NULLIF(CAST(SUM(trq) OVER w14 AS DOUBLE), 0.0), 6) END
+        AS vi_plus,
+      CASE WHEN COUNT(trq) OVER w14 >= 14 THEN
+        ROUND(CAST(SUM(vmq) OVER w14 AS DOUBLE)
+              / NULLIF(CAST(SUM(trq) OVER w14 AS DOUBLE), 0.0), 6) END
+        AS vi_minus
+    FROM qd
+    WINDOW w14 AS ({KW} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""",
+)
+def q_vortex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vortex VI+/VI−(14): micro-quantized trend-movement/TR window sums
+    (operators/windows.with_vortex)."""
+    from ..operators.windows import with_vortex
+
+    return with_vortex(bars(spark, sf_dir), 14).select(
+        "symbol", "time", "event_id", "vi_plus", "vi_minus"
+    )
+
+
+@q(
+    "q_psar",
+    f"""WITH RECURSIVE {BARS_CTE},
+    base AS (
+      SELECT symbol, time, event_id, high, low, close,
+        ROW_NUMBER() OVER ({KW}) AS rn,
+        LAG(close) OVER ({KW}) AS pclose,
+        LAG(high) OVER ({KW}) AS phi1,
+        LAG(high, 2) OVER ({KW}) AS phi2,
+        LAG(low) OVER ({KW}) AS plo1,
+        LAG(low, 2) OVER ({KW}) AS plo2
+      FROM bars),
+    bl AS MATERIALIZED (SELECT * FROM base),
+    rec AS (
+      SELECT symbol, rn,
+        CASE WHEN close >= pclose THEN LEAST(plo1, low)
+             ELSE GREATEST(phi1, high) END AS sar,
+        CASE WHEN close >= pclose THEN GREATEST(phi1, high)
+             ELSE LEAST(plo1, low) END AS ep,
+        CAST(0.02 AS DOUBLE) AS af,
+        close >= pclose AS up
+      FROM bl WHERE rn = 2
+      UNION ALL
+      SELECT x.symbol, x.rn,
+        -- reversal -> SAR := EP ; else clamped prediction
+        CASE WHEN (CASE WHEN r.up
+                   THEN x.low < LEAST(r.sar + r.af * (r.ep - r.sar),
+                                      x.plo1, x.plo2)
+                   ELSE x.high > GREATEST(r.sar + r.af * (r.ep - r.sar),
+                                          x.phi1, x.phi2) END)
+             THEN r.ep
+             ELSE (CASE WHEN r.up
+                   THEN LEAST(r.sar + r.af * (r.ep - r.sar), x.plo1, x.plo2)
+                   ELSE GREATEST(r.sar + r.af * (r.ep - r.sar),
+                                 x.phi1, x.phi2) END) END,
+        CASE WHEN (CASE WHEN r.up
+                   THEN x.low < LEAST(r.sar + r.af * (r.ep - r.sar),
+                                      x.plo1, x.plo2)
+                   ELSE x.high > GREATEST(r.sar + r.af * (r.ep - r.sar),
+                                          x.phi1, x.phi2) END)
+             THEN (CASE WHEN r.up THEN x.low ELSE x.high END)
+             ELSE (CASE WHEN r.up THEN GREATEST(r.ep, x.high)
+                        ELSE LEAST(r.ep, x.low) END) END,
+        CASE WHEN (CASE WHEN r.up
+                   THEN x.low < LEAST(r.sar + r.af * (r.ep - r.sar),
+                                      x.plo1, x.plo2)
+                   ELSE x.high > GREATEST(r.sar + r.af * (r.ep - r.sar),
+                                          x.phi1, x.phi2) END)
+             THEN CAST(0.02 AS DOUBLE)
+             WHEN (r.up AND x.high > r.ep) OR ((NOT r.up) AND x.low < r.ep)
+             THEN LEAST(r.af + CAST(0.02 AS DOUBLE), CAST(0.2 AS DOUBLE))
+             ELSE r.af END,
+        CASE WHEN (CASE WHEN r.up
+                   THEN x.low < LEAST(r.sar + r.af * (r.ep - r.sar),
+                                      x.plo1, x.plo2)
+                   ELSE x.high > GREATEST(r.sar + r.af * (r.ep - r.sar),
+                                          x.phi1, x.phi2) END)
+             THEN NOT r.up ELSE r.up END
+      FROM bl x JOIN rec r ON x.symbol = r.symbol AND x.rn = r.rn + 1)
+    SELECT b.symbol, b.time, b.event_id,
+      ROUND(rec.sar, 4) AS psar,
+      CASE WHEN rec.up THEN CAST(1.0 AS DOUBLE)
+           WHEN NOT rec.up THEN CAST(-1.0 AS DOUBLE) END AS psar_dir
+    FROM base b LEFT JOIN rec ON b.symbol = rec.symbol AND b.rn = rec.rn""",
+)
+def q_psar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parabolic SAR(0.02, 0.2): the acceleration-factor state machine —
+    reversal/clamp/ratchet branches on bit-identical doubles
+    (operators/recursive.with_psar)."""
+    from ..operators.recursive import with_psar
+
+    return with_psar(bars(spark, sf_dir)).select(
+        "symbol", "time", "event_id", "psar", "psar_dir"
+    )
+
+
+@q(
+    "q_kama",
+    f"""WITH RECURSIVE {BARS_CTE},
+    base AS (
+      SELECT symbol, time, event_id, close,
+        ROW_NUMBER() OVER ({KW}) AS rn,
+        ROUND(ABS(close - LAG(close) OVER ({KW})) * 1000000.0, 0) AS dq,
+        ROUND(ABS(close - LAG(close, 10) OVER ({KW})) * 1000000.0, 0) AS numq
+      FROM bars),
+    b2 AS MATERIALIZED (
+      SELECT symbol, time, event_id, close, rn,
+        CASE WHEN SUM(dq) OVER ({KW} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) > 0
+             THEN numq / SUM(dq) OVER ({KW} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+             ELSE CAST(0.0 AS DOUBLE) END AS er
+      FROM base),
+    b3 AS MATERIALIZED (
+      SELECT symbol, rn, close,
+        (er * (CAST(2.0 AS DOUBLE) / 3.0 - CAST(2.0 AS DOUBLE) / 31.0)
+         + CAST(2.0 AS DOUBLE) / 31.0)
+        * (er * (CAST(2.0 AS DOUBLE) / 3.0 - CAST(2.0 AS DOUBLE) / 31.0)
+           + CAST(2.0 AS DOUBLE) / 31.0) AS sc
+      FROM b2),
+    rk AS (
+      SELECT symbol, rn, close AS kama FROM b3 WHERE rn = 11
+      UNION ALL
+      SELECT x.symbol, x.rn, r.kama + x.sc * (x.close - r.kama)
+      FROM b3 x JOIN rk r ON x.symbol = r.symbol AND x.rn = r.rn + 1)
+    SELECT b.symbol, b.time, b.event_id, ROUND(rk.kama, 4) AS kama_10
+    FROM base b LEFT JOIN rk ON b.symbol = rk.symbol AND b.rn = rk.rn""",
+)
+def q_kama(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAMA(10, 2, 30): efficiency-ratio-adaptive smoother — ER from
+    micro-quantized movement sums, seeded at the close
+    (operators/recursive.with_kama)."""
+    from ..operators.recursive import with_kama
+
+    return with_kama(bars(spark, sf_dir), 10, 2, 30).select(
+        "symbol", "time", "event_id", "kama_10"
+    )
+
+
+@q(
+    "q_tsi",
+    f"""WITH RECURSIVE {BARS_CTE},
+    base AS (
+      SELECT symbol, time, event_id,
+        ROW_NUMBER() OVER ({KW}) AS rn,
+        close - LAG(close) OVER ({KW}) AS m,
+        ABS(close - LAG(close) OVER ({KW})) AS am
+      FROM bars),
+    s1 AS (SELECT symbol, rn, m, am,
+        AVG(m) OVER (PARTITION BY symbol ORDER BY rn ROWS BETWEEN 24 PRECEDING AND CURRENT ROW) AS seed1,
+        AVG(am) OVER (PARTITION BY symbol ORDER BY rn ROWS BETWEEN 24 PRECEDING AND CURRENT ROW) AS seed1a
+      FROM base),
+    r1 AS (
+      SELECT symbol, rn, seed1 AS e FROM s1 WHERE rn = 26
+      UNION ALL
+      SELECT x.symbol, x.rn, (2.0 / 26.0) * x.m + (1.0 - 2.0 / 26.0) * r.e
+      FROM s1 x JOIN r1 r ON x.symbol = r.symbol AND x.rn = r.rn + 1),
+    r1a AS (
+      SELECT symbol, rn, seed1a AS e FROM s1 WHERE rn = 26
+      UNION ALL
+      SELECT x.symbol, x.rn, (2.0 / 26.0) * x.am + (1.0 - 2.0 / 26.0) * r.e
+      FROM s1 x JOIN r1a r ON x.symbol = r.symbol AND x.rn = r.rn + 1),
+    s2 AS MATERIALIZED (SELECT symbol, rn, e,
+        AVG(e) OVER (PARTITION BY symbol ORDER BY rn
+                     ROWS BETWEEN 12 PRECEDING AND CURRENT ROW) AS seed2
+      FROM r1),
+    s2a AS MATERIALIZED (SELECT symbol, rn, e,
+        AVG(e) OVER (PARTITION BY symbol ORDER BY rn
+                     ROWS BETWEEN 12 PRECEDING AND CURRENT ROW) AS seed2a
+      FROM r1a),
+    r2 AS (
+      SELECT symbol, rn, seed2 AS e FROM s2 WHERE rn = 38
+      UNION ALL
+      SELECT x.symbol, x.rn, (2.0 / 14.0) * x.e + (1.0 - 2.0 / 14.0) * r.e
+      FROM s2 x JOIN r2 r ON x.symbol = r.symbol AND x.rn = r.rn + 1),
+    r2a AS (
+      SELECT symbol, rn, seed2a AS e FROM s2a WHERE rn = 38
+      UNION ALL
+      SELECT x.symbol, x.rn, (2.0 / 14.0) * x.e + (1.0 - 2.0 / 14.0) * r.e
+      FROM s2a x JOIN r2a r ON x.symbol = r.symbol AND x.rn = r.rn + 1)
+    SELECT b.symbol, b.time, b.event_id,
+      CASE WHEN r2a.e IS NOT NULL AND r2a.e <> 0
+           THEN ROUND(100.0 * (r2.e / r2a.e), 4) END AS tsi
+    FROM base b
+    LEFT JOIN r2 ON b.symbol = r2.symbol AND b.rn = r2.rn
+    LEFT JOIN r2a ON b.symbol = r2a.symbol AND b.rn = r2a.rn""",
+)
+def q_tsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TSI(25, 13): double-smoothed momentum ratio — four chained
+    SMA-seeded EMA recursions, TRIX-style stage alignment
+    (operators/recursive.with_tsi)."""
+    from ..operators.recursive import with_tsi
+
+    return with_tsi(bars(spark, sf_dir), 25, 13).select(
+        "symbol", "time", "event_id", "tsi"
+    )
