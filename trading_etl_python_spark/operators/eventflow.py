@@ -239,3 +239,158 @@ def delta_encode(
         (F.unix_micros(F.col(ts_col).cast("timestamp"))
          - F.unix_micros(prev_t.cast("timestamp"))).alias("dt_us"),
     )
+
+
+def attribution(events: DataFrame, conversion: str = "purchase") -> DataFrame:
+    """Multi-touch attribution: credit each touch channel (event_type)
+    for conversions under first-touch, last-touch, and linear models.
+
+    A user's journey is every non-conversion event strictly before
+    their first conversion; one window pass (rank + per-user touch
+    count) classifies first/last touches, and the linear model's
+    fractional credits are micro-quantized per touch (ROUND(1e6/n)) so
+    the per-channel sums are exact integers — the only float is the
+    final /1e6.  Two shuffles total (user co-partition, then the tiny
+    channel aggregation)."""
+    from pyspark.sql import Window
+
+    conv = (
+        events.filter(F.col("event_type") == conversion)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    touches = (
+        events.join(conv, "user_id")
+        .filter((F.col("ts") < F.col("conv_ts")) & (F.col("event_type") != conversion))
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wn = Window.partitionBy("user_id")
+    t = touches.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    g = t.groupBy("event_type").agg(
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_first"),
+        F.sum(F.when(F.col("rn") == F.col("n"), 1).otherwise(0)).alias("n_last"),
+        F.sum(
+            F.round(F.lit(1000000.0) / F.col("n"), 0).cast("long")
+        ).alias("_linq"),
+        F.count(F.lit(1)).alias("n_touches"),
+    )
+    return g.select(
+        "event_type",
+        F.col("n_touches").cast("long").alias("n_touches"),
+        F.col("n_first").cast("long").alias("n_first"),
+        F.col("n_last").cast("long").alias("n_last"),
+        (F.col("_linq").cast("double") / F.lit(1000000.0)).alias("linear_credit"),
+    )
+
+
+def kaplan_meier(events: DataFrame, censor_days: int = 3) -> DataFrame:
+    """Kaplan-Meier survival curve over user activity lifetimes:
+    duration = days between a user's first and last event; users whose
+    last event falls within ``censor_days`` of the corpus end are
+    right-censored (still active).
+
+    S(t) = Π_{t_j<=t} (1 − d_j/n_j) assembles as EXP of a cumulative
+    sum of per-step LN terms that are ROUNDED TO MICRO-UNITS first, so
+    the running product is exact-integer accumulation (the VWAP
+    pattern applied in log space); the risk set n_j is a reverse
+    cumulative count.  Output is one row per distinct duration — tiny
+    regardless of corpus size."""
+    from pyspark.sql import Window
+
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    gmax = F.max("d1").over(Window.partitionBy())
+    base = per_user.select(
+        F.datediff("d1", "d0").cast("long").alias("dur"),
+        (F.datediff(gmax, F.col("d1")) < censor_days).alias("censored"),
+    )
+    grid = base.groupBy("dur").agg(
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0)).alias("d"),
+        F.sum(F.when(F.col("censored"), 1).otherwise(0)).alias("c"),
+    )
+    w_desc = Window.orderBy(F.col("dur").desc())
+    w_asc = Window.orderBy(F.col("dur").asc())
+    n_risk = F.sum(F.col("d") + F.col("c")).over(w_desc)
+    stepped = grid.withColumn("n_risk", n_risk).withColumn(
+        "_lnq",
+        F.when(
+            (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    - F.col("d").cast("double") / F.col("n_risk").cast("double")
+                )
+                * F.lit(1000000.0),
+                0,
+            ).cast("long"),
+        ).otherwise(F.lit(0)),
+    )
+    # a step where everyone at risk dies (d == n_risk) zeroes the curve
+    # exactly — ln(0) is -inf, so carry it as a flag, not a log term
+    dead = F.max(
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(w_asc)
+    surv = F.when(dead == 1, F.lit(0.0)).otherwise(
+        F.round(
+            F.exp(F.sum("_lnq").over(w_asc).cast("double") / F.lit(1000000.0)), 6
+        )
+    )
+    return stepped.select(
+        "dur",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.col("c").cast("long").alias("n_censored"),
+        surv.alias("survival"),
+    )
+
+
+def ab_proportion_test(events: DataFrame, conversion: str = "purchase") -> DataFrame:
+    """Two-proportion z-test: cohort A/B by user-id parity, conversion
+    = at least one ``conversion`` event.  Counts are exact; p_a, p_b,
+    the pooled proportion, and z are a fixed double chain."""
+    per_user = events.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == conversion, 1).otherwise(0)
+        ).alias("converted")
+    )
+    g = per_user.groupBy().agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("na"),
+        F.sum(
+            F.when((F.col("user_id") % 2 == 0) & (F.col("converted") == 1), 1).otherwise(0)
+        ).alias("ca"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).alias("nb"),
+        F.sum(
+            F.when((F.col("user_id") % 2 == 1) & (F.col("converted") == 1), 1).otherwise(0)
+        ).alias("cb"),
+    )
+
+    def dbl(c):
+        return F.col(c).cast("double")
+
+    pa = dbl("ca") / dbl("na")
+    pb = dbl("cb") / dbl("nb")
+    pp = (dbl("ca") + dbl("cb")) / (dbl("na") + dbl("nb"))
+    # degenerate pools (0% or 100% conversion) have zero variance: NULL z
+    z = F.when(
+        (pp > 0.0) & (pp < 1.0),
+        (pa - pb)
+        / F.sqrt(
+            pp
+            * (F.lit(1.0) - pp)
+            * (F.lit(1.0) / dbl("na") + F.lit(1.0) / dbl("nb"))
+        ),
+    )
+    return g.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("ca").cast("long").alias("conv_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("cb").cast("long").alias("conv_b"),
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.round(z, 6).alias("z_stat"),
+    )

@@ -720,3 +720,44 @@ def with_tsi(df: DataFrame, slow: int = 25, fast: int = 13) -> DataFrame:
         return {"tsi": tsi_rec(pdf["close"].to_numpy(np.float64), slow, fast)}
 
     return _indicator_map(df, {"tsi": "double"}, fn)
+
+
+def cusum_rec(
+    c: np.ndarray, k: float = 0.05, h: float = 0.5
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Two-sided CUSUM changepoint detector on percent log returns:
+    s+_i = max(0, s+_{i-1} + (r_i − k)), s−_i = min(0, s−_{i-1} +
+    (r_i + k)), alarm when s+ > h or s− < −h.
+
+    r_i = ROUND(100·ln(c_i/c_{i-1}), 4) (0 on the first row or
+    non-positive closes) — rounding BEFORE accumulation pins both
+    engines to identical summands, and the sequential recurrence gives
+    identical accumulation order, so every branch compares
+    bit-identical doubles (the Supertrend argument)."""
+    L = len(c)
+    sp_o, sn_o, al_o = np.full(L, np.nan), np.full(L, np.nan), np.full(L, np.nan)
+    r = np.zeros(L)
+    if L > 1:
+        with np.errstate(invalid="ignore", divide="ignore"):
+            valid = (c[1:] > 0) & (c[:-1] > 0)
+            raw = np.where(valid, 100.0 * np.log(np.where(valid, c[1:] / c[:-1], 1.0)), 0.0)
+        r[1:] = round_half_up(raw, 4)
+    sp = sn = 0.0
+    for i in range(L):
+        sp = max(0.0, sp + (r[i] - k))
+        sn = min(0.0, sn + (r[i] + k))
+        sp_o[i], sn_o[i] = sp, sn
+        al_o[i] = 1.0 if (sp > h or sn < -h) else 0.0
+    return sp_o, sn_o, al_o
+
+
+def with_cusum(df: DataFrame, k: float = 0.05, h: float = 0.5) -> DataFrame:
+    """CUSUM(k, h) drift detector over close per key."""
+
+    def fn(pdf: pd.DataFrame):
+        sp, sn, al = cusum_rec(pdf["close"].to_numpy(np.float64), k, h)
+        return {"cusum_pos": sp, "cusum_neg": sn, "cusum_alarm": al}
+
+    return _indicator_map(
+        df, {"cusum_pos": "double", "cusum_neg": "double", "cusum_alarm": "double"}, fn
+    )

@@ -1768,3 +1768,41 @@ def q_tsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_tsi(bars(spark, sf_dir), 25, 13).select(
         "symbol", "time", "event_id", "tsi"
     )
+
+
+@q(
+    "q_cusum",
+    f"""WITH RECURSIVE {BARS_CTE},
+    base AS (
+      SELECT symbol, time, event_id, close, ROW_NUMBER() OVER ({KW}) AS rn,
+        CASE WHEN LAG(close) OVER ({KW}) > 0 AND close > 0
+             THEN ROUND(LN(close / LAG(close) OVER ({KW})) * 100.0, 4)
+             ELSE CAST(0.0 AS DOUBLE) END AS r
+      FROM bars),
+    bl AS MATERIALIZED (SELECT symbol, rn, r FROM base),
+    rec AS (
+      SELECT symbol, rn,
+        GREATEST(CAST(0.0 AS DOUBLE), r - CAST(0.05 AS DOUBLE)) AS sp,
+        LEAST(CAST(0.0 AS DOUBLE), r + CAST(0.05 AS DOUBLE)) AS sn
+      FROM bl WHERE rn = 1
+      UNION ALL
+      SELECT x.symbol, x.rn,
+        GREATEST(CAST(0.0 AS DOUBLE), r.sp + (x.r - CAST(0.05 AS DOUBLE))),
+        LEAST(CAST(0.0 AS DOUBLE), r.sn + (x.r + CAST(0.05 AS DOUBLE)))
+      FROM bl x JOIN rec r ON x.symbol = r.symbol AND x.rn = r.rn + 1)
+    SELECT b.symbol, b.time, b.event_id,
+      ROUND(rec.sp, 4) AS cusum_pos,
+      ROUND(rec.sn, 4) AS cusum_neg,
+      CASE WHEN rec.sp > CAST(0.5 AS DOUBLE) OR rec.sn < CAST(-0.5 AS DOUBLE)
+           THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS cusum_alarm
+    FROM base b JOIN rec ON b.symbol = rec.symbol AND b.rn = rec.rn""",
+)
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift detector on 4dp percent log returns —
+    round-before-accumulate summands, sequential state identical on
+    both engines (operators/recursive.with_cusum)."""
+    from ..operators.recursive import with_cusum
+
+    return with_cusum(bars(spark, sf_dir)).select(
+        "symbol", "time", "event_id", "cusum_pos", "cusum_neg", "cusum_alarm"
+    )

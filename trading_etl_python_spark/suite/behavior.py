@@ -389,3 +389,114 @@ def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import stats as ST
 
     return ST.pr_curve(load_events(spark, sf_dir))
+
+
+@q(
+    "q_attribution",
+    """WITH conv AS (
+         SELECT user_id, MIN(ts) AS conv_ts FROM events
+         WHERE event_type = 'purchase' GROUP BY user_id),
+       t AS (
+         SELECT e.user_id, e.ts, e.event_id, e.event_type
+         FROM events e JOIN conv ON e.user_id = conv.user_id
+         WHERE e.ts < conv.conv_ts AND e.event_type <> 'purchase'),
+       r AS (
+         SELECT event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS n
+         FROM t)
+       SELECT event_type,
+         COUNT(*) AS n_touches,
+         CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+         CAST(SUM(CASE WHEN rn = n THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
+         CAST(SUM(CAST(ROUND(CAST(1000000.0 AS DOUBLE) / n, 0) AS BIGINT))
+              AS DOUBLE) / 1000000.0 AS linear_credit
+       FROM r GROUP BY event_type""",
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last/linear multi-touch attribution over pre-conversion
+    journeys — micro-quantized fractional credits
+    (operators/eventflow.attribution)."""
+    return EV.attribution(load_events(spark, sf_dir))
+
+
+@q(
+    "q_kaplan_meier",
+    """WITH pu AS (
+         SELECT user_id, MIN(CAST(ts AS DATE)) AS d0,
+                MAX(CAST(ts AS DATE)) AS d1
+         FROM events GROUP BY user_id),
+       b AS (
+         SELECT CAST(date_diff('day', d0, d1) AS BIGINT) AS dur,
+           date_diff('day', d1, MAX(d1) OVER ()) < 3 AS censored
+         FROM pu),
+       g AS (
+         SELECT dur,
+           SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS d,
+           SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS c
+         FROM b GROUP BY dur),
+       s AS (
+         SELECT dur, d, c, SUM(d + c) OVER (ORDER BY dur DESC) AS n_risk
+         FROM g),
+       l AS (
+         SELECT dur, d, c, n_risk,
+           CASE WHEN d > 0 AND d < n_risk
+                THEN CAST(ROUND(LN(1.0 - CAST(d AS DOUBLE)
+                                         / CAST(n_risk AS DOUBLE))
+                                * 1000000.0, 0) AS BIGINT)
+                ELSE 0 END AS lnq,
+           CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS dead
+         FROM s)
+       SELECT dur, CAST(n_risk AS BIGINT) AS n_risk,
+         CAST(d AS BIGINT) AS n_events,
+         CAST(c AS BIGINT) AS n_censored,
+         CASE WHEN MAX(dead) OVER (ORDER BY dur ASC) = 1 THEN 0.0
+              ELSE ROUND(EXP(CAST(SUM(lnq) OVER (ORDER BY dur ASC) AS DOUBLE)
+                             / 1000000.0), 6) END AS survival
+       FROM l""",
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival over user activity lifetimes with
+    end-of-window right-censoring — log-space micro-quantized product
+    (operators/eventflow.kaplan_meier)."""
+    return EV.kaplan_meier(load_events(spark, sf_dir))
+
+
+@q(
+    "q_ab_test",
+    """WITH pu AS (
+         SELECT user_id,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+         FROM events GROUP BY user_id),
+       g AS (
+         SELECT
+           SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+           SUM(CASE WHEN user_id % 2 = 0 AND conv = 1 THEN 1 ELSE 0 END) AS ca,
+           SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS nb,
+           SUM(CASE WHEN user_id % 2 = 1 AND conv = 1 THEN 1 ELSE 0 END) AS cb
+         FROM pu)
+       SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+         CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+         ROUND(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE), 6) AS p_a,
+         ROUND(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS p_b,
+         CASE WHEN (CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE))
+                    / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) > 0.0
+               AND (CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE))
+                    / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) < 1.0
+              THEN
+         ROUND((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+           / SQRT((CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE))
+                    / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                  * (1.0 - (CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE))
+                           / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+                  * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))),
+           6) END AS z_stat
+       FROM g""",
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of purchase conversion between user-parity
+    cohorts — exact counts, fixed double chain
+    (operators/eventflow.ab_proportion_test)."""
+    return EV.ab_proportion_test(load_events(spark, sf_dir))
