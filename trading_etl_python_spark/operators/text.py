@@ -1199,3 +1199,189 @@ def tfidf_cosine_pairs(
         .filter(F.col("_cos") >= threshold)
         .select("doc_a", "doc_b", "n_shared", F.round("_cos", 6).alias("cos_sim"))
     )
+
+
+def flesch_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade with a deterministic
+    syllable heuristic: syllables = count of [aeiouy]+ vowel runs in the
+    lowercased text (word boundaries are non-vowels, so runs never span
+    words; vowel-less tokens contribute 0 — documented convention),
+    sentences = max(1, count of [.!?]+ runs).  All three inputs are
+    exact integer counts from single regexp scans; the scores are fixed
+    double chains over their ratios, rounded 4dp.  Pure map-side — no
+    shuffle at any corpus size."""
+    words = F.size(tokens_col(text_col)).cast("long")
+    syl = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[aeiouy]+"), F.lit(0))
+    ).cast("long")
+    sent = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), F.lit(0))
+        ).cast("long"),
+    )
+    wps = words.cast("double") / sent.cast("double")
+    spw = syl.cast("double") / words.cast("double")
+    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    fk = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    return df.select(
+        id_col,
+        words.alias("n_words"),
+        syl.alias("n_syllables"),
+        sent.alias("n_sentences"),
+        F.when(words > 0, F.round(flesch, 4)).alias("flesch_ease"),
+        F.when(words > 0, F.round(fk, 4)).alias("fk_grade"),
+    )
+
+
+def zipf_fit(df: DataFrame, group_col: str = "source", text_col: str = "text") -> DataFrame:
+    """Zipf's-law fit per corpus slice: OLS slope/intercept/r2 of
+    ln(frequency) on ln(rank) over the slice's token frequency table
+    (rank by (cnt DESC, token) — deterministic).  Both log axes are
+    quantized to 1e-4 units (the OLS pattern, PLANS §23) so every
+    moment sum is an exact integer; a well-formed natural corpus slopes
+    near -1."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(group_col).alias("grp"), F.explode(tokens_col(text_col)).alias("token")
+    )
+    freq = tok.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("grp").orderBy(F.col("cnt").desc(), F.col("token").asc())
+    xy = freq.select(
+        "grp",
+        F.round(F.log(F.row_number().over(w).cast("double")) * F.lit(10000.0), 0)
+        .cast("long")
+        .alias("xq"),
+        F.round(F.log(F.col("cnt").cast("double")) * F.lit(10000.0), 0)
+        .cast("long")
+        .alias("yq"),
+    )
+    m = xy.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("yq") * F.col("yq")).alias("syy"),
+    )
+
+    def dbl(c):
+        return F.col(c).cast("double")
+
+    num = dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy")
+    denx = dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")
+    deny = dbl("n") * dbl("syy") - dbl("sy") * dbl("sy")
+    slope = num / F.nullif(denx, F.lit(0.0))
+    return m.filter(F.col("n") >= 3).select(
+        F.col("grp").alias(group_col),
+        F.col("n").cast("long").alias("n_vocab"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(((dbl("sy") - slope * dbl("sx")) / dbl("n")) / F.lit(10000.0), 6)
+        .alias("intercept"),
+        F.round(num * num / F.nullif(denx * deny, F.lit(0.0)), 6).alias("r2"),
+    )
+
+
+SENTIMENT_POS = ("fast", "big", "value", "merge")
+SENTIMENT_NEG = ("slow", "small", "dup", "error")
+
+
+def sentiment_lexicon(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pos: tuple[str, ...] = SENTIMENT_POS,
+    neg: tuple[str, ...] = SENTIMENT_NEG,
+) -> DataFrame:
+    """Lexicon-based polarity scoring: polarity = (pos − neg)/(pos +
+    neg) over exact lexicon-hit counts (the fixed lexicon is a
+    documented constant over the synthetic vocabulary — swap for
+    AFINN/VADER terms on a natural corpus).  Map-side only: the lexicon
+    ships as array literals inside the expression, never a join."""
+    toks = tokens_col(text_col)
+    n_pos = F.size(F.filter(toks, lambda t: t.isin(*pos))).cast("long")
+    n_neg = F.size(F.filter(toks, lambda t: t.isin(*neg))).cast("long")
+    tot = n_pos + n_neg
+    pol = F.when(
+        tot > 0,
+        F.round((n_pos - n_neg).cast("double") / tot.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        id_col,
+        n_pos.alias("n_pos"),
+        n_neg.alias("n_neg"),
+        pol.alias("polarity"),
+        F.when(pol > 0, F.lit("pos"))
+        .when(pol < 0, F.lit("neg"))
+        .otherwise(F.lit("neutral"))
+        .alias("label"),
+    )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    iters: int = 8,
+    d: float = 0.85,
+) -> DataFrame:
+    """TextRank keyword scores: PageRank over the token co-occurrence
+    graph (consecutive token pairs per document, symmetrized, weighted
+    by corpus-wide co-occurrence count).
+
+    Unlike graph.pagerank's float contribution sums (safe on its
+    25-node nation graph), every iteration here quantizes each
+    contribution frac·score to integer 1e-12 units before the
+    aggregation — the per-node inbound sum is exact in any order, so
+    the iteration is engine-parity-exact at ANY graph size/fan-in.  The
+    symmetrized co-occurrence graph has no dangling nodes (every node
+    came from a pair), so no dangling-mass term.  Per-iteration state
+    is vocabulary-sized; the corpus-sized work is the one pair
+    extraction."""
+    toks = df.select(
+        F.col(id_col).alias("_rid"),
+        F.posexplode(tokens_col(text_col)).alias("pos", "w"),
+    )
+    # consecutive pairs within a doc: join pos with pos+1 on the row id
+    a = toks.select("_rid", F.col("pos").alias("p"), F.col("w").alias("u"))
+    b = toks.select("_rid", (F.col("pos") - 1).alias("p"), F.col("w").alias("v"))
+    pairs = a.join(b, ["_rid", "p"]).filter(F.col("u") != F.col("v"))
+    edges = (
+        pairs.select("u", "v")
+        .unionAll(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    outw = edges.groupBy("u").agg(F.sum("w").alias("ow"))
+    norm = edges.join(outw, "u").select(
+        F.col("u").alias("src"), F.col("v").alias("dst"),
+        (F.col("w") / F.col("ow")).alias("frac"),
+    ).localCheckpoint(eager=False)
+    nodes = edges.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=False)
+    n_nodes = nodes.count()
+    pr = nodes.withColumn("score", F.lit(1.0) / F.lit(float(n_nodes)))
+    for i in range(iters):
+        contrib = (
+            norm.join(pr, norm.src == pr.node)
+            .groupBy("dst")
+            .agg(
+                F.sum(
+                    F.round(F.col("frac") * F.col("score") * F.lit(1e12), 0).cast(
+                        "long"
+                    )
+                ).alias("cq")
+            )
+        )
+        pr = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            (
+                F.lit((1.0 - d)) / F.lit(float(n_nodes))
+                + F.lit(d)
+                * (F.coalesce(F.col("cq"), F.lit(0)).cast("double") / F.lit(1e12))
+            ).alias("score"),
+        )
+        if i % 2 == 1:
+            pr = pr.localCheckpoint(eager=False)
+    return pr.select("node", F.round("score", 6).alias("score"))

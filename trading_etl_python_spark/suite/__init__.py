@@ -71,6 +71,7 @@ _NEW_R6: list[str] = [
     "q_basket_rules", "q_rfm", "q_pareto_abc", "q_gini_hhi",
     "q_vortex", "q_psar", "q_kama", "q_tsi",
     "q_attribution", "q_kaplan_meier", "q_ab_test", "q_cusum",
+    "q_flesch", "q_zipf", "q_sentiment", "q_textrank",
 ]
 # r5-certified block (fresh greens, rotate last among certified).
 _CERTIFIED_R5 = [

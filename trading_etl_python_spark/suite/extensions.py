@@ -4157,3 +4157,144 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_classify(
         load_table(spark, sf_dir, "embeddings"), n_queries=5, k=10
     )
+
+
+@q(
+    "q_flesch",
+    f"""WITH c AS (
+         SELECT doc_id,
+           CAST(len({TOKS}) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+             AS n_syllables,
+           GREATEST(CAST(1 AS BIGINT),
+             CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+             AS n_sentences
+         FROM documents)
+       SELECT doc_id, n_words, n_syllables, n_sentences,
+         CASE WHEN n_words > 0 THEN
+           ROUND(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE)
+                            / CAST(n_sentences AS DOUBLE))
+                 - 84.6 * (CAST(n_syllables AS DOUBLE)
+                           / CAST(n_words AS DOUBLE)), 4) END AS flesch_ease,
+         CASE WHEN n_words > 0 THEN
+           ROUND(0.39 * (CAST(n_words AS DOUBLE)
+                         / CAST(n_sentences AS DOUBLE))
+                 + 11.8 * (CAST(n_syllables AS DOUBLE)
+                           / CAST(n_words AS DOUBLE))
+                 - 15.59, 4) END AS fk_grade
+       FROM c""",
+)
+def q_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + FK grade from exact regexp counts
+    (vowel-run syllable heuristic) — map-side only
+    (operators/text.flesch_scores)."""
+    return TX.flesch_scores(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "q_zipf",
+    f"""WITH tok AS (SELECT source AS grp, unnest({TOKS}) AS token
+                     FROM documents),
+       f AS (SELECT grp, token, COUNT(*) AS cnt FROM tok GROUP BY grp, token),
+       x AS (SELECT grp,
+           CAST(ROUND(LN(CAST(ROW_NUMBER() OVER (PARTITION BY grp
+                 ORDER BY cnt DESC, token) AS DOUBLE)) * 10000.0, 0) AS BIGINT)
+             AS xq,
+           CAST(ROUND(LN(CAST(cnt AS DOUBLE)) * 10000.0, 0) AS BIGINT) AS yq
+         FROM f),
+       m AS (SELECT grp, COUNT(*) AS n, SUM(xq) AS sx, SUM(xq * xq) AS sxx,
+               SUM(yq) AS sy, SUM(xq * yq) AS sxy, SUM(yq * yq) AS syy
+             FROM x GROUP BY grp),
+       c AS (SELECT grp, n,
+               CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+               CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+               CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny,
+               CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+               CAST(n AS DOUBLE) AS nd
+             FROM m WHERE n >= 3)
+       SELECT grp AS source, CAST(n AS BIGINT) AS n_vocab,
+         ROUND(num / NULLIF(denx, 0.0), 6) AS zipf_slope,
+         ROUND(((syd - num / NULLIF(denx, 0.0) * sxd) / nd) / 10000.0, 6)
+           AS intercept,
+         ROUND(num * num / NULLIF(denx * deny, 0.0), 6) AS r2
+       FROM c""",
+)
+def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency OLS fit per source — both log axes quantized
+    to 1e-4 units so the moment sums are exact
+    (operators/text.zipf_fit)."""
+    return TX.zipf_fit(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "q_sentiment",
+    f"""WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+       c AS (SELECT doc_id,
+           CAST(len(list_filter(toks,
+             x -> x IN ('fast', 'big', 'value', 'merge'))) AS BIGINT) AS n_pos,
+           CAST(len(list_filter(toks,
+             x -> x IN ('slow', 'small', 'dup', 'error'))) AS BIGINT) AS n_neg
+         FROM t),
+       p AS (SELECT doc_id, n_pos, n_neg,
+           CASE WHEN n_pos + n_neg > 0
+                THEN ROUND(CAST(n_pos - n_neg AS DOUBLE)
+                           / CAST(n_pos + n_neg AS DOUBLE), 6)
+                ELSE 0.0 END AS polarity
+         FROM c)
+       SELECT doc_id, n_pos, n_neg, polarity,
+         CASE WHEN polarity > 0 THEN 'pos'
+              WHEN polarity < 0 THEN 'neg'
+              ELSE 'neutral' END AS label
+       FROM p""",
+)
+def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon polarity over exact token-hit counts — the lexicon is a
+    documented constant over the synthetic vocabulary
+    (operators/text.sentiment_lexicon)."""
+    return TX.sentiment_lexicon(load_table(spark, sf_dir, "documents"))
+
+
+def _textrank_sql(iters: int = 8, d: float = 0.85) -> str:
+    """Unrolled-iteration twin of operators/text.textrank_keywords —
+    SAME double literals, and every iteration's contributions quantized
+    to integer 1e-12 units before the inbound sum (order-exact at any
+    fan-in, unlike the float sums the 25-node pagerank gets away
+    with)."""
+    base = f"""tok AS (SELECT doc_id, unnest({TOKS}) AS w,
+               unnest(range(1, len({TOKS}) + 1)) AS pos FROM documents),
+       pp AS (SELECT a.w AS u, b.w AS v FROM tok a JOIN tok b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 AND a.w <> b.w),
+       edges AS MATERIALIZED (
+         SELECT u, v, CAST(COUNT(*) AS DOUBLE) AS w FROM
+           (SELECT u, v FROM pp UNION ALL SELECT v, u FROM pp) s
+         GROUP BY u, v),
+       outw AS (SELECT u AS src, SUM(w) AS ow FROM edges GROUP BY u),
+       norm AS MATERIALIZED (SELECT e.u AS src, e.v AS dst, e.w / o.ow AS frac
+                FROM edges e JOIN outw o ON e.u = o.src),
+       nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM edges),
+       nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM nodes),
+       pr0 AS (SELECT node, 1.0 / cnt AS score FROM nodes, nn)"""
+    for i in range(1, iters + 1):
+        base += f""",
+       c{i} AS (SELECT n.dst AS node,
+                  SUM(CAST(ROUND(n.frac * p.score * 1000000000000.0, 0)
+                           AS BIGINT)) AS cq
+                FROM norm n JOIN pr{i - 1} p ON n.src = p.node GROUP BY n.dst),
+       pr{i} AS MATERIALIZED (SELECT nodes.node,
+                 {(1 - d)!r} / cnt
+                 + {d!r} * (CAST(COALESCE(c{i}.cq, 0) AS DOUBLE)
+                            / 1000000000000.0) AS score
+                 FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node, nn)"""
+    return f"WITH {base}\nSELECT node, ROUND(score, 6) AS score FROM pr{iters}"
+
+
+@q("q_textrank", _textrank_sql())
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scores over the symmetrized token co-occurrence
+    graph — 8 power iterations with micro-quantized contribution sums
+    (operators/text.textrank_keywords)."""
+    return TX.textrank_keywords(load_table(spark, sf_dir, "documents"))
