@@ -1061,3 +1061,155 @@ def backtest_ma_cross(
         ).alias("hit_rate"),
         sharpe.alias("sharpe_ann"),
     )
+
+
+def sortino_ratio(df: DataFrame, min_days: int = 15, periods: int = 252) -> DataFrame:
+    """Annualized Sortino ratio per symbol: mean daily log return over
+    the target-0 downside deviation sqrt(sum(min(r,0)^2)/n), annualized
+    by sqrt(periods).  All moments accumulate in exact integer micro
+    units (6dp returns -> BIGINT; squares fit int64 at any realistic
+    history length), so mean and downside deviation are deterministic
+    float chains over identical integers on both engines — the
+    backtest_ma_cross moment pattern.  Scale shape: one hash(symbol,
+    day) exchange, then per-symbol sums on the |symbols| x |days|
+    grid."""
+    r = _daily_returns(df).withColumn(
+        "rq", F.round(F.col("r") * F.lit(1000000.0), 0).cast("long")
+    )
+    down = F.when(F.col("rq") < 0, F.col("rq")).otherwise(F.lit(0).cast("long"))
+    m = r.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("rq").alias("s1"),
+        F.sum(down * down).alias("d2"),
+    )
+    nd = F.col("n_days").cast("double")
+    mean = F.col("s1").cast("double") / nd / F.lit(1000000.0)
+    dd = F.sqrt(F.col("d2").cast("double") / nd) / F.lit(1000000.0)
+    ann = float(periods) ** 0.5
+    return m.filter(F.col("n_days") >= min_days).select(
+        "symbol",
+        "n_days",
+        F.when(F.col("d2") > 0, F.round(mean / dd * F.lit(ann), 4)).alias("sortino"),
+        F.round(dd * F.lit(ann), 6).alias("ann_downside_vol"),
+    )
+
+
+def calmar_ratio(df: DataFrame, min_days: int = 15, periods: int = 252) -> DataFrame:
+    """Calmar ratio per symbol: annualized log return (mean daily x
+    periods, exact micro sums) over |max drawdown| of the daily close
+    curve.  The drawdown ranks/compares ROUNDED values only: close_d
+    rounds to 6dp BEFORE the running peak and the ratio (the q_spearman
+    rank-input rule), and the 6dp drawdown's MIN is an order statistic
+    over identical decimals.  Symbols that never draw down (mdd = 0)
+    yield NULL calmar."""
+    d = daily_close(df).withColumn("cd6", F.round("close_d", 6))
+    wp = (
+        Window.partitionBy("symbol")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peak = F.max("cd6").over(wp)
+    dd = d.select(
+        "symbol",
+        F.round(F.col("cd6") / F.nullif(peak, F.lit(0.0)) - F.lit(1.0), 6).alias("dd"),
+    )
+    mdd = dd.groupBy("symbol").agg(F.min("dd").alias("max_drawdown"))
+    r = _daily_returns(df).withColumn(
+        "rq", F.round(F.col("r") * F.lit(1000000.0), 0).cast("long")
+    )
+    m = r.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("rq").alias("s1")
+    )
+    # s1*252/n is a small-denominator rational in micro units — it lands
+    # EXACTLY on half-micro rounding boundaries (n even), so ROUND(...,6)
+    # splits engines.  Emit the bit-identical division chain unrounded
+    # (the ad_line rule); calmar likewise stays unrounded.
+    ann_ret = (
+        F.col("s1").cast("double")
+        * F.lit(float(periods))
+        / F.col("n_days").cast("double")
+        / F.lit(1000000.0)
+    )
+    return (
+        m.join(mdd, "symbol")
+        .filter(F.col("n_days") >= min_days)
+        .select(
+            "symbol",
+            "n_days",
+            ann_ret.alias("ann_return"),
+            "max_drawdown",
+            F.when(
+                F.col("max_drawdown") < 0, -ann_ret / F.col("max_drawdown")
+            ).alias("calmar"),
+        )
+    )
+
+
+def info_ratio(
+    df: DataFrame,
+    basket_max_symbol: int = 50,
+    min_days: int = 15,
+    periods: int = 252,
+) -> DataFrame:
+    """Information ratio of each basket symbol against the equal-weight
+    basket benchmark: mean(active)/stddev_samp(active) x sqrt(periods),
+    where active = r_i - r_mkt in exact integer micro units (the
+    benchmark mean uses the FLOOR pattern, so the subtraction is
+    integer-exact) and the sample variance is the integer-moment form
+    (n*S2 - S1^2)/(n(n-1)) — no float accumulation anywhere before the
+    final deterministic chain.  Same scale shape as basket_beta: heavy
+    lineage is the one hash(symbol, day) pre-aggregation."""
+    r = _daily_returns(df.filter(F.col("symbol") < basket_max_symbol)).withColumn(
+        "rq", F.round(F.col("r") * F.lit(1000000.0), 0).cast("long")
+    )
+    mkt = r.groupBy("day").agg(
+        F.floor(
+            F.sum("rq").cast("double") / F.count(F.lit(1)).cast("double")
+        ).cast("long").alias("mq")
+    )
+    a = r.join(mkt, "day").withColumn("aq", F.col("rq") - F.col("mq"))
+    m = a.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("aq").alias("s1"),
+        F.sum(F.col("aq") * F.col("aq")).alias("s2"),
+    )
+    nd = F.col("n_days").cast("double")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    var = (nd * s2d - s1d * s1d) / (nd * (nd - F.lit(1.0)))
+    ann = float(periods) ** 0.5
+    return m.filter(F.col("n_days") >= min_days).select(
+        "symbol",
+        "n_days",
+        F.when(var > 0, F.round(s1d / nd / F.sqrt(var) * F.lit(ann), 4)).alias(
+            "info_ratio"
+        ),
+        F.when(var > 0, F.round(F.sqrt(var) / F.lit(1000000.0) * F.lit(ann), 6)).alias(
+            "tracking_error"
+        ),
+    )
+
+
+def omega_ratio(df: DataFrame, min_days: int = 15) -> DataFrame:
+    """Omega ratio per symbol at threshold 0: sum of gains over sum of
+    losses, both accumulated as exact integer micro units — the ratio
+    is ONE correctly-rounded double division of two exact integers, so
+    it is bit-identical on every engine with NO rounding step at all
+    (the ad_line emit-the-division rule).  Symbols with zero losses
+    yield NULL omega."""
+    r = _daily_returns(df).withColumn(
+        "rq", F.round(F.col("r") * F.lit(1000000.0), 0).cast("long")
+    )
+    m = r.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.when(F.col("rq") > 0, F.col("rq")).otherwise(F.lit(0))).alias("g"),
+        F.sum(F.when(F.col("rq") < 0, -F.col("rq")).otherwise(F.lit(0))).alias("l"),
+    )
+    return m.filter(F.col("n_days") >= min_days).select(
+        "symbol",
+        "n_days",
+        (F.col("g").cast("double") / F.lit(1000000.0)).alias("gain_sum"),
+        (F.col("l").cast("double") / F.lit(1000000.0)).alias("loss_sum"),
+        F.when(
+            F.col("l") > 0, F.col("g").cast("double") / F.col("l").cast("double")
+        ).alias("omega"),
+    )

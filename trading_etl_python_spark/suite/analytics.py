@@ -1806,3 +1806,123 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_cusum(bars(spark, sf_dir)).select(
         "symbol", "time", "event_id", "cusum_pos", "cusum_neg", "cusum_alarm"
     )
+
+
+# Exact-integer micro-unit returns derived from DAILY_RET — shared by
+# the r6 risk-ratio family (sortino/calmar/info-ratio/omega).
+RETQ = """q AS (SELECT symbol, day, CAST(ROUND(r * 1000000.0, 0) AS BIGINT) AS rq
+          FROM r)"""
+
+
+@q(
+    "q_sortino",
+    f"""WITH {BARS_CTE},
+    {DAILY_RET},
+    {RETQ},
+    m AS (SELECT symbol, COUNT(*) AS n_days, SUM(rq) AS s1,
+            SUM(CASE WHEN rq < 0 THEN rq * rq ELSE 0 END) AS d2
+          FROM q GROUP BY symbol HAVING COUNT(*) >= 15)
+    SELECT symbol, n_days,
+      CASE WHEN d2 > 0 THEN ROUND(
+        (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE) / 1000000.0)
+        / (SQRT(CAST(d2 AS DOUBLE) / CAST(n_days AS DOUBLE)) / 1000000.0)
+        * SQRT(252.0), 4) END AS sortino,
+      ROUND(SQRT(CAST(d2 AS DOUBLE) / CAST(n_days AS DOUBLE)) / 1000000.0
+            * SQRT(252.0), 6) AS ann_downside_vol
+    FROM m""",
+)
+def q_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized Sortino ratio (target-0 downside deviation, exact
+    integer micro moments) — operators/analytics.sortino_ratio."""
+    return AN.sortino_ratio(bars(spark, sf_dir), min_days=15)
+
+
+@q(
+    "q_calmar",
+    f"""WITH {BARS_CTE},
+    {DAILY_RET},
+    {RETQ},
+    c6 AS (SELECT symbol, day, ROUND(close_d, 6) AS cd6
+           FROM (SELECT symbol, CAST(time AS DATE) AS day, AVG(close) AS close_d
+                 FROM bars GROUP BY symbol, CAST(time AS DATE))),
+    dd AS (SELECT symbol,
+             ROUND(cd6 / NULLIF(MAX(cd6) OVER (PARTITION BY symbol ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+                   - 1.0, 6) AS dd
+           FROM c6),
+    mdd AS (SELECT symbol, MIN(dd) AS max_drawdown FROM dd GROUP BY symbol),
+    m AS (SELECT symbol, COUNT(*) AS n_days, SUM(rq) AS s1 FROM q
+          GROUP BY symbol HAVING COUNT(*) >= 15)
+    SELECT m.symbol, m.n_days,
+      CAST(s1 AS DOUBLE) * 252.0 / CAST(n_days AS DOUBLE) / 1000000.0
+        AS ann_return,
+      mdd.max_drawdown,
+      CASE WHEN mdd.max_drawdown < 0 THEN
+        -(CAST(s1 AS DOUBLE) * 252.0 / CAST(n_days AS DOUBLE) / 1000000.0)
+        / mdd.max_drawdown END AS calmar
+    FROM m JOIN mdd ON m.symbol = mdd.symbol""",
+)
+def q_calmar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calmar ratio: annualized return over |max drawdown| of the
+    6dp-rounded daily close curve — operators/analytics.calmar_ratio."""
+    return AN.calmar_ratio(bars(spark, sf_dir), min_days=15)
+
+
+@q(
+    "q_info_ratio",
+    f"""WITH {BARS_CTE},
+    d AS (SELECT symbol, CAST(time AS DATE) AS day, AVG(close) AS close_d
+          FROM bars WHERE symbol < 50 GROUP BY symbol, CAST(time AS DATE)),
+    r AS (SELECT symbol, day,
+            CASE WHEN LAG(close_d) OVER (PARTITION BY symbol ORDER BY day) > 0
+                      AND close_d > 0
+                 THEN ROUND(LN(close_d / LAG(close_d)
+                      OVER (PARTITION BY symbol ORDER BY day)), 6) END AS r
+          FROM d QUALIFY r IS NOT NULL),
+    {RETQ},
+    mkt AS (SELECT day,
+              CAST(FLOOR(CAST(SUM(rq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                   AS BIGINT) AS mq
+            FROM q GROUP BY day),
+    a AS (SELECT q.symbol, q.rq - mkt.mq AS aq FROM q JOIN mkt USING (day)),
+    m AS (SELECT symbol, COUNT(*) AS n_days, SUM(aq) AS s1, SUM(aq * aq) AS s2
+          FROM a GROUP BY symbol HAVING COUNT(*) >= 15),
+    v AS (SELECT symbol, n_days, CAST(s1 AS DOUBLE) AS s1d,
+            (CAST(n_days AS DOUBLE) * CAST(s2 AS DOUBLE)
+             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+            / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)) AS var
+          FROM m)
+    SELECT symbol, n_days,
+      CASE WHEN var > 0 THEN
+        ROUND(s1d / CAST(n_days AS DOUBLE) / SQRT(var) * SQRT(252.0), 4)
+      END AS info_ratio,
+      CASE WHEN var > 0 THEN
+        ROUND(SQRT(var) / 1000000.0 * SQRT(252.0), 6)
+      END AS tracking_error
+    FROM v""",
+)
+def q_info_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information ratio vs the equal-weight basket benchmark (exact
+    integer active returns) — operators/analytics.info_ratio."""
+    return AN.info_ratio(bars(spark, sf_dir), basket_max_symbol=50, min_days=15)
+
+
+@q(
+    "q_omega",
+    f"""WITH {BARS_CTE},
+    {DAILY_RET},
+    {RETQ},
+    m AS (SELECT symbol, COUNT(*) AS n_days,
+            SUM(CASE WHEN rq > 0 THEN rq ELSE 0 END) AS g,
+            SUM(CASE WHEN rq < 0 THEN -rq ELSE 0 END) AS l
+          FROM q GROUP BY symbol HAVING COUNT(*) >= 15)
+    SELECT symbol, n_days,
+      CAST(g AS DOUBLE) / 1000000.0 AS gain_sum,
+      CAST(l AS DOUBLE) / 1000000.0 AS loss_sum,
+      CASE WHEN l > 0 THEN CAST(g AS DOUBLE) / CAST(l AS DOUBLE) END AS omega
+    FROM m""",
+)
+def q_omega(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Omega ratio at threshold 0 — one unrounded division of two exact
+    integer micro sums (operators/analytics.omega_ratio)."""
+    return AN.omega_ratio(bars(spark, sf_dir), min_days=15)
