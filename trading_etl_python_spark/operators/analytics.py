@@ -1213,3 +1213,239 @@ def omega_ratio(df: DataFrame, min_days: int = 15) -> DataFrame:
             F.col("l") > 0, F.col("g").cast("double") / F.col("l").cast("double")
         ).alias("omega"),
     )
+
+
+def variance_ratio(df: DataFrame, min_days: int = 15) -> DataFrame:
+    """Lo-MacKinlay variance-ratio diagnostics per symbol: VR(q) =
+    Var(q-period overlapping return) / (q * Var(1-period return)) for
+    q = 2 and 5 — VR near 1 is a random walk, below 1 mean reversion,
+    above 1 trending.  All variances use the integer-moment form over
+    exact micro-unit sums (q-period sums are window sums of BIGINTs),
+    so both engines divide identical integers; the only rounding is the
+    final 6dp on each ratio.  One hash(symbol, day) exchange, then
+    window + group math on the daily grid."""
+    r = _daily_returns(df).withColumn(
+        "rq", F.round(F.col("r") * F.lit(1000000.0), 0).cast("long")
+    )
+    wd = Window.partitionBy("symbol").orderBy("day")
+    s = r.select(
+        "symbol",
+        "rq",
+        F.row_number().over(wd).alias("rn"),
+        F.sum("rq").over(wd.rowsBetween(-1, 0)).alias("s2"),
+        F.sum("rq").over(wd.rowsBetween(-4, 0)).alias("s5"),
+    )
+
+    def moments(col, cond, tag):
+        v = F.when(cond, F.col(col))
+        return [
+            F.count(v).alias(f"n{tag}"),
+            F.sum(v).alias(f"a{tag}"),
+            F.sum(v * v).alias(f"b{tag}"),
+        ]
+
+    m = s.groupBy("symbol").agg(
+        *moments("rq", F.lit(True), "1"),
+        *moments("s2", F.col("rn") >= 2, "2"),
+        *moments("s5", F.col("rn") >= 5, "5"),
+    )
+
+    def var(tag):
+        n = F.col(f"n{tag}").cast("double")
+        a = F.col(f"a{tag}").cast("double")
+        b = F.col(f"b{tag}").cast("double")
+        return (n * b - a * a) / (n * (n - F.lit(1.0)))
+
+    v1 = var("1")
+    return m.filter(F.col("n1") >= min_days).select(
+        "symbol",
+        F.col("n1").alias("n_days"),
+        F.when(v1 > 0, F.round(var("2") / (F.lit(2.0) * v1), 6)).alias("vr_2"),
+        F.when(v1 > 0, F.round(var("5") / (F.lit(5.0) * v1), 6)).alias("vr_5"),
+    )
+
+
+def hurst_rs(df: DataFrame, sizes: tuple[int, ...] = (4, 8, 16)) -> DataFrame:
+    """Hurst exponent via rescaled-range (R/S) analysis: split each
+    symbol's daily micro-return series into consecutive complete chunks
+    of n for n in ``sizes``; per chunk R = range of cumulative
+    deviations from the chunk mean and S = population std; Hurst = OLS
+    slope of ln(mean R/S) on ln(n).  H near 0.5 is a random walk,
+    above trending, below mean-reverting.
+
+    Parity: cumulative deviations are scaled by n (D_k = n*C_k - k*T),
+    keeping them EXACT integers, so R/S = (maxD - minD)/sqrt(n*Sq2 -
+    T^2) is one deterministic chain over exact int64 moments; per-size
+    mean R/S uses the FLOOR-micro pattern; the 3-point OLS runs on
+    1e-4-quantized log axes (the zipf pattern).  The range convention
+    is k = 1..n (no implicit 0 anchor) — documented, identical on both
+    engines.  Scale: chunking is pure row_number arithmetic on the
+    daily grid; per-symbol state is |sizes| rows."""
+    r = _daily_returns(df).withColumn(
+        "rq", F.round(F.col("r") * F.lit(1000000.0), 0).cast("long")
+    )
+    wd = Window.partitionBy("symbol").orderBy("day")
+    base = r.select("symbol", "day", "rq", F.row_number().over(wd).alias("rn"))
+    per_size = []
+    for n in sizes:
+        ck = F.floor((F.col("rn") - 1) / F.lit(n))
+        k = (F.col("rn") - 1) % F.lit(n) + 1
+        c = base.select(
+            "symbol", "day", "rq", ck.alias("ck"), k.cast("long").alias("k")
+        )
+        wc = Window.partitionBy("symbol", "ck")
+        wr = wc.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+        c = c.select(
+            "symbol",
+            "ck",
+            "k",
+            F.count(F.lit(1)).over(wc).alias("cnt"),
+            (F.lit(n) * F.sum("rq").over(wr) - F.col("k") * F.sum("rq").over(wc)).alias(
+                "d"
+            ),
+            F.sum("rq").over(wc).alias("t"),
+            F.sum(F.col("rq") * F.col("rq")).over(wc).alias("sq2"),
+        ).filter(F.col("cnt") == n)
+        denom = F.lit(n) * F.col("sq2") - F.col("t") * F.col("t")
+        g = (
+            c.groupBy("symbol", "ck")
+            .agg(
+                (F.max("d") - F.min("d")).alias("rint"),
+                F.first(denom).alias("denom"),
+            )
+            .filter(F.col("denom") > 0)
+            .select(
+                "symbol",
+                F.round(
+                    F.col("rint").cast("double")
+                    / F.sqrt(F.col("denom").cast("double"))
+                    * F.lit(1000000.0),
+                    0,
+                ).cast("long").alias("rsq"),
+            )
+        )
+        per_size.append(
+            g.groupBy("symbol")
+            .agg(
+                F.floor(
+                    F.sum("rsq").cast("double") / F.count(F.lit(1)).cast("double")
+                ).alias("mrsq")
+            )
+            .select("symbol", F.lit(n).cast("long").alias("n_size"), "mrsq")
+        )
+    u = per_size[0]
+    for p in per_size[1:]:
+        u = u.unionAll(p)
+    xy = u.filter(F.col("mrsq") > 0).select(
+        "symbol",
+        F.round(F.log(F.col("n_size").cast("double")) * F.lit(10000.0), 0)
+        .cast("long")
+        .alias("xq"),
+        F.round(
+            F.log(F.col("mrsq").cast("double") / F.lit(1000000.0)) * F.lit(10000.0), 0
+        )
+        .cast("long")
+        .alias("yq"),
+    )
+    m = xy.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+    )
+    nd = F.col("n_pts").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    den = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    return m.filter(F.col("n_pts") == len(sizes)).select(
+        "symbol", F.round(num / F.nullif(den, F.lit(0.0)), 4).alias("hurst")
+    )
+
+
+def runs_test(df: DataFrame, min_days: int = 15) -> DataFrame:
+    """Wald-Wolfowitz runs test for return-sign randomness per symbol:
+    over the ordered nonzero micro returns, R = number of sign runs;
+    z = (R - E[R]) / sqrt(Var[R]) with the standard two-sample moments
+    E = 1 + 2ab/n, Var = 2ab(2ab - n) / (n^2 (n-1)).  Counts and the
+    run total are exact integers; E/Var/z are one deterministic float
+    chain over them (identical op order in the oracle).  |z| > 1.96
+    flags non-random sign structure."""
+    r = (
+        _daily_returns(df)
+        .withColumn("rq", F.round(F.col("r") * F.lit(1000000.0), 0).cast("long"))
+        .filter(F.col("rq") != 0)
+    )
+    wd = Window.partitionBy("symbol").orderBy("day")
+    s = r.select(
+        "symbol",
+        (F.col("rq") > 0).cast("int").alias("sgn"),
+        F.lag((F.col("rq") > 0).cast("int")).over(wd).alias("prev"),
+    )
+    m = s.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("sgn").alias("a"),
+        F.sum(F.lit(1) - F.col("sgn")).alias("b"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull() & (F.col("sgn") != F.col("prev")), 1
+                ).otherwise(0)
+            )
+        ).alias("n_runs"),
+    )
+    nd = F.col("n_days").cast("double")
+    ab2 = F.lit(2.0) * F.col("a").cast("double") * F.col("b").cast("double")
+    e = F.lit(1.0) + ab2 / nd
+    v = ab2 * (ab2 - nd) / (nd * nd * (nd - F.lit(1.0)))
+    return m.filter(F.col("n_days") >= min_days).select(
+        "symbol",
+        "n_days",
+        F.col("a").alias("n_pos"),
+        F.col("b").alias("n_neg"),
+        F.col("n_runs").cast("long").alias("n_runs"),
+        F.when(v > 0, F.round((F.col("n_runs").cast("double") - e) / F.sqrt(v), 4))
+        .alias("runs_z"),
+    )
+
+
+def underwater_spells(df: DataFrame) -> DataFrame:
+    """Drawdown-duration profile per symbol over the 6dp daily close
+    curve: a NEW peak (cd6 >= running max of prior rows; ties count as
+    recovery — documented) closes an underwater spell.  Emits the
+    longest spell, the number of peaks, and the length of the spell
+    still open at series end.  Pure integer day-counting over rounded
+    closes — hash-exact with no float emissions at all."""
+    d = daily_close(df).withColumn("cd6", F.round("close_d", 6))
+    wd = Window.partitionBy("symbol").orderBy("day")
+    prior_peak = F.max("cd6").over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = d.select(
+        "symbol",
+        "day",
+        F.when(prior_peak.isNull() | (F.col("cd6") >= prior_peak), 1)
+        .otherwise(0)
+        .alias("is_peak"),
+    )
+    s = s.withColumn(
+        "grp",
+        F.sum("is_peak").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_grp = s.groupBy("symbol", "grp").agg(
+        (F.count(F.lit(1)) - F.lit(1)).alias("uw_len"),
+        F.max("day").alias("last_day"),
+    )
+    wlast = Window.partitionBy("symbol")
+    g = per_grp.withColumn("max_day", F.max("last_day").over(wlast))
+    return g.groupBy("symbol").agg(
+        F.sum(F.lit(1)).alias("n_peaks"),
+        F.max("uw_len").alias("max_underwater_days"),
+        F.max(F.when(F.col("last_day") == F.col("max_day"), F.col("uw_len"))).alias(
+            "open_underwater_days"
+        ),
+    )

@@ -1926,3 +1926,178 @@ def q_omega(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Omega ratio at threshold 0 — one unrounded division of two exact
     integer micro sums (operators/analytics.omega_ratio)."""
     return AN.omega_ratio(bars(spark, sf_dir), min_days=15)
+
+
+@q(
+    "q_vratio",
+    f"""WITH {BARS_CTE},
+    {DAILY_RET},
+    {RETQ},
+    s AS (SELECT symbol, rq,
+            ROW_NUMBER() OVER ws AS rn,
+            SUM(rq) OVER (ws ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s2,
+            SUM(rq) OVER (ws ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS s5
+          FROM q WINDOW ws AS (PARTITION BY symbol ORDER BY day)),
+    m AS (SELECT symbol,
+            COUNT(rq) AS n1, SUM(rq) AS a1, SUM(rq * rq) AS b1,
+            COUNT(CASE WHEN rn >= 2 THEN s2 END) AS n2,
+            SUM(CASE WHEN rn >= 2 THEN s2 END) AS a2,
+            SUM(CASE WHEN rn >= 2 THEN s2 * s2 END) AS b2,
+            COUNT(CASE WHEN rn >= 5 THEN s5 END) AS n5,
+            SUM(CASE WHEN rn >= 5 THEN s5 END) AS a5,
+            SUM(CASE WHEN rn >= 5 THEN s5 END * CASE WHEN rn >= 5 THEN s5 END) AS b5
+          FROM s GROUP BY symbol HAVING COUNT(rq) >= 15),
+    v AS (SELECT symbol, n1,
+            (CAST(n1 AS DOUBLE) * CAST(b1 AS DOUBLE)
+             - CAST(a1 AS DOUBLE) * CAST(a1 AS DOUBLE))
+            / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) AS v1,
+            (CAST(n2 AS DOUBLE) * CAST(b2 AS DOUBLE)
+             - CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE))
+            / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)) AS v2,
+            (CAST(n5 AS DOUBLE) * CAST(b5 AS DOUBLE)
+             - CAST(a5 AS DOUBLE) * CAST(a5 AS DOUBLE))
+            / (CAST(n5 AS DOUBLE) * (CAST(n5 AS DOUBLE) - 1.0)) AS v5
+          FROM m)
+    SELECT symbol, n1 AS n_days,
+      CASE WHEN v1 > 0 THEN ROUND(v2 / (2.0 * v1), 6) END AS vr_2,
+      CASE WHEN v1 > 0 THEN ROUND(v5 / (5.0 * v1), 6) END AS vr_5
+    FROM v""",
+)
+def q_vratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance ratios VR(2)/VR(5) per symbol —
+    operators/analytics.variance_ratio."""
+    return AN.variance_ratio(bars(spark, sf_dir), min_days=15)
+
+
+def _hurst_sql(sizes: tuple[int, ...] = (4, 8, 16)) -> str:
+    """SQL twin of operators/analytics.hurst_rs — one CTE block per
+    chunk size, all moments exact integers (see the operator's parity
+    docstring)."""
+    blocks, names = [], []
+    for n in sizes:
+        blocks.append(f"""
+    c{n} AS (SELECT symbol, day, rq,
+               CAST(FLOOR((rn - 1.0) / {n}.0) AS BIGINT) AS ck,
+               ((rn - 1) % {n}) + 1 AS k
+             FROM b),
+    w{n} AS (SELECT symbol, ck, k,
+               COUNT(*) OVER wc AS cnt,
+               {n} * SUM(rq) OVER (PARTITION BY symbol, ck ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - k * SUM(rq) OVER wc AS d,
+               SUM(rq) OVER wc AS t,
+               SUM(rq * rq) OVER wc AS sq2
+             FROM c{n} WINDOW wc AS (PARTITION BY symbol, ck)),
+    g{n} AS (SELECT symbol, ck, MAX(d) - MIN(d) AS rint,
+               MAX({n} * sq2 - t * t) AS denom
+             FROM w{n} WHERE cnt = {n} GROUP BY symbol, ck),
+    s{n} AS (SELECT symbol, {n} AS n_size,
+               CAST(FLOOR(CAST(SUM(rsq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                    AS BIGINT) AS mrsq
+             FROM (SELECT symbol,
+                     CAST(ROUND(CAST(rint AS DOUBLE) / SQRT(CAST(denom AS DOUBLE))
+                          * 1000000.0, 0) AS BIGINT) AS rsq
+                   FROM g{n} WHERE denom > 0)
+             GROUP BY symbol)""")
+        names.append(f"SELECT * FROM s{n}")
+    from .core import BARS_CTE as _B
+
+    return f"""WITH {_B},
+    {DAILY_RET},
+    {RETQ},
+    b AS (SELECT symbol, day, rq,
+            ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day) AS rn
+          FROM q),{",".join(blocks)},
+    u AS ({" UNION ALL ".join(names)}),
+    xy AS (SELECT symbol,
+             CAST(ROUND(LN(CAST(n_size AS DOUBLE)) * 10000.0, 0) AS BIGINT) AS xq,
+             CAST(ROUND(LN(CAST(mrsq AS DOUBLE) / 1000000.0) * 10000.0, 0)
+                  AS BIGINT) AS yq
+           FROM u WHERE mrsq > 0),
+    m AS (SELECT symbol, COUNT(*) AS n_pts, SUM(xq) AS sx, SUM(yq) AS sy,
+            SUM(xq * yq) AS sxy, SUM(xq * xq) AS sxx
+          FROM xy GROUP BY symbol)
+    SELECT symbol,
+      ROUND((CAST(n_pts AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / NULLIF(CAST(n_pts AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 4) AS hurst
+    FROM m WHERE n_pts = {len(sizes)}"""
+
+
+@q("q_hurst", _hurst_sql())
+def q_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent via R/S analysis over chunk sizes 4/8/16 —
+    operators/analytics.hurst_rs."""
+    return AN.hurst_rs(bars(spark, sf_dir), sizes=(4, 8, 16))
+
+
+@q(
+    "q_runs_test",
+    f"""WITH {BARS_CTE},
+    {DAILY_RET},
+    {RETQ},
+    s AS (SELECT symbol,
+            CASE WHEN rq > 0 THEN 1 ELSE 0 END AS sgn,
+            LAG(CASE WHEN rq > 0 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY symbol ORDER BY day) AS prev
+          FROM q WHERE rq <> 0),
+    m AS (SELECT symbol, COUNT(*) AS n_days, SUM(sgn) AS a,
+            SUM(1 - sgn) AS b,
+            1 + SUM(CASE WHEN prev IS NOT NULL AND sgn <> prev THEN 1
+                    ELSE 0 END) AS n_runs
+          FROM s GROUP BY symbol HAVING COUNT(*) >= 15)
+    SELECT symbol, n_days, CAST(a AS BIGINT) AS n_pos, CAST(b AS BIGINT) AS n_neg,
+      CAST(n_runs AS BIGINT) AS n_runs,
+      CASE WHEN 2.0 * CAST(a AS DOUBLE) * CAST(b AS DOUBLE)
+                * (2.0 * CAST(a AS DOUBLE) * CAST(b AS DOUBLE)
+                   - CAST(n_days AS DOUBLE))
+                / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)
+                   * (CAST(n_days AS DOUBLE) - 1.0)) > 0
+      THEN ROUND(
+        (CAST(n_runs AS DOUBLE)
+         - (1.0 + 2.0 * CAST(a AS DOUBLE) * CAST(b AS DOUBLE)
+                  / CAST(n_days AS DOUBLE)))
+        / SQRT(2.0 * CAST(a AS DOUBLE) * CAST(b AS DOUBLE)
+               * (2.0 * CAST(a AS DOUBLE) * CAST(b AS DOUBLE)
+                  - CAST(n_days AS DOUBLE))
+               / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)
+                  * (CAST(n_days AS DOUBLE) - 1.0))), 4) END AS runs_z
+    FROM m""",
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test over daily return signs —
+    operators/analytics.runs_test."""
+    return AN.runs_test(bars(spark, sf_dir), min_days=15)
+
+
+@q(
+    "q_underwater",
+    f"""WITH {BARS_CTE},
+    c6 AS (SELECT symbol, day, ROUND(close_d, 6) AS cd6
+           FROM (SELECT symbol, CAST(time AS DATE) AS day, AVG(close) AS close_d
+                 FROM bars GROUP BY symbol, CAST(time AS DATE))),
+    pk AS (SELECT symbol, day, cd6,
+             MAX(cd6) OVER (PARTITION BY symbol ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+           FROM c6),
+    p AS (SELECT symbol, day,
+            CASE WHEN prior IS NULL OR cd6 >= prior THEN 1 ELSE 0 END AS is_peak
+          FROM pk),
+    g AS (SELECT symbol, day,
+            SUM(is_peak) OVER (PARTITION BY symbol ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+          FROM p),
+    pg AS (SELECT symbol, grp, COUNT(*) - 1 AS uw_len, MAX(day) AS last_day
+           FROM g GROUP BY symbol, grp),
+    x AS (SELECT symbol, uw_len, last_day,
+            MAX(last_day) OVER (PARTITION BY symbol) AS max_day
+          FROM pg)
+    SELECT symbol, COUNT(*) AS n_peaks, MAX(uw_len) AS max_underwater_days,
+      MAX(CASE WHEN last_day = max_day THEN uw_len END) AS open_underwater_days
+    FROM x GROUP BY symbol""",
+)
+def q_underwater(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Underwater (drawdown-duration) profile per symbol — pure integer
+    day counting (operators/analytics.underwater_spells)."""
+    return AN.underwater_spells(bars(spark, sf_dir))
