@@ -221,3 +221,276 @@ def label_propagation(
         if it % 2 == 1 and it != iters - 1:
             labels = labels.localCheckpoint(eager=False)
     return labels.select("node", F.col("label").alias("community"))
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """HITS hub/authority scores over a directed weighted graph, with
+    L1 normalization (scores sum to 1 — the Kleinberg L2 variant swaps
+    the norm; L1 keeps every step a ratio of exact integers).
+
+    Parity design (the textrank discipline): edge weights normalize
+    ONCE against the exact integer total (one bit-identical division);
+    every iteration's contributions w_frac*score quantize to integer
+    1e-12 units BEFORE the per-node sums, and the L1 norm is then the
+    exact integer total of those sums — each authority/hub update is
+    integer arithmetic plus one division, order-exact at any fan-in.
+    Per-iteration state is 2x node count; the corpus-sized work is the
+    caller's edge construction (checkpointed once)."""
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d"), F.col(weight).cast("long").alias("wl")
+    ).localCheckpoint()
+    total = e.agg(F.sum("wl")).collect()[0][0]
+    frac = e.select(
+        "s", "d", (F.col("wl").cast("double") / F.lit(float(total))).alias("frac")
+    ).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionAll(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    hub = nodes.withColumn("h", F.lit(1.0) / F.lit(float(n)))
+    auth = None
+    for _ in range(iters):
+        araw = (
+            frac.join(hub, frac["s"] == hub["node"])
+            .groupBy("d")
+            .agg(
+                F.sum(
+                    F.round(F.col("frac") * F.col("h") * F.lit(1e12), 0).cast("long")
+                ).alias("aq")
+            )
+        )
+        atot = araw.agg(F.sum("aq").alias("_atot"))
+        auth = (
+            nodes.join(araw, nodes["node"] == araw["d"], "left")
+            .crossJoin(F.broadcast(atot))
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("aq"), F.lit(0)).cast("double")
+                    / F.col("_atot").cast("double")
+                ).alias("a"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        hraw = (
+            frac.join(auth, frac["d"] == auth["node"])
+            .groupBy("s")
+            .agg(
+                F.sum(
+                    F.round(F.col("frac") * F.col("a") * F.lit(1e12), 0).cast("long")
+                ).alias("hq")
+            )
+        )
+        htot = hraw.agg(F.sum("hq").alias("_htot"))
+        hub = (
+            nodes.join(hraw, nodes["node"] == hraw["s"], "left")
+            .crossJoin(F.broadcast(htot))
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("hq"), F.lit(0)).cast("double")
+                    / F.col("_htot").cast("double")
+                ).alias("h"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        auth.join(hub, "node")
+        .select(
+            "node",
+            F.round("a", 6).alias("authority"),
+            F.round("h", 6).alias("hub"),
+        )
+    )
+
+
+def kcore_layers(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    rounds: int = 6,
+) -> DataFrame:
+    """Coreness layers 1/2/3 of an undirected graph via iterative
+    peeling: for k in (2, 3), repeatedly drop nodes whose degree in the
+    surviving subgraph is below k (``rounds`` synchronous rounds — the
+    distributed k-core kernel; rounds bounds the peel-chain length, and
+    6 converges on every tested graph).  coreness = 3 means "3-core or
+    denser".  Degrees are exact integers throughout — no float enters
+    the query at all, so it is hash-exact by construction.
+
+    Scale: each round is one degree groupBy + one semi-join filter on
+    fixed-width node keys; the edge set only shrinks."""
+    # checkpoint the caller's pair construction BEFORE symmetrizing:
+    # unionAll(pairs, pairs) would inline the (typically expensive)
+    # build twice into one plan and double its cost
+    p0 = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).localCheckpoint()
+    # parallelism tracks the GRAPH size (the pagerank rule): the peel
+    # loop is 2 x rounds x (degree agg + 2 joins) — on a small edge set
+    # 32-task stages are pure scheduler overhead
+    if p0.count() <= 100_000:
+        p0 = p0.coalesce(1).localCheckpoint()
+    e0 = p0.unionAll(p0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    all_nodes = e0.select(F.col("u").alias("node")).distinct().localCheckpoint()
+
+    def core_nodes(k: int) -> DataFrame:
+        e = e0
+        for i in range(rounds):
+            keep = (
+                e.groupBy("u")
+                .agg(F.count(F.lit(1)).alias("_deg"))
+                .filter(F.col("_deg") >= k)
+                .select("u")
+            )
+            e = (
+                e.join(keep, "u")
+                .join(keep.withColumnRenamed("u", "v"), "v")
+                .select("u", "v")
+            )
+            if i % 2 == 1:
+                e = e.localCheckpoint()
+        return e.select(F.col("u").alias("node")).distinct()
+
+    c2 = core_nodes(2).withColumn("_c2", F.lit(1))
+    c3 = core_nodes(3).withColumn("_c3", F.lit(1))
+    return (
+        all_nodes.join(c2, "node", "left")
+        .join(c3, "node", "left")
+        .select(
+            "node",
+            (
+                F.lit(1)
+                + F.coalesce(F.col("_c2"), F.lit(0))
+                + F.coalesce(F.col("_c3"), F.lit(0))
+            ).cast("long").alias("coreness"),
+        )
+    )
+
+
+def clustering_coefficient(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_degree: int = 64,
+) -> DataFrame:
+    """Local clustering coefficient c = 2T / (d(d-1)) per node of the
+    degree-capped subgraph (same super-node cut as triangle_counts, so
+    T and d are CONSISTENT — both measured after removing nodes with
+    degree > ``max_degree``).  T and d are exact integers; c is
+    ROUND(2T/(d(d-1)), 6) — a small-denominator rational, safe at 6dp.
+    Nodes with capped degree < 2 emit NULL coefficient."""
+    e0 = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).localCheckpoint()
+    deg0 = (
+        e0.select(F.col("u").alias("node"))
+        .unionAll(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    heavy = deg0.filter(F.col("_d") > max_degree).select("node")
+    e = (
+        e0.join(F.broadcast(heavy), e0["u"] == heavy["node"], "left_anti")
+        .join(F.broadcast(heavy), e0["v"] == heavy["node"], "left_anti")
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e.alias("e3"),
+            (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .select(
+            F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z")
+        )
+        .select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    d = F.col("degree")
+    t = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            t.alias("n_triangles"),
+            F.when(
+                d >= 2,
+                F.round(
+                    F.lit(2.0) * t.cast("double")
+                    / (d.cast("double") * (d.cast("double") - F.lit(1.0))),
+                    6,
+                ),
+            ).alias("clustering_coef"),
+        )
+    )
+
+
+def degree_assortativity(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b"
+) -> DataFrame:
+    """One-row graph summary: node/edge counts, max degree, mean degree
+    (emitted as the exact 2m/n division, unrounded — bit-identical),
+    and degree assortativity (Pearson r of endpoint degrees over both
+    edge orientations) computed from exact integer moments.  Negative r
+    = hubs attach to leaves (dissortative, typical of similarity
+    graphs).  Integer-moment products stay inside int64 for graphs up
+    to ~1e5 edges x 1e4 max degree — a whole-graph scalar diagnostic,
+    documented analysis-scale."""
+    p0 = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).localCheckpoint()
+    e = p0.unionAll(p0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    dx = deg.select(F.col("u").alias("nx"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("u").alias("ny"), F.col("d").alias("dy"))
+    x = (
+        e.join(dx, e["u"] == dx["nx"])
+        .join(dy, e["v"] == dy["ny"])
+        .select("dx", "dy")
+    )
+    m = x.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    nodes = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.max("d").alias("max_degree")
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    denx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    deny = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    return m.crossJoin(nodes).select(
+        "n_nodes",
+        (F.col("n") / F.lit(2)).cast("long").alias("n_edges"),
+        "max_degree",
+        (
+            F.col("n").cast("double") / F.col("n_nodes").cast("double")
+        ).alias("mean_degree"),
+        F.when(
+            (denx > 0) & (deny > 0),
+            F.round(num / F.sqrt(denx * deny), 6),
+        ).alias("assortativity"),
+    )

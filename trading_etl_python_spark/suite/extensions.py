@@ -4298,3 +4298,200 @@ def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph — 8 power iterations with micro-quantized contribution sums
     (operators/text.textrank_keywords)."""
     return TX.textrank_keywords(load_table(spark, sf_dir, "documents"))
+
+
+# Exact near-dup pair graph (the q_triangles edge set) as reusable CTEs.
+_PAIR_GRAPH_CTES = f"""{_SHINGLE_CTES},
+       cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+       pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM p
+                 JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+                 WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5)"""
+
+
+def _hits_sql(iters: int = 5) -> str:
+    """Unrolled twin of operators/graph.hits over the trade graph —
+    L1-normalized, every contribution quantized to 1e-12 units before
+    the sums (see the operator docstring)."""
+    base = """edges AS MATERIALIZED (
+         SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                CAST(COUNT(*) AS BIGINT) AS w
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         GROUP BY 1, 2),
+       tot AS (SELECT CAST(SUM(w) AS DOUBLE) AS t FROM edges),
+       frac AS MATERIALIZED (SELECT src, dst, CAST(w AS DOUBLE) / t AS frac
+                             FROM edges, tot),
+       nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+                 (SELECT src AS node FROM edges
+                  UNION ALL SELECT dst FROM edges) t2),
+       nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM nodes),
+       h0 AS (SELECT node, 1.0 / cnt AS h FROM nodes, nn)"""
+    for i in range(1, iters + 1):
+        base += f""",
+       ar{i} AS (SELECT f.dst AS node,
+                   SUM(CAST(ROUND(f.frac * h.h * 1000000000000.0, 0)
+                            AS BIGINT)) AS aq
+                 FROM frac f JOIN h{i - 1} h ON f.src = h.node GROUP BY f.dst),
+       at{i} AS (SELECT CAST(SUM(aq) AS DOUBLE) AS t FROM ar{i}),
+       a{i} AS MATERIALIZED (SELECT nodes.node,
+                 CAST(COALESCE(ar{i}.aq, 0) AS DOUBLE) / at{i}.t AS a
+                 FROM nodes LEFT JOIN ar{i} ON nodes.node = ar{i}.node, at{i}),
+       hr{i} AS (SELECT f.src AS node,
+                   SUM(CAST(ROUND(f.frac * a.a * 1000000000000.0, 0)
+                            AS BIGINT)) AS hq
+                 FROM frac f JOIN a{i} a ON f.dst = a.node GROUP BY f.src),
+       ht{i} AS (SELECT CAST(SUM(hq) AS DOUBLE) AS t FROM hr{i}),
+       h{i} AS MATERIALIZED (SELECT nodes.node,
+                 CAST(COALESCE(hr{i}.hq, 0) AS DOUBLE) / ht{i}.t AS h
+                 FROM nodes LEFT JOIN hr{i} ON nodes.node = hr{i}.node, ht{i})"""
+    return (
+        f"WITH {base}\nSELECT a{iters}.node, ROUND(a, 6) AS authority, "
+        f"ROUND(h, 6) AS hub FROM a{iters} JOIN h{iters} "
+        f"ON a{iters}.node = h{iters}.node"
+    )
+
+
+@q("q_hits", _hits_sql())
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority scores over the supplier-nation ->
+    customer-nation trade graph (operators/graph.hits: L1-normalized,
+    1e-12-quantized contribution sums; oracle = 5 unrolled
+    iterations)."""
+    from ..operators.graph import hits
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            supp["s_nationkey"].alias("src"), cust["c_nationkey"].alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return hits(edges, iters=5)
+
+
+def _kcore_sql(rounds: int = 6) -> str:
+    """Unrolled twin of operators/graph.kcore_layers — integer-only
+    synchronous peeling, one CTE pair per round per k."""
+    base = f"""{_PAIR_GRAPH_CTES},
+       e2_0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
+                 UNION ALL SELECT doc_b, doc_a FROM pairs),
+       allnodes AS (SELECT DISTINCT u AS node FROM e2_0),
+       e3_0 AS (SELECT u, v FROM e2_0)"""
+    for k in (2, 3):
+        for r in range(1, rounds + 1):
+            base += f""",
+       k{k}keep{r} AS (SELECT u FROM e{k}_{r - 1} GROUP BY u
+                       HAVING COUNT(*) >= {k}),
+       e{k}_{r} AS MATERIALIZED (SELECT e.u, e.v FROM e{k}_{r - 1} e
+                 JOIN k{k}keep{r} a ON e.u = a.u
+                 JOIN k{k}keep{r} b ON e.v = b.u)"""
+    return f"""WITH {base},
+       c2 AS (SELECT DISTINCT u AS node FROM e2_{rounds}),
+       c3 AS (SELECT DISTINCT u AS node FROM e3_{rounds})
+    SELECT allnodes.node,
+      CAST(1 + CASE WHEN c2.node IS NOT NULL THEN 1 ELSE 0 END
+             + CASE WHEN c3.node IS NOT NULL THEN 1 ELSE 0 END
+           AS BIGINT) AS coreness
+    FROM allnodes
+    LEFT JOIN c2 ON allnodes.node = c2.node
+    LEFT JOIN c3 ON allnodes.node = c3.node"""
+
+
+@q("q_kcore", _kcore_sql())
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreness layers (1/2/3+) of the exact near-dup graph via
+    iterative peeling — integer-only, hash-exact by construction
+    (operators/graph.kcore_layers)."""
+    from ..operators.graph import kcore_layers
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).select("doc_a", "doc_b")
+    return kcore_layers(pairs, rounds=6)
+
+
+@q(
+    "q_clustering_coef",
+    f"""WITH {_PAIR_GRAPH_CTES},
+       deg0 AS (SELECT node, COUNT(*) AS d FROM (
+                 SELECT doc_a AS node FROM pairs
+                 UNION ALL SELECT doc_b FROM pairs) u GROUP BY node),
+       heavy AS (SELECT node FROM deg0 WHERE d > 64),
+       kept AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs
+                WHERE doc_a NOT IN (SELECT node FROM heavy)
+                  AND doc_b NOT IN (SELECT node FROM heavy)),
+       deg AS (SELECT node, COUNT(*) AS degree FROM (
+                 SELECT doc_a AS node FROM kept
+                 UNION ALL SELECT doc_b FROM kept) u GROUP BY node),
+       tri AS (SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+               FROM kept e1 JOIN kept e2 ON e1.doc_b = e2.doc_a
+               JOIN kept e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b),
+       tc AS (SELECT node, COUNT(*) AS n_triangles FROM
+                (SELECT x AS node FROM tri UNION ALL
+                 SELECT y FROM tri UNION ALL SELECT z FROM tri) m
+              GROUP BY node)
+    SELECT deg.node, degree,
+      CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+      CASE WHEN degree >= 2 THEN
+        ROUND(2.0 * CAST(COALESCE(tc.n_triangles, 0) AS DOUBLE)
+              / (CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1.0)), 6)
+      END AS clustering_coef
+    FROM deg LEFT JOIN tc ON deg.node = tc.node""",
+)
+def q_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node of the degree-capped
+    near-dup graph — T and d consistent under the same super-node cut
+    (operators/graph.clustering_coefficient)."""
+    from ..operators.graph import clustering_coefficient
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).select("doc_a", "doc_b")
+    return clustering_coefficient(pairs, max_degree=64)
+
+
+@q(
+    "q_degree_assort",
+    f"""WITH {_PAIR_GRAPH_CTES},
+       e0 AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+       deg AS (SELECT u, COUNT(*) AS d FROM e0 GROUP BY u),
+       x AS (SELECT du.d AS dx, dv.d AS dy
+             FROM e0 JOIN deg du ON e0.u = du.u JOIN deg dv ON e0.v = dv.u),
+       m AS (SELECT COUNT(*) AS n, SUM(dx) AS sx, SUM(dy) AS sy,
+               SUM(dx * dy) AS sxy, SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy
+             FROM x),
+       nodes AS (SELECT COUNT(*) AS n_nodes, MAX(d) AS max_degree FROM deg)
+    SELECT n_nodes, CAST(n / 2 AS BIGINT) AS n_edges, max_degree,
+      CAST(n AS DOUBLE) / CAST(n_nodes AS DOUBLE) AS mean_degree,
+      CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+            AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+      THEN ROUND(
+        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) END
+        AS assortativity
+    FROM m, nodes""",
+)
+def q_degree_assort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row degree summary + assortativity of the near-dup graph —
+    exact integer moments (operators/graph.degree_assortativity)."""
+    from ..operators.graph import degree_assortativity
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).select("doc_a", "doc_b")
+    return degree_assortativity(pairs)
