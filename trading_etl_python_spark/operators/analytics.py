@@ -1449,3 +1449,158 @@ def underwater_spells(df: DataFrame) -> DataFrame:
             "open_underwater_days"
         ),
     )
+
+
+def seasonal_decompose(df: DataFrame, period_label: str = "dow") -> DataFrame:
+    """Additive seasonal decomposition of the daily close curve per
+    symbol: trend = centered 7-day moving average (complete windows
+    only), seasonal = day-of-week mean of the detrended series,
+    residual = remainder.  EVERYTHING is exact integer micro units —
+    closes quantize to 6dp micro ints, both means use the FLOOR
+    pattern, and the emitted components are exact micro decimals — so
+    the query is hash-exact with no rounding decisions at all.
+    Day-of-week comes from date arithmetic ((days-since-epoch-anchor)
+    mod 7), identical on both engines.  One hash(symbol, day) exchange
+    plus two grid-sized windows."""
+    d = daily_close(df).withColumn(
+        "cq", F.round(F.round("close_d", 6) * F.lit(1000000.0), 0).cast("long")
+    )
+    wd = Window.partitionBy("symbol").orderBy("day")
+    wc = wd.rowsBetween(-3, 3)
+    t = d.select(
+        "symbol",
+        "day",
+        "cq",
+        F.when(
+            F.count(F.lit(1)).over(wc) == 7,
+            F.floor(F.sum("cq").over(wc).cast("double") / F.lit(7.0)),
+        ).alias("trend_q"),
+        ((F.datediff(F.col("day"), F.lit("2000-01-03")) + F.lit(70000)) % 7).alias(
+            "dow"
+        ),
+    ).withColumn("det_q", F.col("cq") - F.col("trend_q"))
+    ws = Window.partitionBy("symbol", "dow")
+    s = t.withColumn(
+        "seas_q",
+        F.when(
+            F.count("det_q").over(ws) > 0,
+            F.floor(
+                F.sum("det_q").over(ws).cast("double")
+                / F.count("det_q").over(ws).cast("double")
+            ),
+        ),
+    )
+    micro = lambda c: (F.col(c).cast("double") / F.lit(1000000.0))  # noqa: E731
+    return s.select(
+        "symbol",
+        F.col("day").cast("timestamp").alias("day"),
+        F.col("dow").cast("long").alias("dow"),
+        micro("cq").alias("close6"),
+        micro("trend_q").alias("trend"),
+        micro("seas_q").alias("seasonal"),
+        F.when(
+            F.col("trend_q").isNotNull() & F.col("seas_q").isNotNull(),
+            (F.col("det_q") - F.col("seas_q")).cast("double") / F.lit(1000000.0),
+        ).alias("residual"),
+    )
+
+
+def market_breadth(df: DataFrame) -> DataFrame:
+    """Per-day market breadth over the daily-return grid: advancer /
+    decliner / unchanged counts, net breadth, and the cumulative
+    advance-decline line.  Pure integer counting — hash-exact by
+    construction.  One hash(symbol, day) exchange, one day-ordered
+    cumulative window over the (tiny) day axis."""
+    r = _daily_returns(df).withColumn(
+        "rq", F.round(F.col("r") * F.lit(1000000.0), 0).cast("long")
+    )
+    day = r.groupBy("day").agg(
+        F.sum(F.when(F.col("rq") > 0, 1).otherwise(0)).alias("advancers"),
+        F.sum(F.when(F.col("rq") < 0, 1).otherwise(0)).alias("decliners"),
+        F.sum(F.when(F.col("rq") == 0, 1).otherwise(0)).alias("unchanged"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return day.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "advancers",
+        "decliners",
+        "unchanged",
+        (F.col("advancers") - F.col("decliners")).alias("net"),
+        F.sum(F.col("advancers") - F.col("decliners")).over(w).alias("ad_line"),
+    )
+
+
+def ulcer_index(df: DataFrame, min_days: int = 15, periods: int = 252) -> DataFrame:
+    """Ulcer index per symbol (sqrt of the mean squared 6dp drawdown —
+    the drawdown-depth-and-duration risk measure) plus the Martin
+    ratio (annualized return / UI).  Drawdowns quantize to micro ints
+    before squaring so the second moment is exact; UI is one sqrt over
+    it and Martin one division — both emitted UNROUNDED (bit-identical
+    chains, the Calmar lesson)."""
+    d = daily_close(df).withColumn("cd6", F.round("close_d", 6))
+    wp = (
+        Window.partitionBy("symbol")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = d.select(
+        "symbol",
+        F.round(
+            F.round(F.col("cd6") / F.nullif(F.max("cd6").over(wp), F.lit(0.0)) - 1.0, 6)
+            * F.lit(1000000.0),
+            0,
+        )
+        .cast("long")
+        .alias("ddq"),
+    )
+    uidf = dd.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("ddq") * F.col("ddq")).alias("sq"),
+    )
+    r = _daily_returns(df).withColumn(
+        "rq", F.round(F.col("r") * F.lit(1000000.0), 0).cast("long")
+    )
+    m = r.groupBy("symbol").agg(F.sum("rq").alias("s1"), F.count(F.lit(1)).alias("nr"))
+    ui = (
+        F.sqrt(F.col("sq").cast("double") / F.col("n_days").cast("double"))
+        / F.lit(1000000.0)
+    )
+    ann_ret = (
+        F.col("s1").cast("double")
+        * F.lit(float(periods))
+        / F.col("nr").cast("double")
+        / F.lit(1000000.0)
+    )
+    return (
+        uidf.join(m, "symbol")
+        .filter(F.col("n_days") >= min_days)
+        .select(
+            "symbol",
+            "n_days",
+            ui.alias("ulcer_index"),
+            F.when(F.col("sq") > 0, ann_ret / ui).alias("martin_ratio"),
+        )
+    )
+
+
+def cmo(df: DataFrame, n: int = 14) -> DataFrame:
+    """Chande Momentum Oscillator over daily micro returns: 100 *
+    (sum_up - sum_down) / (sum_up + sum_down) over an n-day window,
+    complete windows only.  The window sums are exact integers, so CMO
+    is one unrounded division of exact ints scaled by 100 —
+    bit-identical on both engines."""
+    r = _daily_returns(df).withColumn(
+        "rq", F.round(F.col("r") * F.lit(1000000.0), 0).cast("long")
+    )
+    w = Window.partitionBy("symbol").orderBy("day").rowsBetween(-(n - 1), 0)
+    up = F.sum(F.when(F.col("rq") > 0, F.col("rq")).otherwise(F.lit(0))).over(w)
+    down = F.sum(F.when(F.col("rq") < 0, -F.col("rq")).otherwise(F.lit(0))).over(w)
+    cnt = F.count(F.lit(1)).over(w)
+    return r.select(
+        "symbol",
+        F.col("day").cast("timestamp").alias("day"),
+        F.when(
+            (cnt == n) & (up + down > 0),
+            F.lit(100.0) * (up - down).cast("double") / (up + down).cast("double"),
+        ).alias("cmo"),
+    )

@@ -2101,3 +2101,119 @@ def q_underwater(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Underwater (drawdown-duration) profile per symbol — pure integer
     day counting (operators/analytics.underwater_spells)."""
     return AN.underwater_spells(bars(spark, sf_dir))
+
+
+@q(
+    "q_decompose",
+    f"""WITH {BARS_CTE},
+    c6 AS (SELECT symbol, day,
+             CAST(ROUND(ROUND(close_d, 6) * 1000000.0, 0) AS BIGINT) AS cq
+           FROM (SELECT symbol, CAST(time AS DATE) AS day, AVG(close) AS close_d
+                 FROM bars GROUP BY symbol, CAST(time AS DATE))),
+    t AS (SELECT symbol, day, cq,
+            CASE WHEN COUNT(*) OVER wc = 7 THEN
+              CAST(FLOOR(CAST(SUM(cq) OVER wc AS DOUBLE) / 7.0) AS BIGINT)
+            END AS trend_q,
+            (DATEDIFF('day', DATE '2000-01-03', day) + 70000) % 7 AS dow
+          FROM c6 WINDOW wc AS (PARTITION BY symbol ORDER BY day
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    d2 AS (SELECT symbol, day, dow, cq, trend_q, cq - trend_q AS det_q FROM t),
+    s AS (SELECT symbol, day, dow, cq, trend_q, det_q,
+            CASE WHEN COUNT(det_q) OVER ws > 0 THEN
+              CAST(FLOOR(CAST(SUM(det_q) OVER ws AS DOUBLE)
+                         / CAST(COUNT(det_q) OVER ws AS DOUBLE)) AS BIGINT)
+            END AS seas_q
+          FROM d2 WINDOW ws AS (PARTITION BY symbol, dow))
+    SELECT symbol, CAST(day AS TIMESTAMP) AS day, CAST(dow AS BIGINT) AS dow,
+      CAST(cq AS DOUBLE) / 1000000.0 AS close6,
+      CAST(trend_q AS DOUBLE) / 1000000.0 AS trend,
+      CAST(seas_q AS DOUBLE) / 1000000.0 AS seasonal,
+      CASE WHEN trend_q IS NOT NULL AND seas_q IS NOT NULL THEN
+        CAST(det_q - seas_q AS DOUBLE) / 1000000.0 END AS residual
+    FROM s""",
+)
+def q_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive trend/seasonal/residual decomposition of the daily
+    close — all-integer micro pipeline
+    (operators/analytics.seasonal_decompose)."""
+    return AN.seasonal_decompose(bars(spark, sf_dir))
+
+
+@q(
+    "q_breadth",
+    f"""WITH {BARS_CTE},
+    {DAILY_RET},
+    {RETQ},
+    bd AS (SELECT day,
+            SUM(CASE WHEN rq > 0 THEN 1 ELSE 0 END) AS advancers,
+            SUM(CASE WHEN rq < 0 THEN 1 ELSE 0 END) AS decliners,
+            SUM(CASE WHEN rq = 0 THEN 1 ELSE 0 END) AS unchanged
+          FROM q GROUP BY day)
+    SELECT CAST(day AS TIMESTAMP) AS day, CAST(advancers AS BIGINT) AS advancers,
+      CAST(decliners AS BIGINT) AS decliners,
+      CAST(unchanged AS BIGINT) AS unchanged,
+      CAST(advancers - decliners AS BIGINT) AS net,
+      CAST(SUM(advancers - decliners) OVER (ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ad_line
+    FROM bd""",
+)
+def q_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day advancer/decliner breadth + cumulative advance-decline
+    line — pure integer counting (operators/analytics.market_breadth)."""
+    return AN.market_breadth(bars(spark, sf_dir))
+
+
+@q(
+    "q_ulcer",
+    f"""WITH {BARS_CTE},
+    {DAILY_RET},
+    {RETQ},
+    c6 AS (SELECT symbol, day, ROUND(close_d, 6) AS cd6
+           FROM (SELECT symbol, CAST(time AS DATE) AS day, AVG(close) AS close_d
+                 FROM bars GROUP BY symbol, CAST(time AS DATE))),
+    dd AS (SELECT symbol,
+             CAST(ROUND(ROUND(cd6 / NULLIF(MAX(cd6) OVER (PARTITION BY symbol
+                     ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                     ROW), 0.0) - 1.0, 6) * 1000000.0, 0) AS BIGINT) AS ddq
+           FROM c6),
+    u AS (SELECT symbol, COUNT(*) AS n_days, SUM(ddq * ddq) AS sq
+          FROM dd GROUP BY symbol),
+    m AS (SELECT symbol, SUM(rq) AS s1, COUNT(*) AS nr FROM q GROUP BY symbol)
+    SELECT u.symbol, n_days,
+      SQRT(CAST(sq AS DOUBLE) / CAST(n_days AS DOUBLE)) / 1000000.0
+        AS ulcer_index,
+      CASE WHEN sq > 0 THEN
+        (CAST(s1 AS DOUBLE) * 252.0 / CAST(nr AS DOUBLE) / 1000000.0)
+        / (SQRT(CAST(sq AS DOUBLE) / CAST(n_days AS DOUBLE)) / 1000000.0)
+      END AS martin_ratio
+    FROM u JOIN m ON u.symbol = m.symbol WHERE n_days >= 15""",
+)
+def q_ulcer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ulcer index + Martin ratio per symbol — exact integer drawdown
+    second moment, unrounded emissions
+    (operators/analytics.ulcer_index)."""
+    return AN.ulcer_index(bars(spark, sf_dir), min_days=15)
+
+
+@q(
+    "q_cmo",
+    f"""WITH {BARS_CTE},
+    {DAILY_RET},
+    {RETQ},
+    w AS (SELECT symbol, day,
+            SUM(CASE WHEN rq > 0 THEN rq ELSE 0 END) OVER wn AS up,
+            SUM(CASE WHEN rq < 0 THEN -rq ELSE 0 END) OVER wn AS down,
+            COUNT(*) OVER wn AS cnt
+          FROM q WINDOW wn AS (PARTITION BY symbol ORDER BY day
+            ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT symbol, CAST(day AS TIMESTAMP) AS day,
+      CASE WHEN cnt = 14 AND up + down > 0 THEN
+        100.0 * CAST(up - down AS DOUBLE) / CAST(up + down AS DOUBLE)
+      END AS cmo
+    FROM w""",
+)
+def q_cmo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chande Momentum Oscillator (14-day, daily returns) — one
+    unrounded division of exact integer window sums
+    (operators/analytics.cmo)."""
+    return AN.cmo(bars(spark, sf_dir), n=14)
