@@ -1604,3 +1604,148 @@ def cmo(df: DataFrame, n: int = 14) -> DataFrame:
             F.lit(100.0) * (up - down).cast("double") / (up + down).cast("double"),
         ).alias("cmo"),
     )
+
+
+def streak_stats(df: DataFrame) -> DataFrame:
+    """Up/down streak statistics per symbol over daily micro returns:
+    longest up streak, longest down streak, streak count, and the
+    signed length of the streak still open at series end.
+    Gaps-and-islands on exact integer signs — no floats anywhere, so
+    hash-exact by construction."""
+    r = _daily_returns(df).withColumn(
+        "rq", F.round(F.col("r") * F.lit(1000000.0), 0).cast("long")
+    )
+    sgn = (
+        F.when(F.col("rq") > 0, 1).when(F.col("rq") < 0, -1).otherwise(0)
+    )
+    wd = Window.partitionBy("symbol").orderBy("day")
+    s = r.select("symbol", "day", sgn.alias("sgn")).withColumn(
+        "chg",
+        F.when(
+            F.lag("sgn").over(wd).isNull()
+            | (F.col("sgn") != F.lag("sgn").over(wd)),
+            1,
+        ).otherwise(0),
+    )
+    s = s.withColumn(
+        "grp", F.sum("chg").over(wd.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    g = s.groupBy("symbol", "grp").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.max("sgn").alias("sgn"),
+        F.max("day").alias("last_day"),
+    )
+    wlast = Window.partitionBy("symbol")
+    g = g.withColumn("max_day", F.max("last_day").over(wlast))
+    return g.groupBy("symbol").agg(
+        F.max(F.when(F.col("sgn") == 1, F.col("len")).otherwise(F.lit(0))).alias(
+            "max_up_streak"
+        ),
+        F.max(F.when(F.col("sgn") == -1, F.col("len")).otherwise(F.lit(0))).alias(
+            "max_down_streak"
+        ),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max(
+            F.when(
+                F.col("last_day") == F.col("max_day"),
+                F.col("sgn").cast("long") * F.col("len"),
+            )
+        ).alias("current_streak"),
+    )
+
+
+def month_effect(df: DataFrame) -> DataFrame:
+    """Turn-of-month effect screen: daily micro returns bucketed by
+    day-of-month phase (early 1-10 / mid 11-20 / late 21+), with
+    per-bucket mean return (FLOOR-micro) and positive-day share
+    (ROUND(p/q, 6) — small-denominator rational, safe).  One grid
+    aggregation over three keys."""
+    r = _daily_returns(df).withColumn(
+        "rq", F.round(F.col("r") * F.lit(1000000.0), 0).cast("long")
+    )
+    dom = F.dayofmonth("day")
+    bucket = (
+        F.when(dom <= 10, "early").when(dom <= 20, "mid").otherwise("late")
+    )
+    g = r.groupBy(bucket.alias("phase")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("rq").alias("s1"),
+        F.sum(F.when(F.col("rq") > 0, 1).otherwise(0)).alias("n_pos"),
+    )
+    return g.select(
+        "phase",
+        "n_days",
+        (
+            F.floor(F.col("s1").cast("double") / F.col("n_days").cast("double"))
+            / F.lit(1000000.0)
+        ).alias("mean_ret"),
+        F.round(
+            F.col("n_pos").cast("double") / F.col("n_days").cast("double"), 6
+        ).alias("pos_share"),
+    )
+
+
+def topk_return_days(df: DataFrame, k: int = 3) -> DataFrame:
+    """Best and worst k return days per symbol — integer ranks over
+    (quantized return, day), the order-statistic form that can never
+    flip on float accumulation (the q_spearman lesson)."""
+    r = _daily_returns(df).withColumn(
+        "rq", F.round(F.col("r") * F.lit(1000000.0), 0).cast("long")
+    )
+    wb = Window.partitionBy("symbol").orderBy(
+        F.col("rq").desc(), F.col("day").asc()
+    )
+    ww = Window.partitionBy("symbol").orderBy(
+        F.col("rq").asc(), F.col("day").asc()
+    )
+    best = (
+        r.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") <= k)
+        .select(
+            "symbol",
+            F.col("day").cast("timestamp").alias("day"),
+            "r",
+            F.lit("best").alias("side"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+    worst = (
+        r.withColumn("rk", F.row_number().over(ww))
+        .filter(F.col("rk") <= k)
+        .select(
+            "symbol",
+            F.col("day").cast("timestamp").alias("day"),
+            "r",
+            F.lit("worst").alias("side"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+    return best.unionAll(worst)
+
+
+def relative_strength(df: DataFrame, basket_max_symbol: int = 50) -> DataFrame:
+    """Relative-strength line per basket symbol: cumulative own log
+    return minus cumulative equal-weight market return, both
+    accumulated as exact integer micro units (market day-mean via the
+    FLOOR pattern), emitted as the exact micro decimal.  Crossing zero
+    marks out/under-performance vs the basket."""
+    r = _daily_returns(df.filter(F.col("symbol") < basket_max_symbol)).withColumn(
+        "rq", F.round(F.col("r") * F.lit(1000000.0), 0).cast("long")
+    )
+    mkt = r.groupBy("day").agg(
+        F.floor(
+            F.sum("rq").cast("double") / F.count(F.lit(1)).cast("double")
+        ).cast("long").alias("mq")
+    )
+    j = r.join(mkt, "day")
+    wd = Window.partitionBy("symbol").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return j.select(
+        "symbol",
+        F.col("day").cast("timestamp").alias("day"),
+        (
+            F.sum(F.col("rq") - F.col("mq")).over(wd).cast("double")
+            / F.lit(1000000.0)
+        ).alias("rel_strength"),
+    )

@@ -76,6 +76,7 @@ _NEW_R6: list[str] = [
     "q_vratio", "q_hurst", "q_runs_test", "q_underwater",
     "q_hits", "q_kcore", "q_clustering_coef", "q_degree_assort",
     "q_decompose", "q_breadth", "q_ulcer", "q_cmo",
+    "q_streaks", "q_month_effect", "q_topk_days", "q_rel_strength",
 ]
 # r5-certified block (fresh greens, rotate last among certified).
 _CERTIFIED_R5 = [

@@ -2217,3 +2217,121 @@ def q_cmo(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrounded division of exact integer window sums
     (operators/analytics.cmo)."""
     return AN.cmo(bars(spark, sf_dir), n=14)
+
+
+@q(
+    "q_streaks",
+    f"""WITH {BARS_CTE},
+    {DAILY_RET},
+    {RETQ},
+    s AS (SELECT symbol, day,
+            CASE WHEN rq > 0 THEN 1 WHEN rq < 0 THEN -1 ELSE 0 END AS sgn
+          FROM q),
+    c AS (SELECT symbol, day, sgn,
+            CASE WHEN LAG(sgn) OVER ws IS NULL
+                      OR sgn <> LAG(sgn) OVER ws THEN 1 ELSE 0 END AS chg
+          FROM s WINDOW ws AS (PARTITION BY symbol ORDER BY day)),
+    gr AS (SELECT symbol, day, sgn,
+             SUM(chg) OVER (PARTITION BY symbol ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+           FROM c),
+    g AS (SELECT symbol, grp, COUNT(*) AS len, MAX(sgn) AS sgn,
+            MAX(day) AS last_day
+          FROM gr GROUP BY symbol, grp),
+    x AS (SELECT symbol, len, sgn, last_day,
+            MAX(last_day) OVER (PARTITION BY symbol) AS max_day
+          FROM g)
+    SELECT symbol,
+      MAX(CASE WHEN sgn = 1 THEN len ELSE 0 END) AS max_up_streak,
+      MAX(CASE WHEN sgn = -1 THEN len ELSE 0 END) AS max_down_streak,
+      COUNT(*) AS n_streaks,
+      MAX(CASE WHEN last_day = max_day THEN CAST(sgn AS BIGINT) * len END)
+        AS current_streak
+    FROM x GROUP BY symbol""",
+)
+def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Up/down streak statistics per symbol — integer gaps-and-islands
+    (operators/analytics.streak_stats)."""
+    return AN.streak_stats(bars(spark, sf_dir))
+
+
+@q(
+    "q_month_effect",
+    f"""WITH {BARS_CTE},
+    {DAILY_RET},
+    {RETQ},
+    b AS (SELECT CASE WHEN DAYOFMONTH(day) <= 10 THEN 'early'
+                      WHEN DAYOFMONTH(day) <= 20 THEN 'mid'
+                      ELSE 'late' END AS phase, rq
+          FROM q),
+    g AS (SELECT phase, COUNT(*) AS n_days, SUM(rq) AS s1,
+            SUM(CASE WHEN rq > 0 THEN 1 ELSE 0 END) AS n_pos
+          FROM b GROUP BY phase)
+    SELECT phase, n_days,
+      FLOOR(CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)) / 1000000.0
+        AS mean_ret,
+      ROUND(CAST(n_pos AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS pos_share
+    FROM g""",
+)
+def q_month_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-of-month effect screen (early/mid/late day-of-month
+    buckets) — operators/analytics.month_effect."""
+    return AN.month_effect(bars(spark, sf_dir))
+
+
+@q(
+    "q_topk_days",
+    f"""WITH {BARS_CTE},
+    {DAILY_RET},
+    {RETQ},
+    rr AS (SELECT symbol, day, r, rq FROM r JOIN q USING (symbol, day)),
+    b AS (SELECT symbol, day, r,
+            ROW_NUMBER() OVER (PARTITION BY symbol
+              ORDER BY rq DESC, day ASC) AS rk
+          FROM rr),
+    w AS (SELECT symbol, day, r,
+            ROW_NUMBER() OVER (PARTITION BY symbol
+              ORDER BY rq ASC, day ASC) AS rk
+          FROM rr)
+    SELECT symbol, CAST(day AS TIMESTAMP) AS day, r, 'best' AS side,
+      CAST(rk AS BIGINT) AS rk
+    FROM b WHERE rk <= 3
+    UNION ALL
+    SELECT symbol, CAST(day AS TIMESTAMP) AS day, r, 'worst' AS side,
+      CAST(rk AS BIGINT) AS rk
+    FROM w WHERE rk <= 3""",
+)
+def q_topk_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best/worst 3 return days per symbol — integer ranks over
+    (quantized return, day) (operators/analytics.topk_return_days)."""
+    return AN.topk_return_days(bars(spark, sf_dir), k=3)
+
+
+@q(
+    "q_rel_strength",
+    f"""WITH {BARS_CTE},
+    d AS (SELECT symbol, CAST(time AS DATE) AS day, AVG(close) AS close_d
+          FROM bars WHERE symbol < 50 GROUP BY symbol, CAST(time AS DATE)),
+    r AS (SELECT symbol, day,
+            CASE WHEN LAG(close_d) OVER (PARTITION BY symbol ORDER BY day) > 0
+                      AND close_d > 0
+                 THEN ROUND(LN(close_d / LAG(close_d)
+                      OVER (PARTITION BY symbol ORDER BY day)), 6) END AS r
+          FROM d QUALIFY r IS NOT NULL),
+    {RETQ},
+    mkt AS (SELECT day,
+              CAST(FLOOR(CAST(SUM(rq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                   AS BIGINT) AS mq
+            FROM q GROUP BY day),
+    j AS (SELECT q.symbol, q.day, q.rq - mkt.mq AS aq
+          FROM q JOIN mkt USING (day))
+    SELECT symbol, CAST(day AS TIMESTAMP) AS day,
+      CAST(SUM(aq) OVER (PARTITION BY symbol ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      / 1000000.0 AS rel_strength
+    FROM j""",
+)
+def q_rel_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative relative-strength line vs the equal-weight basket —
+    exact integer accumulation (operators/analytics.relative_strength)."""
+    return AN.relative_strength(bars(spark, sf_dir), basket_max_symbol=50)
