@@ -681,3 +681,42 @@ def test_bucket_join_no_exchange_on_key(spark, sf_dir):
     plan = _executed(QUERIES["q_bucket_join"](spark, sf_dir))
     assert "SortMergeJoin" in plan
     assert "hashpartitioning(user_id" not in plan, plan[:2000]
+
+
+def test_sortino_two_exchanges_no_join(spark, sf_dir):
+    """Risk-ratio family envelope: daily pre-agg rides hash(symbol,
+    day), the return lag + symbol moments ride hash(symbol) — two
+    exchanges total, no join (sortino stands in for omega/vratio/cmo,
+    which share the grid)."""
+    plan = _executed(QUERIES["q_sortino"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
+    assert "Join" not in plan
+
+
+def test_decompose_all_integer_no_join(spark, sf_dir):
+    """The additive decomposition is windows over the daily grid — no
+    join anywhere, and at most three hash exchanges ((symbol, day)
+    pre-agg, symbol trend window, (symbol, dow) seasonal window)."""
+    plan = _executed(QUERIES["q_decompose"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan[:2000]
+
+
+def test_topk_days_no_global_sort(spark, sf_dir):
+    """Best/worst-k days rank inside hash(symbol) windows — a global
+    (non-partitioned) Sort must not appear."""
+    plan = _executed(QUERIES["q_topk_days"](spark, sf_dir))
+    assert not re.search(
+        r"Sort \[[^\]]*\], true", plan.replace("ENSURE_REQUIREMENTS", "")
+    ), plan[:2000]
+
+
+def test_clustering_coef_lineage_truncated_at_checkpoint(spark, sf_dir):
+    """The wedge join and degree agg must consume the CHECKPOINTED
+    capped edge set: the executed plan reads ExistingRDD and contains
+    no Generate (shingle explode) — the expensive pair construction ran
+    exactly once, at checkpoint time, not once per self-join arm."""
+    plan = _executed(QUERIES["q_clustering_coef"](spark, sf_dir))
+    assert "ExistingRDD" in plan, plan[:2000]
+    # no parquet scan of documents = the shingle pipeline is NOT inlined
+    assert "Scan parquet" not in plan, plan[:2000]
