@@ -500,3 +500,69 @@ def test_round_half_up_matches_decimal_half_up(x):
         d.quantize(decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP)
     ) / 1e4
     assert got == want
+
+
+# ---- round-6 late-batch invariants (Spark examples kept low) ----
+
+closes_series = st.lists(
+    st.floats(min_value=1.0, max_value=1e4, allow_nan=False, allow_infinity=False),
+    min_size=8,
+    max_size=40,
+)
+
+
+@given(closes_series)
+@settings(max_examples=10, deadline=None)
+def test_decompose_additive_identity(spark, closes):
+    """close6 == trend + seasonal + residual EXACTLY wherever all three
+    components exist — the integer pipeline leaves no rounding slack."""
+    from pyspark.sql import functions as F
+
+    from trading_etl_python_spark.operators import analytics as AN
+
+    rows = [
+        (1, f"2024-{1 + i // 28:02d}-{i % 28 + 1:02d} 12:00:00", float(c))
+        for i, c in enumerate(closes)
+    ]
+    df = (
+        spark.createDataFrame(rows, ["symbol", "time", "close"])
+        .withColumn("time", F.to_timestamp("time"))
+    )
+    for r in AN.seasonal_decompose(df).collect():
+        if r.trend is not None and r.seasonal is not None:
+            assert r.residual is not None
+            # identity is exact in MICRO INTEGERS (the emitted doubles
+            # are exact micro decimals, but their float sum rounds)
+            assert round(r.close6 * 1e6) == round(r.trend * 1e6) + round(
+                r.seasonal * 1e6
+            ) + round(r.residual * 1e6)
+
+
+@given(closes_series)
+@settings(max_examples=10, deadline=None)
+def test_streaks_partition_the_series(spark, closes):
+    """Streak-group lengths partition the return series: the per-symbol
+    group lengths must sum to n_returns, and the open streak's length
+    can never exceed the longest streak of its sign."""
+    from pyspark.sql import functions as F
+
+    from trading_etl_python_spark.operators import analytics as AN
+
+    rows = [
+        (1, f"2024-{1 + i // 28:02d}-{i % 28 + 1:02d} 12:00:00", float(c))
+        for i, c in enumerate(closes)
+    ]
+    df = (
+        spark.createDataFrame(rows, ["symbol", "time", "close"])
+        .withColumn("time", F.to_timestamp("time"))
+    )
+    out = AN.streak_stats(df).collect()[0]
+    n_ret = len(closes) - 1
+    assert 1 <= out.n_streaks <= n_ret
+    assert 0 <= out.max_up_streak <= n_ret
+    assert 0 <= out.max_down_streak <= n_ret
+    cur = out.current_streak
+    if cur is not None and cur > 0:
+        assert cur <= out.max_up_streak
+    if cur is not None and cur < 0:
+        assert -cur <= out.max_down_streak
