@@ -24,7 +24,7 @@ same plans hold on a 1000-executor cluster:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -393,4 +393,134 @@ def ab_proportion_test(events: DataFrame, conversion: str = "purchase") -> DataF
         F.round(pa, 6).alias("p_a"),
         F.round(pb, 6).alias("p_b"),
         F.round(z, 6).alias("z_stat"),
+    )
+
+
+def markov_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov estimate of the per-user event-type process:
+    transition counts over consecutive (ts, event_id)-ordered events
+    within each user, conditional probability per source type, and the
+    rank of each continuation.  Counts are exact integers; prob =
+    ROUND(cnt/total_from, 6) is a small-denominator rational (safe);
+    the rank orders by (cnt DESC, to_type) — never by the float.  One
+    hash(user) exchange for the lag, then a (|types|^2)-key
+    aggregation."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("to_type"),
+            F.lag("event_type").over(w).alias("from_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("from_type")
+    wr = wt.orderBy(F.col("n").desc(), F.col("to_type").asc())
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wt).cast("double"), 6
+        ).alias("prob"),
+        F.row_number().over(wr).cast("long").alias("rk"),
+    )
+
+
+def inter_event_gaps(events: DataFrame, min_gaps: int = 10) -> DataFrame:
+    """Inter-arrival gap profile per event type: within each user's
+    stream OF THAT TYPE, gaps in exact integer microseconds; per type
+    the mean uses the FLOOR pattern and p50/p90 are rank-based order
+    statistics (k-th smallest, k = ceil(n*q) — the var_es form, immune
+    to quantile-interpolation differences).  Gaps are integers end to
+    end; the only float is the FLOOR-mean's final division."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(F.col("ts")).over(w)
+    g = (
+        events.select(
+            "event_type",
+            (us - F.unix_micros(prev.cast("timestamp"))).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    wt = Window.partitionBy("event_type")
+    wr = wt.orderBy(F.col("gap_us").asc())
+    s = g.select(
+        "event_type",
+        "gap_us",
+        F.row_number().over(wr).alias("_rn"),
+        F.count(F.lit(1)).over(wt).alias("_n"),
+    )
+    k50 = F.ceil(F.col("_n") * F.lit(0.5))
+    k90 = F.ceil(F.col("_n") * F.lit(0.9))
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.max("_n").alias("n_gaps"),
+            F.floor(
+                F.sum("gap_us").cast("double") / F.max("_n").cast("double")
+            ).alias("mean_gap_us"),
+            F.max(F.when(F.col("_rn") == k50, F.col("gap_us"))).alias("p50_gap_us"),
+            F.max(F.when(F.col("_rn") == k90, F.col("gap_us"))).alias("p90_gap_us"),
+        )
+        .filter(F.col("n_gaps") >= min_gaps)
+    )
+
+
+def cohort_value(events: DataFrame) -> DataFrame:
+    """Cohort ARPU grid: users grouped by first-seen day, activity
+    bucketed by week offset; per cell the distinct active users, the
+    exact total event value in 1e-4 units, and ARPU via the FLOOR
+    pattern.  All aggregation state is integers; the cohort key
+    surfaces as TIMESTAMP (the q_retention convention)."""
+    first = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_date")
+    )
+    j = events.join(first, "user_id").select(
+        "user_id",
+        "cohort_date",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.col("cohort_date")) / F.lit(7)
+        ).cast("long").alias("week_offset"),
+        F.round(F.col("value") * F.lit(10000.0), 0).cast("long").alias("vq"),
+    )
+    g = j.groupBy("cohort_date", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("vq").alias("sv"),
+    )
+    return g.select(
+        F.col("cohort_date").cast("timestamp").alias("cohort_date"),
+        "week_offset",
+        "n_users",
+        (F.col("sv").cast("double") / F.lit(10000.0)).alias("total_value"),
+        (
+            F.floor(F.col("sv").cast("double") / F.col("n_users").cast("double"))
+            / F.lit(10000.0)
+        ).alias("arpu"),
+    )
+
+
+def hourly_profile(events: DataFrame) -> DataFrame:
+    """Hour-of-day activity profile per event type: exact counts, share
+    of the type's total (small-denominator 6dp rational), and the
+    type's peak-hour flag via (count DESC, hour) ranking — integer
+    order statistics, never a float comparison."""
+    g = events.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("event_type")
+    wr = wt.orderBy(F.col("n").desc(), F.col("hour").asc())
+    return g.select(
+        "event_type",
+        "hour",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wt).cast("double"), 6
+        ).alias("share"),
+        (F.row_number().over(wr) == 1).alias("is_peak_hour"),
     )

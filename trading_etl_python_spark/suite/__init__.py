@@ -77,6 +77,7 @@ _NEW_R6: list[str] = [
     "q_hits", "q_kcore", "q_clustering_coef", "q_degree_assort",
     "q_decompose", "q_breadth", "q_ulcer", "q_cmo",
     "q_streaks", "q_month_effect", "q_topk_days", "q_rel_strength",
+    "q_markov", "q_inter_event", "q_cohort_value", "q_hourly_profile",
 ]
 # r5-certified block (fresh greens, rotate last among certified).
 _CERTIFIED_R5 = [

@@ -500,3 +500,99 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohorts — exact counts, fixed double chain
     (operators/eventflow.ab_proportion_test)."""
     return EV.ab_proportion_test(load_events(spark, sf_dir))
+
+
+@q(
+    "q_markov",
+    """WITH p AS (
+         SELECT LAG(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS from_type,
+                event_type AS to_type
+         FROM events),
+       c AS (SELECT from_type, to_type, COUNT(*) AS n FROM p
+             WHERE from_type IS NOT NULL GROUP BY from_type, to_type)
+       SELECT from_type, to_type, n,
+         ROUND(CAST(n AS DOUBLE)
+               / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+           AS prob,
+         CAST(ROW_NUMBER() OVER (PARTITION BY from_type
+                ORDER BY n DESC, to_type) AS BIGINT) AS rk
+       FROM c""",
+)
+def q_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix (counts, conditional
+    probabilities, continuation ranks) —
+    operators/eventflow.markov_transitions."""
+    return EV.markov_transitions(load_events(spark, sf_dir))
+
+
+@q(
+    "q_inter_event",
+    """WITH g AS (
+         SELECT event_type,
+                epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id,
+                  event_type ORDER BY ts, event_id)) AS gap_us
+         FROM events QUALIFY gap_us IS NOT NULL),
+       s AS (SELECT event_type, gap_us,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY gap_us ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+             FROM g)
+       SELECT event_type, MAX(n) AS n_gaps,
+         CAST(FLOOR(CAST(SUM(gap_us) AS DOUBLE) / CAST(MAX(n) AS DOUBLE))
+              AS BIGINT) AS mean_gap_us,
+         MAX(CASE WHEN rn = CEIL(n * 0.5) THEN gap_us END) AS p50_gap_us,
+         MAX(CASE WHEN rn = CEIL(n * 0.9) THEN gap_us END) AS p90_gap_us
+       FROM s GROUP BY event_type HAVING MAX(n) >= 10""",
+)
+def q_inter_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap profile per event type (exact integer
+    microsecond gaps, FLOOR mean, rank-based p50/p90) —
+    operators/eventflow.inter_event_gaps."""
+    return EV.inter_event_gaps(load_events(spark, sf_dir), min_gaps=10)
+
+
+@q(
+    "q_cohort_value",
+    """WITH first AS (
+         SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+         FROM events GROUP BY user_id),
+       j AS (SELECT e.user_id, f.cohort_date,
+               CAST(FLOOR(DATEDIFF('day', f.cohort_date, CAST(e.ts AS DATE))
+                          / 7.0) AS BIGINT) AS week_offset,
+               CAST(ROUND(e.value * 10000.0, 0) AS BIGINT) AS vq
+             FROM events e JOIN first f ON e.user_id = f.user_id),
+       g AS (SELECT cohort_date, week_offset,
+               COUNT(DISTINCT user_id) AS n_users, SUM(vq) AS sv
+             FROM j GROUP BY cohort_date, week_offset)
+       SELECT CAST(cohort_date AS TIMESTAMP) AS cohort_date, week_offset,
+         n_users,
+         CAST(sv AS DOUBLE) / 10000.0 AS total_value,
+         FLOOR(CAST(sv AS DOUBLE) / CAST(n_users AS DOUBLE)) / 10000.0 AS arpu
+       FROM g""",
+)
+def q_cohort_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort ARPU grid (first-seen day x week offset; exact 1e-4-unit
+    value totals, FLOOR-pattern ARPU) —
+    operators/eventflow.cohort_value."""
+    return EV.cohort_value(load_events(spark, sf_dir))
+
+
+@q(
+    "q_hourly_profile",
+    """WITH g AS (
+         SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+                COUNT(*) AS n
+         FROM events GROUP BY event_type, EXTRACT(hour FROM ts))
+       SELECT event_type, hour, n,
+         ROUND(CAST(n AS DOUBLE)
+               / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE), 6)
+           AS share,
+         (ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY n DESC, hour) = 1) AS is_peak_hour
+       FROM g""",
+)
+def q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity profile per event type with peak-hour flag
+    — operators/eventflow.hourly_profile."""
+    return EV.hourly_profile(load_events(spark, sf_dir))
