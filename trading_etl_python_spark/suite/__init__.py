@@ -49,6 +49,10 @@ _RECERTIFY_R6 = [
 ]
 # Queries BORN in r6 (new operators) — certified in their first round.
 # (Appended as each lands; every name must exist in a module's QUERIES.)
+# r7 NOTE: the r6 window certifies only ~the first 50 of this list; at
+# round close it held 120 heads, so ~70 entries from q_rake onward have
+# no driver row yet.  Round 7 must front-load THOSE (oldest-born first)
+# ahead of any r7-new queries, then rotate r7-new, then stale greens.
 _NEW_R6: list[str] = [
     "q_media_png", "q_media_png_dhash", "q_event_runs", "q_concurrency",
     "q_delta_encode", "q_rank_pct", "q_date_features", "q_entropy_profile",
