@@ -1346,6 +1346,12 @@ def textrank_keywords(
     # consecutive pairs within a doc: join pos with pos+1 on the row id
     a = toks.select("_rid", F.col("pos").alias("p"), F.col("w").alias("u"))
     b = toks.select("_rid", (F.col("pos") - 1).alias("p"), F.col("w").alias("v"))
+    # the symmetrizing union deliberately inlines the positional
+    # self-join twice: ReusedExchange dedups the shuffle at runtime,
+    # and that beats eagerly materializing the (corpus-sized) pair set
+    # — measured 10.4 s vs 20.0 s at sf1.  Contrast PLANS §58, where
+    # the pair build is NOT exchange-reusable (checkpointed RDD input)
+    # and checkpoint-before-union wins instead.
     pairs = a.join(b, ["_rid", "p"]).filter(F.col("u") != F.col("v"))
     edges = (
         pairs.select("u", "v")
