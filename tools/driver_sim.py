@@ -13,7 +13,15 @@ driver):
 - the DuckDB side runs at >1 thread (SET threads) so float
   accumulation-order sensitivity in an oracle shakes out locally.
 
-Usage: python tools/driver_sim.py [sf_dir] [first_n] [query ...]
+--jitter mode (r6 VERDICT #8 — the flake class BOTH r6 driver reds
+belonged to): re-run each query's Spark side under three different
+runtime configs (spark.sql.shuffle.partitions x AQE on/off), which
+change partition splits and therefore float accumulation order, and
+fail on ANY cross-run value disagreement (exact compare, not approx).
+A query that is green against the oracle but jitter-unstable WILL
+eventually go red at the driver — this catches it locally.
+
+Usage: python tools/driver_sim.py [--jitter] [sf_dir] [first_n] [query ...]
 """
 
 from __future__ import annotations
@@ -29,9 +37,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.check_correctness import compare  # noqa: E402
 from trading_etl_python_spark.sources.tables import TABLES  # noqa: E402
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-FIRST_N = int(sys.argv[2]) if len(sys.argv) > 2 else 0  # 0 = all
-ONLY = set(sys.argv[3:])
+_args = [a for a in sys.argv[1:] if a != "--jitter"]
+JITTER = "--jitter" in sys.argv[1:]
+SF_DIR = _args[0] if len(_args) > 0 else "/root/testdata/sf0.01"
+FIRST_N = int(_args[1]) if len(_args) > 1 else 0  # 0 = all
+ONLY = set(_args[2:])
+
+# (shuffle.partitions, AQE enabled): the first is the vanilla-driver
+# default; the others force different exchange split counts — and with
+# them different per-partition float accumulation orders.
+JITTER_CONFIGS = [("200", "true"), ("7", "false"), ("32", "true")]
 
 
 def main() -> None:
@@ -62,7 +77,33 @@ def main() -> None:
         n_run += 1
         t0 = time.time()
         try:
-            sdf = fn(spark, SF_DIR).toPandas()
+            if JITTER:
+                sdf, jitter_problem = None, None
+                for sp, aqe in JITTER_CONFIGS:
+                    spark.conf.set("spark.sql.shuffle.partitions", sp)
+                    spark.conf.set("spark.sql.adaptive.enabled", aqe)
+                    run = fn(spark, SF_DIR).toPandas()
+                    if sdf is None:
+                        sdf = run
+                    else:
+                        diff = compare(name, sdf, run)
+                        if diff:
+                            jitter_problem = (sp, aqe, diff)
+                            break
+                spark.conf.set("spark.sql.shuffle.partitions", "200")
+                spark.conf.set("spark.sql.adaptive.enabled", "true")
+                if jitter_problem:
+                    sp, aqe, diff = jitter_problem
+                    failures.append(name)
+                    print(
+                        f"FAIL  {name}: JITTER-UNSTABLE at "
+                        f"shuffle.partitions={sp} aqe={aqe}:"
+                    )
+                    for p in diff:
+                        print(f"      {p}")
+                    continue
+            else:
+                sdf = fn(spark, SF_DIR).toPandas()
         except Exception as e:  # noqa: BLE001 - report and continue
             failures.append(name)
             print(f"FAIL  {name}: spark: {type(e).__name__}: {str(e)[:200]}")

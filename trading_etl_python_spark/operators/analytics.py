@@ -253,12 +253,27 @@ def basket_spearman(
     pre-aggregate as ``basket_correlation`` — the basket bound keeps
     the square small; corr itself is one map-side-combinable agg.
 
-    Parity note: the rank input is ROUNDED to 6dp (the module parity
-    rule, suite/analytics.py:5-7). RANK over a raw float aggregate is
+    Parity note (two layers, each fixing one driver flake class).
+    First, the rank input is ROUNDED to 6dp (the module parity rule,
+    suite/analytics.py:5-7): RANK over a raw float aggregate is
     order-fragile — a 1-ulp difference in AVG accumulation order can
-    tie/untie two closes, shift the fractional ranks, and flip the
-    4dp-rounded CORR (the r5 driver flake). Rounding before ranking
-    makes the tie structure engine- and partition-order-invariant."""
+    tie/untie two closes and shift the fractional ranks (the r5 driver
+    flake).  Second, the statistic itself is the closed-form Pearson
+    ratio of EXACT INTEGER rank moments: the doubled fractional rank
+    ``2*rank + ties - 1`` is an exact BIGINT, so n, Σx, Σy, Σxy, Σx²,
+    Σy² are order-invariant integer aggregates, and
+
+        spearman = (nΣxy − ΣxΣy) / sqrt((nΣx²−Σx²ᵗᵉʳᵐ)(nΣy²−Σy²ᵗᵉʳᵐ))
+
+    is ONE fixed sequence of correctly-rounded IEEE ops (two exact
+    int→double casts, multiply, sqrt, divide) — bit-identical on both
+    engines with NO final ROUND.  ``ROUND(CORR(ra, rb), 4)`` (the r6
+    form) forked engines whenever CORR's partition-order-dependent
+    accumulation landed a 4dp boundary — the r5/r6 repeat red.
+    Doubling by 2 is scale-invariant for correlation.  Overflow: each
+    moment term is ≤ 4·n_days⁴, int64-safe to n_days ≈ 6900 trading
+    days (~27 years) and double-exact (< 2^53) to n_days ≈ 1200; the
+    gate grids are hundreds of days."""
     from pyspark.sql import Window
 
     d = daily_close(df.filter(F.col("symbol") < basket_max_symbol))
@@ -274,21 +289,41 @@ def basket_spearman(
         F.round(F.col("b.close_d"), 6).alias("cb"),
     )
     pw = ["symbol_a", "symbol_b"]
-    ra = F.rank().over(Window.partitionBy(*pw).orderBy("ca")) + (
-        F.count(F.lit(1)).over(Window.partitionBy(*pw, "ca")) - 1
-    ) / 2.0
-    rb = F.rank().over(Window.partitionBy(*pw).orderBy("cb")) + (
-        F.count(F.lit(1)).over(Window.partitionBy(*pw, "cb")) - 1
-    ) / 2.0
-    return (
-        pairs.withColumn("_ra", ra)
-        .withColumn("_rb", rb)
+    # doubled fractional rank = 2*rank + (#ties - 1): exact BIGINT.
+    x = (
+        F.lit(2) * F.rank().over(Window.partitionBy(*pw).orderBy("ca"))
+        + F.count(F.lit(1)).over(Window.partitionBy(*pw, "ca"))
+        - F.lit(1)
+    ).cast("long")
+    y = (
+        F.lit(2) * F.rank().over(Window.partitionBy(*pw).orderBy("cb"))
+        + F.count(F.lit(1)).over(Window.partitionBy(*pw, "cb"))
+        - F.lit(1)
+    ).cast("long")
+    m = (
+        pairs.withColumn("_x", x)
+        .withColumn("_y", y)
         .groupBy("symbol_a", "symbol_b")
         .agg(
             F.count(F.lit(1)).alias("n_days"),
-            F.round(F.corr("_ra", "_rb"), 4).alias("spearman"),
+            F.sum("_x").alias("_sx"),
+            F.sum("_y").alias("_sy"),
+            F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+            F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+            F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
         )
         .filter(F.col("n_days") >= min_days)
+    )
+    n = F.col("n_days")
+    num = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    fa = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    fb = (n * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    den = F.sqrt(fa * fb)
+    return m.select(
+        "symbol_a",
+        "symbol_b",
+        "n_days",
+        (num / F.nullif(den, F.lit(0.0))).alias("spearman"),
     )
 
 

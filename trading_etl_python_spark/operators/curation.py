@@ -197,18 +197,26 @@ def dsir_weights(
 
     Scale posture: BOTH LMs come out of one conditional aggregation of
     the exploded token stream (source count + filtered target count per
-    token — one shuffle, not two); the totals and vocab size ride an
-    unbounded window OVER the vocabulary-sized freq table (one extra
-    vocab-sized exchange — a separate 1-row aggregate would make Spark
-    re-evaluate the whole corpus subtree, which is the expensive side
-    at scale); the per-token score then joins the stream against that
-    table on the token key (AQE broadcasts it when small — never
-    hard-broadcast, web-scale vocab is not driver-sized).  No Python
-    anywhere; smoothing keeps every token finite, and the join stays
-    inner (a token absent from the source LM cannot occur — the stream
-    IS the source corpus)."""
-    from pyspark.sql import Window
+    token — one shuffle, not two).  The freq table is localCheckpoint'd
+    (the kcore pattern, graph.py:390-402) so the corpus subtree is
+    evaluated ONCE; the three corpus totals are then a separate 1-row
+    aggregate of that checkpoint, broadcast-crossJoined back — NOT an
+    unpartitioned window, which would drag the whole web-scale
+    vocabulary through a single task (Spark's `No Partition Defined for
+    Window operation` warning — the r6 scale defect).  The per-token
+    score joins the stream against the freq table on the token key (AQE
+    broadcasts it when small — never hard-broadcast, web-scale vocab is
+    not driver-sized).  No Python anywhere; smoothing keeps every token
+    finite, and the join stays inner (a token absent from the source LM
+    cannot occur — the stream IS the source corpus).
 
+    Parity: each per-token log-ratio is quantized to EXACT integer
+    micro-units (ROUND(lr*1e6) -> BIGINT, identical op order on both
+    engines), summed exactly, and the mean emitted via the FLOOR
+    pattern FLOOR(Σq/n)/1e6 — order-invariant by construction.  The r6
+    form ``ROUND(AVG(lr), 4)`` over raw LN doubles forked engines on
+    accumulation order (the r6 driver red, the exact hazard the repo
+    float rulebook forbids)."""
     from .text import with_tokens
 
     tok = with_tokens(docs).select(
@@ -217,18 +225,14 @@ def dsir_weights(
     freq = tok.groupBy("token").agg(
         F.count(F.lit(1)).alias("cs"),
         F.count(F.when(F.col("lang") == target_lang, F.lit(1))).alias("ct"),
-    )
-    wall = Window.partitionBy()
-    freq = freq.select(
-        "token",
-        "cs",
-        "ct",
-        F.sum("cs").over(wall).alias("tot_s"),
-        F.sum("ct").over(wall).alias("tot_t"),
-        F.count(F.lit(1)).over(wall).alias("vocab"),
+    ).localCheckpoint()
+    totals = freq.agg(
+        F.sum("cs").alias("tot_s"),
+        F.sum("ct").alias("tot_t"),
+        F.count(F.lit(1)).alias("vocab"),
     )
     scored = (
-        tok.join(freq, "token")
+        tok.join(freq.crossJoin(F.broadcast(totals)), "token")
         .select(
             F.col(id_col),
             F.log(
@@ -242,10 +246,16 @@ def dsir_weights(
                 )
             ).alias("lr"),
         )
+        .select(
+            F.col(id_col),
+            F.round(F.col("lr") * F.lit(1e6), 0).cast("long").alias("qlr"),
+        )
     )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.round(F.avg("lr"), 4).alias("avg_logratio"),
+        (
+            F.floor(F.sum("qlr") / F.count(F.lit(1))) / F.lit(1e6)
+        ).alias("avg_logratio"),
     )
 
 

@@ -29,42 +29,38 @@ for mod in (core, relational, extensions, analytics, behavior, sql_api):
 
 # Registry order = driver-certification rotation.  The external driver
 # records CORRECTNESS rows for only the FIRST ~50 registry entries per
-# round.  Cumulative state entering round 6: 181/182 queries have a
-# driver-green row across r1-r5; the single red is q_spearman (r5
-# hash_match=false — float-rank tie flake, fixed this round by rounding
-# the rank input to 6dp on both engines).  Round 6 therefore
-# front-loads:
-#   1. q_spearman — the only query without an ever-green driver row,
-#   2. queries whose semantics changed in r6 (q_embed_neardup bounded
-#      blocking, q_triangles degree cap, q_props_variant coercion pin),
-#   3. queries BORN in r6 (first driver rows beat re-certification),
-#   4. oldest-certified blocks (r2/r3 greens) fill the window tail so
-#      the rotation keeps refreshing stale rows.
-_RECERTIFY_R6 = [
-    "q_spearman",          # r5 red -> fixed (rank input rounded 6dp)
-    "q_embed_neardup",     # blocking key subdivided (VERDICT #4)
-    "q_triangles",         # degree-capped wedges (VERDICT #5)
-    "q_props_variant",     # numeric coercion pinned (ADVICE #1)
-    "q_bloom_semi",        # NULL-probe audit fix (ADVICE #2)
+# round.  Cumulative state entering round 7: 293 registry queries, 227
+# driver-sampled, 225 ever-green; the two reds (q_spearman r5+r6,
+# q_dsir_weights r6) were both accumulation-order float flakes, rebuilt
+# this round on exact integer moments (operators/analytics.py
+# basket_spearman, operators/curation.py dsir_weights) — they go FIRST.
+# Then the 66 r6-born queries whose driver window never reached them
+# (oldest-born first, exactly the r6 NOTE's plan), then any r7-new
+# entries, then stale greens refresh the tail.
+_FIXED_R7 = [
+    "q_spearman",      # r5+r6 red -> integer doubled-rank moments, no ROUND(CORR)
+    "q_dsir_weights",  # r6 red -> 1e-6-quantized log-ratios, FLOOR-pattern mean
 ]
-# Queries BORN in r6 (new operators) — certified in their first round.
-# (Appended as each lands; every name must exist in a module's QUERIES.)
-# r7 NOTE: the r6 window certifies only ~the first 50 of this list; at
-# round close it held 120 heads, so ~70 entries from q_rake onward have
-# no driver row yet.  Round 7 must front-load THOSE (oldest-born first)
-# ahead of any r7-new queries, then rotate r7-new, then stale greens.
-_NEW_R6: list[str] = [
+# r6-certified head: the 5 r6 re-certifications (minus q_spearman, red)
+# and the first 45 r6-born entries the r6 window actually sampled
+# (minus q_dsir_weights, red) — all green, rotate with the r6 block.
+_CERTIFIED_R6 = [
+    "q_embed_neardup", "q_triangles", "q_props_variant", "q_bloom_semi",
     "q_media_png", "q_media_png_dhash", "q_event_runs", "q_concurrency",
     "q_delta_encode", "q_rank_pct", "q_date_features", "q_entropy_profile",
     "q_hash_tf", "q_stream_candles", "q_scd2", "q_hopping_window",
     "q_zscore", "q_label_encode", "q_prefix_jaccard", "q_stream_join",
     "q_sharpe", "q_tar_writer", "q_table_diff", "q_merge_upsert",
     "q_ichimoku", "q_pivot_points", "q_var_es", "q_acf", "q_ewma_vol",
-    "q_volume_profile", "q_pairs_spread", "q_moments", "q_dsir_weights",
+    "q_volume_profile", "q_pairs_spread", "q_moments",
     "q_ewma_sql", "q_hll_union", "q_logreg_quality", "q_gopher_rules",
     "q_stream_dedup", "q_bucket_join", "q_schema_evolution", "q_pit_join",
     "q_willr", "q_cmf", "q_ad_line", "q_ultimate", "q_aroon",
     "q_keltner", "q_holt", "q_force_index",
+]
+# The 66 r6-born queries with NO driver row yet (r6 window overflow,
+# q_rake .. q_hourly_profile in birth order) — the r7 window's body.
+_PENDING_R6: list[str] = [
     "q_rake", "q_linkage", "q_mmr",
     "q_trix", "q_supertrend", "q_amihud", "q_roll_spread", "q_holt_eval",
     "q_kalman", "q_ols_trend", "q_dow_returns", "q_leadlag",
@@ -83,6 +79,10 @@ _NEW_R6: list[str] = [
     "q_streaks", "q_month_effect", "q_topk_days", "q_rel_strength",
     "q_markov", "q_inter_event", "q_cohort_value", "q_hourly_profile",
 ]
+# Queries BORN in r7 (appended as each lands; certified AFTER the
+# pending-r6 backlog — first driver rows for the backlog beat fresh
+# births, per the r6 VERDICT rotation mandate).
+_NEW_R7: list[str] = []
 # r5-certified block (fresh greens, rotate last among certified).
 _CERTIFIED_R5 = [
     "q_pca_power", "q_group_sample", "q_bpe_learn", "q_fuzzy_vocab",
@@ -112,19 +112,22 @@ _CERTIFIED_R4 = [
     "q_asof_forward", "q_asof_nearest",
     "q_semdedup", "q_bpe_pairs", "q_cdc_dedup",
 ]
-_RECERT_SET = set(_RECERTIFY_R6)
+_HEAD_SET = {*_FIXED_R7, *_CERTIFIED_R6, *_PENDING_R6, *_NEW_R7}
 _PRIORITY = [
-    *_RECERTIFY_R6,  # q_spearman first — the only never-green row
-    *_NEW_R6,
-    # oldest greens first (r2/r3 core+relational), then r4, then r5
+    *_FIXED_R7,    # the two ever-red rows, rebuilt order-invariant
+    *_PENDING_R6,  # 66 never-sampled r6-born queries, oldest first
+    *_NEW_R7,
+    # stale greens refresh the tail: oldest (r2/r3 core+relational)
+    # first, then r4, r5, r6 blocks
     *(n for n in core.QUERIES
       if n not in _CERTIFIED_R4 and n not in _CERTIFIED_R5
-      and n not in _RECERT_SET and n not in _NEW_R6),
+      and n not in _HEAD_SET),
     *(n for n in relational.QUERIES
       if n not in _CERTIFIED_R4 and n not in _CERTIFIED_R5
-      and n not in _RECERT_SET and n not in _NEW_R6),
-    *(n for n in _CERTIFIED_R4 if n not in _RECERT_SET),
-    *(n for n in _CERTIFIED_R5 if n not in _RECERT_SET),
+      and n not in _HEAD_SET),
+    *(n for n in _CERTIFIED_R4 if n not in _HEAD_SET),
+    *(n for n in _CERTIFIED_R5 if n not in _HEAD_SET),
+    *_CERTIFIED_R6,
 ]
 
 assert len(_PRIORITY) == len(set(_PRIORITY)) and all(n in _ALL for n in _PRIORITY)

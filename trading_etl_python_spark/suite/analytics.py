@@ -529,19 +529,27 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                  a.close_d AS ca, b.close_d AS cb
           FROM d a JOIN d b ON a.day = b.day AND a.symbol < b.symbol),
     r AS (SELECT symbol_a, symbol_b,
-            RANK() OVER (PARTITION BY symbol_a, symbol_b ORDER BY ca)
-            + (COUNT(*) OVER (PARTITION BY symbol_a, symbol_b, ca) - 1) / 2.0 AS ra,
-            RANK() OVER (PARTITION BY symbol_a, symbol_b ORDER BY cb)
-            + (COUNT(*) OVER (PARTITION BY symbol_a, symbol_b, cb) - 1) / 2.0 AS rb
-          FROM p)
-    SELECT symbol_a, symbol_b, COUNT(*) AS n_days,
-           ROUND(CORR(ra, rb), 4) AS spearman
-    FROM r GROUP BY symbol_a, symbol_b
-    HAVING COUNT(*) >= 15""",
+            2 * RANK() OVER (PARTITION BY symbol_a, symbol_b ORDER BY ca)
+              + COUNT(*) OVER (PARTITION BY symbol_a, symbol_b, ca) - 1 AS x,
+            2 * RANK() OVER (PARTITION BY symbol_a, symbol_b ORDER BY cb)
+              + COUNT(*) OVER (PARTITION BY symbol_a, symbol_b, cb) - 1 AS y
+          FROM p),
+    m AS (SELECT symbol_a, symbol_b, COUNT(*) AS n,
+            SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+            SUM(x*x) AS sxx, SUM(y*y) AS syy
+          FROM r GROUP BY symbol_a, symbol_b
+          HAVING COUNT(*) >= 15)
+    SELECT symbol_a, symbol_b, n AS n_days,
+           CAST(n*sxy - sx*sy AS DOUBLE)
+             / NULLIF(SQRT(CAST(n*sxx - sx*sx AS DOUBLE)
+                           * CAST(n*syy - sy*sy AS DOUBLE)), 0.0) AS spearman
+    FROM m""",
 )
 def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spearman rank correlation per basket pair (fractional ranks ->
-    Pearson over ranks) — operators/analytics.basket_spearman."""
+    """Spearman rank correlation per basket pair — Pearson closed form
+    over EXACT integer doubled-rank moments (order-invariant by
+    construction; no ROUND-of-float-aggregate anywhere) —
+    operators/analytics.basket_spearman."""
     return AN.basket_spearman(bars(spark, sf_dir), basket_max_symbol=50, min_days=15)
 
 

@@ -3593,14 +3593,18 @@ def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / CAST(tot.tot_t + tot.vocab AS DOUBLE))
                   / ((fs.cs + 1)
                      / CAST(tot.tot_s + tot.vocab AS DOUBLE))) AS lr
-             FROM tok t JOIN fs USING (token) LEFT JOIN ft USING (token), tot)
+             FROM tok t JOIN fs USING (token) LEFT JOIN ft USING (token), tot),
+       qj AS (SELECT doc_id, CAST(ROUND(lr * 1e6) AS BIGINT) AS qlr FROM j)
        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-              ROUND(AVG(lr), 4) AS avg_logratio
-       FROM j GROUP BY doc_id""",
+              FLOOR(SUM(qlr) / COUNT(*)) / 1e6 AS avg_logratio
+       FROM qj GROUP BY doc_id""",
 )
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (add-1 unigram LM log-ratio, target =
-    lang 'en') per document — operators/curation.dsir_weights."""
+    lang 'en') per document, quantized to integer micro-units per token
+    with a FLOOR-pattern mean (order-invariant — the r6 ROUND(AVG(LN))
+    form was accumulation-order-sensitive) —
+    operators/curation.dsir_weights."""
     from ..operators.curation import dsir_weights
 
     return dsir_weights(load_table(spark, sf_dir, "documents"), target_lang="en")
