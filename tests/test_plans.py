@@ -667,6 +667,30 @@ def test_dsir_single_conditional_freq_aggregation(spark, sf_dir):
     assert scans <= 2, f"{scans} document scans\n{plan[:2000]}"
 
 
+def test_tfidf_cosine_no_action_during_construction(spark, sf_dir):
+    """Plan construction must be fully lazy: the r6 form ran a
+    driver-side df.count() while BUILDING the plan (re-scanning the
+    input per call); N is now an in-plan 1-row aggregate.  Pin it by
+    constructing over an in-memory frame (no parquet schema-inference
+    jobs) and asserting zero Spark jobs run inside the builder call."""
+    from trading_etl_python_spark.operators.text import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [(i, ("red fox " if i < 4 else "blue owl ") + ("x%d" % i))
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("tfidf-construct", "plan construction must be lazy")
+    try:
+        out = tfidf_cosine_pairs(docs, threshold=0.0)
+        jobs = sc.statusTracker().getJobIdsForGroup("tfidf-construct")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(jobs) == [], f"jobs ran during plan construction: {jobs}"
+    assert out.count() > 0  # and the lazy plan still executes
+
+
 def test_gopher_rules_shuffle_free(spark, sf_dir):
     """The first curation gate is a pure map-side pass — zero exchanges
     of any kind."""

@@ -1133,14 +1133,26 @@ def tfidf_cosine_pairs(
     df: DataFrame,
     threshold: float = 0.85,
     rows_per_block: int = 500,
+    max_df_num: int = 1,
+    max_df_den: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Sparse TF-IDF cosine similarity join: document pairs scored by
     the cosine of their tf·idf vectors through an inverted-index join
     on shared tokens — the SPARSE complement of the dense
-    embedding-cosine family (no embeddings needed; ubiquitous tokens
-    self-downweight through idf→0).
+    embedding-cosine family (no embeddings needed).
+
+    Hot-token bound (the 100 TB posture): tokens with document
+    frequency above ``max_df_num/max_df_den`` of the corpus (default
+    1/2 — sklearn's ``max_df`` convention) are EXCLUDED from the vector
+    space before the join.  Such tokens carry idf < ln(den/num) ≈ 0.69
+    — near-zero weight — yet each contributes O((N/nb)²) join pairs:
+    they dominate the inverted-index cost while barely moving the
+    cosine.  The cut is an exact integer predicate (dfr*den <= N*num,
+    no float boundary), and it is NOT silent: every emitted pair
+    carries ``capped_a``/``capped_b`` audit columns = how many of each
+    doc's distinct tokens were df-capped out of its vector.
 
     Exactness: tf·idf weights quantize once to 1e-6 integers; dots and
     squared norms are then exact BIGINT sums, and the cosine is one
@@ -1149,28 +1161,52 @@ def tfidf_cosine_pairs(
     needed.  Pair space is bounded by the corpus-scaled hash-bucket
     block key (the cosine_pairs_blocked construction: nb = max(1,
     N/rows_per_block), linear pair growth; at gate scale nb=1 and the
-    enumeration is complete)."""
+    enumeration is complete).
+
+    Plan shape: N is computed IN-PLAN (1-row aggregate, broadcast
+    crossJoin — the cosine_pairs_blocked construction) and reused for
+    both nb and idf; the r6 form ran a driver-side ``df.count()``
+    during plan construction, re-scanning the input per call (r6
+    VERDICT #3/#5)."""
     from .dedup import porthash32, tokens_col
 
-    n_docs = df.count()
-    nb = max(1, n_docs // rows_per_block)
+    stats = F.broadcast(df.agg(F.count(F.lit(1)).alias("_n")))
     tok = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
     tf = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("dfr"))
+    nb_col = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(F.col("_n") / F.lit(float(rows_per_block))),
+    )
+    wall = tf.join(dfreq, "tok").crossJoin(stats)
+    # per-doc audit: distinct tokens removed by the df cap
+    capped = (
+        wall.filter(
+            F.col("dfr") * F.lit(max_df_den) > F.col("_n") * F.lit(max_df_num)
+        )
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_capped"))
+    )
     w = (
-        tf.join(dfreq, "tok")
+        wall.filter(
+            F.col("dfr") * F.lit(max_df_den) <= F.col("_n") * F.lit(max_df_num)
+        )
         .withColumn(
             "wq",
             F.round(
                 F.col("tf").cast("double")
-                * F.log(F.lit(float(n_docs)) / F.col("dfr").cast("double"))
+                * F.log(F.col("_n").cast("double") / F.col("dfr").cast("double"))
                 * F.lit(1000000.0),
                 0,
             ).cast("long"),
         )
-        .withColumn("blk", porthash32(F.col(id_col).cast("string")) % nb)
+        .withColumn("blk", porthash32(F.col(id_col).cast("string")) % nb_col)
+        .drop("_n")
     )
     nrm = w.groupBy(id_col).agg(F.sum(F.col("wq") * F.col("wq")).alias("nq"))
+    nrm = nrm.join(capped, id_col, "left").select(
+        id_col, "nq", F.coalesce("n_capped", F.lit(0).cast("long")).alias("nc")
+    )
     a, b = w.alias("a"), w.alias("b")
     p = (
         a.join(
@@ -1187,8 +1223,14 @@ def tfidf_cosine_pairs(
             F.count(F.lit(1)).alias("n_shared"),
         )
     )
-    na = nrm.select(F.col(id_col).alias("doc_a"), F.col("nq").alias("na"))
-    nb2 = nrm.select(F.col(id_col).alias("doc_b"), F.col("nq").alias("nb"))
+    na = nrm.select(
+        F.col(id_col).alias("doc_a"), F.col("nq").alias("na"),
+        F.col("nc").alias("capped_a"),
+    )
+    nb2 = nrm.select(
+        F.col(id_col).alias("doc_b"), F.col("nq").alias("nb"),
+        F.col("nc").alias("capped_b"),
+    )
     cos = F.col("dot").cast("double") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )
@@ -1197,7 +1239,11 @@ def tfidf_cosine_pairs(
         .join(nb2, "doc_b")
         .withColumn("_cos", cos)
         .filter(F.col("_cos") >= threshold)
-        .select("doc_a", "doc_b", "n_shared", F.round("_cos", 6).alias("cos_sim"))
+        .select(
+            "doc_a", "doc_b", "n_shared",
+            F.round("_cos", 6).alias("cos_sim"),
+            "capped_a", "capped_b",
+        )
     )
 
 

@@ -4104,14 +4104,21 @@ def q_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok
               GROUP BY doc_id, tok),
        dfq AS (SELECT tok, COUNT(*) AS dfr FROM tf GROUP BY tok),
-       w AS (SELECT t.doc_id, t.tok,
-               CAST(ROUND(CAST(t.tf AS DOUBLE)
-                    * LN(CAST(nbt.n AS DOUBLE) / CAST(d.dfr AS DOUBLE))
+       wall AS (SELECT t.doc_id, t.tok, t.tf, d.dfr, nbt.n, nbt.nb
+                FROM tf t JOIN dfq d ON t.tok = d.tok, nbt),
+       cap AS (SELECT doc_id, COUNT(*) AS nc FROM wall
+               WHERE dfr * 2 > n GROUP BY doc_id),
+       w AS (SELECT doc_id, tok,
+               CAST(ROUND(CAST(tf AS DOUBLE)
+                    * LN(CAST(n AS DOUBLE) / CAST(dfr AS DOUBLE))
                     * 1000000.0, 0) AS BIGINT) AS wq,
-               ('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT
-                 % nbt.nb AS blk
-             FROM tf t JOIN dfq d ON t.tok = d.tok, nbt),
-       nrm AS (SELECT doc_id, SUM(wq*wq) AS nq FROM w GROUP BY doc_id),
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % nb AS blk
+             FROM wall WHERE dfr * 2 <= n),
+       nrm AS (SELECT w.doc_id, SUM(wq*wq) AS nq,
+                      COALESCE(ANY_VALUE(cap.nc), 0) AS nc
+               FROM w LEFT JOIN cap ON w.doc_id = cap.doc_id
+               GROUP BY w.doc_id),
        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                SUM(a.wq*b.wq) AS dot, COUNT(*) AS n_shared
              FROM w a JOIN w b ON a.tok = b.tok AND a.blk = b.blk
@@ -4120,16 +4127,20 @@ def q_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
        c AS (SELECT p.doc_a, p.doc_b, p.n_shared,
                CAST(p.dot AS DOUBLE)
                  / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb2.nq AS DOUBLE)))
-                 AS cos
+                 AS cos,
+               na.nc AS capped_a, nb2.nc AS capped_b
              FROM p JOIN nrm na ON p.doc_a = na.doc_id
                     JOIN nrm nb2 ON p.doc_b = nb2.doc_id)
-       SELECT doc_a, doc_b, n_shared, ROUND(cos, 6) AS cos_sim
+       SELECT doc_a, doc_b, n_shared, ROUND(cos, 6) AS cos_sim,
+              CAST(capped_a AS BIGINT) AS capped_a,
+              CAST(capped_b AS BIGINT) AS capped_b
        FROM c WHERE cos >= 0.85""",
 )
 def q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sparse TF-IDF cosine pair join over the inverted index, exact
-    integer dots/norms, corpus-scaled block bound
-    (operators/text.tfidf_cosine_pairs)."""
+    """Sparse TF-IDF cosine pair join over the inverted index: exact
+    integer dots/norms, corpus-scaled block bound, document-frequency
+    cap (> 1/2 of corpus) with per-doc capped_a/capped_b audit columns,
+    and N computed in-plan (operators/text.tfidf_cosine_pairs)."""
     return TX.tfidf_cosine_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.85, rows_per_block=500
     )
