@@ -82,7 +82,9 @@ _PENDING_R6: list[str] = [
 # Queries BORN in r7 (appended as each lands; certified AFTER the
 # pending-r6 backlog — first driver rows for the backlog beat fresh
 # births, per the r6 VERDICT rotation mandate).
-_NEW_R7: list[str] = []
+_NEW_R7: list[str] = [
+    "q_kcore_minhash", "q_clustering_minhash", "q_assort_minhash",
+]
 # r5-certified block (fresh greens, rotate last among certified).
 _CERTIFIED_R5 = [
     "q_pca_power", "q_group_sample", "q_bpe_learn", "q_fuzzy_vocab",

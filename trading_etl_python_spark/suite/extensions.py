@@ -4326,6 +4326,51 @@ _PAIR_GRAPH_CTES = f"""{_SHINGLE_CTES},
                  WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5)"""
 
 
+def _minhash_pair_ctes(
+    threshold: float = 0.5, num_perm: int = 32, bands: int = 8
+) -> str:
+    """CTE chain ending in ``pairs(doc_a, doc_b)`` over the
+    banded-MinHash candidate graph (same permutation constants as
+    _minhash_sql / operators/dedup.minhash_banded_pairs) — the
+    PRODUCTION edge source for the graph-metric family.  The exact
+    n-gram `_PAIR_GRAPH_CTES` graph is every-shared-shingle
+    (superlinear on closed vocabularies, BASELINE.md r6); banding
+    bounds candidates, so metrics over THIS graph keep the 100 TB
+    posture.  The aj >= t comparison is matches/num_perm — an exact
+    small-denominator rational on both engines."""
+    a, b = D.minhash_params(num_perm)
+    r = num_perm // bands
+    mins = ",\n           ".join(
+        f"MIN((h * {a[k]} + {b[k]}) % {D.MINHASH_P}) AS m{k}" for k in range(num_perm)
+    )
+    band_sel = "\n         UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, concat_ws('_', "
+        + ", ".join(f"m{i * r + j}" for j in range(r))
+        + ") AS key FROM sig"
+        for i in range(bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.m{k} = sb.m{k} THEN 1 ELSE 0 END" for k in range(num_perm)
+    )
+    return f"""{_SHINGLE_CTES},
+       hs AS (SELECT doc_id, {_PH_HI.format(c='shingle')} AS h FROM sh),
+       sig AS MATERIALIZED (SELECT doc_id,
+           {mins}
+         FROM hs GROUP BY doc_id),
+       bands AS ({band_sel}),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       pairs AS MATERIALIZED (
+         SELECT doc_a, doc_b FROM (
+           SELECT doc_a, doc_b, ({matches}) / {float(num_perm)} AS aj
+           FROM cand
+           JOIN sig sa ON sa.doc_id = doc_a
+           JOIN sig sb ON sb.doc_id = doc_b) t
+         WHERE aj >= {threshold})"""
+
+
 def _hits_sql(iters: int = 5) -> str:
     """Unrolled twin of operators/graph.hits over the trade graph —
     L1-normalized, every contribution quantized to 1e-12 units before
@@ -4395,10 +4440,12 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(edges, iters=5)
 
 
-def _kcore_sql(rounds: int = 6) -> str:
+def _kcore_sql(rounds: int = 6, pair_ctes: str | None = None) -> str:
     """Unrolled twin of operators/graph.kcore_layers — integer-only
-    synchronous peeling, one CTE pair per round per k."""
-    base = f"""{_PAIR_GRAPH_CTES},
+    synchronous peeling, one CTE pair per round per k.  ``pair_ctes``
+    selects the edge source (exact n-gram graph by default; pass
+    _minhash_pair_ctes() for the production banded graph)."""
+    base = f"""{pair_ctes or _PAIR_GRAPH_CTES},
        e2_0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
                  UNION ALL SELECT doc_b, doc_a FROM pairs),
        allnodes AS (SELECT DISTINCT u AS node FROM e2_0),
@@ -4435,9 +4482,10 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_layers(pairs, rounds=6)
 
 
-@q(
-    "q_clustering_coef",
-    f"""WITH {_PAIR_GRAPH_CTES},
+def _clustering_sql(pair_ctes: str | None = None) -> str:
+    """Twin of operators/graph.clustering_coefficient over a chosen
+    pair-graph CTE base (defaults to the exact n-gram graph)."""
+    return f"""WITH {pair_ctes or _PAIR_GRAPH_CTES},
        deg0 AS (SELECT node, COUNT(*) AS d FROM (
                  SELECT doc_a AS node FROM pairs
                  UNION ALL SELECT doc_b FROM pairs) u GROUP BY node),
@@ -4461,8 +4509,10 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ROUND(2.0 * CAST(COALESCE(tc.n_triangles, 0) AS DOUBLE)
               / (CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1.0)), 6)
       END AS clustering_coef
-    FROM deg LEFT JOIN tc ON deg.node = tc.node""",
-)
+    FROM deg LEFT JOIN tc ON deg.node = tc.node"""
+
+
+@q("q_clustering_coef", _clustering_sql())
 def q_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient per node of the degree-capped
     near-dup graph — T and d consistent under the same super-node cut
@@ -4474,9 +4524,10 @@ def q_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient(pairs, max_degree=64)
 
 
-@q(
-    "q_degree_assort",
-    f"""WITH {_PAIR_GRAPH_CTES},
+def _assort_sql(pair_ctes: str | None = None) -> str:
+    """Twin of operators/graph.degree_assortativity over a chosen
+    pair-graph CTE base (defaults to the exact n-gram graph)."""
+    return f"""WITH {pair_ctes or _PAIR_GRAPH_CTES},
        e0 AS (SELECT doc_a AS u, doc_b AS v FROM pairs
               UNION ALL SELECT doc_b, doc_a FROM pairs),
        deg AS (SELECT u, COUNT(*) AS d FROM e0 GROUP BY u),
@@ -4500,8 +4551,10 @@ def q_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) END
         AS assortativity
-    FROM m, nodes""",
-)
+    FROM m, nodes"""
+
+
+@q("q_degree_assort", _assort_sql())
 def q_degree_assort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row degree summary + assortativity of the near-dup graph —
     exact integer moments (operators/graph.degree_assortativity)."""
@@ -4510,3 +4563,40 @@ def q_degree_assort(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).select("doc_a", "doc_b")
     return degree_assortativity(pairs)
+
+
+def _minhash_graph_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production edge source: banded-MinHash near-dup pairs
+    (candidates bounded by LSH banding, linear at corpus scale —
+    PLANS.md §58) feeding the source-agnostic graph operators."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_banded_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+
+
+@q("q_kcore_minhash", _kcore_sql(pair_ctes=_minhash_pair_ctes()))
+def q_kcore_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreness layers of the banded-MinHash near-dup graph — the same
+    integer-only peeling as q_kcore, wired to the production edge
+    source (r6 VERDICT #6: prove the metric family scales on the graph
+    that scales)."""
+    from ..operators.graph import kcore_layers
+
+    return kcore_layers(_minhash_graph_pairs(spark, sf_dir), rounds=6)
+
+
+@q("q_clustering_minhash", _clustering_sql(pair_ctes=_minhash_pair_ctes()))
+def q_clustering_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient over the banded-MinHash graph
+    (degree-capped wedges, production edge source)."""
+    from ..operators.graph import clustering_coefficient
+
+    return clustering_coefficient(_minhash_graph_pairs(spark, sf_dir), max_degree=64)
+
+
+@q("q_assort_minhash", _assort_sql(pair_ctes=_minhash_pair_ctes()))
+def q_assort_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree summary + assortativity over the banded-MinHash graph
+    (exact integer moments, production edge source)."""
+    from ..operators.graph import degree_assortativity
+
+    return degree_assortativity(_minhash_graph_pairs(spark, sf_dir))
