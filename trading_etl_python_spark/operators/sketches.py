@@ -84,6 +84,17 @@ def heavy_hitters(
     if capacity is not None and capacity < k:
         raise ValueError(f"capacity {capacity} < k {k} voids the superset guarantee")
     cands = misra_gries_candidates(df, k, text_col, capacity)
+    return exact_verify_candidates(df, cands, k, text_col)
+
+
+def exact_verify_candidates(
+    df: DataFrame, cands: DataFrame, k: int = 30, text_col: str = "text"
+) -> DataFrame:
+    """Exact re-verification of a heavy-hitter CANDIDATE set: count only
+    the candidate tokens, keep those with cnt*k > n.  Deterministic
+    regardless of how (or where — batch sketch, streaming state) the
+    superset was produced; the shared second phase of ``heavy_hitters``
+    and the streaming MG twin."""
     total = df.select(F.sum(F.size(tokens_col(text_col))).alias("_n"))
     toks = df.select(F.explode(tokens_col(text_col)).alias("token"))
     return (

@@ -3262,6 +3262,53 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_stream_topk",
+    f"""WITH tok AS (
+         SELECT UNNEST({TOKS}) AS token FROM documents),
+       tot AS (SELECT COUNT(*) AS n FROM tok),
+       cnt AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token)
+       SELECT token, cnt, ROUND(CAST(cnt AS DOUBLE) / n, 6) AS share
+       FROM cnt, tot WHERE cnt * 64 > n""",
+)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters: the Misra-Gries sketch kept as
+    Structured Streaming STATE (streaming/pipeline.
+    stream_heavy_hitter_candidates — applyInPandasWithState, one
+    capacity-bounded summary per shard key) replayed availableNow to a
+    parquet sink, then the candidate UNION exactly re-verified batch
+    side (operators/sketches.exact_verify_candidates).  The judged
+    contract is the per-shard MG superset guarantee itself: if any
+    token with global frequency > n/64 escaped the streaming state, the
+    exact re-verify would miss a row the oracle has.  Same shape and
+    exactness argument as the batch q_heavy_hitters (cnt*k > n is an
+    integer predicate; share is a 6dp-rounded exact-count ratio)."""
+    import tempfile
+
+    from ..operators.sketches import exact_verify_candidates
+    from ..streaming.pipeline import (
+        documents_file_stream,
+        stream_heavy_hitter_candidates,
+    )
+
+    sink = os.path.join(_sink_root(), f"mgtopk_{next(_SINK_SEQ)}", "out")
+    with tempfile.TemporaryDirectory(prefix="ckpt_mgtopk_q_") as ckpt:
+        doc_stream = documents_file_stream(spark, sf_dir)
+        handle = (
+            stream_heavy_hitter_candidates(doc_stream, capacity=64, n_groups=8)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        handle.awaitTermination()
+    cands = spark.read.parquet(sink).select("token").distinct()
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_verify_candidates(docs, cands, k=64)
+
+
+@q(
     "q_tar_writer",
     """SELECT CAST(doc_id AS VARCHAR) AS key,
               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
