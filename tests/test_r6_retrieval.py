@@ -111,11 +111,23 @@ def test_tfidf_cosine_identical_docs_score_one(spark):
          (4, "red whale jumps")],
         "doc_id long, text string",
     )
+    # max_df 1/1 disables the hot-token cap: full-vector semantics
     out = {(r.doc_a, r.doc_b): r for r in
-           tfidf_cosine_pairs(docs, threshold=0.0).collect()}
+           tfidf_cosine_pairs(docs, threshold=0.0,
+                              max_df_num=1, max_df_den=1).collect()}
     # identical docs: cosine exactly 1 (same integer weight vectors)
     assert out[(1, 2)].cos_sim == 1.0 and out[(1, 2)].n_shared == 3
+    assert out[(1, 2)].capped_a == 0 and out[(1, 2)].capped_b == 0
     # disjoint docs never pair (no shared token -> no inverted-index row)
     assert (1, 3) not in out
     # partial overlap scores strictly between 0 and 1
     assert 0.0 < out[(1, 4)].cos_sim < 1.0 and out[(1, 4)].n_shared == 2
+
+    # default cap (df > 1/2 of corpus): red/jumps (df 3 of 4) leave the
+    # vector space; fox alone carries pair (1,2), whale alone doc 4's
+    # overlap with 1 — which disappears; audit columns count the cuts
+    capped = {(r.doc_a, r.doc_b): r for r in
+              tfidf_cosine_pairs(docs, threshold=0.0).collect()}
+    assert capped[(1, 2)].cos_sim == 1.0 and capped[(1, 2)].n_shared == 1
+    assert capped[(1, 2)].capped_a == 2 and capped[(1, 2)].capped_b == 2
+    assert (1, 4) not in capped
