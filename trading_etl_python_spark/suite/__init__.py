@@ -4,10 +4,15 @@ that reproduces the exact semantics (driver contract in
 /root/repo/__spark_entry__.py).
 
 Numeric-parity rules shared by builders and oracles (see operators/
-windows.py docstring): deterministic (time, event_id) intra-key order,
-explicit warmup-count guards, NULLIF'd denominators, floats rounded
-(4dp windowed aggregates, 6dp similarity/ratios) to absorb engine
-summation-order differences.
+windows.py docstring and the PLANS.md §62 rulebook): deterministic
+(time, event_id) intra-key order, explicit warmup-count guards,
+NULLIF'd denominators, and — for judged aggregates over doubles —
+integer quantization BEFORE aggregation (micro-unit sums, FLOOR-pattern
+means, closed-form ratios of exact integer moments) rather than a
+rounded float aggregate, which is accumulation-order-sensitive across
+engines/partitionings (the r5/r6 driver flake class).  6dp rounds
+remain on per-row ratios and small-denominator rationals, where the
+boundary argument is exact.
 """
 
 from __future__ import annotations
