@@ -291,3 +291,45 @@ def test_quantization_per_dim_error_bound(spark):
     for r in dq:
         for x, y, s in zip(r["embedding"], r["dq"], steps):
             assert abs(x - y) <= s / 2 + 1e-12
+
+
+def test_silhouette_separated_clusters(spark):
+    """Two tight, well-separated clusters: every vector's silhouette is
+    near 1; mislabel one vector into the far cluster and its silhouette
+    goes negative (closer to its true cluster's centroid)."""
+    from trading_etl_python_spark.operators.similarity import (
+        cluster_quality,
+        silhouette_scores,
+    )
+
+    rows = []
+    for i in range(4):
+        rows.append((i, [0.1 + 0.001 * i, 0.1], 0))       # cluster 0 near (0.1, 0.1)
+        rows.append((10 + i, [-0.4, -0.4 - 0.001 * i], 1))  # cluster 1 near (-0.4,-0.4)
+    rows.append((99, [0.1, 0.1], 1))  # mislabeled: sits in cluster 0
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.vec_id: r for r in silhouette_scores(emb).collect()}
+    assert all(out[i].silhouette > 0.9 for i in range(4))
+    assert out[99].silhouette < 0.0
+    assert out[99].b_sq < out[99].a_sq  # nearer the other centroid
+
+    q = {r.label: r for r in cluster_quality(emb).collect()}
+    assert q[0].n_vecs == 4 and q[1].n_vecs == 5
+    assert q[0].mean_sil > 0.9 > q[1].mean_sil
+
+
+def test_silhouette_bit_identical_under_repartition(spark, sf_dir):
+    """§62 rulebook compliance: exact integer moments -> bit-identical
+    under any input partitioning."""
+    from trading_etl_python_spark.operators.similarity import silhouette_scores
+    from trading_etl_python_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = {r.vec_id: (r.a_sq, r.b_sq, r.silhouette)
+            for r in silhouette_scores(emb).collect()}
+    for k in (1, 7):
+        got = {r.vec_id: (r.a_sq, r.b_sq, r.silhouette)
+               for r in silhouette_scores(emb.repartition(k)).collect()}
+        assert got == base and base

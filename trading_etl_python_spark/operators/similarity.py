@@ -1298,3 +1298,86 @@ def knn_classify(
             "best_sim",
         )
     )
+
+
+def silhouette_scores(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per vector — the standard
+    cluster-quality diagnostic for curation clusterings (SemDedup
+    buckets, k-means domains): a(i) = squared distance to the OWN
+    cluster centroid, b(i) = min squared distance to any OTHER
+    centroid, silhouette = (b - a) / max(a, b).  The brute-force
+    silhouette is O(N²) and dead at corpus scale; the centroid variant
+    is O(N·k) — one explode, one (label, dim) aggregation, one
+    broadcast-sized join on the dim index (centroids are k×dim rows),
+    one (vector, centroid) aggregation.  No pair space anywhere.
+
+    Exactness (PLANS.md §62 shape 1): components quantize to 1e-6
+    integer units (ROUND half-away-from-zero agrees across engines);
+    centroids are FLOOR-pattern integer means kept IN units; squared
+    distances are exact BIGINT sums (|x| <= 0.6 -> per-vector distance
+    <= ~1e14, int64- and double-exact); the only float op is the final
+    (b-a)/max(a,b) over two exact int64 casts, emitted unrounded.
+    Vectors in single-point clusters get a_sq = 0; max(a,b) = 0 (all
+    centroids identical) emits NULL via the NULLIF guard."""
+    e = emb.select(id_col, label_col, F.posexplode(vec_col).alias("i", "x"))
+    eq = e.select(
+        id_col,
+        label_col,
+        "i",
+        F.round(F.col("x").cast("double") * F.lit(1e6), 0).cast("long").alias("xq"),
+    )
+    cent = eq.groupBy(label_col, "i").agg(
+        F.floor(F.sum("xq") / F.count(F.lit(1))).alias("cq")
+    )
+    cc = cent.select(F.col(label_col).alias("lc"), "i", "cq")
+    d = (
+        eq.join(F.broadcast(cc), "i")
+        .groupBy(id_col, label_col, "lc")
+        .agg(
+            F.sum(
+                (F.col("xq") - F.col("cq")) * (F.col("xq") - F.col("cq"))
+            ).alias("dist")
+        )
+    )
+    s = d.groupBy(id_col, label_col).agg(
+        F.max(F.when(F.col("lc") == F.col(label_col), F.col("dist"))).alias("a_sq"),
+        F.min(F.when(F.col("lc") != F.col(label_col), F.col("dist"))).alias("b_sq"),
+    )
+    sil = (F.col("b_sq") - F.col("a_sq")).cast("double") / F.nullif(
+        F.greatest("a_sq", "b_sq").cast("double"), F.lit(0.0)
+    )
+    return s.select(id_col, label_col, "a_sq", "b_sq", sil.alias("silhouette"))
+
+
+def cluster_quality(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster quality summary over ``silhouette_scores``: member
+    count, within-cluster inertia (Σ a_sq, pre-divided to 1e-6 units
+    per row so the corpus-level sum stays int64 at any N), and the
+    mean silhouette via the FLOOR pattern (each per-vector silhouette
+    quantized to 1e-6 ints, summed exactly, FLOOR(Σq/n)/1e6 — PLANS.md
+    §62 shape 2; NULL silhouettes are excluded from both Σq and n on
+    both engines)."""
+    s = silhouette_scores(emb, id_col, label_col, vec_col)
+    sq = F.round(F.col("silhouette") * F.lit(1e6), 0).cast("long")
+    return (
+        s.withColumn("_sq", sq)
+        .withColumn(
+            "_iq", F.floor(F.col("a_sq").cast("double") / F.lit(1e6)).cast("long")
+        )
+        .groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("_iq").alias("inertia_q"),
+            (F.floor(F.sum("_sq") / F.count("_sq")) / F.lit(1e6)).alias("mean_sil"),
+        )
+    )

@@ -4647,3 +4647,57 @@ def q_assort_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import degree_assortativity
 
     return degree_assortativity(_minhash_graph_pairs(spark, sf_dir))
+
+
+_SILHOUETTE_CTES = """e AS (
+         SELECT vec_id, label, CAST(i AS INT) AS i,
+           CAST(ROUND(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1e6)
+                AS BIGINT) AS xq
+         FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+       c AS (SELECT label AS lc, i, CAST(FLOOR(SUM(xq) / COUNT(*)) AS BIGINT) AS cq
+             FROM e GROUP BY label, i),
+       d AS (SELECT e.vec_id, e.label, c.lc,
+               CAST(SUM((xq - cq) * (xq - cq)) AS BIGINT) AS dist
+             FROM e JOIN c ON e.i = c.i GROUP BY e.vec_id, e.label, c.lc),
+       s AS (SELECT vec_id, label,
+               MAX(CASE WHEN lc = label THEN dist END) AS a_sq,
+               MIN(CASE WHEN lc <> label THEN dist END) AS b_sq
+             FROM d GROUP BY vec_id, label),
+       sil AS (SELECT vec_id, label, a_sq, b_sq,
+               CAST(b_sq - a_sq AS DOUBLE)
+                 / NULLIF(CAST(GREATEST(a_sq, b_sq) AS DOUBLE), 0.0) AS silhouette
+             FROM s)"""
+
+
+@q(
+    "q_silhouette",
+    f"WITH {_SILHOUETTE_CTES} SELECT * FROM sil",
+)
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per embedding vector —
+    O(N·k), exact integer distance moments, final ratio unrounded
+    (operators/similarity.silhouette_scores; PLANS.md §65)."""
+    from ..operators.similarity import silhouette_scores
+
+    return silhouette_scores(load_table(spark, sf_dir, "embeddings"))
+
+
+@q(
+    "q_cluster_stats",
+    f"""WITH {_SILHOUETTE_CTES},
+       qrow AS (SELECT label,
+                 CAST(ROUND(silhouette * 1e6) AS BIGINT) AS sq,
+                 CAST(FLOOR(CAST(a_sq AS DOUBLE) / 1e6) AS BIGINT) AS iq
+               FROM sil)
+       SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+              CAST(SUM(iq) AS BIGINT) AS inertia_q,
+              FLOOR(SUM(sq) / COUNT(sq)) / 1e6 AS mean_sil
+       FROM qrow GROUP BY label""",
+)
+def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster quality summary: member count, 1e-6-unit inertia,
+    FLOOR-pattern mean silhouette
+    (operators/similarity.cluster_quality; PLANS.md §65)."""
+    from ..operators.similarity import cluster_quality
+
+    return cluster_quality(load_table(spark, sf_dir, "embeddings"))
