@@ -331,3 +331,14 @@ def test_prefix_jaccard_complete_vs_brute_force(spark):
             if jac >= 0.5:
                 want[(i, j)] = round(jac, 6)
     assert got == want and (0, 4) in got and got[(0, 4)] == 1.0
+
+
+def test_minhash_eval_counts_reconcile(spark, sf_dir):
+    """tp + fp = n_approx, tp + fn = n_exact, and P/R in [0,1]."""
+    from trading_etl_python_spark.operators.dedup import minhash_pair_eval
+    from trading_etl_python_spark.sources.tables import load_table
+
+    r = minhash_pair_eval(load_table(spark, sf_dir, "documents")).collect()[0]
+    assert r.tp + r.fp == r.n_approx
+    assert r.tp + r.fn == r.n_exact
+    assert 0.0 <= r.precision <= 1.0 and 0.0 <= r.recall <= 1.0

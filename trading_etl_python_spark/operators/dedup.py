@@ -1136,3 +1136,52 @@ def prefix_jaccard_pairs(
         inter.filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+def minhash_pair_eval(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Quality harness for the PRODUCTION near-dup path: banded-MinHash
+    pairs (approximate, linear at scale) scored against the exact
+    n-gram Jaccard >= t truth on the same corpus — one row with pair
+    counts, true/false positives, misses, and precision/recall.  This
+    is the measurement that justifies shipping the banded graph as the
+    default edge source (graph metrics, dup clusters): the judged
+    values quantify exactly what the banding trades away.
+
+    All counts are exact integers from one full outer join on the pair
+    key; precision/recall are 6dp rounds of single deterministic
+    int64-ratio doubles (PLANS.md §62 class a — no aggregate of floats
+    anywhere)."""
+    exact = ngram_jaccard_pairs(docs, n=shingle_n, threshold=threshold).select(
+        "doc_a", "doc_b", F.lit(1).alias("_e")
+    )
+    approx = minhash_banded_pairs(docs, threshold=threshold).select(
+        "doc_a", "doc_b", F.lit(1).alias("_m")
+    )
+    j = exact.join(approx, ["doc_a", "doc_b"], "full")
+    return j.agg(
+        F.count("_e").alias("n_exact"),
+        F.count("_m").alias("n_approx"),
+        F.count(F.when(F.col("_e").isNotNull() & F.col("_m").isNotNull(), 1)).alias("tp"),
+        F.count(F.when(F.col("_e").isNull(), 1)).alias("fp"),
+        F.count(F.when(F.col("_m").isNull(), 1)).alias("fn"),
+    ).select(
+        "n_exact",
+        "n_approx",
+        "tp",
+        "fp",
+        "fn",
+        F.round(
+            F.col("tp").cast("double")
+            / F.nullif(F.col("n_approx").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.col("tp").cast("double")
+            / F.nullif(F.col("n_exact").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("recall"),
+    )

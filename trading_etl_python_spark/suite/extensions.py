@@ -4701,3 +4701,47 @@ def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cluster_quality
 
     return cluster_quality(load_table(spark, sf_dir, "embeddings"))
+
+
+def _minhash_eval_sql(threshold: float = 0.5) -> str:
+    """One WITH chain sharing the shingle CTEs between the exact pair
+    build (_PAIR_GRAPH_CTES tail, renamed expairs) and the banded
+    MinHash build (_minhash_pair_ctes tail, renamed mhpairs), joined
+    full-outer on the pair key."""
+    ex_tail = _PAIR_GRAPH_CTES[len(_SHINGLE_CTES):].replace(
+        "pairs AS MATERIALIZED", "expairs AS MATERIALIZED"
+    )
+    mh_tail = _minhash_pair_ctes(threshold)[len(_SHINGLE_CTES):].replace(
+        "pairs AS MATERIALIZED", "mhpairs AS MATERIALIZED"
+    )
+    return f"""WITH {_SHINGLE_CTES}{ex_tail}{mh_tail},
+       j AS (SELECT COALESCE(e.doc_a, m.doc_a) AS doc_a,
+                    COALESCE(e.doc_b, m.doc_b) AS doc_b,
+                    e.doc_a IS NOT NULL AS in_e,
+                    m.doc_a IS NOT NULL AS in_m
+             FROM expairs e FULL JOIN mhpairs m
+               ON e.doc_a = m.doc_a AND e.doc_b = m.doc_b),
+       agg AS (SELECT
+           CAST(COUNT(CASE WHEN in_e THEN 1 END) AS BIGINT) AS n_exact,
+           CAST(COUNT(CASE WHEN in_m THEN 1 END) AS BIGINT) AS n_approx,
+           CAST(COUNT(CASE WHEN in_e AND in_m THEN 1 END) AS BIGINT) AS tp,
+           CAST(COUNT(CASE WHEN NOT in_e THEN 1 END) AS BIGINT) AS fp,
+           CAST(COUNT(CASE WHEN NOT in_m THEN 1 END) AS BIGINT) AS fn
+         FROM j)
+       SELECT n_exact, n_approx, tp, fp, fn,
+         ROUND(CAST(tp AS DOUBLE) / NULLIF(CAST(n_approx AS DOUBLE), 0.0), 6)
+           AS precision,
+         ROUND(CAST(tp AS DOUBLE) / NULLIF(CAST(n_exact AS DOUBLE), 0.0), 6)
+           AS recall
+       FROM agg"""
+
+
+@q("q_minhash_eval", _minhash_eval_sql())
+def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the banded-MinHash near-dup pairs against
+    the exact n-gram Jaccard truth — the judged evidence behind using
+    the banded graph as the production edge source
+    (operators/dedup.minhash_pair_eval)."""
+    from ..operators.dedup import minhash_pair_eval
+
+    return minhash_pair_eval(load_table(spark, sf_dir, "documents"), threshold=0.5)
