@@ -333,3 +333,34 @@ def test_silhouette_bit_identical_under_repartition(spark, sf_dir):
         got = {r.vec_id: (r.a_sq, r.b_sq, r.silhouette)
                for r in silhouette_scores(emb.repartition(k)).collect()}
         assert got == base and base
+
+
+def test_silhouette_translation_invariant(spark):
+    """Adding a 1e-6-grid-aligned constant vector to every embedding
+    shifts each quantized component and each centroid component by the
+    same integer, so every squared distance — and therefore every
+    silhouette — is EXACTLY unchanged (the integer-moment construction
+    makes this an identity, not an approximation)."""
+    import random
+
+    from trading_etl_python_spark.operators.similarity import silhouette_scores
+
+    rng = random.Random(7)
+    rows = [
+        (i, [round(rng.uniform(-0.5, 0.5), 6) for _ in range(8)], i % 3)
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    shift = [0.123456, -0.2, 0.000001, 0.4, -0.111111, 0.05, 0.25, -0.3]
+    shifted = spark.createDataFrame(
+        [(i, [round(v + s, 6) for v, s in zip(vec, shift)], lab)
+         for i, vec, lab in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    base = {r.vec_id: (r.a_sq, r.b_sq, r.silhouette)
+            for r in silhouette_scores(emb).collect()}
+    got = {r.vec_id: (r.a_sq, r.b_sq, r.silhouette)
+           for r in silhouette_scores(shifted).collect()}
+    assert base and got == base
