@@ -43,10 +43,15 @@ SF_DIR = _args[0] if len(_args) > 0 else "/root/testdata/sf0.01"
 FIRST_N = int(_args[1]) if len(_args) > 1 else 0  # 0 = all
 ONLY = set(_args[2:])
 
-# (shuffle.partitions, AQE enabled): the first is the vanilla-driver
-# default; the others force different exchange split counts — and with
-# them different per-partition float accumulation orders.
-JITTER_CONFIGS = [("200", "true"), ("7", "false"), ("32", "true")]
+# (shuffle.partitions, AQE enabled, files.maxPartitionBytes): the first
+# is the vanilla-driver default; the others force different exchange
+# split counts AND different parquet scan splits — both change
+# per-partition float accumulation order.
+JITTER_CONFIGS = [
+    ("200", "true", "134217728"),
+    ("7", "false", "134217728"),
+    ("32", "true", "65536"),  # tiny scan splits: input-order jitter
+]
 
 
 def main() -> None:
@@ -79,25 +84,27 @@ def main() -> None:
         try:
             if JITTER:
                 sdf, jitter_problem = None, None
-                for sp, aqe in JITTER_CONFIGS:
+                for sp, aqe, mpb in JITTER_CONFIGS:
                     spark.conf.set("spark.sql.shuffle.partitions", sp)
                     spark.conf.set("spark.sql.adaptive.enabled", aqe)
+                    spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
                     run = fn(spark, SF_DIR).toPandas()
                     if sdf is None:
                         sdf = run
                     else:
                         diff = compare(name, sdf, run)
                         if diff:
-                            jitter_problem = (sp, aqe, diff)
+                            jitter_problem = (sp, aqe, mpb, diff)
                             break
                 spark.conf.set("spark.sql.shuffle.partitions", "200")
                 spark.conf.set("spark.sql.adaptive.enabled", "true")
+                spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
                 if jitter_problem:
-                    sp, aqe, diff = jitter_problem
+                    sp, aqe, mpb, diff = jitter_problem
                     failures.append(name)
                     print(
                         f"FAIL  {name}: JITTER-UNSTABLE at "
-                        f"shuffle.partitions={sp} aqe={aqe}:"
+                        f"shuffle.partitions={sp} aqe={aqe} maxPartitionBytes={mpb}:"
                     )
                     for p in diff:
                         print(f"      {p}")
