@@ -62,3 +62,41 @@ def test_textrank_hub_scores_highest(spark):
     assert all(hub > s for s in out.values())
     # probability mass is conserved (no dangling nodes)
     assert abs(hub + sum(out.values()) - 1.0) < 1e-3
+
+
+def test_token_psi_detects_shifted_slice(spark):
+    """A slice whose vocabulary diverges from the rest shows a larger
+    PSI than an in-distribution slice; PSI >= 0 always."""
+    from trading_etl_python_spark.operators.text import token_psi_by_source
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base, "en", "srcA") for i in range(6)]
+    rows += [(10 + i, base, "en", "srcB") for i in range(6)]
+    rows += [(20 + i, "zumba welt karneval blitz donner wunder", "de", "srcC")
+             for i in range(6)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r.source: r.psi for r in token_psi_by_source(docs).collect()}
+    assert all(v >= 0 for v in out.values())
+    assert out["srcC"] > out["srcA"] and out["srcC"] > out["srcB"]
+
+
+def test_eval_contam_rate_bounds(spark, sf_dir):
+    """Rates live in [0,1]; n_hit <= n_shingles; an eval doc cloned
+    verbatim into train scores rate 1."""
+    from pyspark.sql import functions as F
+
+    from trading_etl_python_spark.operators.dedup import eval_contamination_rate
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, text, "eval"), (2, text, "train"),
+         (3, "one two three four five six seven eight nine ten", "eval")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.doc_id: r for r in eval_contamination_rate(
+        docs, F.col("source") == "eval", n=5).collect()}
+    assert out[1].contam_rate == 1.0          # verbatim clone in train
+    assert out[3].contam_rate == 0.0          # disjoint vocabulary
+    assert all(0 <= r.n_hit <= r.n_shingles for r in out.values())

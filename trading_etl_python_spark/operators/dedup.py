@@ -1185,3 +1185,45 @@ def minhash_pair_eval(
             6,
         ).alias("recall"),
     )
+
+
+def eval_contamination_rate(
+    df: DataFrame,
+    eval_pred: Column,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-side contamination rate — the complement of
+    ``contamination``: for every EVAL document, the fraction of its
+    distinct word n-grams that appear anywhere in the training side.
+    ``contamination`` answers "which train docs must I drop";
+    this answers "how dirty is my benchmark if I don't" — the
+    eval-cleanliness number model reports quote.
+
+    Scale shape mirrors ``contamination``: the eval shingle set is
+    small by construction and broadcast; the train corpus is scanned
+    once and never shuffles on its own size (one broadcast hash join +
+    distinct + per-eval-doc aggregation).  Counts are exact integers;
+    the rate is a 6dp round of one int64-ratio double (PLANS.md §62
+    class a)."""
+    ev = shingles(df.filter(eval_pred), n, text_col, id_col)
+    tr = shingles(df.filter(~eval_pred), n, text_col, id_col).select("shingle")
+    tot = ev.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    hit = (
+        tr.join(F.broadcast(ev), "shingle")
+        .select(id_col, "shingle")
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_nh"))
+    )
+    return tot.join(hit, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        F.coalesce("_nh", F.lit(0)).cast("long").alias("n_hit"),
+        F.round(
+            F.coalesce("_nh", F.lit(0)).cast("double")
+            / F.col("n_shingles").cast("double"),
+            6,
+        ).alias("contam_rate"),
+    )

@@ -4745,3 +4745,75 @@ def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_pair_eval
 
     return minhash_pair_eval(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _shingle5_sql(name: str, pred: str) -> str:
+    """5-gram DISTINCT shingle CTE pair over a filtered documents
+    subset (tok{name}, sh{name}) — same token/concat expressions as
+    _SHINGLE_CTES, n=5 bounds."""
+    g = " || ' ' || ".join(
+        "toks[i]" if j == 0 else f"toks[i+{j}]" for j in range(5)
+    )
+    return f"""tok{name} AS (
+         SELECT doc_id, {TOKS} AS toks FROM documents WHERE {pred}),
+       sh{name} AS (
+         SELECT DISTINCT doc_id, {g} AS shingle
+         FROM tok{name}, UNNEST(range(1, len(toks) - 3)) AS t(i)
+         WHERE len(toks) >= 5)"""
+
+
+@q(
+    "q_eval_contam_rate",
+    f"""WITH {_shingle5_sql('e', "source = 'src0'")},
+       {_shingle5_sql('t', "source <> 'src0'")},
+       tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM she GROUP BY doc_id),
+       hit AS (SELECT e.doc_id, COUNT(DISTINCT e.shingle) AS nh
+               FROM she e JOIN sht t ON e.shingle = t.shingle
+               GROUP BY e.doc_id)
+       SELECT tot.doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+              CAST(COALESCE(nh, 0) AS BIGINT) AS n_hit,
+              ROUND(CAST(COALESCE(nh, 0) AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6)
+                AS contam_rate
+       FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id""",
+)
+def q_eval_contam_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-doc contamination rate: fraction of each held-out doc's
+    distinct 5-grams found anywhere in the training side — the
+    benchmark-cleanliness complement of q_contamination
+    (operators/dedup.eval_contamination_rate)."""
+    from ..operators.dedup import eval_contamination_rate
+
+    return eval_contamination_rate(
+        load_table(spark, sf_dir, "documents"), F.col("source") == "src0", n=5
+    )
+
+
+@q(
+    "q_token_psi",
+    f"""WITH tok AS (
+         SELECT source AS grp, unnest({TOKS}) AS token FROM documents),
+       cnt AS (SELECT grp, token, COUNT(*) AS cs FROM tok GROUP BY 1, 2),
+       gtok AS (SELECT token, COUNT(*) AS ct FROM tok GROUP BY 1),
+       gtot AS (SELECT COUNT(*) AS t_all, COUNT(DISTINCT token) AS vocab FROM tok),
+       stot AS (SELECT grp, COUNT(*) AS t_grp FROM tok GROUP BY 1),
+       grid AS (SELECT s.grp, s.t_grp, g.t_all, g.vocab, k.ct,
+                       COALESCE(c.cs, 0) AS cs
+                FROM gtok k CROSS JOIN stot s
+                LEFT JOIN cnt c ON c.grp = s.grp AND c.token = k.token, gtot g),
+       term AS (SELECT grp, t_grp,
+           CAST(ROUND((
+               (cs + 1) / CAST(t_grp + vocab AS DOUBLE)
+               - (ct - cs + 1) / CAST(t_all - t_grp + vocab AS DOUBLE))
+             * LN(((cs + 1) / CAST(t_grp + vocab AS DOUBLE))
+                  / ((ct - cs + 1) / CAST(t_all - t_grp + vocab AS DOUBLE)))
+             * 1e9) AS BIGINT) AS q
+         FROM grid)
+       SELECT grp AS source, CAST(t_grp AS BIGINT) AS n_tokens,
+              CAST(SUM(q) AS DOUBLE) / 1e9 AS psi
+       FROM term GROUP BY grp, t_grp""",
+)
+def q_token_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution PSI of every source slice against the rest of
+    the corpus (1e-9-quantized terms, exact integer sum —
+    operators/text.token_psi_by_source)."""
+    return TX.token_psi_by_source(load_table(spark, sf_dir, "documents"))
