@@ -4817,3 +4817,64 @@ def q_token_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus (1e-9-quantized terms, exact integer sum —
     operators/text.token_psi_by_source)."""
     return TX.token_psi_by_source(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "q_stream_drift",
+    """WITH a AS (SELECT event_type, CAST(value AS DOUBLE) AS v
+                FROM events WHERE event_id % 2 = 0),
+       b AS (SELECT event_type, CAST(value AS DOUBLE) AS v
+             FROM events WHERE event_id % 2 = 1),
+       rng AS (SELECT event_type, MIN(v) AS mn, MAX(v) AS mx
+               FROM a GROUP BY event_type),
+       ab AS (SELECT a.event_type,
+                     CASE WHEN mx <= mn THEN 0
+                          ELSE LEAST(9, GREATEST(0,
+                               CAST(FLOOR((v - mn) / (mx - mn) * 10) AS INT)))
+                     END AS bucket, COUNT(*) AS n_a
+              FROM a JOIN rng USING (event_type) GROUP BY 1, 2),
+       bb AS (SELECT b.event_type,
+                     CASE WHEN mx <= mn THEN 0
+                          ELSE LEAST(9, GREATEST(0,
+                               CAST(FLOOR((v - mn) / (mx - mn) * 10) AS INT)))
+                     END AS bucket, COUNT(*) AS n_b
+              FROM b JOIN rng USING (event_type) GROUP BY 1, 2),
+       ta AS (SELECT event_type, CAST(SUM(n_a) AS DOUBLE) AS t FROM ab GROUP BY 1),
+       tb AS (SELECT event_type, CAST(SUM(n_b) AS DOUBLE) AS t FROM bb GROUP BY 1),
+       j AS (SELECT COALESCE(ab.event_type, bb.event_type) AS event_type,
+                    COALESCE(ab.bucket, bb.bucket) AS bucket,
+                    COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+             FROM ab FULL JOIN bb
+               ON ab.event_type = bb.event_type AND ab.bucket = bb.bucket)
+       SELECT j.event_type,
+              ROUND(SUM((n_a / ta.t + 1e-06 - (n_b / tb.t + 1e-06))
+                        * ln((n_a / ta.t + 1e-06) / (n_b / tb.t + 1e-06))), 6) AS psi,
+              CAST(0 AS BIGINT) AS batch_id
+       FROM j JOIN ta ON j.event_type = ta.event_type
+       JOIN tb ON j.event_type = tb.event_type
+       GROUP BY j.event_type""",
+)
+def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING drift monitor judged end-to-end: odd-id events
+    replayed as a file stream, scored per micro-batch against the
+    even-id static reference by foreachBatch PSI, audit rows landing
+    in an append-only parquet table keyed by batch_id
+    (streaming/pipeline.stream_drift_monitor).  The gate tables are
+    single parquet files and the files source never splits one file
+    across triggers, so the replay is exactly ONE deterministic batch —
+    the oracle is the batch PSI (identical to q_psi_drift's) plus
+    batch_id 0, the same single-batch pinning strategy as
+    q_stream_replay."""
+    import tempfile
+
+    from ..streaming.pipeline import events_file_stream, stream_drift_monitor
+
+    ref = load_events(spark, sf_dir).filter(F.col("event_id") % 2 == 0)
+    sink = os.path.join(_sink_root(), f"drift_{next(_SINK_SEQ)}", "out")
+    with tempfile.TemporaryDirectory(prefix="ckpt_drift_q_") as ckpt:
+        stream = events_file_stream(spark, sf_dir).filter(
+            F.col("event_id") % 2 == 1
+        )
+        handle = stream_drift_monitor(stream, ref, sink, ckpt)
+        handle.awaitTermination()
+    return spark.read.parquet(sink)
