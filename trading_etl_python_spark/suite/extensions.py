@@ -4878,3 +4878,33 @@ def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         handle = stream_drift_monitor(stream, ref, sink, ckpt)
         handle.awaitTermination()
     return spark.read.parquet(sink)
+
+
+@q(
+    "q_stream_cardinality",
+    f"""WITH base AS ({_hll_sql(8)})
+       SELECT event_type, hll_est, CAST(0 AS BIGINT) AS batch_id
+       FROM base""",
+)
+def q_stream_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming cardinality monitor judged end-to-end: the events
+    table replayed as one deterministic micro-batch (single-file gate
+    tables), each batch's per-group distinct count estimated with the
+    portable HLL and appended to the audit table keyed by batch_id
+    (streaming/pipeline.stream_cardinality_monitor).  Oracle =
+    q_hll_portable's register-exact SQL plus batch_id 0 — the same
+    single-batch pinning as q_stream_replay / q_stream_drift."""
+    import tempfile
+
+    from ..streaming.pipeline import (
+        events_file_stream,
+        stream_cardinality_monitor,
+    )
+
+    sink = os.path.join(_sink_root(), f"card_{next(_SINK_SEQ)}", "out")
+    with tempfile.TemporaryDirectory(prefix="ckpt_card_q_") as ckpt:
+        handle = stream_cardinality_monitor(
+            events_file_stream(spark, sf_dir), sink, ckpt
+        )
+        handle.awaitTermination()
+    return spark.read.parquet(sink)
