@@ -91,7 +91,7 @@ _NEW_R7: list[str] = [
     "q_kcore_minhash", "q_clustering_minhash", "q_assort_minhash",
     "q_stream_topk", "q_silhouette", "q_cluster_stats", "q_minhash_eval",
     "q_eval_contam_rate", "q_token_psi", "q_stream_drift",
-    "q_stream_cardinality",
+    "q_stream_cardinality", "q_stream_ingest",
 ]
 # r5-certified block (fresh greens, rotate last among certified).
 _CERTIFIED_R5 = [

@@ -4908,3 +4908,38 @@ def q_stream_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         handle.awaitTermination()
     return spark.read.parquet(sink)
+
+
+@q(
+    "q_stream_ingest",
+    f"""WITH pairs AS ({_minhash_incremental_sql(threshold=0.5)})
+       SELECT doc_id, lang, source FROM documents
+       WHERE doc_id % 2 = 1
+         AND doc_id NOT IN (SELECT doc_id FROM pairs)""",
+)
+def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming crawl-ingest dedup judged end-to-end: the odd-id
+    documents replay as one deterministic micro-batch, probe the
+    PERSISTED band-partitioned MinHash index of the even-id corpus
+    (write_minhash_index -> foreachBatch minhash_incremental_pairs),
+    and only never-seen docs land in the survivor sink
+    (streaming/pipeline.stream_ingest_dedup).  Oracle: the odd docs
+    minus q_dedup_incremental's pair SQL — so the judged contract spans
+    index WRITE, partition-pruned index READ, the incremental probe,
+    and the survivor anti-join in one row."""
+    import tempfile
+
+    from ..operators.dedup import write_minhash_index
+    from ..streaming.pipeline import documents_file_stream, stream_ingest_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = os.path.join(_sink_root(), f"ingest_{next(_SINK_SEQ)}")
+    idx, sink = os.path.join(root, "idx"), os.path.join(root, "out")
+    write_minhash_index(docs.filter(F.col("doc_id") % 2 == 0), idx)
+    with tempfile.TemporaryDirectory(prefix="ckpt_ingest_q_") as ckpt:
+        stream = documents_file_stream(spark, sf_dir).filter(
+            F.col("doc_id") % 2 == 1
+        )
+        handle = stream_ingest_dedup(stream, idx, sink, ckpt, threshold=0.5)
+        handle.awaitTermination()
+    return spark.read.parquet(sink).select("doc_id", "lang", "source")
