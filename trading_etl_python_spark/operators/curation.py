@@ -226,6 +226,15 @@ def dsir_weights(
         F.count(F.lit(1)).alias("cs"),
         F.count(F.when(F.col("lang") == target_lang, F.lit(1))).alias("ct"),
     ).localCheckpoint()
+    # NOTE: the checkpoint necessarily runs a job at plan-construction
+    # time — and eager=False would not avoid it (materializing the
+    # checkpoint RDD forces AQE to finalize the shuffle stages, measured
+    # on this build).  The cost buys single evaluation of the corpus
+    # token aggregation, which the totals broadcast and the score join
+    # would otherwise each recompute — the kcore/clustering precedent
+    # (graph.py:390-402).  tfidf_cosine_pairs stays fully lazy only
+    # because its shared value (N) is one scalar, cheap to re-derive
+    # in-plan; a vocab-sized table is not.
     totals = freq.agg(
         F.sum("cs").alias("tot_s"),
         F.sum("ct").alias("tot_t"),

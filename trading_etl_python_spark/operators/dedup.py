@@ -1158,7 +1158,7 @@ def minhash_pair_eval(
     exact = ngram_jaccard_pairs(docs, n=shingle_n, threshold=threshold).select(
         "doc_a", "doc_b", F.lit(1).alias("_e")
     )
-    approx = minhash_banded_pairs(docs, threshold=threshold).select(
+    approx = minhash_banded_pairs(docs, threshold=threshold, n=shingle_n).select(
         "doc_a", "doc_b", F.lit(1).alias("_m")
     )
     j = exact.join(approx, ["doc_a", "doc_b"], "full")
@@ -1208,12 +1208,17 @@ def eval_contamination_rate(
     the rate is a 6dp round of one int64-ratio double (PLANS.md §62
     class a)."""
     ev = shingles(df.filter(eval_pred), n, text_col, id_col)
-    tr = shingles(df.filter(~eval_pred), n, text_col, id_col).select("shingle")
+    # train doc identity is never needed here (unlike `contamination`):
+    # distinct the train shingles BEFORE the join so each eval shingle
+    # matches at most one row — no join fan-out, no post-join distinct
+    tr = (
+        shingles(df.filter(~eval_pred), n, text_col, id_col)
+        .select("shingle")
+        .distinct()
+    )
     tot = ev.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     hit = (
         tr.join(F.broadcast(ev), "shingle")
-        .select(id_col, "shingle")
-        .distinct()
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("_nh"))
     )

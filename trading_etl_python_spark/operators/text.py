@@ -1179,33 +1179,25 @@ def tfidf_cosine_pairs(
         F.floor(F.col("_n") / F.lit(float(rows_per_block))),
     )
     wall = tf.join(dfreq, "tok").crossJoin(stats)
-    # per-doc audit: distinct tokens removed by the df cap
-    capped = (
-        wall.filter(
-            F.col("dfr") * F.lit(max_df_den) > F.col("_n") * F.lit(max_df_num)
-        )
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_capped"))
-    )
+    kept = F.col("dfr") * F.lit(max_df_den) <= F.col("_n") * F.lit(max_df_num)
+    wq_expr = F.round(
+        F.col("tf").cast("double")
+        * F.log(F.col("_n").cast("double") / F.col("dfr").cast("double"))
+        * F.lit(1000000.0),
+        0,
+    ).cast("long")
     w = (
-        wall.filter(
-            F.col("dfr") * F.lit(max_df_den) <= F.col("_n") * F.lit(max_df_num)
-        )
-        .withColumn(
-            "wq",
-            F.round(
-                F.col("tf").cast("double")
-                * F.log(F.col("_n").cast("double") / F.col("dfr").cast("double"))
-                * F.lit(1000000.0),
-                0,
-            ).cast("long"),
-        )
+        wall.filter(kept)
+        .withColumn("wq", wq_expr)
         .withColumn("blk", porthash32(F.col(id_col).cast("string")) % nb_col)
         .drop("_n")
     )
-    nrm = w.groupBy(id_col).agg(F.sum(F.col("wq") * F.col("wq")).alias("nq"))
-    nrm = nrm.join(capped, id_col, "left").select(
-        id_col, "nq", F.coalesce("n_capped", F.lit(0).cast("long")).alias("nc")
+    # norms + the df-cap audit in ONE conditional aggregation over the
+    # wall subtree (a second filtered aggregation + left join would
+    # re-evaluate the tok->tf->dfreq lineage)
+    nrm = wall.groupBy(id_col).agg(
+        F.sum(F.when(kept, wq_expr * wq_expr)).alias("nq"),
+        F.count(F.when(~kept, F.lit(1))).alias("nc"),
     )
     a, b = w.alias("a"), w.alias("b")
     p = (

@@ -166,6 +166,7 @@ def psi_drift(
     group_col: str | None = None,
     n_buckets: int = 10,
     eps: float = 1e-6,
+    quantized: bool = False,
 ) -> DataFrame:
     """Population Stability Index between a reference and a comparison
     population (the standard feature-drift monitor: PSI < 0.1 stable,
@@ -178,7 +179,14 @@ def psi_drift(
     Scale: two narrow scans (one per population) feeding bucket-count
     aggregations — partial map-side combine to |groups| x n_buckets
     rows; the reference (min, max) ride in as a broadcast 1-row (or
-    per-group) table.  Nothing driver-side, no sort."""
+    per-group) table.  Nothing driver-side, no sort.
+
+    ``quantized=True`` switches the judged sum to the PLANS.md §62
+    shape: each bucket term quantized to 1e-9 integer units before the
+    (order-sensitive) sum, the PSI emitted as a 6dp round of the exact
+    integer sum / 1e9 — required for NEW judged queries (the streaming
+    drift monitor).  The default stays float-summed for q_psi_drift's
+    long-green r4 oracle (accepted precedent, jitter-certified)."""
     gcols = [group_col] if group_col else []
     rng = df_a.groupBy(*gcols).agg(
         F.min(F.col(value_col).cast("double")).alias("_mn"),
@@ -220,6 +228,11 @@ def psi_drift(
     pa = F.col("n_a") / F.col("_ta") + eps
     pb = F.col("n_b") / F.col("_tb") + eps
     term = (pa - pb) * F.log(pa / pb)
+    if quantized:
+        q = F.round(term * F.lit(1e9), 0).cast("long")
+        return joined.groupBy(*gcols).agg(
+            F.round(F.sum(q).cast("double") / F.lit(1e9), 6).alias("psi")
+        )
     agg = joined.groupBy(*gcols).agg(F.round(F.sum(term), 6).alias("psi"))
     return agg
 

@@ -668,7 +668,9 @@ def stream_drift_monitor(
     def score(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        out = psi_drift(reference, batch_df, value_col, group_col)
+        # quantized: judged rows must not be rounded float sums
+        # (PLANS.md §62) — each PSI term is 1e-9-integer-quantized
+        out = psi_drift(reference, batch_df, value_col, group_col, quantized=True)
         if with_ks:
             from ..operators.transforms import ks_drift
 

@@ -4151,10 +4151,8 @@ def q_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok
               GROUP BY doc_id, tok),
        dfq AS (SELECT tok, COUNT(*) AS dfr FROM tf GROUP BY tok),
-       wall AS (SELECT t.doc_id, t.tok, t.tf, d.dfr, nbt.n, nbt.nb
+       wall AS MATERIALIZED (SELECT t.doc_id, t.tok, t.tf, d.dfr, nbt.n, nbt.nb
                 FROM tf t JOIN dfq d ON t.tok = d.tok, nbt),
-       cap AS (SELECT doc_id, COUNT(*) AS nc FROM wall
-               WHERE dfr * 2 > n GROUP BY doc_id),
        w AS (SELECT doc_id, tok,
                CAST(ROUND(CAST(tf AS DOUBLE)
                     * LN(CAST(n AS DOUBLE) / CAST(dfr AS DOUBLE))
@@ -4162,10 +4160,16 @@ def q_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
                ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                  % nb AS blk
              FROM wall WHERE dfr * 2 <= n),
-       nrm AS (SELECT w.doc_id, SUM(wq*wq) AS nq,
-                      COALESCE(ANY_VALUE(cap.nc), 0) AS nc
-               FROM w LEFT JOIN cap ON w.doc_id = cap.doc_id
-               GROUP BY w.doc_id),
+       nrm AS (SELECT doc_id,
+               SUM(CASE WHEN dfr * 2 <= n THEN
+                     CAST(ROUND(CAST(tf AS DOUBLE)
+                          * LN(CAST(n AS DOUBLE) / CAST(dfr AS DOUBLE))
+                          * 1000000.0, 0) AS BIGINT)
+                     * CAST(ROUND(CAST(tf AS DOUBLE)
+                          * LN(CAST(n AS DOUBLE) / CAST(dfr AS DOUBLE))
+                          * 1000000.0, 0) AS BIGINT) END) AS nq,
+               COUNT(CASE WHEN dfr * 2 > n THEN 1 END) AS nc
+               FROM wall GROUP BY doc_id),
        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                SUM(a.wq*b.wq) AS dot, COUNT(*) AS n_shared
              FROM w a JOIN w b ON a.tok = b.tok AND a.blk = b.blk
@@ -4705,12 +4709,18 @@ def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_eval_sql(threshold: float = 0.5) -> str:
     """One WITH chain sharing the shingle CTEs between the exact pair
-    build (_PAIR_GRAPH_CTES tail, renamed expairs) and the banded
-    MinHash build (_minhash_pair_ctes tail, renamed mhpairs), joined
-    full-outer on the pair key."""
+    build (_PAIR_GRAPH_CTES tail, renamed expairs, its threshold
+    rewritten to ``threshold`` — the constant graph uses 0.5) and the
+    banded MinHash build (_minhash_pair_ctes tail, renamed mhpairs),
+    joined full-outer on the pair key.  Both sides MUST threshold
+    identically or the eval measures shingle/threshold disagreement
+    instead of banding error (operators/dedup.minhash_pair_eval
+    thresholds both sides with the same parameter)."""
     ex_tail = _PAIR_GRAPH_CTES[len(_SHINGLE_CTES):].replace(
         "pairs AS MATERIALIZED", "expairs AS MATERIALIZED"
     )
+    assert ">= 0.5)" in ex_tail  # the exact tail's literal threshold
+    ex_tail = ex_tail.replace(">= 0.5)", f">= {threshold})")
     mh_tail = _minhash_pair_ctes(threshold)[len(_SHINGLE_CTES):].replace(
         "pairs AS MATERIALIZED", "mhpairs AS MATERIALIZED"
     )
@@ -4845,14 +4855,17 @@ def q_token_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
                     COALESCE(ab.bucket, bb.bucket) AS bucket,
                     COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
              FROM ab FULL JOIN bb
-               ON ab.event_type = bb.event_type AND ab.bucket = bb.bucket)
-       SELECT j.event_type,
-              ROUND(SUM((n_a / ta.t + 1e-06 - (n_b / tb.t + 1e-06))
-                        * ln((n_a / ta.t + 1e-06) / (n_b / tb.t + 1e-06))), 6) AS psi,
+               ON ab.event_type = bb.event_type AND ab.bucket = bb.bucket),
+       q AS (SELECT j.event_type,
+              CAST(ROUND((n_a / ta.t + 1e-06 - (n_b / tb.t + 1e-06))
+                        * ln((n_a / ta.t + 1e-06) / (n_b / tb.t + 1e-06))
+                        * 1e9) AS BIGINT) AS qt
+             FROM j JOIN ta ON j.event_type = ta.event_type
+             JOIN tb ON j.event_type = tb.event_type)
+       SELECT event_type,
+              ROUND(CAST(SUM(qt) AS DOUBLE) / 1e9, 6) AS psi,
               CAST(0 AS BIGINT) AS batch_id
-       FROM j JOIN ta ON j.event_type = ta.event_type
-       JOIN tb ON j.event_type = tb.event_type
-       GROUP BY j.event_type""",
+       FROM q GROUP BY event_type""",
 )
 def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING drift monitor judged end-to-end: odd-id events
@@ -4862,9 +4875,11 @@ def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/pipeline.stream_drift_monitor).  The gate tables are
     single parquet files and the files source never splits one file
     across triggers, so the replay is exactly ONE deterministic batch —
-    the oracle is the batch PSI (identical to q_psi_drift's) plus
-    batch_id 0, the same single-batch pinning strategy as
-    q_stream_replay."""
+    the oracle is the batch PSI plus batch_id 0, the same single-batch
+    pinning strategy as q_stream_replay.  Unlike the r4-green
+    q_psi_drift (accepted float-sum precedent), this NEW row follows
+    the §62 rulebook: every PSI term is 1e-9-integer-quantized before
+    the order-sensitive sum (psi_drift(quantized=True))."""
     import tempfile
 
     from ..streaming.pipeline import events_file_stream, stream_drift_monitor
