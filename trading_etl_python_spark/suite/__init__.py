@@ -87,6 +87,15 @@ _PENDING_R6: list[str] = [
 # Queries BORN in r7 (appended as each lands; certified AFTER the
 # pending-r6 backlog — first driver rows for the backlog beat fresh
 # births, per the r6 VERDICT rotation mandate).
+# r8 NOTE: the r7 window (~50) covers _FIXED_R7 (2) + _PENDING_R6[:48]
+# (through q_underwater).  Round 8 must front-load, in order:
+#   1. _PENDING_R6[48:] — the 18 entries q_hits..q_hourly_profile,
+#   2. _NEW_R7 — the 12 r7-born entries (all locally 3-SF-gated AND
+#      jitter-certified, sweeps/r7_jitter_full_sf001.log),
+#   3. any r8-new entries, then stale greens.
+# All 305 queries passed the full 3-axis jitter gate at r7 close; any
+# new judged float aggregate must follow PLANS.md §62 (quantize to
+# integer units or document exactness) BEFORE registration.
 _NEW_R7: list[str] = [
     "q_kcore_minhash", "q_clustering_minhash", "q_assort_minhash",
     "q_stream_topk", "q_silhouette", "q_cluster_stats", "q_minhash_eval",
