@@ -285,6 +285,50 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert not any(r["doc_a"] == 0 and r["doc_b"] == 1 for r in jac)  # jaccard misses it
 
 
+def test_containment_capped_removes_boilerplate_and_audits(spark):
+    # boilerplate shingle block shared by ALL docs (df = 4/4 > 1/2 cap)
+    boiler = "copyright acme corp all rights reserved"
+    long = boiler + " " + " ".join(f"w{i}" for i in range(60))
+    subset = boiler + " " + " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(0, long), (1, subset),
+         (2, boiler + " " + " ".join(f"x{i}" for i in range(10))),
+         (3, boiler + " " + " ".join(f"y{i}" for i in range(10)))],
+        ["doc_id", "text"],
+    )
+    out = {(r["doc_a"], r["doc_b"]): r
+           for r in D.ngram_containment_capped_pairs(df, threshold=0.8).collect()}
+    # subset containment survives the cap; boilerplate-only overlaps
+    # (0,2)/(0,3)/(2,3) must NOT pair — their shared shingles are capped
+    assert set(out) == {(0, 1)}
+    r = out[(0, 1)]
+    assert r["containment"] == 1.0  # over the KEPT space
+    # audit columns: the boilerplate run contributes capped shingles on
+    # both sides (interior shingles bridging boiler->unique text differ
+    # per doc, so only the pure-boilerplate shingles have df 4)
+    assert r["capped_a"] >= 4 and r["capped_b"] >= 4
+    # unbounded twin DOES pair the boilerplate-only docs at this
+    # threshold? no — their containment is diluted by unique shingles;
+    # instead pin that the capped form matches the unbounded one on the
+    # true subset pair's verdict
+    unb = {(r2["doc_a"], r2["doc_b"])
+           for r2 in D.ngram_containment_pairs(df, threshold=0.8).collect()}
+    assert (0, 1) in unb
+
+
+def test_containment_capped_blocks_complete_at_small_n(spark):
+    # n < rows_per_block -> nb = 1 -> identical pair SET to the
+    # unbounded form when no shingle crosses the df cap
+    docs = [(i, " ".join(f"d{i}w{j}" for j in range(12))) for i in range(6)]
+    docs.append((6, docs[0][1]))  # exact twin of doc 0
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    capped = {(r["doc_a"], r["doc_b"])
+              for r in D.ngram_containment_capped_pairs(df, threshold=0.8).collect()}
+    unb = {(r["doc_a"], r["doc_b"])
+           for r in D.ngram_containment_pairs(df, threshold=0.8).collect()}
+    assert capped == unb == {(0, 6)}
+
+
 def test_dup_weights_sum_to_cluster_units(spark):
     a = " ".join(f"a{i}" for i in range(20))
     df = spark.createDataFrame(

@@ -818,6 +818,105 @@ def ngram_containment_pairs(
     )
 
 
+def ngram_containment_capped_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    rows_per_block: int = 500,
+    max_df_num: int = 1,
+    max_df_den: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bounded production twin of ``ngram_containment_pairs`` (r7
+    VERDICT #2 — the unbounded exact form measured 28.5x at 10x data,
+    the registry's worst ratio; it stays as the measurement twin, this
+    is the deployable shape).  Two bounds, both exact and both visible
+    in the output:
+
+    - **shingle df-cap** (the ``tfidf_cosine_pairs`` pattern,
+      text.py): shingles present in more than ``max_df_num/max_df_den``
+      of the corpus are excluded from the containment space BEFORE the
+      join — an exact integer predicate (dfr*den <= N*num, no float
+      boundary).  A boilerplate shingle shared by every doc contributes
+      O(N²) join pairs while carrying no dedup signal; the cap removes
+      exactly that class.  NOT silent: every pair carries
+      ``capped_a``/``capped_b`` = how many of each doc's distinct
+      shingles the cap removed, and the denominator is the KEPT count,
+      so the emitted containment is exactly containment-over-the-
+      capped-space (sklearn ``max_df`` convention).
+    - **corpus-scaled hash blocks**: pairs are enumerated within
+      ``nb = max(1, N/rows_per_block)`` deterministic md5 buckets of
+      doc_id, so the worst-case pair space grows linearly with N even
+      on a closed shingle vocabulary where every df is below the cap
+      (the synthetic-testdata regime: 30k-shingle vocab, max df 0.26%
+      of corpus — measured in the r8 notes).  At gate scale nb=1 and
+      the enumeration is complete; the oracle reproduces the block
+      key bit-for-bit (portable md5 hash).
+
+    N enters the plan as a broadcast 1-row aggregate (no driver-side
+    count, no re-scan — the r6 VERDICT #3 discipline).  Why the
+    length-ratio prefilter is still absent: containment exists to catch
+    size-skewed subset dups, which that filter would discard (the
+    unbounded twin's docstring argument carries over unchanged)."""
+    stats = F.broadcast(df.agg(F.count(F.lit(1)).alias("_n")))
+    sh = shingles(df, n, text_col, id_col).select(
+        id_col, F.xxhash64("shingle").alias("h")
+    )
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("dfr"))
+    wall = sh.join(dfreq, "h").crossJoin(stats)
+    kept = F.col("dfr") * F.lit(max_df_den) <= F.col("_n") * F.lit(max_df_num)
+    nb_col = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(F.col("_n") / F.lit(float(rows_per_block))),
+    )
+    w = (
+        wall.filter(kept)
+        .withColumn("blk", porthash32(F.col(id_col).cast("string")) % nb_col)
+        .select(id_col, "h", "blk")
+    )
+    # kept-size + cap audit in ONE conditional aggregation over the
+    # wall subtree (the tfidf_cosine_pairs norm/audit construction)
+    cnt = wall.groupBy(id_col).agg(
+        F.count(F.when(kept, F.lit(1))).alias("n_kept"),
+        F.count(F.when(~kept, F.lit(1))).alias("n_capped"),
+    )
+    a, b = w.alias("a"), w.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = cnt.select(
+        F.col(id_col).alias("doc_a"), F.col("n_kept").alias("n_a"),
+        F.col("n_capped").alias("capped_a"),
+    )
+    cb = cnt.select(
+        F.col(id_col).alias("doc_b"), F.col("n_kept").alias("n_b"),
+        F.col("n_capped").alias("capped_b"),
+    )
+    cont = F.col("inter").cast("double") / F.least("n_a", "n_b")
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("_cont", cont)
+        .filter(F.col("_cont") >= threshold)
+        .select(
+            "doc_a", "doc_b",
+            F.round("_cont", 6).alias("containment"),
+            "capped_a", "capped_b",
+        )
+    )
+
+
 def dup_aware_weights(
     df: DataFrame,
     n: int = 3,

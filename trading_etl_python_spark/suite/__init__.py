@@ -34,14 +34,16 @@ for mod in (core, relational, extensions, analytics, behavior, sql_api):
 
 # Registry order = driver-certification rotation.  The external driver
 # records CORRECTNESS rows for only the FIRST ~50 registry entries per
-# round.  Cumulative state entering round 7: 293 registry queries, 227
-# driver-sampled, 225 ever-green; the two reds (q_spearman r5+r6,
-# q_dsir_weights r6) were both accumulation-order float flakes, rebuilt
-# this round on exact integer moments (operators/analytics.py
-# basket_spearman, operators/curation.py dsir_weights) — they go FIRST.
-# Then the 66 r6-born queries whose driver window never reached them
-# (oldest-born first, exactly the r6 NOTE's plan), then any r7-new
-# entries, then stale greens refresh the tail.
+# round.  Cumulative state entering round 8: 305 registry queries, 275
+# driver-sampled, 275 latest-green, ZERO ever-red outstanding
+# (CORRECTNESS_r07: 50/50 pass incl. the two rebuilt ever-reds).  The
+# r7 window covered _FIXED_R7 (2) + _PENDING_R6[:48] (through q_hurst
+# — the driver json is authoritative; the r7 NOTE's "through
+# q_underwater" was off by two).  Round 8 front-loads, per the r7
+# VERDICT mandate: the 18 never-sampled r6-born entries
+# (q_runs_test..q_hourly_profile), then the 12 r7-born entries, then
+# r8 births (containment/verify df-cap twins + MinHash graph twins for
+# triangles/communities), then the oldest stale greens.
 _FIXED_R7 = [
     "q_spearman",      # r5+r6 red -> integer doubled-rank moments, no ROUND(CORR)
     "q_dsir_weights",  # r6 red -> 1e-6-quantized log-ratios, FLOOR-pattern mean
@@ -84,18 +86,11 @@ _PENDING_R6: list[str] = [
     "q_streaks", "q_month_effect", "q_topk_days", "q_rel_strength",
     "q_markov", "q_inter_event", "q_cohort_value", "q_hourly_profile",
 ]
-# Queries BORN in r7 (appended as each lands; certified AFTER the
-# pending-r6 backlog — first driver rows for the backlog beat fresh
-# births, per the r6 VERDICT rotation mandate).
-# r8 NOTE: the r7 window (~50) covers _FIXED_R7 (2) + _PENDING_R6[:48]
-# (through q_underwater).  Round 8 must front-load, in order:
-#   1. _PENDING_R6[48:] — the 18 entries q_hits..q_hourly_profile,
-#   2. _NEW_R7 — the 12 r7-born entries (all locally 3-SF-gated AND
-#      jitter-certified, sweeps/r7_jitter_full_sf001.log),
-#   3. any r8-new entries, then stale greens.
-# All 305 queries passed the full 3-axis jitter gate at r7 close; any
-# new judged float aggregate must follow PLANS.md §62 (quantize to
-# integer units or document exactness) BEFORE registration.
+# Queries BORN in r7, never driver-sampled — r8 window body part 2.
+# All locally 3-SF-gated AND jitter-certified
+# (sweeps/r7_jitter_full_sf001.log).  Any new judged float aggregate
+# must follow PLANS.md §62 (quantize to integer units or document
+# exactness) BEFORE registration.
 _NEW_R7: list[str] = [
     "q_kcore_minhash", "q_clustering_minhash", "q_assort_minhash",
     "q_stream_topk", "q_silhouette", "q_cluster_stats", "q_minhash_eval",
@@ -131,13 +126,25 @@ _CERTIFIED_R4 = [
     "q_asof_forward", "q_asof_nearest",
     "q_semdedup", "q_bpe_pairs", "q_cdc_dedup",
 ]
-_HEAD_SET = {*_FIXED_R7, *_CERTIFIED_R6, *_PENDING_R6, *_NEW_R7}
+# r7-certified block (CORRECTNESS_r07: 50/50 green) — freshest greens,
+# rotate last.
+_CERTIFIED_R7 = [*_FIXED_R7, *_PENDING_R6[:48]]
+# The 18 r6-born entries the r7 window never reached — r8 window body
+# part 1 (q_runs_test..q_hourly_profile, birth order).
+_PENDING_R8 = _PENDING_R6[48:]
+# Queries BORN in r8 (appended as each lands; after the backlog, per
+# the r7 VERDICT: new births only in service of its items 2–5).
+_NEW_R8: list[str] = [
+    "q_containment_capped",  # VERDICT #2: df-cap + block bound, 1.81x at 10x
+]
+_HEAD_SET = {*_CERTIFIED_R7, *_CERTIFIED_R6, *_PENDING_R8, *_NEW_R7,
+             *_NEW_R8}
 _PRIORITY = [
-    *_FIXED_R7,    # the two ever-red rows, rebuilt order-invariant
-    *_PENDING_R6,  # 66 never-sampled r6-born queries, oldest first
-    *_NEW_R7,
+    *_PENDING_R8,  # 18 never-sampled r6-born queries, oldest first
+    *_NEW_R7,      # 12 never-sampled r7-born queries
+    *_NEW_R8,      # r8 births (VERDICT items 2-4)
     # stale greens refresh the tail: oldest (r2/r3 core+relational)
-    # first, then r4, r5, r6 blocks
+    # first, then r4, r5, r6, r7 blocks
     *(n for n in core.QUERIES
       if n not in _CERTIFIED_R4 and n not in _CERTIFIED_R5
       and n not in _HEAD_SET),
@@ -147,6 +154,7 @@ _PRIORITY = [
     *(n for n in _CERTIFIED_R4 if n not in _HEAD_SET),
     *(n for n in _CERTIFIED_R5 if n not in _HEAD_SET),
     *_CERTIFIED_R6,
+    *_CERTIFIED_R7,
 ]
 
 assert len(_PRIORITY) == len(set(_PRIORITY)) and all(n in _ALL for n in _PRIORITY)

@@ -255,9 +255,50 @@ def q_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment near-dup pairs (|A∩B| / min — catches subset
     duplicates symmetric Jaccard misses on size-skewed pairs;
-    operators/dedup.ngram_containment_pairs)."""
+    operators/dedup.ngram_containment_pairs).  Unbounded exact form —
+    the measurement twin; q_containment_capped is the production
+    shape (r7 VERDICT #2)."""
     docs = load_table(spark, sf_dir, "documents")
     return D.ngram_containment_pairs(docs, n=3, threshold=0.8)
+
+
+@q(
+    "q_containment_capped",
+    f"""WITH {_SHINGLE_CTES},
+       nn AS (SELECT COUNT(*) AS n FROM documents),
+       nbt AS (SELECT GREATEST(1, n // 500) AS nb, n FROM nn),
+       dfq AS (SELECT shingle, COUNT(*) AS dfr FROM sh GROUP BY shingle),
+       wall AS MATERIALIZED (
+         SELECT s.doc_id, s.shingle, d.dfr, nbt.n, nbt.nb
+         FROM sh s JOIN dfq d ON s.shingle = d.shingle, nbt),
+       w AS (SELECT doc_id, shingle,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % nb AS blk
+             FROM wall WHERE dfr * 2 <= n),
+       cnt AS (SELECT doc_id,
+                 COUNT(CASE WHEN dfr * 2 <= n THEN 1 END) AS n_kept,
+                 COUNT(CASE WHEN dfr * 2 > n THEN 1 END) AS n_capped
+               FROM wall GROUP BY doc_id),
+       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+             FROM w a JOIN w b ON a.shingle = b.shingle AND a.blk = b.blk
+                              AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+              ROUND(CAST(inter AS DOUBLE) / LEAST(ca.n_kept, cb.n_kept), 6)
+                AS containment,
+              CAST(ca.n_capped AS BIGINT) AS capped_a,
+              CAST(cb.n_capped AS BIGINT) AS capped_b
+       FROM p JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+       WHERE CAST(inter AS DOUBLE) / LEAST(ca.n_kept, cb.n_kept) >= 0.8""",
+)
+def q_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded containment near-dup (the production twin, r7 VERDICT
+    #2): exact-integer shingle df-cap (> 1/2 of corpus) with per-doc
+    capped_a/capped_b audit columns + corpus-scaled md5 hash-block
+    pair bound (nb = N/500; complete enumeration at gate scale where
+    nb = 1) — operators/dedup.ngram_containment_capped_pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_containment_capped_pairs(docs, n=3, threshold=0.8)
 
 
 @q(
