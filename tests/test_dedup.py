@@ -76,6 +76,30 @@ def test_minhash_identical_docs_estimate_one(spark):
     assert [(r.doc_a, r.doc_b, r.approx_jaccard) for r in got] == [(1, 2, 1.0)]
 
 
+def test_banded_verified_scores_exact_on_banded_candidates(spark, sf_dir):
+    """The banded-verified twin emits EXACT Jaccard (not the 32-perm
+    estimate) for every pair, and its pair set is the banded candidate
+    set intersected with the exact >= threshold filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    verified = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.minhash_banded_verified_pairs(docs, threshold=0.5).collect()
+    }
+    # every verified pair carries the exact score and passes the threshold
+    for pair, j in verified.items():
+        assert pair in exact and exact[pair] == j and j >= 0.5
+    # candidate filter only ever REMOVES exact pairs (banding miss),
+    # never adds: verified ⊆ exact, and high-J pairs are recalled
+    assert set(verified) <= set(exact)
+    hi = {p for p, j in exact.items() if j >= 0.9}
+    if hi:
+        assert len(hi & set(verified)) / len(hi) >= 0.9
+
+
 def test_simhash_pairs_respect_hamming_bound(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.simhash_pairs(docs, max_hamming=3).collect()

@@ -187,6 +187,21 @@ def minhash_lsh_verified_pairs(
     cand = minhash_lsh_pairs(
         df, threshold, num_hash_tables, text_col, id_col
     ).select("doc_a", "doc_b").localCheckpoint(eager=False)
+    return _verify_pairs_exact_jaccard(df, cand, threshold, n, text_col, id_col)
+
+
+def _verify_pairs_exact_jaccard(
+    df: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    n: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact-Jaccard verification tail shared by every two-phase
+    near-dup variant: compute shingle-set Jaccard for the candidate
+    pairs ONLY and keep those >= threshold.  The shingle explode is
+    semi-join-pruned to candidate docs before the intersection join."""
     sh = shingles(df, n, text_col, id_col).select(
         id_col, F.xxhash64("shingle").alias("h")
     )
@@ -214,6 +229,64 @@ def minhash_lsh_verified_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def minhash_banded_verified_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    seed: int = 7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Two-phase near-dup with BOUNDED candidate generation (r7 VERDICT
+    #3): hand-rolled banded-MinHash candidates (AND-amplification — a
+    pair collides only on a FULL band of ``num_perm/bands`` signature
+    components, so bucket collision probability is J^r per band and
+    bucket sizes stay bounded as the corpus grows) + the shared
+    exact-Jaccard verification tail.
+
+    Why this replaces ``minhash_lsh_verified_pairs`` as the production
+    shape: Spark ML's MinHashLSH amplifies OR-only — each of its hash
+    tables keys on a SINGLE minhash component, so a table's bucket for
+    value v holds every doc whose min-permutation equals v.  On the r8
+    measurement the sf1 corpus produced only 80 verified pairs, yet the
+    ML path ran 12.1x at 10x data: the cost is the approxSimilarityJoin
+    internal bucket join (single-hash buckets grow linearly with N ->
+    internal pair space ~N^2), NOT the verify join the r7 VERDICT
+    suspected — a df-cap there would bound nothing.  AND-amplified
+    bands collapse those buckets (P(collision) = J^r vs J), which is
+    the classic LSH design point for corpus-scale dedup.
+
+    Parity contract: unlike the ML variant (engine-seeded hashes,
+    recall argued probabilistically), BOTH phases here are portable —
+    the oracle reproduces the banded candidate set bit-for-bit (same
+    md5-derived hashes, same LCG permutation constants) and applies the
+    same exact-Jaccard filter, so the output is engine-independent by
+    construction with NO recall assumption."""
+    banded = banded_signatures(df, num_perm, bands, n, seed, text_col, id_col)
+    ba, bb = banded.alias("a"), banded.alias("b")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+        # the verify tail consumes cand twice (semi-join id set + the
+        # intersection join); checkpointing the tiny pair list beats
+        # re-running the banding self-join (measured r8: 3.9 -> 1.0 s
+        # cold at sf0.1 — the minhash_lsh_verified_pairs precedent)
+        .localCheckpoint(eager=False)
+    )
+    return _verify_pairs_exact_jaccard(df, cand, threshold, n, text_col, id_col)
 
 
 def minhash_signatures(

@@ -132,6 +132,52 @@ def _minhash_sql(threshold: float = 0.5, num_perm: int = 32, bands: int = 8) -> 
        WHERE aj >= {threshold}"""
 
 
+def _minhash_banded_verified_sql(
+    threshold: float = 0.5, num_perm: int = 32, bands: int = 8
+) -> str:
+    """SQL twin of minhash_banded_verified_pairs: the SAME banded
+    candidate construction as _minhash_sql (portable md5 hashes, shared
+    LCG permutation constants), then EXACT shingle-set Jaccard on the
+    candidates — both phases engine-independent, no recall argument
+    needed (unlike the ML-candidate variant's oracle)."""
+    a, b = D.minhash_params(num_perm)
+    r = num_perm // bands
+    mins = ",\n           ".join(
+        f"MIN((h * {a[k]} + {b[k]}) % {D.MINHASH_P}) AS m{k}" for k in range(num_perm)
+    )
+    band_sel = "\n         UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, concat_ws('_', "
+        + ", ".join(f"m{i * r + j}" for j in range(r))
+        + ") AS key FROM sig"
+        for i in range(bands)
+    )
+    return f"""WITH {_SHINGLE_CTES},
+       hs AS (SELECT doc_id, {_PH_HI.format(c='shingle')} AS h FROM sh),
+       sig AS (SELECT doc_id,
+           {mins}
+         FROM hs GROUP BY doc_id),
+       bands AS ({band_sel}),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       inter AS (
+         SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+         FROM cand c
+         JOIN sh a ON a.doc_id = c.doc_a
+         JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+              ROUND(CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 6)
+                AS jaccard
+       FROM inter
+       JOIN cnt ca ON ca.doc_id = doc_a
+       JOIN cnt cb ON cb.doc_id = doc_b
+       WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter)
+             >= {threshold}"""
+
+
 def _minhash_incremental_sql(
     threshold: float = 0.5,
     num_perm: int = 32,
@@ -428,11 +474,25 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
        WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5""",
 )
 def q_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Library MinHashLSH candidates + exact-Jaccard verification (the
-    two-phase production near-dup shape; operators/dedup.py
-    minhash_lsh_verified_pairs)."""
+    """Library MinHashLSH candidates + exact-Jaccard verification
+    (operators/dedup.minhash_lsh_verified_pairs).  Library-native
+    measurement twin — q_minhash_banded_verified is the bounded
+    production shape (r8; the ML path's OR-only single-hash tables
+    give linearly-growing buckets, PLANS.md §70)."""
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_lsh_verified_pairs(docs, threshold=0.5, num_hash_tables=16)
+
+
+@q("q_minhash_banded_verified", _minhash_banded_verified_sql(threshold=0.5))
+def q_minhash_banded_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase near-dup with BOUNDED candidate generation (r7 VERDICT
+    #3): AND-amplified banded-MinHash candidates (bucket collision
+    P = J^4 per band vs J per table for the ML OR-only path) + exact
+    shingle-Jaccard verification.  Both phases portable, so the oracle
+    reproduces candidates AND scores bit-for-bit — no recall assumption
+    (operators/dedup.minhash_banded_verified_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_banded_verified_pairs(docs, threshold=0.5)
 
 
 @q("q_dedup_simhash", _simhash_sql(max_hamming=3))
