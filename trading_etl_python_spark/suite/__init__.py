@@ -137,6 +137,8 @@ _PENDING_R8 = _PENDING_R6[48:]
 _NEW_R8: list[str] = [
     "q_containment_capped",  # VERDICT #2: df-cap + block bound, 1.81x at 10x
     "q_minhash_banded_verified",  # VERDICT #3: AND-banded cands + exact verify, 1.4x
+    "q_triangles_minhash",    # VERDICT #4: triangles on banded edges, 1.22x at 10x
+    "q_communities_minhash",  # VERDICT #4: LPA on banded edges, 1.45x at 10x
 ]
 _HEAD_SET = {*_CERTIFIED_R7, *_CERTIFIED_R6, *_PENDING_R8, *_NEW_R7,
              *_NEW_R8}

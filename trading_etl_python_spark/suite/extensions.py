@@ -4754,6 +4754,77 @@ def q_assort_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(_minhash_graph_pairs(spark, sf_dir))
 
 
+def _triangles_tail_sql(pair_ctes: str, max_degree: int = 64) -> str:
+    """Triangle-count tail over any CTE chain ending in
+    ``pairs(doc_a, doc_b)`` with doc_a < doc_b (same text as
+    q_triangles' inline oracle, parameterized for the MinHash edge
+    source — r7 VERDICT #4)."""
+    return f"""WITH {pair_ctes},
+       deg AS (SELECT node, COUNT(*) AS d FROM (
+                 SELECT doc_a AS node FROM pairs
+                 UNION ALL SELECT doc_b FROM pairs) u GROUP BY node),
+       heavy AS (SELECT node, d FROM deg WHERE d > {max_degree}),
+       kept AS (SELECT doc_a, doc_b FROM pairs
+                WHERE doc_a NOT IN (SELECT node FROM heavy)
+                  AND doc_b NOT IN (SELECT node FROM heavy)),
+       tri AS (SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+               FROM kept e1 JOIN kept e2 ON e1.doc_b = e2.doc_a
+               JOIN kept e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b),
+       m AS (SELECT x AS node FROM tri UNION ALL
+             SELECT y FROM tri UNION ALL SELECT z FROM tri)
+       SELECT node, COUNT(*) AS n_triangles,
+              CAST(0 AS BIGINT) AS wedges_dropped
+       FROM m GROUP BY node
+       UNION ALL
+       SELECT node, CAST(0 AS BIGINT) AS n_triangles,
+              CAST(d * (d - 1) // 2 AS BIGINT) AS wedges_dropped
+       FROM heavy"""
+
+
+def _lpa_tail_sql(pair_ctes: str, iters: int = 5) -> str:
+    """Label-propagation tail over any CTE chain ending in
+    ``pairs(doc_a, doc_b)`` (same unrolled-iteration text as
+    q_communities' _lpa_sql, parameterized for the MinHash edge
+    source; every level MATERIALIZED per the q_pagerank lesson)."""
+    base = f"""{pair_ctes},
+       edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
+                              UNION ALL SELECT doc_b, doc_a FROM pairs),
+       l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM edges)"""
+    for i in range(1, iters + 1):
+        base += f""",
+       l{i} AS MATERIALIZED (
+         SELECT node, label FROM (
+           SELECT e.u AS node, pl.label,
+                  ROW_NUMBER() OVER (PARTITION BY e.u
+                                     ORDER BY COUNT(*) DESC, pl.label) AS rn
+           FROM edges e JOIN l{i - 1} pl ON e.v = pl.node
+           GROUP BY e.u, pl.label) t
+         WHERE rn = 1)"""
+    return f"WITH {base}\nSELECT node, label AS community FROM l{iters}"
+
+
+@q("q_triangles_minhash", _triangles_tail_sql(_minhash_pair_ctes()))
+def q_triangles_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the banded-MinHash near-dup graph
+    (degree-capped wedge close + wedges_dropped audit, production edge
+    source — r7 VERDICT #4: the exact-graph q_triangles measured 14.6x
+    at 10x on the closed-vocab corpus; this is the bounded twin)."""
+    from ..operators.graph import triangle_counts
+
+    return triangle_counts(_minhash_graph_pairs(spark, sf_dir), max_degree=64)
+
+
+@q("q_communities_minhash", _lpa_tail_sql(_minhash_pair_ctes()))
+def q_communities_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation communities over the
+    banded-MinHash near-dup graph (min-label tie-break, 5 synchronous
+    iterations, production edge source — r7 VERDICT #4; exact-graph
+    q_communities measured 8.7x at 10x)."""
+    from ..operators.graph import label_propagation
+
+    return label_propagation(_minhash_graph_pairs(spark, sf_dir))
+
+
 _SILHOUETTE_CTES = """e AS (
          SELECT vec_id, label, CAST(i AS INT) AS i,
            CAST(ROUND(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1e6)
