@@ -862,3 +862,136 @@ def test_stream_bloom_dedup_survives_state_reset(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 200
     assert got.select("doc_id").distinct().count() == 200
+
+
+def _move_parquet_in(spark, src_dir, name, df):
+    """Write df as a single parquet file named <name>.parquet inside the
+    watched dir (atomic-rename pattern from the bloom restart tests)."""
+    import os
+    import shutil
+
+    tmp = os.path.join(str(src_dir), f"{name}.tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    f = [x for x in os.listdir(tmp) if x.endswith(".parquet")][0]
+    os.makedirs(str(src_dir), exist_ok=True)
+    shutil.move(os.path.join(tmp, f), os.path.join(str(src_dir), f"{name}.parquet"))
+    shutil.rmtree(tmp)
+
+
+def test_stream_cardinality_monitor_restart_recovery(spark, tmp_path):
+    """r7 VERDICT #5 / T4: the HLL cardinality monitor must recover
+    from its checkpoint — a restart with the same checkpoint neither
+    reprocesses consumed files (effectively-once audit rows) nor
+    misses files that arrived while it was down."""
+    from trading_etl_python_spark.operators.sketches import hll_estimate
+    from trading_etl_python_spark.streaming.pipeline import (
+        stream_cardinality_monitor,
+    )
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "card")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_type string, value long"
+    batch_a = spark.createDataFrame(
+        [("click", i % 37) for i in range(300)]
+        + [("view", i % 11) for i in range(100)],
+        schema,
+    )
+    batch_b = spark.createDataFrame(
+        [("click", i % 53) for i in range(200)]
+        + [("scroll", i % 7) for i in range(50)],
+        schema,
+    )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        stream_cardinality_monitor(
+            stream, out, ckpt, item_col="value", group_col="event_type"
+        ).awaitTermination()
+
+    _move_parquet_in(spark, src, "a", batch_a)
+    run_once()  # consumes A, then the query is DOWN
+    _move_parquet_in(spark, src, "b", batch_b)
+    run_once()  # restart from the same checkpoint: must see exactly B
+
+    rows = spark.read.parquet(out).collect()
+    by_batch: dict[int, dict[str, int]] = {}
+    for r in rows:
+        by_batch.setdefault(r["batch_id"], {})[r["event_type"]] = r["hll_est"]
+    assert len(by_batch) == 2, f"expected 2 audit batches, got {by_batch}"
+    first, second = (by_batch[k] for k in sorted(by_batch))
+
+    def want(df):
+        it = df.select("event_type", F.col("value").cast("string").alias("_i"))
+        return {
+            r["event_type"]: r["hll_est"]
+            for r in hll_estimate(it, "_i", "event_type").collect()
+        }
+
+    assert first == want(batch_a)   # A exactly once, never re-emitted
+    assert second == want(batch_b)  # B picked up after the restart
+
+
+def test_stream_heavy_hitters_restart_recovers_mg_state(spark, tmp_path):
+    """r7 VERDICT #5 / T2: the Misra-Gries counters live in checkpointed
+    GroupState — after a restart, emissions for NEW data must still
+    carry tokens whose counts were accumulated BEFORE the restart
+    (state recovered, not rebuilt from the new files)."""
+    from trading_etl_python_spark.streaming.pipeline import (
+        stream_heavy_hitter_candidates,
+    )
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "hh")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    # doc_id 0 everywhere -> single state key, deterministic MG content
+    batch_a = spark.createDataFrame(
+        [(0, "zebra " * 40 + "rare" + str(i)) for i in range(20)], schema
+    )
+    batch_b = spark.createDataFrame(
+        [(0, "otter " * 5 + "fresh" + str(i)) for i in range(10)], schema
+    )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            stream_heavy_hitter_candidates(stream, capacity=16, n_groups=1)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _move_parquet_in(spark, src, "a", batch_a)
+    run_once()
+    n_rows_after_a = spark.read.parquet(out).count()
+    _move_parquet_in(spark, src, "b", batch_b)
+    run_once()
+
+    all_rows = spark.read.parquet(out).collect()
+    # run 2 appended exactly one batch of emissions, never re-emitting
+    # run 1's batch
+    assert n_rows_after_a > 0 and len(all_rows) > n_rows_after_a
+    # each batch emits every surviving counter once, so 'zebra' (800
+    # occurrences, all in batch A) appears in BOTH batches' emissions
+    # iff the MG counters were recovered from the checkpoint — a state
+    # loss would leave batch B's emission with only B's tokens
+    zebra_rows = [r for r in all_rows if r["token"] == "zebra"]
+    assert len(zebra_rows) == 2, (
+        f"expected zebra in both batch emissions (state recovered), "
+        f"got {len(zebra_rows)}"
+    )
+    # and run 2 genuinely processed the new file
+    assert any(r["token"] == "otter" for r in all_rows)
