@@ -45,3 +45,38 @@ def test_dsir_bit_identical_under_repartition(spark, sf_dir, k):
     base = _dsir_map(docs)
     got = _dsir_map(docs.repartition(k))
     assert base and got == base
+
+
+# r7 VERDICT #7: the full §62 class-c surface — closed-form statistics
+# over exact integer moments — pinned bit-identical under repartition
+# at unit speed (the jitter gate covers the same property operationally
+# across the whole registry; these run in CI per commit).
+from trading_etl_python_spark.operators import analytics as AN
+
+_CLASS_C = {
+    "sharpe": lambda b: AN.symbol_sharpe(b, min_days=15),
+    "sortino": lambda b: AN.sortino_ratio(b, min_days=15),
+    "calmar": lambda b: AN.calmar_ratio(b, min_days=15),
+    "info_ratio": lambda b: AN.info_ratio(b, basket_max_symbol=50, min_days=15),
+    "omega": lambda b: AN.omega_ratio(b, min_days=15),
+    "vratio": lambda b: AN.variance_ratio(b, min_days=15),
+    "hurst": lambda b: AN.hurst_rs(b, sizes=(4, 8, 16)),
+    "garch": lambda b: AN.garch_volatility(b),
+    "runs_test": lambda b: AN.runs_test(b, min_days=15),
+}
+
+
+def _rows(df):
+    # repr round-trips doubles exactly in py3 — any accumulation-order
+    # fork shows as a repr diff; sort for partition-order independence
+    return sorted(repr(tuple(r)) for r in df.collect())
+
+
+@pytest.mark.parametrize("k", [1, 7, 32])
+@pytest.mark.parametrize("name", sorted(_CLASS_C))
+def test_class_c_bit_identical_under_repartition(spark, sf_dir, name, k):
+    b = bars(spark, sf_dir)
+    fn = _CLASS_C[name]
+    base = _rows(fn(b))
+    got = _rows(fn(b.repartition(k)))
+    assert base and got == base
