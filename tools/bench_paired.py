@@ -1,0 +1,47 @@
+"""Run bench.py once and append one JSON line pairing the result with
+the host load average before/after — the r7 VERDICT #6 protocol: only
+quiet-host runs (load1 <= 0.5 on both sides) enter the comparison
+series; everything else is recorded but marked noisy.
+
+Usage: python tools/bench_paired.py [out.jsonl]
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def loadavg():
+    with open("/proc/loadavg") as f:
+        a, b, c = f.read().split()[:3]
+    return [float(a), float(b), float(c)]
+
+
+def main():
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "sweeps/r8_bench_runs.jsonl"
+    pre = loadavg()
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "bench.py"], capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    post = loadavg()
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    bench = json.loads(line)
+    rec = {
+        "ts": int(t0),
+        "load_pre": pre,
+        "load_post": post,
+        # the bench itself saturates 32 cores, so post-load is always
+        # high; quiet means the HOST was idle when the run started
+        "quiet": pre[0] <= 0.5,
+        **bench,
+    }
+    with open(out_path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps({k: rec[k] for k in ("ts", "load_pre", "load_post", "quiet", "metric", "value")}))
+
+
+if __name__ == "__main__":
+    main()
