@@ -134,6 +134,16 @@ _CERTIFIED_R7 = [*_FIXED_R7, *_PENDING_R6[:48]]
 _PENDING_R8 = _PENDING_R6[48:]
 # Queries BORN in r8 (appended as each lands; after the backlog, per
 # the r7 VERDICT: new births only in service of its items 2–5).
+# r9 NOTE: the r8 window (~50) covers _PENDING_R8 (18) + _NEW_R7 (12)
+# + _NEW_R8 (4) + the first ~16 stale r2-greens (q_json_decode ..
+# q_latest_per_key).  If CORRECTNESS_r08 is all green the ever-green
+# ledger is COMPLETE (309/309 driver-proven at least once).  Round 9
+# should front-load: any r8 reds (rebuild per PLANS.md §62 first),
+# then r9 births, then continue the stale-green refresh from where the
+# r8 window stopped (core tail q_time_range.., then relational, r4,
+# r5, r6, r7 blocks — oldest certification first).  All 309 entries
+# passed the r8 full-registry jitter gate (sweeps/r8_jitter_full_
+# sf001.log) and the r8 full sweep at sf0.1+sf1 (0 errors).
 _NEW_R8: list[str] = [
     "q_containment_capped",  # VERDICT #2: df-cap + block bound, 1.81x at 10x
     "q_minhash_banded_verified",  # VERDICT #3: AND-banded cands + exact verify, 1.4x
