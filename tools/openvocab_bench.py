@@ -1,0 +1,112 @@
+"""Open-vocabulary scale evidence (r7 VERDICT #3's measurement branch).
+
+The registry's superlinear exact-dedup ratios are repeatedly attributed
+to the driver testdata's CLOSED ~30k-shingle vocabulary (every doc
+shares ~every shingle, so posting lists grow linearly with N and the
+inverted-index joins go ~N^2).  This script MEASURES the claim: it
+generates a deterministic corpus with a realistic OPEN vocabulary
+(md5-hash tokens drawn from a ~1M-token space, zipf-ish head via a
+shared 200-token common pool, plus planted near-dup pairs at a fixed
+1% rate) at N and 10N docs, runs the exact-pair operators on both, and
+prints the 10x runtime ratios.  Linear-family ratios here certify that
+the closed-vocab sweep numbers are a testdata artifact, not a plan
+defect.
+
+Deterministic: token choice is md5(doc,slot) — two runs are identical.
+
+Usage: python tools/openvocab_bench.py [out.json]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_BASE = 5_000
+FACTOR = 10
+DOC_LEN = 40          # tokens per doc (matches the testdata mean)
+COMMON = 200          # shared zipf-head pool size
+VOCAB = 1_000_000     # open tail space
+DUP_EVERY = 100       # plant one near-dup pair per 100 docs
+
+
+def build(spark, n_docs: int, path: str):
+    from pyspark.sql import functions as F
+
+    if os.path.exists(path):
+        return
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    # slot j: 20% zipf-head token from the COMMON pool, else open-tail
+    # token unique-ish to (doc, slot); all md5-derived, no RNG
+    def tok(j):
+        h = F.conv(F.substring(F.md5(F.concat_ws("_", F.col("doc_id").cast("string"), F.lit(str(j)))), 1, 8), 16, 10).cast("long")
+        return F.when(h % 5 == 0, F.concat(F.lit("c"), (h % COMMON).cast("string"))).otherwise(
+            F.concat(F.lit("w"), (h % VOCAB).cast("string")))
+    text = F.concat_ws(" ", *[tok(j) for j in range(DOC_LEN)])
+    docs = base.withColumn("text", text)
+    # planted near-dups: doc i (i % DUP_EVERY == 1) copies doc i-1's
+    # text with the last token changed -> high-Jaccard true pair
+    prev = docs.select((F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("_prev"))
+    docs = (
+        docs.join(prev, "doc_id", "left")
+        .withColumn(
+            "text",
+            F.when(
+                (F.col("doc_id") % DUP_EVERY == 1) & F.col("_prev").isNotNull(),
+                F.concat(F.expr("substring(_prev, 1, length(_prev) - instr(reverse(_prev), ' '))"), F.lit(" zz")),
+            ).otherwise(F.col("text")),
+        )
+        .drop("_prev")
+    )
+    docs.repartition(8).write.mode("overwrite").parquet(path)
+
+
+def main():
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "sweeps/r8_openvocab.json"
+    from pyspark.sql import SparkSession
+
+    from trading_etl_python_spark.operators import dedup as D
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ops = {
+        "ngram_jaccard": lambda df: D.ngram_jaccard_pairs(df, threshold=0.5),
+        "ngram_containment": lambda df: D.ngram_containment_pairs(df, threshold=0.8),
+        "minhash_ml_verified": lambda df: D.minhash_lsh_verified_pairs(df, threshold=0.5, num_hash_tables=16),
+        "allpairs_prefix": lambda df: D.prefix_jaccard_pairs(df, threshold=0.5),
+    }
+    res = {}
+    for tag, n in (("base", N_BASE), ("x10", N_BASE * FACTOR)):
+        path = f"/tmp/openvocab_{n}"
+        build(spark, n, path)
+        docs = spark.read.parquet(path)
+        for name, fn in ops.items():
+            q = fn(docs) if fn else None
+            if q is None:
+                continue
+            t0 = time.time()
+            q.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            n_pairs = q.count()
+            res[f"{name}_{tag}"] = {"sec": round(dt, 2), "pairs": n_pairs}
+            print(f"{name} @ {n}: {dt:.2f}s, {n_pairs} pairs", flush=True)
+    for name in ("ngram_jaccard", "ngram_containment", "minhash_ml_verified", "allpairs_prefix"):
+        if f"{name}_base" in res:
+            r = res[f"{name}_x10"]["sec"] / max(res[f"{name}_base"]["sec"], 0.25)
+            res[f"{name}_ratio"] = round(r, 2)
+            print(f"{name}: 10x ratio {r:.2f}")
+    with open(out_path, "w") as f:
+        json.dump(res, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
