@@ -327,6 +327,7 @@ def test_containment_capped_removes_boilerplate_and_audits(spark):
     assert set(out) == {(0, 1)}
     r = out[(0, 1)]
     assert r["containment"] == 1.0  # over the KEPT space
+    assert r["n_blocks"] == 1      # 4 docs < rows_per_block: complete
     # audit columns: the boilerplate run contributes capped shingles on
     # both sides (interior shingles bridging boiler->unique text differ
     # per doc, so only the pure-boilerplate shingles have df 4)

@@ -1,7 +1,9 @@
 """Run bench.py once and append one JSON line pairing the result with
 the host load average before/after — the r7 VERDICT #6 protocol: only
-quiet-host runs (load1 <= 0.5 on both sides) enter the comparison
-series; everything else is recorded but marked noisy.
+runs STARTED on a quiet host (1-min pre-load <= 0.5) are flagged
+"quiet" for the comparison series (post-load is always high — the
+bench itself saturates 32 cores); everything else is recorded but
+marked noisy.
 
 Usage: python tools/bench_paired.py [out.jsonl]
 """
@@ -27,8 +29,18 @@ def main():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     post = loadavg()
-    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
-    bench = json.loads(line)
+    json_lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    if proc.returncode != 0 or not json_lines:
+        rec = {
+            "ts": int(t0), "load_pre": pre, "load_post": post,
+            "quiet": pre[0] <= 0.5, "error": proc.returncode,
+            "stderr_tail": proc.stderr[-2000:],
+        }
+        with open(out_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps({"error": proc.returncode}))
+        sys.exit(1)
+    bench = json.loads(json_lines[-1])
     rec = {
         "ts": int(t0),
         "load_pre": pre,

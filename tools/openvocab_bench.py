@@ -86,17 +86,20 @@ def main():
     }
     res = {}
     for tag, n in (("base", N_BASE), ("x10", N_BASE * FACTOR)):
-        path = f"/tmp/openvocab_{n}"
+        # cache key carries every generation parameter: editing the
+        # constants must never silently measure a stale corpus
+        path = f"/tmp/openvocab_{n}_{DOC_LEN}_{COMMON}_{VOCAB}_{DUP_EVERY}"
         build(spark, n, path)
         docs = spark.read.parquet(path)
         for name, fn in ops.items():
-            q = fn(docs) if fn else None
-            if q is None:
-                continue
+            q = fn(docs)
+            # one execution per measurement: the timed action writes the
+            # pairs to parquet; the row count then reads the tiny file
+            out = f"/tmp/openvocab_out_{tag}_{name}"
             t0 = time.time()
-            q.write.format("noop").mode("overwrite").save()
+            q.write.mode("overwrite").parquet(out)
             dt = time.time() - t0
-            n_pairs = q.count()
+            n_pairs = spark.read.parquet(out).count()
             res[f"{name}_{tag}"] = {"sec": round(dt, 2), "pairs": n_pairs}
             print(f"{name} @ {n}: {dt:.2f}s, {n_pairs} pairs", flush=True)
     for name in ("ngram_jaccard", "ngram_containment", "minhash_ml_verified", "allpairs_prefix"):

@@ -266,8 +266,14 @@ def minhash_banded_verified_pairs(
     md5-derived hashes, same LCG permutation constants) and applies the
     same exact-Jaccard filter, so the output is engine-independent by
     construction with NO recall assumption."""
+    assert num_perm % bands == 0, "bands must divide num_perm"
     banded = banded_signatures(df, num_perm, bands, n, seed, text_col, id_col)
     ba, bb = banded.alias("a"), banded.alias("b")
+    # same (band, key) equi-join as minhash_banded_pairs, projected to
+    # bare id pairs — that variant must carry the sig arrays through
+    # the join for its match_frac estimate, this one must not carry
+    # them into the checkpoint; the shared parity contract is the
+    # band-key FORMAT, owned by banded_signatures
     cand = (
         ba.join(
             bb,
@@ -905,7 +911,8 @@ def ngram_containment_capped_pairs(
     VERDICT #2 — the unbounded exact form measured 28.5x at 10x data,
     the registry's worst ratio; it stays as the measurement twin, this
     is the deployable shape).  Two bounds, both exact and both visible
-    in the output:
+    in the output (the df-cap via per-doc ``capped_a``/``capped_b``
+    counts, the block bound via the constant ``n_blocks`` column):
 
     - **shingle df-cap** (the ``tfidf_cosine_pairs`` pattern,
       text.py): shingles present in more than ``max_df_num/max_df_den``
@@ -923,9 +930,15 @@ def ngram_containment_capped_pairs(
       doc_id, so the worst-case pair space grows linearly with N even
       on a closed shingle vocabulary where every df is below the cap
       (the synthetic-testdata regime: 30k-shingle vocab, max df 0.26%
-      of corpus — measured in the r8 notes).  At gate scale nb=1 and
-      the enumeration is complete; the oracle reproduces the block
-      key bit-for-bit (portable md5 hash).
+      of corpus — measured in the r8 notes).  This bound is a RECALL
+      trade: a cross-block pair is never examined (expected per-pair
+      recall 1/nb), which is the operator's defined semantics — the
+      same contract as ``tfidf_cosine_pairs`` / the
+      cosine_pairs_blocked family — and it is surfaced, not silent:
+      every output row carries the ``n_blocks`` column, so a consumer
+      can see whether the enumeration was complete (``n_blocks = 1``,
+      always true at gate scale) or blocked.  The oracle reproduces
+      the block key bit-for-bit (portable md5 hash).
 
     N enters the plan as a broadcast 1-row aggregate (no driver-side
     count, no re-scan — the r6 VERDICT #3 discipline).  Why the
@@ -946,7 +959,8 @@ def ngram_containment_capped_pairs(
     w = (
         wall.filter(kept)
         .withColumn("blk", porthash32(F.col(id_col).cast("string")) % nb_col)
-        .select(id_col, "h", "blk")
+        .withColumn("n_blocks", nb_col)
+        .select(id_col, "h", "blk", "n_blocks")
     )
     # kept-size + cap audit in ONE conditional aggregation over the
     # wall subtree (the tfidf_cosine_pairs norm/audit construction)
@@ -965,6 +979,9 @@ def ngram_containment_capped_pairs(
         .groupBy(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
+            # constant per run — the block-bound audit (complete
+            # enumeration iff n_blocks = 1)
+            F.col("a.n_blocks").alias("n_blocks"),
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -985,7 +1002,7 @@ def ngram_containment_capped_pairs(
         .select(
             "doc_a", "doc_b",
             F.round("_cont", 6).alias("containment"),
-            "capped_a", "capped_b",
+            "capped_a", "capped_b", "n_blocks",
         )
     )
 

@@ -98,8 +98,14 @@ _SHINGLE_CTES = f"""tok AS (
          WHERE len(toks) >= 3)"""
 
 
-def _minhash_sql(threshold: float = 0.5, num_perm: int = 32, bands: int = 8) -> str:
-    """SQL twin of minhash_banded_pairs — SAME (a_k, b_k) constants."""
+def _minhash_frags(num_perm: int = 32, bands: int = 8):
+    """Shared SQL fragments of the banded-MinHash construction (the
+    signature mins, the band-key selector, the component-match sum) —
+    the ONE source for the permutation constants and band-key format.
+    Consumed by _minhash_sql, _minhash_incremental_sql,
+    _minhash_banded_verified_sql and _minhash_pair_ctes; Spark/DuckDB
+    parity depends on these never drifting between twins, so they must
+    not be re-derived inline anywhere."""
     a, b = D.minhash_params(num_perm)
     r = num_perm // bands
     mins = ",\n           ".join(
@@ -114,6 +120,12 @@ def _minhash_sql(threshold: float = 0.5, num_perm: int = 32, bands: int = 8) -> 
     matches = " + ".join(
         f"CASE WHEN sa.m{k} = sb.m{k} THEN 1 ELSE 0 END" for k in range(num_perm)
     )
+    return mins, band_sel, matches
+
+
+def _minhash_sql(threshold: float = 0.5, num_perm: int = 32, bands: int = 8) -> str:
+    """SQL twin of minhash_banded_pairs — SAME (a_k, b_k) constants."""
+    mins, band_sel, matches = _minhash_frags(num_perm, bands)
     return f"""WITH {_SHINGLE_CTES},
        hs AS (SELECT doc_id, {_PH_HI.format(c='shingle')} AS h FROM sh),
        sig AS (SELECT doc_id,
@@ -140,17 +152,7 @@ def _minhash_banded_verified_sql(
     LCG permutation constants), then EXACT shingle-set Jaccard on the
     candidates — both phases engine-independent, no recall argument
     needed (unlike the ML-candidate variant's oracle)."""
-    a, b = D.minhash_params(num_perm)
-    r = num_perm // bands
-    mins = ",\n           ".join(
-        f"MIN((h * {a[k]} + {b[k]}) % {D.MINHASH_P}) AS m{k}" for k in range(num_perm)
-    )
-    band_sel = "\n         UNION ALL ".join(
-        f"SELECT doc_id, {i} AS band, concat_ws('_', "
-        + ", ".join(f"m{i * r + j}" for j in range(r))
-        + ") AS key FROM sig"
-        for i in range(bands)
-    )
+    mins, band_sel, _ = _minhash_frags(num_perm, bands)
     return f"""WITH {_SHINGLE_CTES},
        hs AS (SELECT doc_id, {_PH_HI.format(c='shingle')} AS h FROM sh),
        sig AS (SELECT doc_id,
@@ -190,20 +192,7 @@ def _minhash_incremental_sql(
     a<b canonicalization, the sides are the orientation.  The side
     predicates are parameters: odd/even ids for q_dedup_incremental,
     hash-bucket split membership for the q_split_leakage audit."""
-    a, b = D.minhash_params(num_perm)
-    r = num_perm // bands
-    mins = ",\n           ".join(
-        f"MIN((h * {a[k]} + {b[k]}) % {D.MINHASH_P}) AS m{k}" for k in range(num_perm)
-    )
-    band_sel = "\n         UNION ALL ".join(
-        f"SELECT doc_id, {i} AS band, concat_ws('_', "
-        + ", ".join(f"m{i * r + j}" for j in range(r))
-        + ") AS key FROM sig"
-        for i in range(bands)
-    )
-    matches = " + ".join(
-        f"CASE WHEN sa.m{k} = sb.m{k} THEN 1 ELSE 0 END" for k in range(num_perm)
-    )
+    mins, band_sel, matches = _minhash_frags(num_perm, bands)
     return f"""WITH {_SHINGLE_CTES},
        hs AS (SELECT doc_id, {_PH_HI.format(c='shingle')} AS h FROM sh),
        sig AS (SELECT doc_id,
@@ -317,7 +306,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
        wall AS MATERIALIZED (
          SELECT s.doc_id, s.shingle, d.dfr, nbt.n, nbt.nb
          FROM sh s JOIN dfq d ON s.shingle = d.shingle, nbt),
-       w AS (SELECT doc_id, shingle,
+       w AS (SELECT doc_id, shingle, nb,
                ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                  % nb AS blk
              FROM wall WHERE dfr * 2 <= n),
@@ -325,15 +314,17 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                  COUNT(CASE WHEN dfr * 2 <= n THEN 1 END) AS n_kept,
                  COUNT(CASE WHEN dfr * 2 > n THEN 1 END) AS n_capped
                FROM wall GROUP BY doc_id),
-       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nb AS n_blocks,
+                    COUNT(*) AS inter
              FROM w a JOIN w b ON a.shingle = b.shingle AND a.blk = b.blk
                               AND a.doc_id < b.doc_id
-             GROUP BY 1, 2)
+             GROUP BY 1, 2, 3)
        SELECT doc_a, doc_b,
               ROUND(CAST(inter AS DOUBLE) / LEAST(ca.n_kept, cb.n_kept), 6)
                 AS containment,
               CAST(ca.n_capped AS BIGINT) AS capped_a,
-              CAST(cb.n_capped AS BIGINT) AS capped_b
+              CAST(cb.n_capped AS BIGINT) AS capped_b,
+              CAST(n_blocks AS BIGINT) AS n_blocks
        FROM p JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
        WHERE CAST(inter AS DOUBLE) / LEAST(ca.n_kept, cb.n_kept) >= 0.8""",
 )
@@ -342,7 +333,8 @@ def q_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     #2): exact-integer shingle df-cap (> 1/2 of corpus) with per-doc
     capped_a/capped_b audit columns + corpus-scaled md5 hash-block
     pair bound (nb = N/500; complete enumeration at gate scale where
-    nb = 1) — operators/dedup.ngram_containment_capped_pairs."""
+    nb = 1, surfaced per-row via the n_blocks audit column) —
+    operators/dedup.ngram_containment_capped_pairs."""
     docs = load_table(spark, sf_dir, "documents")
     return D.ngram_containment_capped_pairs(docs, n=3, threshold=0.8)
 
@@ -4490,20 +4482,7 @@ def _minhash_pair_ctes(
     bounds candidates, so metrics over THIS graph keep the 100 TB
     posture.  The aj >= t comparison is matches/num_perm — an exact
     small-denominator rational on both engines."""
-    a, b = D.minhash_params(num_perm)
-    r = num_perm // bands
-    mins = ",\n           ".join(
-        f"MIN((h * {a[k]} + {b[k]}) % {D.MINHASH_P}) AS m{k}" for k in range(num_perm)
-    )
-    band_sel = "\n         UNION ALL ".join(
-        f"SELECT doc_id, {i} AS band, concat_ws('_', "
-        + ", ".join(f"m{i * r + j}" for j in range(r))
-        + ") AS key FROM sig"
-        for i in range(bands)
-    )
-    matches = " + ".join(
-        f"CASE WHEN sa.m{k} = sb.m{k} THEN 1 ELSE 0 END" for k in range(num_perm)
-    )
+    mins, band_sel, matches = _minhash_frags(num_perm, bands)
     return f"""{_SHINGLE_CTES},
        hs AS (SELECT doc_id, {_PH_HI.format(c='shingle')} AS h FROM sh),
        sig AS MATERIALIZED (SELECT doc_id,
