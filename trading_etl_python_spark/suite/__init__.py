@@ -152,7 +152,7 @@ _NEW_R8: list[str] = [
 ]
 _HEAD_SET = {*_CERTIFIED_R7, *_CERTIFIED_R6, *_PENDING_R8, *_NEW_R7,
              *_NEW_R8}
-_PRIORITY = [
+_PRIORITY_R8 = [
     *_PENDING_R8,  # 18 never-sampled r6-born queries, oldest first
     *_NEW_R7,      # 12 never-sampled r7-born queries
     *_NEW_R8,      # r8 births (VERDICT items 2-4)
@@ -170,13 +170,77 @@ _PRIORITY = [
     *_CERTIFIED_R7,
 ]
 
+assert len(_PRIORITY_R8) == len(set(_PRIORITY_R8)) and all(
+    n in _ALL for n in _PRIORITY_R8
+)
+
+# Full r8-era registry order (the r8 window = its first 50 entries).
+_ORDER_R8: list[str] = list(dict.fromkeys(
+    [*_PRIORITY_R8, *extensions.QUERIES, *_ALL]
+))
+
+# The 50 entries CORRECTNESS_r08 certified (all green) — the freshest
+# certifications in the ledger, rotated to the BACK for r9.
+_SAMPLED_R8 = [
+    "q_runs_test", "q_underwater", "q_hits", "q_kcore",
+    "q_clustering_coef", "q_degree_assort", "q_decompose", "q_breadth",
+    "q_ulcer", "q_cmo", "q_streaks", "q_month_effect", "q_topk_days",
+    "q_rel_strength", "q_markov", "q_inter_event", "q_cohort_value",
+    "q_hourly_profile", "q_kcore_minhash", "q_clustering_minhash",
+    "q_assort_minhash", "q_stream_topk", "q_silhouette",
+    "q_cluster_stats", "q_minhash_eval", "q_eval_contam_rate",
+    "q_token_psi", "q_stream_drift", "q_stream_cardinality",
+    "q_stream_ingest", "q_containment_capped",
+    "q_minhash_banded_verified", "q_triangles_minhash",
+    "q_communities_minhash", "q_json_decode", "q_error_isolation",
+    "q_format_roundtrip", "q_rename_project", "q_null_filter",
+    "q_epoch_convert", "q_tick_widen", "q_upsert_ignore", "q_sma",
+    "q_bbands", "q_stoch", "q_mfi", "q_obv", "q_vwap", "q_warmup_gate",
+    "q_latest_per_key",
+]
+
+# Queries BORN in r9 (per the r8 VERDICT: births only in service of
+# its items 2-6).
+_NEW_R9: list[str] = [
+    "q_prefix_jaccard_capped",  # VERDICT #5: df-cap + block bound for the AllPairs family
+    "q_semdedup_scaled",        # VERDICT #3: corpus-derived n_cells regime (>16 cells)
+]
+# Queries whose BUILDER OR ORACLE changed this round (r8 VERDICT items
+# 2/3/6/7) — certified green before, but on the OLD semantics, so they
+# must re-certify inside the r9 window:
+#   - curation compositions rewired onto the banded-MinHash pair source
+#     (VERDICT #2): q_corpus_pipeline, q_corpus_full, q_dedup_clusters
+#   - semdedup corpus-scaled n_cells default (VERDICT #3): q_semdedup,
+#     q_semdedup_joined
+#   - block-sampled exact side (VERDICT #6): q_minhash_eval
+#   - in-row entropy rewrite (VERDICT #7, adopted — 29x at sf1):
+#     q_entropy_profile
+_REWIRED_R9: list[str] = [
+    "q_corpus_pipeline", "q_corpus_full", "q_dedup_clusters",
+    "q_dup_weights", "q_semdedup", "q_semdedup_joined",
+    "q_minhash_eval", "q_entropy_profile",
+]
+# r10 NOTE: the r9 window (~50) = _NEW_R9 (2) + _REWIRED_R9 (7) + the
+# stalest greens in _ORDER_R8 order (r2-era core tail from
+# q_lookback_trim/q_time_range + the recursive family q_ema/q_rsi/
+# q_macd/q_atr/q_adx + relational + the r4 block head).  Round 10
+# front-loads: any r9 reds (rebuild per PLANS.md §62 first), then r10
+# births, then the stale refresh continues from where the r9 window
+# stopped (the _ORDER_R8 tail minus everything r8/r9-sampled — r4
+# block tail, r5, r6, r7 blocks — with _SAMPLED_R8 and the r9 window
+# rotated to the back, oldest certification always first).
+_head = {*_NEW_R9, *_REWIRED_R9}
+_sampled_r8 = set(_SAMPLED_R8)
+_PRIORITY = [
+    *_NEW_R9,
+    *_REWIRED_R9,
+    *(n for n in _ORDER_R8 if n not in _sampled_r8 and n not in _head),
+    *(n for n in _ORDER_R8 if n in _sampled_r8 and n not in _head),
+]
+
 assert len(_PRIORITY) == len(set(_PRIORITY)) and all(n in _ALL for n in _PRIORITY)
 
 QUERIES: dict[str, Builder] = {n: _ALL[n] for n in _PRIORITY}
-# remaining extensions head (r2 greens), then the r3-certified
-# analytics/behavior/sql blocks last
-QUERIES.update({n: f for n, f in extensions.QUERIES.items() if n not in QUERIES})
-QUERIES.update({n: f for n, f in _ALL.items() if n not in QUERIES})
 assert len(QUERIES) == len(_ALL)
 
 __all__ = ["QUERIES", "ORACLES", "Builder"]
