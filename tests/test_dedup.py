@@ -411,3 +411,96 @@ def test_minhash_eval_counts_reconcile(spark, sf_dir):
     assert r.tp + r.fp == r.n_approx
     assert r.tp + r.fn == r.n_exact
     assert 0.0 <= r.precision <= 1.0 and 0.0 <= r.recall <= 1.0
+
+
+def test_prefix_capped_matches_unbounded_when_no_caps(spark):
+    # every token df <= N/2 and N < rows_per_block -> no cap engages,
+    # nb = 1 -> identical pair set AND jaccard values to the unbounded
+    # AllPairs form, with zeroed audit columns
+    docs = [
+        (0, "a b c d e f g h i j"),
+        (1, "a b c d e f g h i k"),   # J = 9/11 vs doc 0
+        (2, "p q r s t u v w x y"),
+        (3, "m n o mm nn oo pp qq rr ss"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    capped = {(r["doc_a"], r["doc_b"]): r
+              for r in D.prefix_jaccard_capped_pairs(df, threshold=0.5).collect()}
+    unb = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in D.prefix_jaccard_pairs(df, threshold=0.5).collect()}
+    assert set(capped) == set(unb) == {(0, 1)}
+    r = capped[(0, 1)]
+    assert r["jaccard"] == unb[(0, 1)]
+    assert r["capped_a"] == 0 and r["capped_b"] == 0 and r["n_blocks"] == 1
+
+
+def test_prefix_capped_removes_boilerplate_and_audits(spark):
+    # "the" appears in ALL docs (df 4/4 > 1/2) -> leaves the similarity
+    # space; jaccard is over the KEPT tokens (9 shared of 11 kept-union)
+    docs = [
+        (0, "the a b c d e f g h i j"),
+        (1, "the a b c d e f g h i k"),
+        (2, "the p q r s t u v w x y"),
+        (3, "the z1 z2 z3 z4 z5 z6 z7 z8 z9 z0"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {(r["doc_a"], r["doc_b"]): r
+           for r in D.prefix_jaccard_capped_pairs(df, threshold=0.5).collect()}
+    assert set(out) == {(0, 1)}
+    r = out[(0, 1)]
+    assert r["capped_a"] == 1 and r["capped_b"] == 1
+    assert r["jaccard"] == round(9 / 11, 6)  # NOT 10/12 (capped space)
+
+
+def test_minhash_eval_sample_equals_filtered_subcorpus(spark, sf_dir):
+    # target_docs=100 on the 500-doc fixture -> den=5; the sampled
+    # harness must equal the unsampled harness run on the manually
+    # pre-filtered sub-corpus (sampling commutes with both pair builds)
+    from trading_etl_python_spark.operators.dedup import (
+        minhash_pair_eval,
+        porthash32,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = minhash_pair_eval(docs, threshold=0.5, target_docs=100).collect()[0]
+    assert sampled.sample_den == 5 and sampled.sample_frac == 0.2
+    manual_docs = docs.filter(porthash32(F.col("doc_id").cast("string")) % 5 == 0)
+    manual = minhash_pair_eval(
+        manual_docs, threshold=0.5, target_docs=10**9
+    ).collect()[0]
+    assert manual.sample_den == 1 and manual.sample_frac == 1.0
+    for c in ("n_exact", "n_approx", "tp", "fp", "fn", "precision", "recall"):
+        assert sampled[c] == manual[c], c
+
+
+def test_curate_corpus_banded_default_keeps_superset_of_exact(spark):
+    # banded candidates are a SUBSET of the exact pair graph (AND-banded
+    # LSH can only miss, never invent, a >=t pair after the exact-verify
+    # tail), so the default pipeline drops a subset of the exact form's
+    # losers -> keeps a superset of docs; both retain the exact-dup and
+    # quality policies
+    from trading_etl_python_spark.operators.curation import curate_corpus
+    from trading_etl_python_spark.operators.dedup import ngram_jaccard_pairs
+
+    base = ("the cat sat of a mat and to in is " * 12).strip()
+    rows = [
+        (1, base, "en", "web"),
+        (2, base, "en", "web"),
+        (3, base + " extra", "en", "web"),
+        (4, "zzz qqq", "en", "web"),
+        (5, "a completely different story about ships and the open sea "
+            "told in many plain short words over and over " * 3, "en", "book"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    kept_banded = {r.doc_id for r in curate_corpus(docs).collect()}
+    kept_exact = {
+        r.doc_id
+        for r in curate_corpus(
+            docs, pairs_fn=lambda d: ngram_jaccard_pairs(d, 3, 0.8)
+        ).collect()
+    }
+    assert kept_exact <= kept_banded
+    assert 2 not in kept_banded and 4 not in kept_banded  # exact dup, low quality
+    assert {1, 5} <= kept_banded

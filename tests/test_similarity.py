@@ -364,3 +364,41 @@ def test_silhouette_translation_invariant(spark):
     got = {r.vec_id: (r.a_sq, r.b_sq, r.silhouette)
            for r in silhouette_scores(shifted).collect()}
     assert base and got == base
+
+
+def test_semdedup_auto_equals_literal_at_gate_scale(spark, sf_dir):
+    # N = 500 -> derived n_cells = max(16, 500 // 125) = 16: the auto
+    # default and the pinned literal-16 join path must agree exactly
+    emb = load_table(spark, sf_dir, "embeddings")
+    auto = {r.vec_id: (r.cell, r.is_kept) for r in S.semdedup(emb).collect()}
+    lit = {
+        r.vec_id: (r.cell, r.is_kept)
+        for r in S.semdedup(emb, n_cells=16, assign_via_join=True).collect()
+    }
+    assert auto == lit and len(auto) == 500
+
+
+def test_semdedup_auto_scales_cell_count_with_corpus(spark):
+    # 3000 synthetic vectors -> derived n_cells = 24; the auto path must
+    # equal the literal-24 join path (same centroids = lowest-id rows)
+    n = 3000
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            ((F.col("id") * 131) % 997).cast("double") / 997,
+            ((F.col("id") * 257) % 991).cast("double") / 991,
+            ((F.col("id") * 389) % 983).cast("double") / 983,
+            F.lit(1.0),
+        ).alias("embedding"),
+    )
+    auto = {r.vec_id: (r.cell, r.is_kept) for r in S.semdedup(df).collect()}
+    lit = {
+        r.vec_id: (r.cell, r.is_kept)
+        for r in S.semdedup(df, n_cells=24, assign_via_join=True).collect()
+    }
+    assert auto == lit and len(auto) == n
+    cells = {c for c, _ in auto.values()}
+    # dot-product assignment concentrates on high-norm centroids, so
+    # occupancy is sparse — the regime proof is that the centroid RANGE
+    # genuinely exceeded the 16 floor (cells >= 16 received members)
+    assert max(cells) in range(16, 24)

@@ -330,3 +330,21 @@ def test_chunk_udtf_matches_doc_chunks(spark, sf_dir):
     a = {tuple(r) for r in via_udtf.collect()}
     b = {tuple(r) for r in jvm.collect()}
     assert a == b and len(a) > 0
+
+
+def test_char_entropy_inrow_values(spark):
+    from trading_etl_python_spark.operators.text import char_entropy_profile
+
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, ""), (4, "AaBb"), (5, "abcd")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in char_entropy_profile(df).collect()}
+    assert 3 not in out  # empty text never emits a row (explode-era contract)
+    assert out[1].entropy == 0.0 and out[1].n_distinct_chars == 1
+    assert out[2].entropy == round(math.log(2), 6)
+    # case-folded: AaBb -> aabb, two symbols at p=1/2
+    assert out[4].entropy == round(math.log(2), 6) and out[4].n_chars == 4
+    assert out[5].entropy == round(math.log(4), 6) and out[5].n_distinct_chars == 4

@@ -21,12 +21,18 @@ def loadavg():
 
 
 def main():
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "sweeps/r8_bench_runs.jsonl"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "sweeps/r9_bench_runs.jsonl"
+    if not os.path.isabs(out_path):
+        # resolve against the repo root (same dir the bench subprocess
+        # runs in), not the caller's CWD — invoking from elsewhere used
+        # to append to a stray sweeps/ or crash
+        out_path = os.path.join(repo, out_path)
     pre = loadavg()
     t0 = time.time()
     proc = subprocess.run(
         [sys.executable, "bench.py"], capture_output=True, text=True,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        cwd=repo,
     )
     post = loadavg()
     json_lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]

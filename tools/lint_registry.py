@@ -13,7 +13,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    from trading_etl_python_spark.suite import ORACLES, QUERIES
+    from trading_etl_python_spark.suite import ORACLES, QUERIES, TIERS
 
     cov = open(os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")).read()
     mentioned = set(re.findall(r"\bq_[a-z0-9_]+\b", cov))
@@ -40,6 +40,20 @@ def main() -> int:
     if len(QUERIES) != len(ORACLES):
         print(f"queries {len(QUERIES)} != oracles {len(ORACLES)}")
         bad = True
+    # every entry must carry a valid tier (r8 VERDICT #4)
+    no_tier = sorted(q for q in registry if q not in TIERS)
+    bad_tier = sorted(
+        q for q, t in TIERS.items()
+        if t not in ("production", "measurement", "demo")
+    )
+    if no_tier:
+        print(f"NO TIER ({len(no_tier)}): {no_tier}")
+        bad = True
+    if bad_tier:
+        print(f"INVALID TIER: {bad_tier}")
+        bad = True
+    n_meas = sum(1 for t in TIERS.values() if t == "measurement")
+    print(f"tiers: {len(TIERS) - n_meas} production, {n_meas} measurement")
     m = re.search(r"Registry as of r\d+: (\d+) queries / (\d+)", cov)
     if m and (int(m.group(1)) != len(QUERIES) or int(m.group(2)) != len(ORACLES)):
         print(f"COVERAGE.md count {m.groups()} != actual {len(QUERIES)}")

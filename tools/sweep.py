@@ -25,6 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def compare(a_path: str, b_path: str, factor: float = 10.0) -> None:
+    from trading_etl_python_spark.suite import TIERS
+
     a = json.load(open(a_path))
     b = json.load(open(b_path))
     rows = []
@@ -42,12 +44,29 @@ def compare(a_path: str, b_path: str, factor: float = 10.0) -> None:
         ratio = b[k] / max(a[k], 0.25)
         rows.append((ratio, k, a[k], b[k]))
     rows.sort(reverse=True)
-    print(f"{'ratio':>7}  {'base_s':>7}  {'scaled_s':>8}  query")
-    for ratio, k, av, bv in rows:
-        flag = "  <-- SUPERLINEAR?" if ratio > factor * 1.6 else ""
-        print(f"{ratio:7.2f}  {av:7.2f}  {bv:8.2f}  {k}{flag}")
-    bad = [k for r, k, _, _ in rows if r > factor * 1.6]
-    print(f"\n{len(rows)} compared, {len(bad)} above {factor * 1.6:.0f}x: {bad}")
+    # grouped by tier (r8 VERDICT #4): only PRODUCTION superlinearity
+    # is a defect; measurement twins are exact/unbounded by design and
+    # reported separately so they can't mask (or be mistaken for)
+    # production regressions
+    for tier in ("production", "measurement", "demo"):
+        trows = [r for r in rows if TIERS.get(r[1], "production") == tier]
+        if not trows:
+            continue
+        print(f"--- tier: {tier} ({len(trows)}) ---")
+        print(f"{'ratio':>7}  {'base_s':>7}  {'scaled_s':>8}  query")
+        for ratio, k, av, bv in trows:
+            flag = (
+                "  <-- SUPERLINEAR?"
+                if ratio > factor * 1.6 and tier == "production"
+                else ""
+            )
+            print(f"{ratio:7.2f}  {av:7.2f}  {bv:8.2f}  {k}{flag}")
+    bad = [
+        k for r, k, _, _ in rows
+        if r > factor * 1.6 and TIERS.get(k, "production") == "production"
+    ]
+    print(f"\n{len(rows)} compared, {len(bad)} production above "
+          f"{factor * 1.6:.0f}x: {bad}")
     if errored:
         print(f"{len(errored)} ERRORED (excluded from ratios): {errored}")
 

@@ -954,7 +954,13 @@ def ngram_containment_capped_pairs(
     count, no re-scan — the r6 VERDICT #3 discipline).  Why the
     length-ratio prefilter is still absent: containment exists to catch
     size-skewed subset dups, which that filter would discard (the
-    unbounded twin's docstring argument carries over unchanged)."""
+    unbounded twin's docstring argument carries over unchanged).
+
+    Hash-collision assumption (repo-wide convention, advisor-noted):
+    df and intersection counts key on xxhash64(shingle) while the
+    oracle joins raw shingle strings — a 64-bit collision between
+    distinct shingles would perturb counts (astronomically unlikely;
+    same contract as the verify tail and every sibling)."""
     stats = F.broadcast(df.agg(F.count(F.lit(1)).alias("_n")))
     sh = shingles(df, n, text_col, id_col).select(
         id_col, F.xxhash64("shingle").alias("h")
@@ -1271,15 +1277,17 @@ def prefix_jaccard_pairs(
             F.explode(F.array_distinct(tokens_col(text_col))).alias("t"),
         )
     # global rarity order: df asc, token asc — a total order shared by
-    # every document (required for the prefix-overlap guarantee)
+    # every document (required for the prefix-overlap guarantee).  The
+    # order is used ONLY to position tokens WITHIN each doc, so the
+    # (df, t) key is compared directly in a per-doc window — no global
+    # dense rank: the former row_number() OVER (ORDER BY df, t) was a
+    # single-task window over the whole vocabulary, which on an open
+    # vocabulary (vocab ~ corpus size) became the scale bottleneck
+    # (r9 openvocab measurement: the rank build dominated the 10x run)
     vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("_df"))
-    rank = vocab.withColumn(
-        "_rk",
-        F.row_number().over(Window.orderBy(F.col("_df").asc(), F.col("t").asc())),
-    ).select("t", "_rk")
-    ranked = tok.join(rank, "t")
+    ranked = tok.join(vocab, "t")
     wd = Window.partitionBy(id_col)
-    wo = Window.partitionBy(id_col).orderBy("_rk")
+    wo = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("t").asc())
     sized = ranked.withColumn("_n", F.count(F.lit(1)).over(wd)).withColumn(
         "_pos", F.row_number().over(wo)
     )
@@ -1407,22 +1415,13 @@ def prefix_jaccard_capped_pairs(
         .withColumn("n_blocks", nb_col)
         .select(id_col, "t", "_df", "blk", "n_blocks")
     )
-    # global rarity order over the KEPT vocabulary (vocab-sized window —
-    # same driver-state class as the unbounded twin / BPE)
-    rank = (
-        vocab.crossJoin(stats)
-        .filter(kept_pred)
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.orderBy(F.col("_df").asc(), F.col("t").asc())
-            ),
-        )
-        .select("t", "_rk")
-    )
-    ranked = kept.join(rank, "t")
+    # global rarity order over the KEPT vocabulary: compare the (df, t)
+    # key directly inside the per-doc window — the shared total order
+    # needs no global dense rank (see prefix_jaccard_pairs), so nothing
+    # here is vocabulary-sized or single-task
+    ranked = kept
     wd = Window.partitionBy(id_col)
-    wo = Window.partitionBy(id_col).orderBy("_rk")
+    wo = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("t").asc())
     sized = ranked.withColumn("_n", F.count(F.lit(1)).over(wd)).withColumn(
         "_pos", F.row_number().over(wo)
     )

@@ -27,10 +27,19 @@ Builder = Callable[[SparkSession, str], DataFrame]
 
 _ALL: dict[str, Builder] = {}
 ORACLES: dict[str, str] = {}
+#: per-query scale-posture tier (r8 VERDICT #4): "production" |
+#: "measurement" | "demo" — see the q() decorator docstring.  Consumed
+#: by tools/sweep.py --compare (only production superlinearity is a
+#: defect) and enforced complete by tools/lint_registry.py.
+TIERS: dict[str, str] = {}
 
 for mod in (core, relational, extensions, analytics, behavior, sql_api):
     _ALL.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
+    TIERS.update(mod.TIERS)
+
+_VALID_TIERS = {"production", "measurement", "demo"}
+assert set(TIERS) == set(_ALL) and set(TIERS.values()) <= _VALID_TIERS
 
 # Registry order = driver-certification rotation.  The external driver
 # records CORRECTNESS rows for only the FIRST ~50 registry entries per
@@ -243,4 +252,4 @@ assert len(_PRIORITY) == len(set(_PRIORITY)) and all(n in _ALL for n in _PRIORIT
 QUERIES: dict[str, Builder] = {n: _ALL[n] for n in _PRIORITY}
 assert len(QUERIES) == len(_ALL)
 
-__all__ = ["QUERIES", "ORACLES", "Builder"]
+__all__ = ["QUERIES", "ORACLES", "TIERS", "Builder"]

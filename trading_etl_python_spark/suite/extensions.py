@@ -31,15 +31,25 @@ from .core import BARS_CTE
 
 QUERIES = {}
 ORACLES = {}
+TIERS = {}
 
 TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
 
-def q(name: str, oracle: str | None = None):
+def q(name: str, oracle: str | None = None, tier: str = "production"):
+    """Register a query.  ``tier`` encodes the scale posture the docs
+    previously carried only in prose (r8 VERDICT #4): "production" =
+    deployable plan shape at 100 TB (bounded pair/candidate space);
+    "measurement" = exact/unbounded twin kept to verify or score a
+    production path (expected superlinear on adversarial corpora);
+    "demo" = deliberately simplified pedagogical form.  tools/sweep.py
+    --compare flags only production-tier superlinearity; lint requires
+    every entry to carry a valid tier."""
     def deco(fn):
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        TIERS[name] = tier
         return fn
 
     return deco
@@ -79,6 +89,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
        JOIN cnt ca ON ca.doc_id = doc_a
        JOIN cnt cb ON cb.doc_id = doc_b
        WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5""",
+    tier="measurement",
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -326,6 +337,7 @@ def q_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
               ROUND(CAST(inter AS DOUBLE) / LEAST(ca.n_sh, cb.n_sh), 6) AS containment
        FROM p JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
        WHERE CAST(inter AS DOUBLE) / LEAST(ca.n_sh, cb.n_sh) >= 0.8""",
+    tier="measurement",
 )
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment near-dup pairs (|A∩B| / min — catches subset
@@ -501,6 +513,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
        JOIN cnt ca ON ca.doc_id = doc_a
        JOIN cnt cb ON cb.doc_id = doc_b
        WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5""",
+    tier="measurement",
 )
 def q_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Library MinHashLSH candidates + exact-Jaccard verification
@@ -1427,7 +1440,7 @@ def _lpa_sql(iters: int = 5) -> str:
     return f"WITH {base}\nSELECT node, label AS community FROM l{iters}"
 
 
-@q("q_communities", _lpa_sql())
+@q("q_communities", _lpa_sql(), tier="measurement")
 def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection on the exact near-dup graph via deterministic
     synchronous label propagation (min-label tie-break, fixed 5
@@ -1824,6 +1837,7 @@ def q_ppl_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
        SELECT node, CAST(0 AS BIGINT) AS n_triangles,
               CAST(d * (d - 1) // 2 AS BIGINT) AS wedges_dropped
        FROM heavy""",
+    tier="measurement",
 )
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document triangle counts in the exact near-dup graph
@@ -1903,7 +1917,7 @@ def _pagerank_sql(iters: int = 8, d: float = 0.85) -> str:
     return f"WITH {base}\nSELECT node, ROUND(score, 6) AS score FROM pr{iters}"
 
 
-@q("q_pagerank", _pagerank_sql())
+@q("q_pagerank", _pagerank_sql(), tier="measurement")
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the supplier-nation -> customer-nation
     trade graph (operators/graph.pagerank: per-iteration join+groupBy
@@ -3769,6 +3783,7 @@ def q_tar_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
        FROM p JOIN cnt ca ON ca.doc_id = doc_a
               JOIN cnt cb ON cb.doc_id = doc_b
        WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5""",
+    tier="measurement",
 )
 def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-set Jaccard pairs via PREFIX-FILTER candidate
@@ -4662,7 +4677,7 @@ def _hits_sql(iters: int = 5) -> str:
     )
 
 
-@q("q_hits", _hits_sql())
+@q("q_hits", _hits_sql(), tier="measurement")
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hub/authority scores over the supplier-nation ->
     customer-nation trade graph (operators/graph.hits: L1-normalized,
@@ -4716,7 +4731,7 @@ def _kcore_sql(rounds: int = 6, pair_ctes: str | None = None) -> str:
     LEFT JOIN c3 ON allnodes.node = c3.node"""
 
 
-@q("q_kcore", _kcore_sql())
+@q("q_kcore", _kcore_sql(), tier="measurement")
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coreness layers (1/2/3+) of the exact near-dup graph via
     iterative peeling — integer-only, hash-exact by construction
@@ -4758,7 +4773,7 @@ def _clustering_sql(pair_ctes: str | None = None) -> str:
     FROM deg LEFT JOIN tc ON deg.node = tc.node"""
 
 
-@q("q_clustering_coef", _clustering_sql())
+@q("q_clustering_coef", _clustering_sql(), tier="measurement")
 def q_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient per node of the degree-capped
     near-dup graph — T and d consistent under the same super-node cut
@@ -4800,7 +4815,7 @@ def _assort_sql(pair_ctes: str | None = None) -> str:
     FROM m, nodes"""
 
 
-@q("q_degree_assort", _assort_sql())
+@q("q_degree_assort", _assort_sql(), tier="measurement")
 def q_degree_assort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row degree summary + assortativity of the near-dup graph —
     exact integer moments (operators/graph.degree_assortativity)."""
