@@ -367,20 +367,21 @@ def test_silhouette_translation_invariant(spark):
 
 
 def test_semdedup_auto_equals_literal_at_gate_scale(spark, sf_dir):
-    # N = 500 -> derived n_cells = max(16, 500 // 125) = 16: the auto
-    # default and the pinned literal-16 join path must agree exactly
+    # N = 500 -> derived n_cells = max(16, ceil(sqrt(500))) = 23: the
+    # auto default and the pinned literal-23 join path must agree
     emb = load_table(spark, sf_dir, "embeddings")
     auto = {r.vec_id: (r.cell, r.is_kept) for r in S.semdedup(emb).collect()}
     lit = {
         r.vec_id: (r.cell, r.is_kept)
-        for r in S.semdedup(emb, n_cells=16, assign_via_join=True).collect()
+        for r in S.semdedup(emb, n_cells=23, assign_via_join=True).collect()
     }
     assert auto == lit and len(auto) == 500
 
 
 def test_semdedup_auto_scales_cell_count_with_corpus(spark):
-    # 3000 synthetic vectors -> derived n_cells = 24; the auto path must
-    # equal the literal-24 join path (same centroids = lowest-id rows)
+    # 3000 synthetic vectors -> derived n_cells = ceil(sqrt(3000)) = 55;
+    # the auto path must equal the literal-55 join path (same
+    # centroids = lowest-id rows)
     n = 3000
     df = spark.range(n).select(
         F.col("id").alias("vec_id"),
@@ -394,11 +395,11 @@ def test_semdedup_auto_scales_cell_count_with_corpus(spark):
     auto = {r.vec_id: (r.cell, r.is_kept) for r in S.semdedup(df).collect()}
     lit = {
         r.vec_id: (r.cell, r.is_kept)
-        for r in S.semdedup(df, n_cells=24, assign_via_join=True).collect()
+        for r in S.semdedup(df, n_cells=55, assign_via_join=True).collect()
     }
     assert auto == lit and len(auto) == n
     cells = {c for c, _ in auto.values()}
     # dot-product assignment concentrates on high-norm centroids, so
     # occupancy is sparse — the regime proof is that the centroid RANGE
     # genuinely exceeded the 16 floor (cells >= 16 received members)
-    assert max(cells) in range(16, 24)
+    assert max(cells) in range(16, 55)

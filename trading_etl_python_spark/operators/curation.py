@@ -60,6 +60,13 @@ def curate_corpus(
     scored = quality_score(docs, keep=("text", "lang", "source"))
     kept = scored.filter(F.col("quality") >= min_quality)
     uniq = dedup_exact(kept)
+    # Materialization barrier (the curate_corpus_full precedent): the
+    # survivor set feeds the banded pair build THREE ways (signature
+    # aggregation, the verify tail's shingle re-join) plus the final
+    # anti-join — without it Catalyst re-executes the scan + quality +
+    # window-dedup chain per reference.  Measured at sf0.1 when the
+    # banded source landed (r9): 7.8s -> ~3s.
+    uniq = uniq.localCheckpoint(eager=False)
     near = pairs_fn(uniq)
     losers = near.select(F.col("doc_b").alias("doc_id")).distinct()
     return uniq.join(losers, "doc_id", "left_anti").select(

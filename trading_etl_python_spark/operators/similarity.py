@@ -214,7 +214,14 @@ def ivf_assign_join(
     exchange is exactly the hash(id) distribution the k-means mean
     recompute or a write-time ``partitionBy(cell)`` wants next.
     Identical assignment (incl. the smaller-cell-id tie-break) to
-    ``ivf_assign``; proven by tests/test_similarity.py."""
+    ``ivf_assign``; proven by tests/test_similarity.py.
+
+    The input is spread by hash(id) first: the K-way candidate fan-out
+    multiplies per-task CPU by K, so a narrow scan (the sf1 embeddings
+    parquet reads as 2 partitions) would pin the whole assignment to
+    two cores — measured at sf1/K=160: 25.8s -> ~2s; the groupBy(id)
+    argmax then rides the same hash(id) distribution."""
+    embeddings = spread(embeddings, id_col, factor=16)
     carry = [c for c in embeddings.columns if c != id_col]
     sim = dot(F.col("embedding"), F.col("cv"))
     best = (
@@ -528,13 +535,17 @@ def gram_matrix(embeddings: DataFrame, id_col: str = "vec_id") -> DataFrame:
     )
 
 
-#: semdedup's auto-derived cell-count target: ``n_cells = max(16,
-#: N // SEMDEDUP_ROWS_PER_CELL)`` keeps the EXPECTED cell size (and so
-#: the Σ|cell|² pair space, ~ N * rows_per_cell) constant as the corpus
-#: grows — the `nb = N/500` discipline of cosine_pairs_blocked applied
-#: to cells.  At gate scale (N <= 2000) the derived count IS 16, so the
-#: auto default and the literal-16 oracle regime coincide exactly.
-SEMDEDUP_ROWS_PER_CELL = 125
+#: semdedup's auto cell-count floor.  The auto rule is ``n_cells =
+#: max(SEMDEDUP_MIN_CELLS, ceil(sqrt(N)))``: exact SemDeDup pays
+#: N*K dot products for assignment plus ~N²/K for the in-cell pair
+#: join, so K = sqrt(N) BALANCES the two terms and minimizes total
+#: compute at ~2*N^1.5 — a K that merely grows linearly in N (the
+#: naive rows-per-cell rule) makes assignment itself the quadratic
+#: term.  At the paper's corpus sizes the rule lands on the paper's
+#: own K (sqrt(100M) = 10k, Abbas et al. use 10-50k); sqrt is
+#: IEEE-correctly-rounded on both engines so the oracle's
+#: GREATEST(16, CEIL(SQRT(COUNT(*)))) derives the identical count.
+SEMDEDUP_MIN_CELLS = 16
 
 
 def semdedup(
@@ -569,16 +580,19 @@ def semdedup(
     both paths share one oracle.
 
     ``n_cells=None`` (the default since r9 — r8 VERDICT #3) derives the
-    cell count IN-PLAN as ``max(16, N // SEMDEDUP_ROWS_PER_CELL)``: the
-    corpus count enters as a broadcast 1-row aggregate, the centroid
-    relation is the ``vec_id < k`` slice of the corpus itself, and
-    assignment runs through the broadcast-join path — no driver-side
-    count, no literal K anywhere, and the Σ|cell|² bound actually HOLDS
-    as N grows (at fixed K the pair space is N²/K; the r8 sweep
-    measured that as 8.46x per 10x data through the old literal-16
-    default).  An explicit integer ``n_cells`` pins the literal regime
-    (the gate-scale oracle form — identical output to auto wherever
-    N <= 16 * SEMDEDUP_ROWS_PER_CELL).
+    cell count IN-PLAN as ``max(16, ceil(sqrt(N)))``: the corpus count
+    enters as a broadcast 1-row aggregate, the centroid relation is the
+    ``vec_id < k`` slice of the corpus itself, and assignment runs
+    through the broadcast-join path — no driver-side count, no literal
+    K anywhere.  K = sqrt(N) is the COMPUTE-BALANCED choice (see
+    ``SEMDEDUP_MIN_CELLS``): assignment costs N*K dots, the in-cell
+    pair join ~N²/K, so sqrt(N) equalizes them at ~2*N^1.5 total — at
+    fixed K the pair join is quadratic (the r8 sweep measured the old
+    literal-16 default at 8.46x per 10x data), while K linear in N
+    (rows-per-cell) just moves the quadratic into assignment.  An
+    explicit integer ``n_cells`` pins the literal regime (the oracle
+    cross-check forms; ``q_semdedup``'s auto oracle derives the same
+    count with GREATEST/CEIL/SQRT).
 
     Returns (vec_id, cell, is_kept) for EVERY input vector — an audit
     table a curation DAG can join back to filter, weight, or inspect.
@@ -587,8 +601,8 @@ def semdedup(
     if n_cells is None and centroids is None:
         stats = F.broadcast(embeddings.agg(F.count(F.lit(1)).alias("_n")))
         k = F.greatest(
-            F.lit(16).cast("long"),
-            F.floor(F.col("_n") / F.lit(float(SEMDEDUP_ROWS_PER_CELL))),
+            F.lit(SEMDEDUP_MIN_CELLS).cast("long"),
+            F.ceil(F.sqrt(F.col("_n"))),
         )
         cdf = (
             embeddings.crossJoin(stats)
@@ -610,6 +624,11 @@ def semdedup(
             asn = ivf_assign_join(vecs, cdf, "_cell", id_col)
         else:
             asn = ivf_assign(vecs, cents, "_cell")
+    # the assignment feeds THREE subtrees (both sides of the in-cell
+    # pair join + the final audit left-join); checkpoint it once so the
+    # assignment join/scan doesn't re-execute per reference (measured
+    # sf1 auto: ~5.7s -> ~3s warm; the curate_corpus_full precedent)
+    asn = asn.localCheckpoint(eager=False)
     a = spread(asn).alias("a")
     b = asn.alias("b")
     sim = dot(F.col("a.embedding"), F.col("b.embedding"))

@@ -212,7 +212,7 @@ _SAMPLED_R8 = [
 # its items 2-6).
 _NEW_R9: list[str] = [
     "q_prefix_jaccard_capped",  # VERDICT #5: df-cap + block bound for the AllPairs family
-    "q_semdedup_scaled",        # VERDICT #3: corpus-derived n_cells regime (>16 cells)
+    "q_semdedup_scaled",        # VERDICT #3: multi-cell literal pin (64 cells)
 ]
 # Queries whose BUILDER OR ORACLE changed this round (r8 VERDICT items
 # 2/3/6/7) — certified green before, but on the OLD semantics, so they

@@ -2242,11 +2242,12 @@ def _semdedup_sql(cells: str = "16") -> str:
 
 
 _SEMDEDUP_SQL = _semdedup_sql("16")
-# the auto regime: cell count derived from the corpus count, floored at
-# 16 — integer arithmetic on both engines (DuckDB // is integer div on
-# BIGINT; Spark FLOOR(n / 125.0) agrees for n << 2^53)
+# the auto regime: cell count derived from the corpus count as
+# max(16, ceil(sqrt(N))) — the compute-balanced K (assignment N*K ==
+# pair join N²/K at K = sqrt(N)); sqrt is IEEE-correctly-rounded on
+# both engines, so CEIL lands on the identical integer
 _SEMDEDUP_AUTO_SQL = _semdedup_sql(
-    "SELECT GREATEST(16, COUNT(*) // 125) FROM embeddings"
+    "SELECT GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM embeddings"
 )
 
 
@@ -2255,27 +2256,32 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster-bounded semantic dedup —
     centroid assignment, exact cosine only within cells, first-writer-
     wins survivor rule (operators/similarity.semdedup).  Rides the r9
-    AUTO cell count (``max(16, N // 125)`` derived in-plan — r8 VERDICT
-    #3), so the Σ|cell|² pair space stays ~125·N instead of N²/16; at
-    every driver gate scale (N <= 2000) the derived count is exactly 16,
-    so this oracle and the literal-16 regime coincide there
-    (tests/test_similarity.py pins that parity)."""
+    AUTO cell count (``max(16, ceil(sqrt(N)))`` derived in-plan — r8
+    VERDICT #3): K = sqrt(N) balances the N*K assignment cost against
+    the N²/K in-cell pair join (total ~2*N^1.5; at the paper's 100M+
+    corpus sizes the rule reproduces the paper's own K ~ 10k), where
+    the old literal-16 default left the pair join quadratic (8.46x per
+    10x in the r8 sweep).  The oracle derives the identical count via
+    GREATEST/CEIL/SQRT; auto-vs-literal parity at the derived K is
+    pinned by tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.semdedup(emb, threshold=0.8)
 
 
-@q("q_semdedup_joined", _SEMDEDUP_SQL)
+@q("q_semdedup_joined", _SEMDEDUP_SQL, tier="measurement")
 def q_semdedup_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup through the broadcast-join assignment path at a PINNED
     literal cell count (16): centroids shipped as a broadcast relation
     and assigned by ``ivf_assign_join`` (max_by argmax, constant plan
-    size).  Pins the literal-K regime and the join path against the
-    same oracle the auto default reduces to at gate scale."""
+    size).  Pins the literal-K regime and the join path; measurement
+    tier — a FIXED cell count leaves the in-cell pair join quadratic
+    (the r9 sweep measured this pin at 26x per 10x data), which is
+    exactly the failure mode the auto sqrt(N) default exists to fix."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.semdedup(emb, n_cells=16, threshold=0.8, assign_via_join=True)
 
 
-@q("q_semdedup_scaled", _semdedup_sql("64"))
+@q("q_semdedup_scaled", _semdedup_sql("64"), tier="measurement")
 def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup in the MULTI-CELL regime (64 cells) — the value-hash
     pin for cell counts ABOVE the 16 floor, which the auto default only
