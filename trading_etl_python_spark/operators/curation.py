@@ -44,6 +44,7 @@ def curate_corpus(
     min_quality: float = 0.5,
     neardup_threshold: float = 0.8,
     pairs_fn: PairsFn | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """documents -> curated (doc_id, lang, source, n_tokens, quality).
 
@@ -65,8 +66,11 @@ def curate_corpus(
     # aggregation, the verify tail's shingle re-join) plus the final
     # anti-join — without it Catalyst re-executes the scan + quality +
     # window-dedup chain per reference.  Measured at sf0.1 when the
-    # banded source landed (r9): 7.8s -> ~3s.
-    uniq = uniq.localCheckpoint(eager=False)
+    # banded source landed (r9): 7.8s -> ~3s.  ``checkpoint=False``
+    # keeps the full lineage visible for plan-shape tests (the barrier
+    # hides its subtree from the final executedPlan).
+    if checkpoint:
+        uniq = uniq.localCheckpoint(eager=False)
     near = pairs_fn(uniq)
     losers = near.select(F.col("doc_b").alias("doc_id")).distinct()
     return uniq.join(losers, "doc_id", "left_anti").select(

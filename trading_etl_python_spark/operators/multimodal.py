@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..util import spread
+
 MEDIA_META = T.StructType(
     [
         T.StructField("media_type", T.StringType()),  # image|audio|video
@@ -593,6 +595,7 @@ def documents_as_pgm(documents: DataFrame, width: int = 18, height: int = 16) ->
     bytes), so the real codec path — parse, NN-resize, hash — runs on
     driver testdata while staying transparent enough for an exact SQL
     twin (payload grid == characters)."""
+    documents = spread(documents)  # r9: Arrow consumers inherit this width
     header = f"P5\n{width} {height}\n255\n".encode()
     body = F.encode(
         F.rpad(F.coalesce(F.col("text"), F.lit("")), width * height, " "), "utf-8"
@@ -630,7 +633,7 @@ def documents_as_png(
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    return documents.select("doc_id", "text").mapInPandas(
+    return spread(documents.select("doc_id", "text")).mapInPandas(
         enc, "media_id long, payload binary"
     )
 
@@ -767,6 +770,7 @@ def documents_as_wav(documents: DataFrame, n_bytes: int = 256) -> DataFrame:
         + b"data"
         + struct.pack("<I", n_bytes)
     )
+    documents = spread(documents)  # r9: Arrow consumers inherit this width
     body = F.encode(F.rpad(F.coalesce(F.col("text"), F.lit("")), n_bytes, " "), "utf-8")
     return documents.select(
         F.col("doc_id").alias("media_id"),

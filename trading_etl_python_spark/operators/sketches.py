@@ -164,9 +164,14 @@ def cm_estimate_vs_exact(
     pass over the corpus.
 
     Returns (token, exact_n, cm_n, is_overestimate) per vocab token."""
+    from ..util import spread
     from .dedup import porthash32, tokens_col
 
-    tok = df.select(F.explode(tokens_col(text_col)).alias("token"))
+    # spread before the tokenize+explode (r9 parallelism-trap class:
+    # a narrow documents scan pins both consumers to its width)
+    tok = spread(df.select(F.col(text_col))).select(
+        F.explode(tokens_col(text_col)).alias("token")
+    )
     exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
     sk = cm_sketch(tok, "token", depth=depth, width=width)
     probes = exact.select(

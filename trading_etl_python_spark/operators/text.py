@@ -209,7 +209,9 @@ def winnow_fingerprints(
     once are never collapsed."""
     mod = F.lit(1_000_000_007).cast("long")
     s = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
-    df = df.filter(F.length(s) >= k + w - 1).withColumn(
+    # spread before the per-row O(len·(k+w)) HOF work (r9 trap class:
+    # the heavy lambdas run pre-exchange, at the scan's partition count)
+    df = spread(df).filter(F.length(s) >= k + w - 1).withColumn(
         "_codes", F.transform(F.split(s, ""), lambda c: F.ascii(c).cast("long"))
     )
     hs = F.transform(
@@ -319,7 +321,13 @@ def redact_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
 
     Counting happens BEFORE redaction on the original text; replacement
     chains most-specific-first (PII_PATTERNS order), so an email's
-    domain dots can never be double-redacted as an IP."""
+    domain dots can never be double-redacted as an IP.
+
+    The input is spread first (no-op on an already-wide scan): the
+    regex chain is CPU-heavy per row, and a narrow parquet scan (sf1
+    documents = 2 partitions) would otherwise pin it to two cores —
+    the r9 parallelism-trap class (see char_entropy_profile)."""
+    df = spread(df)
     red = F.col(text_col)
     counts = []
     for name, pat, rep in PII_PATTERNS:
@@ -337,7 +345,10 @@ def normalize_text(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     pipeline runs): lowercase, non-alphanumerics -> space, whitespace
     runs collapsed, trimmed; plus a stopword-stripped content variant and
     the md5 of the normal form (the exact-dedup key after normalization).
-    Pure codegen expressions — regexp_replace/HOFs, no Python row path."""
+    Pure codegen expressions — regexp_replace/HOFs, no Python row path.
+    Spread first: regex-heavy map work on a narrow scan pins to its
+    partition count (the r9 parallelism-trap class)."""
+    df = spread(df)
     norm = norm_expr(text_col)
     sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     content = F.array_join(
@@ -701,7 +712,11 @@ def token_pmi(
     from .dedup import tokens_col
 
     arr = F.array_sort(F.array_distinct(tokens_col(text_col)))
-    base = df.select(F.col(id_col), arr.alias("_t")).filter(F.size("_t") >= 1)
+    # spread before the O(distinct²) in-row pair fan-out — on a narrow
+    # scan the fan-out pins to the scan's partition count (r9 trap class)
+    base = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), arr.alias("_t")
+    ).filter(F.size("_t") >= 1)
     # N and marginals ride the same scan lineage; both tiny aggregates
     n_docs = base.select(F.count(F.lit(1)).alias("_N"))
     marg = (
@@ -906,7 +921,7 @@ def hash_tf(
     Returns (doc_id, bucket, tf)."""
     from .dedup import porthash32, tokens_col
 
-    toks = df.select(
+    toks = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(tokens_col(text_col)).alias("_tok")
     )
     return (
