@@ -504,3 +504,40 @@ def test_curate_corpus_banded_default_keeps_superset_of_exact(spark):
     assert kept_exact <= kept_banded
     assert 2 not in kept_banded and 4 not in kept_banded  # exact dup, low quality
     assert {1, 5} <= kept_banded
+
+
+def test_prefix_prefilters_lossless_at_float_boundary(spark):
+    # threshold=0.07 with |A|=100, |B|=7, overlap 7 -> J = 7/100 = 0.07
+    # exactly at threshold; 0.07*100 evaluates to 7.000000000000001 in
+    # float, which (pre-slack) tightened the ratio filter and the prefix
+    # length and silently dropped the pair.  The slackened prefilters
+    # (_PREFILTER_SLACK) must keep it; the exact verify decides.
+    a_toks = " ".join(f"w{i}" for i in range(100))
+    b_toks = " ".join(f"w{i}" for i in range(7))
+    df = spark.createDataFrame(
+        [(0, a_toks), (1, b_toks)], ["doc_id", "text"]
+    )
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in D.prefix_jaccard_pairs(df, threshold=0.07).collect()}
+    assert out == {(0, 1): 0.07}
+    # capped twin: pad the corpus with disjoint-vocab decoys so the
+    # shared tokens sit at df 2/4 = exactly the 1/2 cap (kept) — on the
+    # bare 2-doc corpus every shared token is in 100% of docs and the
+    # df-cap correctly empties the similarity space
+    df4 = spark.createDataFrame(
+        [(0, a_toks), (1, b_toks),
+         (2, " ".join(f"x{i}" for i in range(10))),
+         (3, " ".join(f"y{i}" for i in range(10)))],
+        ["doc_id", "text"],
+    )
+    capped = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+              for r in D.prefix_jaccard_capped_pairs(df4, threshold=0.07).collect()}
+    assert capped == {(0, 1): 0.07}
+    # the length-ratio prefilter in the exact n-gram join has the same
+    # boundary class: shingle sets of sizes 100 and 7 sharing 7
+    long = " ".join(f"s{i}" for i in range(102))      # 100 3-gram shingles
+    sub = " ".join(f"s{i}" for i in range(9))         # its first 7 shingles
+    df2 = spark.createDataFrame([(0, long), (1, sub)], ["doc_id", "text"])
+    ngram = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(df2, n=3, threshold=0.07).collect()}
+    assert ngram == {(0, 1): 0.07}

@@ -77,15 +77,25 @@ def test_semdedup_forces_join_assign_past_inline_cap(spark):
     emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
     out = S.semdedup(emb, n_cells=n, threshold=1.1)  # threshold>1: no dups
     assert out.count() == n + 4
-    # r9: semdedup checkpoints its assignment, which hides the subplan
-    # from the final executedPlan — assert the join-path shape on the
-    # same assignment build the >cap branch routes through
-    cdf = S.centroids_to_df(spark, S.collect_centroids(emb, n))
+    # r9: semdedup checkpoints its assignment, hiding the subplan from
+    # the final executedPlan — so pin the ROUTING itself on the
+    # extracted builder semdedup delegates to: past the cap it must
+    # take the join path (max_by aggregate) WITHOUT the explicit flag,
+    # and below the cap it must stay literal-inline (no join)
+    cents = S.collect_centroids(emb, n)
+    assert len(cents) > S.IVF_INLINE_MAX_CELLS
+    vecs = emb.select("vec_id", "embedding")
     plan = (
-        S.ivf_assign_join(emb.select("vec_id", "embedding"), cdf)
+        S._semdedup_assign(vecs, cents, False, "vec_id")
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "max_by" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    small = {k: cents[k] for k in list(cents)[:8]}
+    plan_small = (
+        S._semdedup_assign(vecs, small, False, "vec_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "max_by" not in plan_small and "Join" not in plan_small
 
 
 # ------------------------------------------------------------ pca_power

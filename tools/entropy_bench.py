@@ -6,7 +6,7 @@ A) current: explode(sequence) + substring -> (doc,char) hash agg x2
 B) posexplode(split(lower(text), '')) -> same double agg
 C) in-row: sorted-distinct-char fold (zero shuffle, O(L*D) per row)
 
-Usage: python tools/entropy_bench.py [sf1_dir]
+Usage: python tools/entropy_bench.py [sf1_dir] [small_sf_dir]
 """
 from __future__ import annotations
 
@@ -20,9 +20,32 @@ from pyspark.sql import functions as F  # noqa: E402
 
 
 def variant_a(df):
-    from trading_etl_python_spark.operators.text import char_entropy_profile
-
-    return char_entropy_profile(df)
+    """FROZEN copy of the pre-r9 explode(sequence)+substring shape —
+    char_entropy_profile itself was rewritten to variant C, so calling
+    it here would measure C twice and silently lose the baseline this
+    file exists to document."""
+    t = F.lower(F.col("text"))
+    chars = df.select(
+        F.col("doc_id"),
+        F.length(t).alias("_n"),
+        F.explode(F.sequence(F.lit(0), F.length(t) - 1)).alias("_i"),
+        t.alias("_t"),
+    ).select(
+        "doc_id", "_n", F.substring("_t", F.col("_i") + 1, F.lit(1)).alias("_c")
+    )
+    counts = chars.groupBy("doc_id", "_n", "_c").agg(F.count(F.lit(1)).alias("_k"))
+    p = F.col("_k") / F.col("_n")
+    return (
+        counts.groupBy("doc_id", "_n")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+        )
+        .select(
+            "doc_id", F.col("_n").cast("long").alias("n_chars"),
+            "entropy", "n_distinct_chars",
+        )
+    )
 
 
 def variant_b(df):
@@ -71,6 +94,7 @@ def variant_c(df):
 
 def main():
     sf1 = sys.argv[1] if len(sys.argv) > 1 else "testdata_sf1"
+    small_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     from pyspark.sql import SparkSession
 
     spark = (
@@ -81,7 +105,7 @@ def main():
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    small = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    small = spark.read.parquet(os.path.join(small_dir, "documents.parquet"))
     big = spark.read.parquet(os.path.join(sf1, "documents.parquet"))
     fns = {"A_current": variant_a, "B_splitexplode": variant_b, "C_inrow": variant_c}
     # value cross-check at sf0.01 (expect identical rounded values)

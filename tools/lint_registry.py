@@ -52,8 +52,9 @@ def main() -> int:
     if bad_tier:
         print(f"INVALID TIER: {bad_tier}")
         bad = True
-    n_meas = sum(1 for t in TIERS.values() if t == "measurement")
-    print(f"tiers: {len(TIERS) - n_meas} production, {n_meas} measurement")
+    counts = {t: sum(1 for v in TIERS.values() if v == t)
+              for t in ("production", "measurement", "demo")}
+    print("tiers: " + ", ".join(f"{n} {t}" for t, n in counts.items()))
     m = re.search(r"Registry as of r\d+: (\d+) queries / (\d+)", cov)
     if m and (int(m.group(1)) != len(QUERIES) or int(m.group(2)) != len(ORACLES)):
         print(f"COVERAGE.md count {m.groups()} != actual {len(QUERIES)}")

@@ -58,6 +58,44 @@ def tokens_col(text_col: str = "text"):
     return F.filter(F.split(F.lower(F.col(text_col)), TOKEN_RE), lambda x: x != F.lit(""))
 
 
+#: Absolute slack subtracted from every FLOAT prefilter bound in the
+#: length-ratio / AllPairs family.  The prefilters (ratio, prefix
+#: length, positional) exist only to PRUNE; membership is always decided
+#: by the exact verify comparison.  Pruning is lossless only if a bound
+#: computed in floating point is never TIGHTER than its mathematical
+#: value — but ``t * n`` can acquire upward rounding error (e.g.
+#: 0.07 * 100 == 7.000000000000001, which silently dropped an exactly-
+#: at-threshold pair).  Double products with operands below ~1e9 carry
+#: absolute error < ~2e-7, so subtracting 1e-6 makes every bound
+#: conservative for any set size below ~1e9 elements; the only cost is
+#: a vanishing number of extra candidates for the verifier.
+_PREFILTER_SLACK = 1e-6
+
+
+def _ratio_ok(threshold: float, n_a, n_b):
+    """Length-ratio prefilter: J >= t forces min >= t*max (slackened)."""
+    t, s = F.lit(threshold), F.lit(_PREFILTER_SLACK)
+    return (n_a >= t * n_b - s) & (n_b >= t * n_a - s)
+
+
+def _prefix_pos_le(threshold: float, n_col, pos_col):
+    """AllPairs prefix condition pos <= |x| - ceil(t*|x|) + 1, with the
+    ceil argument slackened so float error can never shrink the prefix."""
+    return pos_col <= n_col - F.ceil(
+        F.lit(threshold) * n_col - F.lit(_PREFILTER_SLACK)
+    ) + 1
+
+
+def _positional_ok(threshold: float, n_a, p_a, n_b, p_b):
+    """PPJoin positional filter with the alpha ceil slackened (lossless:
+    pruned pairs provably cannot reach t even after the slack)."""
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (n_a + n_b)
+        - F.lit(_PREFILTER_SLACK)
+    )
+    return (1 + F.least(n_a - p_a, n_b - p_b)) >= alpha
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """X1 — exact dedup, first-writer-wins by id.  Shuffles on
     sha2(text) (fixed-width key), not the document body."""
@@ -104,11 +142,10 @@ def ngram_jaccard_pairs(
     side = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
     a, b = side.alias("a"), side.alias("b")
     # length-ratio prefilter inside the join condition: jaccard >= t forces
-    # min(|A|,|B|) >= t*max(|A|,|B|) — provably output-preserving, and it
-    # drops hopeless pairs before they hit the aggregation shuffle
-    ratio_ok = (F.col("a.n_sh") >= threshold * F.col("b.n_sh")) & (
-        F.col("b.n_sh") >= threshold * F.col("a.n_sh")
-    )
+    # min(|A|,|B|) >= t*max(|A|,|B|) — output-preserving (slackened
+    # bound, see _PREFILTER_SLACK), and it drops hopeless pairs before
+    # they hit the aggregation shuffle
+    ratio_ok = _ratio_ok(threshold, F.col("a.n_sh"), F.col("b.n_sh"))
     pairs = (
         a.join(
             b,
@@ -1291,28 +1328,22 @@ def prefix_jaccard_pairs(
     sized = ranked.withColumn("_n", F.count(F.lit(1)).over(wd)).withColumn(
         "_pos", F.row_number().over(wo)
     )
-    # prefix length |x| - ceil(t*|x|) + 1
+    # prefix length |x| - ceil(t*|x|) + 1 (slackened ceil — float error
+    # in t*|x| must never SHRINK the prefix, see _PREFILTER_SLACK)
     prefix = sized.filter(
-        F.col("_pos") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+        _prefix_pos_le(threshold, F.col("_n"), F.col("_pos"))
     ).select(F.col(id_col), "t", "_n", "_pos")
     a, b = prefix.alias("a"), prefix.alias("b")
-    ratio_ok = (F.col("a._n") >= threshold * F.col("b._n")) & (
-        F.col("b._n") >= threshold * F.col("a._n")
-    )
+    ratio_ok = _ratio_ok(threshold, F.col("a._n"), F.col("b._n"))
     # PPJoin positional filter: J >= t needs overlap
     # alpha = ceil(t/(1+t) * (|A|+|B|)); a shared token at positions
     # (pa, pb) caps the achievable overlap at 1 + min(|A|-pa, |B|-pb).
-    # Lossless — pruned pairs provably cannot reach t, and the exact
-    # verify step decides membership anyway, so float wobble here can
-    # only change WORK, never output (no oracle-parity constraint).
-    alpha = F.ceil(
-        F.lit(threshold / (1.0 + threshold)) * (F.col("a._n") + F.col("b._n"))
+    # Lossless with the slackened ceil — pruned pairs provably cannot
+    # reach t, and the exact verify step decides membership anyway.
+    pos_ok = _positional_ok(
+        threshold,
+        F.col("a._n"), F.col("a._pos"), F.col("b._n"), F.col("b._pos"),
     )
-    pos_ok = (
-        1 + F.least(
-            F.col("a._n") - F.col("a._pos"), F.col("b._n") - F.col("b._pos")
-        )
-    ) >= alpha
     cand = (
         a.join(
             b,
@@ -1419,27 +1450,20 @@ def prefix_jaccard_capped_pairs(
     # key directly inside the per-doc window — the shared total order
     # needs no global dense rank (see prefix_jaccard_pairs), so nothing
     # here is vocabulary-sized or single-task
-    ranked = kept
     wd = Window.partitionBy(id_col)
     wo = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("t").asc())
-    sized = ranked.withColumn("_n", F.count(F.lit(1)).over(wd)).withColumn(
+    sized = kept.withColumn("_n", F.count(F.lit(1)).over(wd)).withColumn(
         "_pos", F.row_number().over(wo)
     )
     prefix = sized.filter(
-        F.col("_pos") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+        _prefix_pos_le(threshold, F.col("_n"), F.col("_pos"))
     ).select(F.col(id_col), "t", "_n", "_pos", "blk", "n_blocks")
     a, b = prefix.alias("a"), prefix.alias("b")
-    ratio_ok = (F.col("a._n") >= threshold * F.col("b._n")) & (
-        F.col("b._n") >= threshold * F.col("a._n")
+    ratio_ok = _ratio_ok(threshold, F.col("a._n"), F.col("b._n"))
+    pos_ok = _positional_ok(
+        threshold,
+        F.col("a._n"), F.col("a._pos"), F.col("b._n"), F.col("b._pos"),
     )
-    alpha = F.ceil(
-        F.lit(threshold / (1.0 + threshold)) * (F.col("a._n") + F.col("b._n"))
-    )
-    pos_ok = (
-        1 + F.least(
-            F.col("a._n") - F.col("a._pos"), F.col("b._n") - F.col("b._pos")
-        )
-    ) >= alpha
     cand = (
         a.join(
             b,

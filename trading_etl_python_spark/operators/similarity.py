@@ -535,6 +535,17 @@ def gram_matrix(embeddings: DataFrame, id_col: str = "vec_id") -> DataFrame:
     )
 
 
+def _semdedup_assign(vecs, cents, assign_via_join: bool, id_col: str):
+    """semdedup's literal-centroid routing, extracted so the
+    inline-vs-join decision is directly plan-testable (the checkpoint
+    barrier in semdedup hides the assignment subplan from the final
+    executedPlan — tests/test_late_r4.py asserts on THIS builder)."""
+    if assign_via_join or len(cents) > IVF_INLINE_MAX_CELLS:
+        cdf = centroids_to_df(vecs.sparkSession, cents)
+        return ivf_assign_join(vecs, cdf, "_cell", id_col)
+    return ivf_assign(vecs, cents, "_cell")
+
+
 #: semdedup's auto cell-count floor.  The auto rule is ``n_cells =
 #: max(SEMDEDUP_MIN_CELLS, ceil(sqrt(N)))``: exact SemDeDup pays
 #: N*K dot products for assignment plus ~N²/K for the in-cell pair
@@ -619,11 +630,7 @@ def semdedup(
             if centroids is not None
             else collect_centroids(embeddings, n_cells, id_col)
         )
-        if assign_via_join or len(cents) > IVF_INLINE_MAX_CELLS:
-            cdf = centroids_to_df(embeddings.sparkSession, cents)
-            asn = ivf_assign_join(vecs, cdf, "_cell", id_col)
-        else:
-            asn = ivf_assign(vecs, cents, "_cell")
+        asn = _semdedup_assign(vecs, cents, assign_via_join, id_col)
     # the assignment feeds THREE subtrees (both sides of the in-cell
     # pair join + the final audit left-join); checkpoint it once so the
     # assignment join/scan doesn't re-execute per reference (measured

@@ -218,7 +218,8 @@ _NEW_R9: list[str] = [
 # 2/3/6/7) — certified green before, but on the OLD semantics, so they
 # must re-certify inside the r9 window:
 #   - curation compositions rewired onto the banded-MinHash pair source
-#     (VERDICT #2): q_corpus_pipeline, q_corpus_full, q_dedup_clusters
+#     (VERDICT #2): q_corpus_pipeline, q_corpus_full, q_dedup_clusters,
+#     and q_dup_weights (dup_aware_weights rides dedup_clusters' default)
 #   - semdedup corpus-scaled n_cells default (VERDICT #3): q_semdedup,
 #     q_semdedup_joined
 #   - block-sampled exact side (VERDICT #6): q_minhash_eval
@@ -229,7 +230,7 @@ _REWIRED_R9: list[str] = [
     "q_dup_weights", "q_semdedup", "q_semdedup_joined",
     "q_minhash_eval", "q_entropy_profile",
 ]
-# r10 NOTE: the r9 window (~50) = _NEW_R9 (2) + _REWIRED_R9 (7) + the
+# r10 NOTE: the r9 window (~50) = _NEW_R9 (2) + _REWIRED_R9 (8) + the
 # stalest greens in _ORDER_R8 order (r2-era core tail from
 # q_lookback_trim/q_time_range + the recursive family q_ema/q_rsi/
 # q_macd/q_atr/q_adx + relational + the r4 block head).  Round 10

@@ -2229,7 +2229,8 @@ def _semdedup_sql(cells: str = "16") -> str:
     """SemDeDup oracle parameterized by the centroid-slice width —
     ``cells`` is either an integer literal (the pinned regimes) or the
     in-plan derived expression (q_semdedup's auto default, r8 VERDICT
-    #3: ``GREATEST(16, N // SEMDEDUP_ROWS_PER_CELL)``)."""
+    #3: ``GREATEST(16, CEIL(SQRT(N)))`` — the compute-balanced K, see
+    operators/similarity.SEMDEDUP_MIN_CELLS)."""
     asn = _ASN_CTES.replace("vec_id < 16", f"vec_id < ({cells})")
     return f"""WITH {asn},
        dup AS (
