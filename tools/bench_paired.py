@@ -5,6 +5,12 @@ runs STARTED on a quiet host (1-min pre-load <= 0.5) are flagged
 bench itself saturates 32 cores); everything else is recorded but
 marked noisy.
 
+Every run is also compared per-query against the quiet reference
+minima (BASELINE.md r10: sweeps/r9_headline_minima.json); queries
+above 1.2x their reference are printed.  Per the protocol a query is a
+SUSPECTED regression only if it exceeds 1.2x in BOTH of two
+quiet-start runs — one flagged run is information, not a verdict.
+
 Usage: python tools/bench_paired.py [out.jsonl]
 """
 import json
@@ -22,7 +28,7 @@ def loadavg():
 
 def main():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "sweeps/r9_bench_runs.jsonl"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "sweeps/r10_bench_runs.jsonl"
     if not os.path.isabs(out_path):
         # resolve against the repo root (same dir the bench subprocess
         # runs in), not the caller's CWD — invoking from elsewhere used
@@ -59,6 +65,17 @@ def main():
     with open(out_path, "a") as f:
         f.write(json.dumps(rec) + "\n")
     print(json.dumps({k: rec[k] for k in ("ts", "load_pre", "load_post", "quiet", "metric", "value")}))
+    # per-query check vs the quiet reference minima (BASELINE.md r10)
+    ref_path = os.path.join(repo, "sweeps", "r9_headline_minima.json")
+    if os.path.exists(ref_path) and isinstance(rec.get("queries"), dict):
+        ref = json.load(open(ref_path))
+        over = {
+            q: {"run": round(t, 3), "ref": ref[q],
+                "ratio": round(t / ref[q], 2)}
+            for q, t in rec["queries"].items()
+            if q in ref and ref[q] > 0 and t > 1.2 * ref[q]
+        }
+        print(json.dumps({"over_1.2x_ref": over, "quiet": rec["quiet"]}))
 
 
 if __name__ == "__main__":
