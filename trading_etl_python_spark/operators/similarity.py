@@ -136,10 +136,18 @@ def collect_centroids(
 ) -> dict[int, list[float]]:
     """Deterministic coarse centroids: the ``n_cells`` lowest-id vectors.
     A production build trains these with KMeans (``train_ivf_kmeans``);
-    the deterministic pick keeps the whole IVF query oracle-checkable."""
+    the deterministic pick keeps the whole IVF query oracle-checkable.
+
+    r10: the pick is the true k-lowest (distributed sort+limit =
+    TakeOrderedAndProject, k rows to the driver) rather than an
+    ``id < n_cells`` slice, so offset/sparse id spaces can never yield
+    an undersized-or-empty centroid set (ADVICE r9).  Identical on
+    dense 0-based ids — every registry oracle keeps its ``vec_id < k``
+    form, exact on the gate data."""
     rows = (
-        embeddings.filter(F.col(id_col) < n_cells)
-        .select(F.col(id_col).alias("cell"), "embedding")
+        embeddings.select(F.col(id_col).alias("cell"), "embedding")
+        .sort("cell")
+        .limit(n_cells)
         .collect()
     )
     return {int(r["cell"]): [float(v) for v in r["embedding"]] for r in rows}
@@ -610,14 +618,28 @@ def semdedup(
     """
     vecs = embeddings.select(id_col, "embedding")
     if n_cells is None and centroids is None:
-        stats = F.broadcast(embeddings.agg(F.count(F.lit(1)).alias("_n")))
+        stats = F.broadcast(
+            embeddings.agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.min(F.col(id_col)).alias("_min_id"),
+            )
+        )
         k = F.greatest(
             F.lit(SEMDEDUP_MIN_CELLS).cast("long"),
             F.ceil(F.sqrt(F.col("_n"))),
         )
+        # centroid slice anchored at MIN(id), not 0: `id < min_id + k`
+        # is identical to `id < k` on dense 0-based ids (every gate
+        # dataset) but stays NON-EMPTY for offset ids, so the
+        # every-input-vector audit contract can never be voided by an
+        # empty centroid relation silently emptying the assignment
+        # join.  Sparse ids (gaps below min_id+k) yield fewer than k
+        # centroids — coarser cells, contract intact; exact-k on
+        # sparse ids would need a global rank (single-task sort at
+        # corpus scale), which is the wrong trade for a seed pick.
         cdf = (
             embeddings.crossJoin(stats)
-            .filter(F.col(id_col) < k)
+            .filter(F.col(id_col) < F.col("_min_id") + k)
             .select(
                 F.col(id_col).cast("int").alias("cell"),
                 F.col("embedding").alias("cv"),

@@ -241,11 +241,36 @@ _REWIRED_R9: list[str] = [
 # rotated to the back, oldest certification always first).
 _head = {*_NEW_R9, *_REWIRED_R9}
 _sampled_r8 = set(_SAMPLED_R8)
-_PRIORITY = [
+# Full r9-era registry order (the r9 window = its first 50 entries;
+# CORRECTNESS_r09 certified exactly that slice, 50/50 green).
+_ORDER_R9 = [
     *_NEW_R9,
     *_REWIRED_R9,
     *(n for n in _ORDER_R8 if n not in _sampled_r8 and n not in _head),
     *(n for n in _ORDER_R8 if n in _sampled_r8 and n not in _head),
+]
+
+# The 50 entries CORRECTNESS_r09 certified (all green) — freshest
+# certifications, rotated to the BACK for r10.
+_SAMPLED_R9 = _ORDER_R9[:50]
+
+# Queries BORN in r10 (per the r9 VERDICT #7: births only in service
+# of its items 1/4; #1 resolved without a birth — the 7.44x was a
+# measurement artifact, see BASELINE.md r10).
+_NEW_R10: list[str] = []
+
+# r11 NOTE: the r10 window (~50) = _NEW_R10 + the stalest greens in
+# _ORDER_R9 order (r4-block tail from q_text_redact/q_seq_pack, then
+# the r5/r6/r7 blocks — 84 entries were at r4-or-older certification
+# entering r10).  Round 11 front-loads: any r10 reds (rebuild per
+# PLANS.md §62 first), then r11 births, then the stale refresh
+# continues from where the r10 window stopped, with _SAMPLED_R9 and
+# the r10 window rotated to the back (oldest certification first).
+_sampled_r9 = set(_SAMPLED_R9)
+_PRIORITY = [
+    *_NEW_R10,
+    *(n for n in _ORDER_R9 if n not in _sampled_r9 and n not in set(_NEW_R10)),
+    *(n for n in _ORDER_R9 if n in _sampled_r9 and n not in set(_NEW_R10)),
 ]
 
 assert len(_PRIORITY) == len(set(_PRIORITY)) and all(n in _ALL for n in _PRIORITY)

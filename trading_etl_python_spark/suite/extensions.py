@@ -2246,9 +2246,13 @@ _SEMDEDUP_SQL = _semdedup_sql("16")
 # the auto regime: cell count derived from the corpus count as
 # max(16, ceil(sqrt(N))) — the compute-balanced K (assignment N*K ==
 # pair join N²/K at K = sqrt(N)); sqrt is IEEE-correctly-rounded on
-# both engines, so CEIL lands on the identical integer
+# both engines, so CEIL lands on the identical integer.  The slice is
+# anchored at MIN(vec_id) (r10, ADVICE: offset-id robustness — on the
+# dense 0-based gate data MIN is 0 and the bound is unchanged); the
+# builder computes min_id + k the same way.
 _SEMDEDUP_AUTO_SQL = _semdedup_sql(
-    "SELECT GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM embeddings"
+    "SELECT MIN(vec_id) + GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))"
+    " FROM embeddings"
 )
 
 
