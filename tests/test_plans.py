@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import re
 
+from pyspark.sql import functions as F
+
 from trading_etl_python_spark.operators.indicators import indicator_table
 from trading_etl_python_spark.sources.tables import bars, load_table
 from trading_etl_python_spark.suite import QUERIES
@@ -278,6 +280,38 @@ def test_spread_keyless_noop_when_already_wide(spark):
     # the key is what mapInPandas kernels rely on)
     keyed = spread(wide.withColumn("k", wide.id % 7), "k")
     assert "hashpartitioning(k" in keyed._jdf.queryExecution().executedPlan().toString()
+
+
+def test_spread_probe_is_skipped_or_memoized(spark, monkeypatch):
+    """r10: the width probe (full physical planning, ~105 ms driver-side)
+    must not run when the target doesn't depend on it (keyed, no factor)
+    and must be memoized by semantic hash elsewhere — semantically-equal
+    rebuilds of the same projection (bench reruns, composed pipelines)
+    pay analysis only."""
+    import trading_etl_python_spark.util as U
+
+    def _boom(df):
+        raise AssertionError("probe ran")
+
+    # keyed + no factor: t = n, no probe at all
+    monkeypatch.setattr(U, "_num_partitions", _boom)
+    df = spark.range(100).withColumn("k", F.col("id") % 5)
+    out = U.spread(df, "k")
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert "hashpartitioning(k" in out._jdf.queryExecution().executedPlan().toString()
+    monkeypatch.undo()
+
+    # keyless: first call probes and caches; a semantically-equal rebuild
+    # hits the memo (poison the cached value and observe it being used)
+    U._NPART_CACHE.clear()
+    narrow = spark.range(100).coalesce(1)
+    assert U.spread(narrow).rdd.getNumPartitions() == n
+    key = (id(spark), spark.range(100).coalesce(1).semanticHash())
+    assert U._NPART_CACHE.get(key) == 1
+    U._NPART_CACHE[key] = n  # poison: memo says "already wide"
+    again = spark.range(100).coalesce(1)
+    assert U.spread(again) is again  # no-op proves the memo was read
+    U._NPART_CACHE.clear()
 
 
 def test_ngram_pairs_shingle_subtree_computes_twice(spark, sf_dir):

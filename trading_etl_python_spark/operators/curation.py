@@ -69,6 +69,13 @@ def curate_corpus(
     # banded source landed (r9): 7.8s -> ~3s.  ``checkpoint=False``
     # keeps the full lineage visible for plan-shape tests (the barrier
     # hides its subtree from the final executedPlan).
+    # Durability trade-off (r10): localCheckpoint truncates lineage to
+    # executor-local blocks — an executor loss mid-job fails the job
+    # instead of recomputing.  The job-level contract stays replay-safe
+    # (the pipeline is deterministic; a retry reproduces the output);
+    # for long cluster runs where task-level recovery matters, pass
+    # ``checkpoint=False`` and persist(MEMORY_AND_DISK) / reliable-
+    # checkpoint the survivor set at the call site instead.
     if checkpoint:
         uniq = uniq.localCheckpoint(eager=False)
     near = pairs_fn(uniq)
@@ -124,6 +131,9 @@ def curate_corpus_full(
     # CacheManager to leak across queries or bench runs.  This is the
     # in-plan analogue of the stage manifest a production curation
     # pipeline writes between stages.  Measured sf0.1: 6.2s -> 4.1s.
+    # Durability: same trade-off as curate_corpus — lineage is
+    # truncated, so executor loss means job retry, not recompute; the
+    # deterministic pipeline makes the retry idempotent.
     uniq = uniq.localCheckpoint(eager=False)
     clusters = dedup_clusters(
         uniq.select("doc_id", "text"),

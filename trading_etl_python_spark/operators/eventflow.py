@@ -456,6 +456,15 @@ def inter_event_gaps(events: DataFrame, min_gaps: int = 10) -> DataFrame:
         F.row_number().over(wr).alias("_rn"),
         F.count(F.lit(1)).over(wt).alias("_n"),
     )
+    # Float-boundary note (r10): ceil(n*q) in binary floating point can
+    # land one above the mathematical rank when n*q is representable
+    # only approximately (the _PREFILTER_SLACK class in dedup.py).  Here
+    # both engines evaluate the IDENTICAL expression, so the rank — even
+    # if off-by-one from the abstract definition — is the same on both
+    # sides and the output is still a valid order statistic.  If these
+    # ranks ever feed a DECISION (a filter bound, a pair-pruning gate)
+    # rather than a parity-matched output, switch to the slackened ceil
+    # used by the dedup prefilters.
     k50 = F.ceil(F.col("_n") * F.lit(0.5))
     k90 = F.ceil(F.col("_n") * F.lit(0.9))
     return (

@@ -37,13 +37,45 @@ def spread(df: DataFrame, *cols: str, factor: int | None = None) -> DataFrame:
     consumers (e.g. shingle explode feeding a shuffle anyway) a modest
     widening captures the parallelism win without paying full-width
     task-scheduling overhead on small inputs; measured on q_dedup_ngram
-    sf0.1: full-width 1.68s vs x16 cap 1.35s median, no-spread 5.2s."""
+    sf0.1: full-width 1.68s vs x16 cap 1.35s median, no-spread 5.2s.
+
+    Driver cost (r10): the width probe runs full physical planning
+    (~105 ms measured on a parquet-scan projection), so it is skipped
+    where the target doesn't depend on it (keyed, no factor -> t = n)
+    and memoized by ``semanticHash`` (analysis-only, ~7 ms) elsewhere.
+    Keyed spread still always inserts the exchange: every call site
+    feeds a mapInPandas kernel that RELIES on whole-key co-location,
+    and detecting an already-matching child distribution would cost the
+    same physical-planning pass the memo exists to avoid."""
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions") or "200")
-    cur = df.rdd.getNumPartitions()
+    if cols and not factor:
+        return df.repartition(n, *cols)
+    cur = _num_partitions(df)
     if cols:
-        t = min(n, max(1, cur) * factor) if factor else n
-        return df.repartition(t, *cols)
+        return df.repartition(min(n, max(1, cur) * factor), *cols)
     if cur >= n:
         return df
     t = min(n, cur * factor) if factor else n
     return df.repartition(t)
+
+
+_NPART_CACHE: dict[tuple[int, int], int] = {}
+
+
+def _num_partitions(df: DataFrame) -> int:
+    """Physical partition count of ``df``, memoized by (session,
+    semanticHash).  Semantically-equal plans share a physical layout, so
+    the memo is sound; the one staleness window — the SAME path
+    overwritten with a different file count — can only mis-size a
+    fan-out (perf), never change results, because every caller uses the
+    value solely to pick a repartition width."""
+    try:
+        key = (id(df.sparkSession), df.semanticHash())
+    except Exception:  # semanticHash unavailable -> uncached probe
+        return df.rdd.getNumPartitions()
+    hit = _NPART_CACHE.get(key)
+    if hit is None:
+        if len(_NPART_CACHE) > 512:
+            _NPART_CACHE.clear()
+        hit = _NPART_CACHE[key] = df.rdd.getNumPartitions()
+    return hit
