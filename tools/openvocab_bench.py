@@ -14,7 +14,13 @@ defect.
 
 Deterministic: token choice is md5(doc,slot) — two runs are identical.
 
-Usage: python tools/openvocab_bench.py [out.json]
+r10 extension (VERDICT #4): the exact-pair GRAPH family inherits the
+closed-vocab 6-30x sweep ratios without an open-vocab measurement of
+its own — ``clustering_coef`` times clustering_coefficient over the
+ngram_jaccard pair graph here, certifying (or refuting) the artifact
+attribution for the graph metrics too.
+
+Usage: python tools/openvocab_bench.py [out.json] [op1,op2,...]
 """
 from __future__ import annotations
 
@@ -69,6 +75,7 @@ def main():
     from pyspark.sql import SparkSession
 
     from trading_etl_python_spark.operators import dedup as D
+    from trading_etl_python_spark.operators import graph as G
 
     spark = (
         SparkSession.builder.master("local[32]")
@@ -85,7 +92,20 @@ def main():
         "allpairs_prefix": lambda df: D.prefix_jaccard_pairs(df, threshold=0.5),
         "allpairs_prefix_capped": lambda df: D.prefix_jaccard_capped_pairs(df, threshold=0.5),
         "minhash_banded_verified": lambda df: D.minhash_banded_verified_pairs(df, threshold=0.5),
+        # r10: one representative of the exact-pair-graph family — the
+        # pair build is INSIDE the timed region (clustering_coefficient
+        # eagerly localCheckpoints its edge input at construction, so
+        # the timer must start before fn(docs); see below)
+        "clustering_coef": lambda df: G.clustering_coefficient(
+            D.ngram_jaccard_pairs(df, threshold=0.5)
+        ),
     }
+    if len(sys.argv) > 2:
+        want = set(sys.argv[2].split(","))
+        unknown = want - set(ops)
+        if unknown:
+            raise SystemExit(f"unknown ops: {sorted(unknown)}")
+        ops = {k: v for k, v in ops.items() if k in want}
     res = {}
     for tag, n in (("base", N_BASE), ("x10", N_BASE * FACTOR)):
         # cache key carries every generation parameter: editing the
@@ -101,17 +121,20 @@ def main():
             for fn in ops.values():
                 fn(docs).write.format("noop").mode("overwrite").save()
         for name, fn in ops.items():
-            q = fn(docs)
             # one execution per measurement: the timed action writes the
-            # pairs to parquet; the row count then reads the tiny file
+            # pairs to parquet; the row count then reads the tiny file.
+            # fn(docs) is timed too — ops with eager build-time work
+            # (clustering_coef's localCheckpoint) must not escape the
+            # window; for the lazy ops this adds only plan construction.
             out = f"/tmp/openvocab_out_{tag}_{name}"
             t0 = time.time()
+            q = fn(docs)
             q.write.mode("overwrite").parquet(out)
             dt = time.time() - t0
             n_pairs = spark.read.parquet(out).count()
             res[f"{name}_{tag}"] = {"sec": round(dt, 2), "pairs": n_pairs}
             print(f"{name} @ {n}: {dt:.2f}s, {n_pairs} pairs", flush=True)
-    for name in ("ngram_jaccard", "ngram_containment", "minhash_ml_verified", "allpairs_prefix", "allpairs_prefix_capped", "minhash_banded_verified"):
+    for name in ("ngram_jaccard", "ngram_containment", "minhash_ml_verified", "allpairs_prefix", "allpairs_prefix_capped", "minhash_banded_verified", "clustering_coef"):
         if f"{name}_base" in res:
             r = res[f"{name}_x10"]["sec"] / max(res[f"{name}_base"]["sec"], 0.25)
             res[f"{name}_ratio"] = round(r, 2)
