@@ -914,3 +914,44 @@ def test_cdc_incremental_finds_shared_content(spark, tmp_path):
     assert out[10].n_known >= 1 and out[10].known_bytes_ratio > 0.3
     assert out[11].n_known == 0 and out[11].known_bytes_ratio == 0.0
     assert all(0 <= r.known_bytes_ratio <= 1 for r in out.values())
+
+
+def test_semdedup_max_cell_splits_oversized_cell(spark):
+    """r10 cell-size cap: 60 identical vectors land in ONE cell; with
+    max_cell=10 the cell sub-splits into ceil(60/10)=6 portable-hash
+    groups and first-writer-wins runs per (cell, sub) group.  The
+    expected survivor set is re-derived in pure Python from the same
+    md5 formula — exact match, plus the superset law (capped keeps
+    every uncapped survivor: fewer pairs compared, never more)."""
+    import hashlib
+    import math
+
+    n, m = 60, 10
+    v = [1.0, 0.0, 0.0]
+    emb = spark.createDataFrame(
+        [(i, v) for i in range(n)], "vec_id bigint, embedding array<double>"
+    )
+    cents = {0: v}
+    out = {
+        r.vec_id: r.is_kept
+        for r in S.semdedup(
+            emb, centroids=cents, threshold=0.8, max_cell=m
+        ).collect()
+    }
+    assert len(out) == n  # audit contract survives the cap
+    nsub = math.ceil(n / m)
+    sub = {
+        i: int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % nsub
+        for i in range(n)
+    }
+    expect_kept = {min(ids) for s in range(nsub)
+                   if (ids := [i for i in range(n) if sub[i] == s])}
+    assert {i for i, k in out.items() if k} == expect_kept
+    assert 1 < len(expect_kept) <= nsub  # the cap actually split
+    # uncapped drops everything but vec 0; capped keeps a superset
+    unc = {
+        r.vec_id: r.is_kept
+        for r in S.semdedup(emb, centroids=cents, threshold=0.8).collect()
+    }
+    assert {i for i, k in unc.items() if k} == {0}
+    assert {i for i, k in unc.items() if k} <= {i for i, k in out.items() if k}

@@ -18,10 +18,17 @@ and report pair-join cost as (full - assign).  The sqrt rule is
 validated if assign grows with K while (full - assign) shrinks, with
 the total flattest around the derived K.
 
+Per-K CELL STATS are recorded alongside the times: the first run of
+this script exposed that the pair join is governed by sum(|c|^2) —
+i.e. cell SKEW — not by the balanced-cells N^2/K idealization.
+Trained KMeans on the blob-like synthetic embeddings concentrates 12%
+of the corpus in one cell (sum_sq 22.1M at K=142 vs 2.85M ~ N^2/K for
+the balanced corpus-slice centroids), which is why the trained path
+measured ~6x the auto path at the same K.
+
 Quiet protocol: one session, one untimed full-pipeline warmup at the
-derived K, then one timed pass per K (grid order randomized-by-hash is
-unnecessary — each K is an independent plan; JIT/session warmup is
-absorbed by the warmup run).
+derived K, then TWO timed passes per measurement (min is the value) —
+the first run's single-pass full_s showed 1.5x order/GC variance.
 
 Usage: python tools/semdedup_scale_bench.py [sf_dir] [out.json]
 """
@@ -61,30 +68,63 @@ def main():
     def noop(df):
         df.write.format("noop").mode("overwrite").save()
 
+    def timed_min(build, passes=2):
+        best = float("inf")
+        for _ in range(passes):
+            t0 = time.time()
+            noop(build())
+            best = min(best, time.time() - t0)
+        return best
+
     # untimed warmup at the derived K (session/JIT/Arrow warmup)
     cents0 = S.train_ivf_kmeans(emb, n_cells=k_sqrt)
     noop(S.semdedup(emb, centroids=cents0, assign_via_join=True))
+
+    from pyspark.sql import functions as F
 
     for k in grid:
         t0 = time.time()
         cents = S.train_ivf_kmeans(emb, n_cells=k)
         t_train = time.time() - t0
         vecs = emb.select("vec_id", "embedding")
-        t0 = time.time()
-        noop(S._semdedup_assign(vecs, cents, True, "vec_id"))
-        t_assign = time.time() - t0
-        t0 = time.time()
-        noop(S.semdedup(emb, centroids=cents, assign_via_join=True))
-        t_full = time.time() - t0
+        t_assign = timed_min(lambda: S._semdedup_assign(vecs, cents, True, "vec_id"))
+        t_full = timed_min(lambda: S.semdedup(emb, centroids=cents, assign_via_join=True))
+        cs = (
+            S._semdedup_assign(vecs, cents, True, "vec_id")
+            .groupBy("_cell").count()
+            .agg(
+                F.count(F.lit(1)).alias("nc"),
+                F.max("count").alias("mx"),
+                F.expr("sum(count*count)").alias("ss"),
+            ).collect()[0]
+        )
         row = {
             "k": k,
             "train_s": round(t_train, 2),
             "assign_s": round(t_assign, 2),
             "full_s": round(t_full, 2),
             "pair_s_est": round(max(0.0, t_full - t_assign), 2),
+            "cells_used": cs.nc,
+            "max_cell": cs.mx,
+            "sum_cell_sq": int(cs.ss),
         }
         res["rows"].append(row)
         print(row, flush=True)
+
+    # the r10 cap at the derived K: max_cell = mean cell size, so only
+    # skew-oversized cells sub-split — the payoff number is full_s
+    # approaching the BALANCED pair cost at the same K (the auto
+    # corpus-slice path measured 6.76 s in the r9 sweep, sum_sq 2.85M)
+    m = math.ceil(n / k_sqrt)
+    t_capped = timed_min(
+        lambda: S.semdedup(emb, centroids=cents0, assign_via_join=True, max_cell=m)
+    )
+    res["capped_at_derived_k"] = {
+        "k": k_sqrt,
+        "max_cell_param": m,
+        "full_s": round(t_capped, 2),
+    }
+    print(res["capped_at_derived_k"], flush=True)
 
     with open(out_path, "w") as f:
         json.dump(res, f, indent=1)

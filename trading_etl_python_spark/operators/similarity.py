@@ -574,6 +574,7 @@ def semdedup(
     id_col: str = "vec_id",
     centroids: dict[int, list[float]] | None = None,
     assign_via_join: bool = False,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
     semantic deduplication over an embedding corpus with the pairwise
@@ -612,6 +613,23 @@ def semdedup(
     explicit integer ``n_cells`` pins the literal regime (the oracle
     cross-check forms; ``q_semdedup``'s auto oracle derives the same
     count with GREATEST/CEIL/SQRT).
+
+    ``max_cell`` (r10) bounds the pair space against cell SKEW: the
+    in-cell join costs sum(|c|^2), which equals the idealized N^2/K
+    only for BALANCED cells — the r10 balance measurement
+    (sweeps/r10_semdedup_scale.json) found trained KMeans centroids on
+    blob-shaped data putting 12% of the corpus in ONE cell (sum_sq ~8x
+    the balanced value at the same K), so wall-clock is governed by the
+    largest cell, not by K.  With ``max_cell=m`` every cell larger than
+    m is sub-split into ceil(|c|/m) hash groups (portable
+    ``porthash32(id)``, oracle-expressible), and pairs are compared
+    only within a (cell, sub) group: worst-case pair work drops to
+    ~N*m — LINEAR in N at fixed m — at the cost of missing duplicate
+    pairs that straddle sub-groups of an oversized cell (bounded
+    recall loss on exactly the cells where exact SemDeDup is
+    intractable anyway; the paper's own answer to huge cells is more
+    K, which moves the quadratic into assignment).  ``None`` (default)
+    preserves the exact per-cell semantics and plan.
 
     Returns (vec_id, cell, is_kept) for EVERY input vector — an audit
     table a curation DAG can join back to filter, weight, or inspect.
@@ -653,6 +671,27 @@ def semdedup(
             else collect_centroids(embeddings, n_cells, id_col)
         )
         asn = _semdedup_assign(vecs, cents, assign_via_join, id_col)
+    on = (F.col("a._cell") == F.col("b._cell")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    if max_cell is not None:
+        from pyspark.sql import Window
+
+        from .dedup import porthash32
+
+        # ceil(|c|/m) sub-groups per cell; the window count shuffles by
+        # _cell, the same distribution the pair join needs anyway
+        nsub = F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(
+                F.count(F.lit(1)).over(Window.partitionBy("_cell"))
+                / F.lit(max_cell)
+            ),
+        )
+        asn = asn.withColumn(
+            "_sub", porthash32(F.col(id_col).cast("string")) % nsub
+        )
+        on = on & (F.col("a._sub") == F.col("b._sub"))
     # the assignment feeds THREE subtrees (both sides of the in-cell
     # pair join + the final audit left-join); checkpoint it once so the
     # assignment join/scan doesn't re-execute per reference (measured
@@ -662,11 +701,7 @@ def semdedup(
     b = asn.alias("b")
     sim = dot(F.col("a.embedding"), F.col("b.embedding"))
     dup = (
-        a.join(
-            b,
-            (F.col("a._cell") == F.col("b._cell"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        a.join(b, on)
         .filter(sim >= threshold)
         .select(F.col(f"b.{id_col}").alias(id_col))
         .distinct()

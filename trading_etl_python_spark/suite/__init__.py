@@ -256,8 +256,13 @@ _SAMPLED_R9 = _ORDER_R9[:50]
 
 # Queries BORN in r10 (per the r9 VERDICT #7: births only in service
 # of its items 1/4; #1 resolved without a birth — the 7.44x was a
-# measurement artifact, see BASELINE.md r10).
-_NEW_R10: list[str] = []
+# measurement artifact, see BASELINE.md r10).  q_semdedup_capped is
+# the one birth, in service of #6's FINDING: the balance measurement
+# exposed cell skew (sum|c|^2, not N^2/K) as the real pair-join
+# governor, and the cap is its bounded production treatment.
+_NEW_R10: list[str] = [
+    "q_semdedup_capped",  # VERDICT #6 finding: skew-bounded pair space
+]
 
 # r11 NOTE: the r10 window (~50) = _NEW_R10 + the stalest greens in
 # _ORDER_R9 order (r4-block tail from q_text_redact/q_seq_pack, then

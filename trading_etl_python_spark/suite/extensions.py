@@ -2286,6 +2286,57 @@ def q_semdedup_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semdedup(emb, n_cells=16, threshold=0.8, assign_via_join=True)
 
 
+def _semdedup_capped_sql(cells: str, m: int) -> str:
+    """SQL twin of semdedup(max_cell=m): same assignment CTEs, then
+    every cell is sub-split into ceil(|c|/m) portable-hash groups and
+    the dup join adds the sub-group equality.  The ceil operand is the
+    IDENTICAL float expression on both engines (count/m in double), so
+    the group count — even at a representability boundary — matches
+    (the eventflow k50/k90 parity argument)."""
+    asn = _ASN_CTES.replace("vec_id < 16", f"vec_id < ({cells})")
+    ph = _PH_HI.format(c="CAST(vec_id AS VARCHAR)")
+    sub = (
+        f"{ph} % GREATEST(1, CAST(CEIL("
+        f"(COUNT(*) OVER (PARTITION BY cell)) / {float(m)}) AS BIGINT))"
+    )
+    return f"""WITH {asn},
+       sasn AS (
+         SELECT vec_id, embedding, cell, {sub} AS sub FROM asn),
+       dup AS (
+         SELECT DISTINCT b.vec_id
+         FROM sasn a JOIN sasn b
+           ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
+         WHERE {_DOTF.format(a='a.embedding', b='b.embedding')} >= 0.8)
+       SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+              (d.vec_id IS NULL) AS is_kept
+       FROM sasn a LEFT JOIN dup d USING (vec_id)"""
+
+
+@q(
+    "q_semdedup_capped",
+    _semdedup_capped_sql(
+        "SELECT MIN(vec_id) + GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))"
+        " FROM embeddings",
+        8,
+    ),
+)
+def q_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the r10 cell-size cap: cells larger than
+    ``max_cell`` are sub-split into ceil(|c|/m) portable-hash groups
+    and exact cosine runs only within a (cell, sub) group — worst-case
+    pair work ~N*m, LINEAR in N regardless of cell skew.  Born from
+    the r10 balance measurement (sweeps/r10_semdedup_scale.json):
+    the in-cell join costs sum(|c|^2), and trained KMeans centroids on
+    blob-shaped embeddings put 12% of the corpus in ONE cell (~8x the
+    balanced N^2/K), so at 100 TB the largest cell — not K — governs
+    wall-clock; the cap is the salting treatment for that skew, with
+    the recall loss confined to pairs straddling sub-groups of
+    oversized cells.  m=8 is the demonstration constant (small enough
+    to bite at gate scale: N=500 -> K=23, mean cell ~22)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semdedup(emb, threshold=0.8, max_cell=8)
+
+
 @q("q_semdedup_scaled", _semdedup_sql("64"), tier="measurement")
 def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup in the MULTI-CELL regime (64 cells) — the value-hash
