@@ -74,8 +74,18 @@ def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 else "sweeps/r8_openvocab.json"
     from pyspark.sql import SparkSession
 
+    from pyspark.sql import functions as F
+
     from trading_etl_python_spark.operators import dedup as D
     from trading_etl_python_spark.operators import graph as G
+
+    def _sym(pairs):
+        e = pairs.select(
+            F.col("doc_a").alias("src"),
+            F.col("doc_b").alias("dst"),
+            F.lit(1.0).alias("w"),
+        )
+        return e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
 
     spark = (
         SparkSession.builder.master("local[32]")
@@ -92,11 +102,21 @@ def main():
         "allpairs_prefix": lambda df: D.prefix_jaccard_pairs(df, threshold=0.5),
         "allpairs_prefix_capped": lambda df: D.prefix_jaccard_capped_pairs(df, threshold=0.5),
         "minhash_banded_verified": lambda df: D.minhash_banded_verified_pairs(df, threshold=0.5),
-        # r10: one representative of the exact-pair-graph family — the
-        # pair build is INSIDE the timed region (clustering_coefficient
-        # eagerly localCheckpoints its edge input at construction, so
-        # the timer must start before fn(docs); see below)
+        # r10: the exact-pair-graph family — the pair build is INSIDE
+        # the timed region (several of these eagerly localCheckpoint
+        # their edge input at construction, so the timer must start
+        # before fn(docs); see below)
         "clustering_coef": lambda df: G.clustering_coefficient(
+            D.ngram_jaccard_pairs(df, threshold=0.5)
+        ),
+        # pagerank/hits consume DIRECTED weighted edges: symmetrize the
+        # undirected pair graph (each pair -> both directions, w=1)
+        "pagerank": lambda df: G.pagerank(_sym(D.ngram_jaccard_pairs(df, threshold=0.5))),
+        "hits": lambda df: G.hits(_sym(D.ngram_jaccard_pairs(df, threshold=0.5))),
+        "kcore": lambda df: G.kcore_layers(D.ngram_jaccard_pairs(df, threshold=0.5)),
+        "triangles": lambda df: G.triangle_counts(D.ngram_jaccard_pairs(df, threshold=0.5)),
+        "communities": lambda df: G.label_propagation(D.ngram_jaccard_pairs(df, threshold=0.5)),
+        "assortativity": lambda df: G.degree_assortativity(
             D.ngram_jaccard_pairs(df, threshold=0.5)
         ),
     }
@@ -134,7 +154,7 @@ def main():
             n_pairs = spark.read.parquet(out).count()
             res[f"{name}_{tag}"] = {"sec": round(dt, 2), "pairs": n_pairs}
             print(f"{name} @ {n}: {dt:.2f}s, {n_pairs} pairs", flush=True)
-    for name in ("ngram_jaccard", "ngram_containment", "minhash_ml_verified", "allpairs_prefix", "allpairs_prefix_capped", "minhash_banded_verified", "clustering_coef"):
+    for name in ("ngram_jaccard", "ngram_containment", "minhash_ml_verified", "allpairs_prefix", "allpairs_prefix_capped", "minhash_banded_verified", "clustering_coef", "pagerank", "hits", "kcore", "triangles", "communities", "assortativity"):
         if f"{name}_base" in res:
             r = res[f"{name}_x10"]["sec"] / max(res[f"{name}_base"]["sec"], 0.25)
             res[f"{name}_ratio"] = round(r, 2)
