@@ -517,6 +517,16 @@ def test_semdedup_pair_join_keyed_on_cell(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_semdedup_capped_pair_join_keyed_on_cell_and_sub(spark, sf_dir):
+    """r10 cell-size cap: the pair join must equi-key on BOTH the cell
+    id and the sub-group hash (the sub key is what bounds the pair
+    space at ~N*m under cell skew), and stay off the nested-loop path."""
+    plan = _executed(QUERIES["q_semdedup_capped"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "_sub" in plan  # the sub-group key participates in the join
+
+
 def test_group_sample_uses_window_group_limit(spark, sf_dir):
     """Exact-n group sample: rank-filter must push WindowGroupLimit
     below the exchange so each task's sort is capped at n rows."""

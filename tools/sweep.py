@@ -100,6 +100,17 @@ def main() -> None:
         for n in QUERIES
         if only is None or any(n.startswith(p) or n == p for p in only)
     ]
+    # untimed warmup: the FIRST query of a session otherwise absorbs
+    # JVM/codegen/parquet-footer warmup into its time (r10: the registry
+    # head q_semdedup_capped read 7.69s in the sweep vs 0.90s warm —
+    # the same artifact class the openvocab fixture fixed in r8)
+    if names:
+        try:
+            QUERIES[names[0]](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:  # noqa: BLE001 - the timed loop records it
+            pass
     for i, name in enumerate(names):
         t0 = time.time()
         try:
