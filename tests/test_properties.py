@@ -566,3 +566,55 @@ def test_streaks_partition_the_series(spark, closes):
         assert cur <= out.max_up_streak
     if cur is not None and cur < 0:
         assert -cur <= out.max_down_streak
+
+
+# ------------------------- r10: semdedup cell-cap laws (PLANS §72.1)
+
+semdedup_corpora = st.lists(
+    st.tuples(
+        st.integers(0, 400),            # vec_id (sparse/offset allowed; dedup below)
+        st.sampled_from([0, 1, 2, 3]),  # vector from a tiny alphabet -> real dups
+    ),
+    min_size=2,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+_VECS = {
+    0: [1.0, 0.0, 0.0],
+    1: [0.96, 0.28, 0.0],   # cos vs 0 = 0.96 (>= 0.9 dup)
+    2: [0.0, 1.0, 0.0],
+    3: [0.0, 0.28, 0.96],   # cos vs 2 = 0.28 (not a dup)
+}
+
+
+@given(semdedup_corpora, st.integers(1, 8))
+@settings(max_examples=8, deadline=None)
+def test_semdedup_cap_superset_and_audit_laws(spark, rows, m):
+    """Laws of the r10 cell-size cap, on arbitrary sparse-id corpora:
+    (1) audit contract — both forms return EVERY input id exactly once;
+    (2) superset — the capped form keeps every uncapped survivor (the
+    sub-split removes candidate pairs, never adds them);
+    (3) anchor — the lowest id of every cell is kept in both forms."""
+    from trading_etl_python_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(i, _VECS[v]) for i, v in rows],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = {0: [1.0, 0.0, 0.0], 1: [0.0, 1.0, 0.0]}
+    unc = S.semdedup(emb, centroids=cents, threshold=0.9).collect()
+    cap = S.semdedup(emb, centroids=cents, threshold=0.9, max_cell=m).collect()
+    ids = {i for i, _ in rows}
+    assert {r.vec_id for r in unc} == ids and len(unc) == len(ids)
+    assert {r.vec_id for r in cap} == ids and len(cap) == len(ids)
+    kept_u = {r.vec_id for r in unc if r.is_kept}
+    kept_c = {r.vec_id for r in cap if r.is_kept}
+    assert kept_u <= kept_c
+    for out in (unc, cap):
+        cells: dict[int, list[int]] = {}
+        for r in out:
+            cells.setdefault(r.cell, []).append(r.vec_id)
+        kept = {r.vec_id: r.is_kept for r in out}
+        for c_ids in cells.values():
+            assert kept[min(c_ids)]
