@@ -65,8 +65,13 @@ def main():
     with open(out_path, "a") as f:
         f.write(json.dumps(rec) + "\n")
     print(json.dumps({k: rec[k] for k in ("ts", "load_pre", "load_post", "quiet", "metric", "value")}))
-    # per-query check vs the quiet reference minima (BASELINE.md r10)
-    ref_path = os.path.join(repo, "sweeps", "r9_headline_minima.json")
+    # per-query check vs the quiet reference minima (BASELINE.md r10);
+    # the newest round's minima file wins — references only ratchet
+    # DOWN (stricter), they are re-anchored UP only for a documented
+    # semantics change (the r9 corpus_pipeline precedent)
+    ref_path = os.path.join(repo, "sweeps", "r10_headline_minima.json")
+    if not os.path.exists(ref_path):
+        ref_path = os.path.join(repo, "sweeps", "r9_headline_minima.json")
     if os.path.exists(ref_path) and isinstance(rec.get("queries"), dict):
         ref = json.load(open(ref_path))
         over = {
