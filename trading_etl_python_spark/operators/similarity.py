@@ -158,7 +158,16 @@ def train_ivf_kmeans(
 ) -> dict[int, list[float]]:
     """KMeans-trained centroids via Spark ML (the scale path: train on a
     sample, assignment stays map-side).  Engine-seeded -> queries built on
-    these are rows-only checkable, not value-hash."""
+    these are rows-only checkable, not value-hash.
+
+    Skew warning (r10, PLANS §72.1): on modal/blob-shaped embedding
+    corpora trained centroids produce heavily SKEWED cells (measured:
+    17% of a 20k corpus in one cell at K=47), and semdedup's pair join
+    costs sum(|cell|^2) — pass ``max_cell`` to semdedup when feeding it
+    trained centroids (38.4 s -> 2.52 s at the derived K in the r10
+    grid).  The corpus-slice auto path measured balanced on the same
+    data (seeds drawn FROM the density adapt to it; k-means|| init
+    over-weights fringe points)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
