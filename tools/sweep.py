@@ -12,6 +12,10 @@ Compare two sweeps (e.g. sf0.1 vs a gen_scale.py 10x set) with:
     python tools/sweep.py --compare a.json b.json [expected_factor]
 which prints per-query ratios sorted worst-first, flagging anything
 scaling worse than ``expected_factor`` x (default 10) + a fixed grace.
+
+Merge repeated passes into per-query minima (the r10 protocol — run
+each sweep at least twice, compare minima, never single samples) with:
+    python tools/sweep.py --min pass1.json pass2.json [...] out.json
 """
 
 from __future__ import annotations
@@ -71,6 +75,20 @@ def compare(a_path: str, b_path: str, factor: float = 10.0) -> None:
         print(f"{len(errored)} ERRORED (excluded from ratios): {errored}")
 
 
+def merge_min(paths: list[str], out: str) -> None:
+    """Per-query minima across N sweep files (the r10 two-pass
+    protocol, PLANS §72.2) — errors (-1) survive only if a query
+    errored in EVERY pass."""
+    sweeps = [json.load(open(p)) for p in paths]
+    keys = set(sweeps[0]).intersection(*sweeps[1:])
+    m = {}
+    for k in sorted(keys):
+        ok = [s[k] for s in sweeps if s[k] >= 0]
+        m[k] = min(ok) if ok else -1.0
+    json.dump(m, open(out, "w"), indent=0)
+    print(f"wrote {out}: min of {len(paths)} passes, {len(m)} queries")
+
+
 def main() -> None:
     if sys.argv[1] == "--compare":
         compare(
@@ -78,6 +96,9 @@ def main() -> None:
             sys.argv[3],
             float(sys.argv[4]) if len(sys.argv) > 4 else 10.0,
         )
+        return
+    if sys.argv[1] == "--min":
+        merge_min(sys.argv[2:-1], sys.argv[-1])
         return
     sf_dir, out_path = sys.argv[1], sys.argv[2]
     only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
