@@ -367,13 +367,17 @@ def test_silhouette_translation_invariant(spark):
 
 
 def test_semdedup_auto_equals_literal_at_gate_scale(spark, sf_dir):
-    # N = 500 -> derived n_cells = max(16, ceil(sqrt(500))) = 23: the
-    # auto default and the pinned literal-23 join path must agree
+    # N = 500 -> derived n_cells = max(16, ceil(sqrt(500))) = 23 and
+    # (r11) derived skew bound m = 4*ceil(500/23) = 88: the auto
+    # default and the pinned literal (23, 88) join path must agree —
+    # the sub-split depends only on (|cell|, m), both identical
     emb = load_table(spark, sf_dir, "embeddings")
     auto = {r.vec_id: (r.cell, r.is_kept) for r in S.semdedup(emb).collect()}
     lit = {
         r.vec_id: (r.cell, r.is_kept)
-        for r in S.semdedup(emb, n_cells=23, assign_via_join=True).collect()
+        for r in S.semdedup(
+            emb, n_cells=23, assign_via_join=True, max_cell=88
+        ).collect()
     }
     assert auto == lit and len(auto) == 500
 
@@ -393,9 +397,13 @@ def test_semdedup_auto_scales_cell_count_with_corpus(spark):
         ).alias("embedding"),
     )
     auto = {r.vec_id: (r.cell, r.is_kept) for r in S.semdedup(df).collect()}
+    # r11: the auto default carries the derived skew bound
+    # m = 4*ceil(3000/55) = 220 — pin it explicitly on the literal side
     lit = {
         r.vec_id: (r.cell, r.is_kept)
-        for r in S.semdedup(df, n_cells=55, assign_via_join=True).collect()
+        for r in S.semdedup(
+            df, n_cells=55, assign_via_join=True, max_cell=220
+        ).collect()
     }
     assert auto == lit and len(auto) == n
     cells = {c for c, _ in auto.values()}
@@ -403,3 +411,44 @@ def test_semdedup_auto_scales_cell_count_with_corpus(spark):
     # occupancy is sparse — the regime proof is that the centroid RANGE
     # genuinely exceeded the 16 floor (cells >= 16 received members)
     assert max(cells) in range(16, 55)
+
+
+def test_semdedup_max_cell_validation(spark):
+    # ADVICE r10: max_cell < 1 must raise, never silently collapse the
+    # sub-split to 1 group (which hands back the uncapped quadratic the
+    # caller believes is capped); non-"auto" strings and bools likewise
+    df = spark.range(4).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    import pytest
+
+    for bad in (0, -3, True, False, "bogus"):
+        with pytest.raises(ValueError, match="max_cell"):
+            S.semdedup(df, max_cell=bad)
+
+
+def test_semdedup_auto_cap_engages_under_skew(spark):
+    # One dominant centroid captures 332/350 vectors: |cell0| = 332 >
+    # m = 4*ceil(350/19) = 76, so the r11 auto default sub-splits it
+    # into ceil(332/76) = 5 hash groups.  All cell-0 members are exact
+    # dups (dot = 1), so: uncapped keeps ONLY the global min id; the
+    # auto cap keeps one survivor per sub-group.  The capped keep-set
+    # must be a strict SUPERSET (the cap only ever MISSES dup pairs,
+    # never invents them — the r10 superset law, now on the default).
+    n = 350
+    rows = [(0, [1.0, 0.0, 0.0, 0.0])]
+    rows += [(j, [0.0, 0.3 + j / 100.0, 0.5, 0.0]) for j in range(1, 19)]
+    rows += [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(19, n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    auto_keep = {
+        r.vec_id for r in S.semdedup(emb).collect() if r.is_kept
+    }
+    unc_keep = {
+        r.vec_id for r in S.semdedup(emb, max_cell=None).collect() if r.is_kept
+    }
+    assert unc_keep < auto_keep  # cap engaged AND only added survivors
+    # every sub-group keeps exactly its min id: survivors among the
+    # dominant cell = number of non-empty hash groups (<= 5), vs 1
+    extra = auto_keep - unc_keep
+    assert 1 <= len(extra) <= 4

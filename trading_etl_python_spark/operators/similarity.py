@@ -575,6 +575,17 @@ def _semdedup_assign(vecs, cents, assign_via_join: bool, id_col: str):
 #: GREATEST(16, CEIL(SQRT(COUNT(*)))) derives the identical count.
 SEMDEDUP_MIN_CELLS = 16
 
+#: auto skew bound: cells larger than SEMDEDUP_SKEW_FACTOR x the
+#: balanced size ceil(N/K) are sub-split (r10 VERDICT #2 -> r11
+#: default).  4x is deliberately generous: the bound is INERT on
+#: balanced cells (where |c| ~ N/K) and engages exactly where the r10
+#: balance measurement (sweeps/r10_semdedup_scale.json) showed trained
+#: centroids blowing up sum|c|^2 — 12% of the corpus in one cell, ~8x
+#: the balanced pair work.  With the bound, worst-case pair work is
+#: ~N * 4*ceil(N/K) = 4*N^1.5 at K=sqrt(N) — the same order as the
+#: balanced ideal, now guaranteed rather than assumed.
+SEMDEDUP_SKEW_FACTOR = 4
+
 
 def semdedup(
     embeddings: DataFrame,
@@ -583,7 +594,7 @@ def semdedup(
     id_col: str = "vec_id",
     centroids: dict[int, list[float]] | None = None,
     assign_via_join: bool = False,
-    max_cell: int | None = None,
+    max_cell: int | str | None = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
     semantic deduplication over an embedding corpus with the pairwise
@@ -623,27 +634,48 @@ def semdedup(
     cross-check forms; ``q_semdedup``'s auto oracle derives the same
     count with GREATEST/CEIL/SQRT).
 
-    ``max_cell`` (r10) bounds the pair space against cell SKEW: the
-    in-cell join costs sum(|c|^2), which equals the idealized N^2/K
-    only for BALANCED cells — the r10 balance measurement
-    (sweeps/r10_semdedup_scale.json) found trained KMeans centroids on
-    blob-shaped data putting 12% of the corpus in ONE cell (sum_sq ~8x
-    the balanced value at the same K), so wall-clock is governed by the
-    largest cell, not by K.  With ``max_cell=m`` every cell larger than
-    m is sub-split into ceil(|c|/m) hash groups (portable
-    ``porthash32(id)``, oracle-expressible), and pairs are compared
-    only within a (cell, sub) group: worst-case pair work drops to
-    ~N*m — LINEAR in N at fixed m — at the cost of missing duplicate
-    pairs that straddle sub-groups of an oversized cell (bounded
-    recall loss on exactly the cells where exact SemDeDup is
+    ``max_cell`` (r10; default since r11) bounds the pair space against
+    cell SKEW: the in-cell join costs sum(|c|^2), which equals the
+    idealized N^2/K only for BALANCED cells — the r10 balance
+    measurement (sweeps/r10_semdedup_scale.json) found trained KMeans
+    centroids on blob-shaped data putting 12% of the corpus in ONE cell
+    (sum_sq ~8x the balanced value at the same K), so wall-clock is
+    governed by the largest cell, not by K.  With ``max_cell=m`` every
+    cell larger than m is sub-split into ceil(|c|/m) hash groups
+    (portable ``porthash32(id)``, oracle-expressible), and pairs are
+    compared only within a (cell, sub) group: worst-case pair work
+    drops to ~N*m — LINEAR in N at fixed m — at the cost of missing
+    duplicate pairs that straddle sub-groups of an oversized cell
+    (bounded recall loss on exactly the cells where exact SemDeDup is
     intractable anyway; the paper's own answer to huge cells is more
-    K, which moves the quadratic into assignment).  ``None`` (default)
-    preserves the exact per-cell semantics and plan.
+    K, which moves the quadratic into assignment).
+
+    ``max_cell="auto"`` (the DEFAULT, r10 VERDICT #2): in the auto
+    ``n_cells=None`` path the bound is derived IN-PLAN as
+    ``SEMDEDUP_SKEW_FACTOR * ceil(N/K)`` — 4x the balanced cell size,
+    so it is inert on balanced cells and engages exactly under the
+    skew the r10 measurement demonstrated; worst-case pair work
+    becomes ~4*N^1.5, the balanced ideal's order, GUARANTEED.  In the
+    pinned regimes (explicit ``n_cells`` or ``centroids``) "auto"
+    applies NO cap — those paths exist to pin exact literal semantics
+    (the measurement twins).  ``None`` forces uncapped everywhere; an
+    int >= 1 pins an explicit bound (values < 1 raise — a zero/negative
+    bound would silently collapse the sub-split to 1 group and hand
+    back the exact uncapped quadratic the caller believes is capped).
 
     Returns (vec_id, cell, is_kept) for EVERY input vector — an audit
     table a curation DAG can join back to filter, weight, or inspect.
     """
+    if isinstance(max_cell, bool) or (
+        isinstance(max_cell, int) and max_cell < 1
+    ):
+        raise ValueError(f"max_cell must be an int >= 1, 'auto' or None; got {max_cell!r}")
+    if isinstance(max_cell, str) and max_cell != "auto":
+        raise ValueError(f"max_cell must be an int >= 1, 'auto' or None; got {max_cell!r}")
     vecs = embeddings.select(id_col, "embedding")
+    m_col = None  # double Column: sub-split divisor, None = uncapped
+    if isinstance(max_cell, int):
+        m_col = F.lit(float(max_cell))
     if n_cells is None and centroids is None:
         stats = F.broadcast(
             embeddings.agg(
@@ -673,6 +705,20 @@ def semdedup(
             )
         )
         asn = ivf_assign_join(vecs, cdf, "_cell", id_col)
+        if max_cell == "auto":
+            # in-plan skew bound m = 4*ceil(N/K): the same broadcast
+            # 1-row stats that derived K also carries N, so the bound
+            # adds no pass over the data — only the per-cell window
+            # count below, which shuffles by _cell, the distribution
+            # the pair join needs anyway.  ceil(double) -> long on
+            # Spark, CEIL(double) -> double on DuckDB; both exact
+            # integers, so the oracle's 4*CEIL(n/k) derives the
+            # identical divisor.
+            asn = asn.crossJoin(stats)
+            m_col = (
+                F.lit(SEMDEDUP_SKEW_FACTOR)
+                * F.ceil(F.col("_n").cast("double") / k)
+            ).cast("double")
     else:
         cents = (
             centroids
@@ -683,7 +729,7 @@ def semdedup(
     on = (F.col("a._cell") == F.col("b._cell")) & (
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     )
-    if max_cell is not None:
+    if m_col is not None:
         from pyspark.sql import Window
 
         from .dedup import porthash32
@@ -693,13 +739,12 @@ def semdedup(
         nsub = F.greatest(
             F.lit(1).cast("long"),
             F.ceil(
-                F.count(F.lit(1)).over(Window.partitionBy("_cell"))
-                / F.lit(max_cell)
+                F.count(F.lit(1)).over(Window.partitionBy("_cell")) / m_col
             ),
         )
         asn = asn.withColumn(
             "_sub", porthash32(F.col(id_col).cast("string")) % nsub
-        )
+        ).select(id_col, "embedding", "_cell", "_sub")
         on = on & (F.col("a._sub") == F.col("b._sub"))
     # the assignment feeds THREE subtrees (both sides of the in-cell
     # pair join + the final audit left-join); checkpoint it once so the

@@ -2243,6 +2243,37 @@ def _semdedup_sql(cells: str = "16") -> str:
 
 
 _SEMDEDUP_SQL = _semdedup_sql("16")
+
+
+def _semdedup_capped_sql(cells: str, m: int | str) -> str:
+    """SQL twin of semdedup(max_cell=m): same assignment CTEs, then
+    every cell is sub-split into ceil(|c|/m) portable-hash groups and
+    the dup join adds the sub-group equality.  The ceil operand is the
+    IDENTICAL float expression on both engines (count/m in double), so
+    the group count — even at a representability boundary — matches
+    (the eventflow k50/k90 parity argument).  ``m`` is an int literal
+    (the pinned cap) or a SQL expression yielding a DOUBLE (the r11
+    auto skew bound 4*ceil(N/K))."""
+    asn = _ASN_CTES.replace("vec_id < 16", f"vec_id < ({cells})")
+    ph = _PH_HI.format(c="CAST(vec_id AS VARCHAR)")
+    m_sql = str(float(m)) if isinstance(m, int) else f"({m})"
+    sub = (
+        f"{ph} % GREATEST(1, CAST(CEIL("
+        f"(COUNT(*) OVER (PARTITION BY cell)) / {m_sql}) AS BIGINT))"
+    )
+    return f"""WITH {asn},
+       sasn AS (
+         SELECT vec_id, embedding, cell, {sub} AS sub FROM asn),
+       dup AS (
+         SELECT DISTINCT b.vec_id
+         FROM sasn a JOIN sasn b
+           ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
+         WHERE {_DOTF.format(a='a.embedding', b='b.embedding')} >= 0.8)
+       SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+              (d.vec_id IS NULL) AS is_kept
+       FROM sasn a LEFT JOIN dup d USING (vec_id)"""
+
+
 # the auto regime: cell count derived from the corpus count as
 # max(16, ceil(sqrt(N))) — the compute-balanced K (assignment N*K ==
 # pair join N²/K at K = sqrt(N)); sqrt is IEEE-correctly-rounded on
@@ -2250,13 +2281,26 @@ _SEMDEDUP_SQL = _semdedup_sql("16")
 # anchored at MIN(vec_id) (r10, ADVICE: offset-id robustness — on the
 # dense 0-based gate data MIN is 0 and the bound is unchanged); the
 # builder computes min_id + k the same way.
-_SEMDEDUP_AUTO_SQL = _semdedup_sql(
-    "SELECT MIN(vec_id) + GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))"
+# the r11 auto skew bound: m = 4*ceil(N/K) with K the auto cell count —
+# 4x the balanced cell size, inert on balanced cells, sub-splits only
+# skew-blown ones (similarity.SEMDEDUP_SKEW_FACTOR).  CEIL lands on the
+# identical exact-integer double on both engines (n/k correctly-rounded
+# double division of exact integers).
+_SEMDEDUP_AUTO_M = (
+    "SELECT 4 * CEIL(CAST(COUNT(*) AS DOUBLE)"
+    " / GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)))"
     " FROM embeddings"
 )
 
 
-@q("q_semdedup", _SEMDEDUP_AUTO_SQL)
+@q(
+    "q_semdedup",
+    _semdedup_capped_sql(
+        "SELECT MIN(vec_id) + GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))"
+        " FROM embeddings",
+        _SEMDEDUP_AUTO_M,
+    ),
+)
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster-bounded semantic dedup —
     centroid assignment, exact cosine only within cells, first-writer-
@@ -2266,9 +2310,16 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the N²/K in-cell pair join (total ~2*N^1.5; at the paper's 100M+
     corpus sizes the rule reproduces the paper's own K ~ 10k), where
     the old literal-16 default left the pair join quadratic (8.46x per
-    10x in the r8 sweep).  The oracle derives the identical count via
-    GREATEST/CEIL/SQRT; auto-vs-literal parity at the derived K is
-    pinned by tests/test_similarity.py."""
+    10x in the r8 sweep).  Since r11 (r10 VERDICT #2) the default also
+    rides the AUTO SKEW BOUND ``max_cell="auto"`` = 4*ceil(N/K): the
+    r10 balance measurement showed trained centroids concentrating 12%
+    of the corpus in one cell (sum|c|^2 ~8x balanced), so the uncapped
+    in-cell join is governed by the largest cell, not K — the bound is
+    inert on balanced cells and guarantees ~4*N^1.5 worst-case pair
+    work under skew.  The oracle derives BOTH the cell count and the
+    bound with the identical GREATEST/CEIL/SQRT expressions;
+    auto-vs-literal parity at the derived (K, m) is pinned by
+    tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.semdedup(emb, threshold=0.8)
 
@@ -2284,32 +2335,6 @@ def q_semdedup_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the failure mode the auto sqrt(N) default exists to fix."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.semdedup(emb, n_cells=16, threshold=0.8, assign_via_join=True)
-
-
-def _semdedup_capped_sql(cells: str, m: int) -> str:
-    """SQL twin of semdedup(max_cell=m): same assignment CTEs, then
-    every cell is sub-split into ceil(|c|/m) portable-hash groups and
-    the dup join adds the sub-group equality.  The ceil operand is the
-    IDENTICAL float expression on both engines (count/m in double), so
-    the group count — even at a representability boundary — matches
-    (the eventflow k50/k90 parity argument)."""
-    asn = _ASN_CTES.replace("vec_id < 16", f"vec_id < ({cells})")
-    ph = _PH_HI.format(c="CAST(vec_id AS VARCHAR)")
-    sub = (
-        f"{ph} % GREATEST(1, CAST(CEIL("
-        f"(COUNT(*) OVER (PARTITION BY cell)) / {float(m)}) AS BIGINT))"
-    )
-    return f"""WITH {asn},
-       sasn AS (
-         SELECT vec_id, embedding, cell, {sub} AS sub FROM asn),
-       dup AS (
-         SELECT DISTINCT b.vec_id
-         FROM sasn a JOIN sasn b
-           ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
-         WHERE {_DOTF.format(a='a.embedding', b='b.embedding')} >= 0.8)
-       SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
-              (d.vec_id IS NULL) AS is_kept
-       FROM sasn a LEFT JOIN dup d USING (vec_id)"""
 
 
 @q(
