@@ -302,16 +302,21 @@ def test_spread_probe_is_skipped_or_memoized(spark, monkeypatch):
     monkeypatch.undo()
 
     # keyless: first call probes and caches; a semantically-equal rebuild
-    # hits the memo (poison the cached value and observe it being used)
+    # hits the memo (poison the cached value and observe it being used).
+    # try/finally (r10 ADVICE): an assertion failure between the poison
+    # and the clear must not leak a wrong memoized width into every
+    # later test of the session
     U._NPART_CACHE.clear()
-    narrow = spark.range(100).coalesce(1)
-    assert U.spread(narrow).rdd.getNumPartitions() == n
-    key = (id(spark), spark.range(100).coalesce(1).semanticHash())
-    assert U._NPART_CACHE.get(key) == 1
-    U._NPART_CACHE[key] = n  # poison: memo says "already wide"
-    again = spark.range(100).coalesce(1)
-    assert U.spread(again) is again  # no-op proves the memo was read
-    U._NPART_CACHE.clear()
+    try:
+        narrow = spark.range(100).coalesce(1)
+        assert U.spread(narrow).rdd.getNumPartitions() == n
+        key = spark.range(100).coalesce(1).semanticHash()
+        assert U._NPART_CACHE[spark].get(key) == 1
+        U._NPART_CACHE[spark][key] = n  # poison: memo says "already wide"
+        again = spark.range(100).coalesce(1)
+        assert U.spread(again) is again  # no-op proves the memo was read
+    finally:
+        U._NPART_CACHE.clear()
 
 
 def test_ngram_pairs_shingle_subtree_computes_twice(spark, sf_dir):

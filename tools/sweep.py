@@ -78,9 +78,30 @@ def compare(a_path: str, b_path: str, factor: float = 10.0) -> None:
 def merge_min(paths: list[str], out: str) -> None:
     """Per-query minima across N sweep files (the r10 two-pass
     protocol, PLANS §72.2) — errors (-1) survive only if a query
-    errored in EVERY pass."""
+    errored in EVERY pass.
+
+    Guards (r10 ADVICE): at least 2 input passes (min-of-one is not the
+    protocol, and a single trailing arg would silently become the
+    output path), and any key-set mismatch across passes FAILS loudly —
+    a partial pass (run with an ``only`` filter) would otherwise shrink
+    the minima file, and since bench_paired.py only checks queries
+    present in its reference, a too-small reference quietly weakens the
+    regression gate."""
+    if len(paths) < 2:
+        raise SystemExit(
+            f"--min needs >= 2 input sweeps + output path; got {len(paths)} input(s)"
+        )
     sweeps = [json.load(open(p)) for p in paths]
+    union = set().union(*sweeps)
     keys = set(sweeps[0]).intersection(*sweeps[1:])
+    if keys != union:
+        dropped = sorted(union - keys)
+        raise SystemExit(
+            f"--min: passes disagree on query sets — {len(dropped)} quer"
+            f"{'y' if len(dropped) == 1 else 'ies'} missing from some pass "
+            f"(partial sweep?): {' '.join(dropped[:20])}"
+            f"{' ...' if len(dropped) > 20 else ''}"
+        )
     m = {}
     for k in sorted(keys):
         ok = [s[k] for s in sweeps if s[k] >= 0]

@@ -39,12 +39,39 @@ from .text import quality_score
 PairsFn = Callable[[DataFrame], DataFrame]
 
 
+def _barrier(df: DataFrame, checkpoint: bool | str) -> DataFrame:
+    """Materialization barrier for a multiply-consumed survivor set.
+
+    ``True`` -> ``localCheckpoint`` (executor-local blocks: fastest, but
+    lineage truncation means an executor loss mid-job fails the job —
+    acceptable because the pipeline is deterministic, so the job retry
+    is idempotent).  ``"reliable"`` (r10 VERDICT #6) -> reliable
+    ``checkpoint()`` to the session's configured checkpoint directory
+    (``spark.sparkContext.setCheckpointDir`` — HDFS/object-store on a
+    real cluster): blocks survive executor loss, so long cluster runs
+    get task-level recovery instead of job retry, at the cost of a
+    write+read through the checkpoint store.  ``False`` -> no barrier
+    (full lineage, for plan-shape tests).  Both checkpoint modes are
+    value-identical — only durability and plan visibility differ."""
+    if checkpoint == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "checkpoint='reliable' needs spark.sparkContext."
+                "setCheckpointDir(<fault-tolerant path>) configured first"
+            )
+        return df.checkpoint(eager=False)
+    if checkpoint:
+        return df.localCheckpoint(eager=False)
+    return df
+
+
 def curate_corpus(
     docs: DataFrame,
     min_quality: float = 0.5,
     neardup_threshold: float = 0.8,
     pairs_fn: PairsFn | None = None,
-    checkpoint: bool = True,
+    checkpoint: bool | str = True,
 ) -> DataFrame:
     """documents -> curated (doc_id, lang, source, n_tokens, quality).
 
@@ -69,15 +96,14 @@ def curate_corpus(
     # banded source landed (r9): 7.8s -> ~3s.  ``checkpoint=False``
     # keeps the full lineage visible for plan-shape tests (the barrier
     # hides its subtree from the final executedPlan).
-    # Durability trade-off (r10): localCheckpoint truncates lineage to
-    # executor-local blocks — an executor loss mid-job fails the job
-    # instead of recomputing.  The job-level contract stays replay-safe
-    # (the pipeline is deterministic; a retry reproduces the output);
-    # for long cluster runs where task-level recovery matters, pass
-    # ``checkpoint=False`` and persist(MEMORY_AND_DISK) / reliable-
-    # checkpoint the survivor set at the call site instead.
-    if checkpoint:
-        uniq = uniq.localCheckpoint(eager=False)
+    # Durability trade-off (r10 -> r11): the default localCheckpoint
+    # truncates lineage to executor-local blocks — an executor loss
+    # mid-job fails the job instead of recomputing; the deterministic
+    # pipeline makes the job retry idempotent.  For long cluster runs
+    # where task-level recovery matters, pass ``checkpoint="reliable"``
+    # (see ``_barrier``) to route through the configured fault-tolerant
+    # checkpoint directory instead.
+    uniq = _barrier(uniq, checkpoint)
     near = pairs_fn(uniq)
     losers = near.select(F.col("doc_b").alias("doc_id")).distinct()
     return uniq.join(losers, "doc_id", "left_anti").select(
@@ -91,6 +117,7 @@ def curate_corpus_full(
     neardup_threshold: float = 0.8,
     eval_source: str = "src0",
     pairs_fn: PairsFn | None = None,
+    checkpoint: bool | str = True,
 ) -> DataFrame:
     """The COMPLETE training-corpus curation DAG, every stage an
     already-oracle-verified operator, wired as one pipeline:
@@ -131,10 +158,11 @@ def curate_corpus_full(
     # CacheManager to leak across queries or bench runs.  This is the
     # in-plan analogue of the stage manifest a production curation
     # pipeline writes between stages.  Measured sf0.1: 6.2s -> 4.1s.
-    # Durability: same trade-off as curate_corpus — lineage is
-    # truncated, so executor loss means job retry, not recompute; the
-    # deterministic pipeline makes the retry idempotent.
-    uniq = uniq.localCheckpoint(eager=False)
+    # Durability: same trade-off as curate_corpus — the default
+    # truncates lineage (executor loss -> idempotent job retry);
+    # ``checkpoint="reliable"`` routes through the configured
+    # fault-tolerant checkpoint dir for task-level recovery.
+    uniq = _barrier(uniq, checkpoint)
     clusters = dedup_clusters(
         uniq.select("doc_id", "text"),
         pairs=pairs_fn(uniq.select("doc_id", "text")) if pairs_fn else None,

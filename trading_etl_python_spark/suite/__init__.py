@@ -267,15 +267,46 @@ _NEW_R10: list[str] = [
 # r11 NOTE: the r10 window (~50) = _NEW_R10 + the stalest greens in
 # _ORDER_R9 order (r4-block tail from q_text_redact/q_seq_pack, then
 # the r5/r6/r7 blocks — 84 entries were at r4-or-older certification
-# entering r10).  Round 11 front-loads: any r10 reds (rebuild per
-# PLANS.md §62 first), then r11 births, then the stale refresh
-# continues from where the r10 window stopped, with _SAMPLED_R9 and
-# the r10 window rotated to the back (oldest certification first).
+# entering r10).
 _sampled_r9 = set(_SAMPLED_R9)
-_PRIORITY = [
+_ORDER_R10 = [
     *_NEW_R10,
     *(n for n in _ORDER_R9 if n not in _sampled_r9 and n not in set(_NEW_R10)),
     *(n for n in _ORDER_R9 if n in _sampled_r9 and n not in set(_NEW_R10)),
+]
+
+# r11 (r10 VERDICT #1): the stale-refresh tail is now ordered by ACTUAL
+# last-certified round — the per-query maximum green round aggregated
+# from the CORRECTNESS_r*.json files themselves (tools/cert_ledger.py
+# regenerates _cert_ledger.py after each round; the structural
+# _ORDER_R8-position proxy had drifted ~3 windows from real age: the
+# r2-era core entries sat at positions 156-166 while r5/r6-era greens
+# were about to re-certify).  Front matter stays explicit: reds-to-
+# rebuild first (none for r10 — 50/50 green), then births, then
+# queries whose builder or oracle SEMANTICS changed this round (their
+# old certification no longer covers them), then everything else
+# oldest-cert-first with the r10 registry position as the stable
+# tiebreak.  The r11 window (first 50) = 1 rewired + the 11 r2-era +
+# the first 38 r3-era entries.
+from ._cert_ledger import LAST_CERT  # noqa: E402
+
+# Queries BORN in r11 (r10 VERDICT #7: births only in service of its
+# items 2-4).
+_NEW_R11: list[str] = []
+# Builder-or-oracle semantics changed in r11, so the old cert is void:
+#   - q_semdedup now defaults to the auto skew bound max_cell="auto"
+#     (r10 VERDICT #2); builder AND oracle both carry the 4*ceil(N/K)
+#     sub-split derivation.
+_REWIRED_R11: list[str] = ["q_semdedup"]
+_head_r11 = {*_NEW_R11, *_REWIRED_R11}
+_pos_r10 = {n: i for i, n in enumerate(_ORDER_R10)}
+_PRIORITY = [
+    *_NEW_R11,
+    *_REWIRED_R11,
+    *sorted(
+        (n for n in _ORDER_R10 if n not in _head_r11),
+        key=lambda n: (LAST_CERT.get(n, 0), _pos_r10[n]),
+    ),
 ]
 
 assert len(_PRIORITY) == len(set(_PRIORITY)) and all(n in _ALL for n in _PRIORITY)

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
 
 
@@ -59,7 +61,13 @@ def spread(df: DataFrame, *cols: str, factor: int | None = None) -> DataFrame:
     return df.repartition(t)
 
 
-_NPART_CACHE: dict[tuple[int, int], int] = {}
+# WeakKeyDictionary of per-session {semanticHash: n} dicts: keying on
+# the LIVE session object (not id()) means a dead session's entries can
+# never alias a new session that reuses the same CPython id (r10
+# ADVICE), and the weakref drops a session's whole sub-dict the moment
+# the session is collected.  The >512 bound trims only the one
+# session's dict, not every session's cache.
+_NPART_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _num_partitions(df: DataFrame) -> int:
@@ -70,12 +78,13 @@ def _num_partitions(df: DataFrame) -> int:
     fan-out (perf), never change results, because every caller uses the
     value solely to pick a repartition width."""
     try:
-        key = (id(df.sparkSession), df.semanticHash())
-    except Exception:  # semanticHash unavailable -> uncached probe
+        sub = _NPART_CACHE.setdefault(df.sparkSession, {})
+        key = df.semanticHash()
+    except Exception:  # semanticHash/weakref unavailable -> uncached probe
         return df.rdd.getNumPartitions()
-    hit = _NPART_CACHE.get(key)
+    hit = sub.get(key)
     if hit is None:
-        if len(_NPART_CACHE) > 512:
-            _NPART_CACHE.clear()
-        hit = _NPART_CACHE[key] = df.rdd.getNumPartitions()
+        if len(sub) > 512:
+            sub.clear()
+        hit = sub[key] = df.rdd.getNumPartitions()
     return hit
