@@ -3,11 +3,18 @@
 the same sf dir, then compare row count + schema + order-insensitive
 values (exact, post-rounding).
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--json out.json] [sf_dir] [query ...]
+
+--json (r10 VERDICT #5) writes the run as a machine-readable artifact
+in the driver's CORRECTNESS_r{N}.json row shape — per query:
+{rows_match, schema_match, hash_match, spark_rows, oracle_rows, err} —
+so each round's builder-run full-registry gate is a checked-in JSON the
+judge can diff against the driver window, not a prose claim.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -92,8 +99,14 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark("correctness-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -101,6 +114,20 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failed, passed, rows_only = [], [], []
+    records: dict[str, dict] = {}
+
+    def record(name, *, rows=None, orows=None, problems=None, err=None):
+        probs = problems or []
+        records[name] = {
+            "rows_match": err is None and rows == orows,
+            "schema_match": err is None
+            and not any("columns" in p or "dtype" in p for p in probs),
+            "hash_match": err is None and not probs,
+            "spark_rows": rows,
+            "oracle_rows": orows,
+            "err": err,
+        }
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -109,19 +136,26 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failed.append(name)
+            record(name, err=f"spark: {type(e).__name__}: {str(e)[:200]}")
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             continue
         if name not in oracles:
             rows_only.append(name)
+            records[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(sdf), "oracle_rows": None, "err": None,
+            }
             print(f"rows  {name}: {len(sdf)} rows ({time.time()-t0:.1f}s) [no oracle]")
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:
             failed.append(name)
+            record(name, rows=len(sdf), err=f"oracle: {type(e).__name__}: {str(e)[:200]}")
             print(f"FAIL  {name}: oracle error: {type(e).__name__}: {str(e)[:300]}")
             continue
         problems = compare(name, sdf, odf)
+        record(name, rows=len(sdf), orows=len(odf), problems=problems)
         if problems:
             failed.append(name)
             print(f"FAIL  {name} ({time.time()-t0:.1f}s):")
@@ -133,6 +167,10 @@ def main() -> int:
     print(f"\n{len(passed)} ok, {len(rows_only)} rows-only, {len(failed)} FAILED")
     if failed:
         print("failed:", " ".join(failed))
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "results": records}, fh, indent=1)
+        print(f"wrote {json_out}: {len(records)} queries")
     return 1 if failed else 0
 
 

@@ -112,7 +112,9 @@ def scale_documents(con, src: str, out: str, factor: int, seed: int = 12345) -> 
         f"SELECT text, lang, source FROM '{src}/documents.parquet'"
     ).fetchall()
     n_src = len(rows)
-    vocab: list[str] = sorted({w for r in rows for w in r[0].split()})
+    # pre-convert to ndarray: rng.choice(list) re-converts per call —
+    # identical draws, ~10x faster at the sf10 doc count (500k docs)
+    vocab = np.array(sorted({w for r in rows for w in r[0].split()}))
     lens = np.array([len(r[0].split()) for r in rows])
     mix = [(r[1], r[2]) for r in rows]
     n_dups = con.execute(
