@@ -700,14 +700,60 @@ def media_dhash(df: DataFrame, grid: tuple[int, int] = (9, 8)) -> DataFrame:
     )
 
 
-def media_dhash_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
+# Skew factor of media_dhash_pairs' auto bucket bound m = 4*ceil(sqrt(N)):
+# same role as similarity.SEMDEDUP_SKEW_FACTOR — inert on realistic image
+# corpora (16-bit band buckets sit far below sqrt(N)) and engages exactly
+# under band-key skew, where it guarantees per-band pair work <= N*m.
+DHASH_BUCKET_FACTOR = 4
+
+
+def media_dhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int | str | None = "auto",
+) -> DataFrame:
     """Image near-dup pairs from dHash signatures: band the 64-bit hash
     into 4 x 16-bit sub-keys (pigeonhole: hamming <= 3 => >= 1 identical
     band), join per band, verify exact hamming via bit_count(xor) —
     the simhash_pairs construction applied to perceptual image hashes.
     Input is ``media_dhash`` output; the signature table (3 longs/row)
     is localCheckpoint'd so the Arrow decode pass runs once, not per
-    self-join side."""
+    self-join side.
+
+    ``max_bucket`` (r11, the semdedup ``max_cell`` treatment applied to
+    banding) bounds the candidate pair space against band-key skew: the
+    per-band self-join costs sum(|bucket|^2), which one oversized bucket
+    governs regardless of how many keys exist (measured on the r11 gate
+    corpus at sf1: ONE 16-bit band key held 38% of 50k signatures and
+    sum|c|^2 grew 104x for 10x data — text-rendered-as-image grids make
+    the high gradient bits near-constant; two-level pigeonhole banding
+    was measured NOT to collapse it, the sub-bits are skewed the same
+    way).  With ``max_bucket=m`` every (band, key) bucket larger than m
+    is sub-split into ceil(|bucket|/m) groups by portable content hash
+    of the id, and candidates require sub-group equality too — worst
+    case per-band pair work N*m.  Recall loss is confined to pairs
+    straddling sub-groups of an OVERSIZED bucket that no other band
+    catches (4-band OR-amplification still applies); exact semantics
+    are preserved wherever every bucket is <= m.
+
+    ``max_bucket="auto"`` (the default): m = 4*ceil(sqrt(N)) derived
+    in-plan from the signature count — worst-case pair work ~4*N^1.5
+    per band, the same guaranteed order as semdedup's auto cell bound,
+    while realistic image-hash buckets (<< sqrt(N)) never hit it.
+    ``None`` = exact/unbounded (the measurement twin); an int >= 1 pins
+    an explicit bound (values < 1 raise — a zero/negative bound would
+    silently collapse the sub-split to one group and hand back the
+    exact uncapped quadratic the caller believes is capped)."""
+    if isinstance(max_bucket, bool) or (
+        isinstance(max_bucket, int) and max_bucket < 1
+    ):
+        raise ValueError(
+            f"max_bucket must be an int >= 1, 'auto' or None; got {max_bucket!r}"
+        )
+    if isinstance(max_bucket, str) and max_bucket != "auto":
+        raise ValueError(
+            f"max_bucket must be an int >= 1, 'auto' or None; got {max_bucket!r}"
+        )
     sig = df.select(
         "media_id",
         F.col("dh_lo").bitwiseAND(F.lit(0xFFFF)).alias("k0"),
@@ -727,14 +773,47 @@ def media_dhash_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
             )
         ).alias("bk"),
     ).select("media_id", *[f"k{i}" for i in range(4)], "bk.band", "bk.key")
+    m_col = None  # double Column: sub-split divisor, None = uncapped
+    if isinstance(max_bucket, int):
+        m_col = F.lit(float(max_bucket))
+    elif max_bucket == "auto":
+        # in-plan skew bound m = 4*ceil(sqrt(N)): ceil(double) -> long
+        # on Spark, CEIL(double) -> double on DuckDB; both exact
+        # integers, so the oracle's 4*CEIL(SQRT(n)) derives the
+        # identical divisor (the semdedup auto-bound parity argument)
+        stats = F.broadcast(sig.agg(F.count(F.lit(1)).alias("_n")))
+        banded = banded.crossJoin(stats)
+        m_col = (
+            F.lit(DHASH_BUCKET_FACTOR)
+            * F.ceil(F.sqrt(F.col("_n").cast("double")))
+        ).cast("double")
+    on = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.media_id") < F.col("b.media_id"))
+    )
+    if m_col is not None:
+        from pyspark.sql import Window
+
+        from .dedup import porthash32
+
+        # ceil(|bucket|/m) sub-groups per (band, key); the window count
+        # shuffles by (band, key) — a prefix of the pair join's
+        # clustering, so the join reuses the distribution
+        nsub = F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(
+                F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+                / m_col
+            ),
+        )
+        banded = banded.withColumn(
+            "_sub", porthash32(F.col("media_id").cast("string")) % nsub
+        ).select("media_id", *[f"k{i}" for i in range(4)], "band", "key", "_sub")
+        on = on & (F.col("a._sub") == F.col("b._sub"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
+        a.join(b, on)
         .select(
             F.col("a.media_id").alias("media_a"),
             F.col("b.media_id").alias("media_b"),

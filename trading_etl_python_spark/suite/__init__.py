@@ -292,12 +292,20 @@ from ._cert_ledger import LAST_CERT  # noqa: E402
 
 # Queries BORN in r11 (r10 VERDICT #7: births only in service of its
 # items 2-4).
-_NEW_R11: list[str] = []
+#   - q_media_dhash_pairs_exact: VERDICT #3 — the quiet re-measure
+#     confirmed the dhash pair join >4x warm at 10x data (one band key
+#     held 38% of the sf1 corpus), so the production entry gained the
+#     semdedup-style bucket bound and this twin preserves the exact/
+#     unbounded semantics at measurement tier.
+_NEW_R11: list[str] = ["q_media_dhash_pairs_exact"]
 # Builder-or-oracle semantics changed in r11, so the old cert is void:
 #   - q_semdedup now defaults to the auto skew bound max_cell="auto"
 #     (r10 VERDICT #2); builder AND oracle both carry the 4*ceil(N/K)
 #     sub-split derivation.
-_REWIRED_R11: list[str] = ["q_semdedup"]
+#   - q_media_dhash_pairs now defaults to the auto bucket bound
+#     max_bucket="auto" (r10 VERDICT #3); builder AND oracle both carry
+#     the 4*ceil(sqrt(N)) per-(band,key) sub-split derivation.
+_REWIRED_R11: list[str] = ["q_semdedup", "q_media_dhash_pairs"]
 _head_r11 = {*_NEW_R11, *_REWIRED_R11}
 _pos_r10 = {n: i for i, n in enumerate(_ORDER_R10)}
 _PRIORITY = [

@@ -1641,9 +1641,9 @@ def q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.media_dhash(M.documents_as_pgm(docs))
 
 
-@q(
-    "q_media_dhash_pairs",
-    f"""WITH {_DHASH_CTES},
+# shared banded-dhash CTE prefix (bd/bands), consumed by both the capped
+# production query and its exact measurement twin
+_DHASH_BANDS_CTES = f"""{_DHASH_CTES},
        bd AS (SELECT media_id,
                      dh_lo & 65535 AS k0, (dh_lo >> 16) & 65535 AS k1,
                      dh_hi & 65535 AS k2, (dh_hi >> 16) & 65535 AS k3
@@ -1651,28 +1651,70 @@ def q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
        bands AS (SELECT media_id, k0, k1, k2, k3, 0 AS band, k0 AS key FROM bd
                  UNION ALL SELECT media_id, k0, k1, k2, k3, 1, k1 FROM bd
                  UNION ALL SELECT media_id, k0, k1, k2, k3, 2, k2 FROM bd
-                 UNION ALL SELECT media_id, k0, k1, k2, k3, 3, k3 FROM bd),
+                 UNION ALL SELECT media_id, k0, k1, k2, k3, 3, k3 FROM bd)"""
+
+_DHASH_PAIRS_TAIL = """SELECT media_a, media_b,
+              CAST(bit_count(xor(ka0, kb0)) + bit_count(xor(ka1, kb1))
+                   + bit_count(xor(ka2, kb2)) + bit_count(xor(ka3, kb3))
+                   AS INT) AS hamming
+       FROM cand
+       WHERE bit_count(xor(ka0, kb0)) + bit_count(xor(ka1, kb1))
+             + bit_count(xor(ka2, kb2)) + bit_count(xor(ka3, kb3)) <= 3"""
+
+
+@q(
+    "q_media_dhash_pairs",
+    f"""WITH {_DHASH_BANDS_CTES},
+       sb AS (SELECT *, {_PH_HI.format(c="CAST(media_id AS VARCHAR)")}
+                % GREATEST(1, CAST(CEIL(
+                    (COUNT(*) OVER (PARTITION BY band, key))
+                    / (SELECT 4 * CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))
+                       FROM hs)) AS BIGINT)) AS sub
+              FROM bands),
+       cand AS (SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+                       a.k0 AS ka0, a.k1 AS ka1, a.k2 AS ka2, a.k3 AS ka3,
+                       b.k0 AS kb0, b.k1 AS kb1, b.k2 AS kb2, b.k3 AS kb3
+                FROM sb a JOIN sb b
+                  ON a.band = b.band AND a.key = b.key AND a.sub = b.sub
+                 AND a.media_id < b.media_id)
+       {_DHASH_PAIRS_TAIL}""",
+)
+def q_media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs by perceptual hash: 4 x 16-bit banded join
+    over dHash signatures + exact Hamming verify (operators/multimodal.
+    media_dhash_pairs — the simhash construction on the real-codec
+    image path).  r11: the default auto bucket bound m = 4*ceil(sqrt(N))
+    sub-splits skew-blown band buckets by portable hash (the r11 quiet
+    measurement confirmed 5.8x at 10x data, governed by ONE band key
+    holding 38% of the corpus); the oracle derives the identical bound,
+    and the exact/unbounded form is q_media_dhash_pairs_exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.media_dhash_pairs(M.media_dhash(M.documents_as_pgm(docs)))
+
+
+@q(
+    "q_media_dhash_pairs_exact",
+    f"""WITH {_DHASH_BANDS_CTES},
        cand AS (SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
                        a.k0 AS ka0, a.k1 AS ka1, a.k2 AS ka2, a.k3 AS ka3,
                        b.k0 AS kb0, b.k1 AS kb1, b.k2 AS kb2, b.k3 AS kb3
                 FROM bands a JOIN bands b
                   ON a.band = b.band AND a.key = b.key
                  AND a.media_id < b.media_id)
-       SELECT media_a, media_b,
-              CAST(bit_count(xor(ka0, kb0)) + bit_count(xor(ka1, kb1))
-                   + bit_count(xor(ka2, kb2)) + bit_count(xor(ka3, kb3))
-                   AS INT) AS hamming
-       FROM cand
-       WHERE bit_count(xor(ka0, kb0)) + bit_count(xor(ka1, kb1))
-             + bit_count(xor(ka2, kb2)) + bit_count(xor(ka3, kb3)) <= 3""",
+       {_DHASH_PAIRS_TAIL}""",
+    tier="measurement",
 )
-def q_media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-dup pairs by perceptual hash: 4 x 16-bit banded join
-    over dHash signatures + exact Hamming verify (operators/multimodal.
-    media_dhash_pairs — the simhash construction on the real-codec
-    image path)."""
+def q_media_dhash_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact/unbounded twin of q_media_dhash_pairs (max_bucket=None):
+    the full pigeonhole guarantee (hamming <= 3 => found), kept to
+    verify the capped production path's recall — its candidate space
+    sum|bucket|^2 is skew-governed (measured 104x for 10x data on the
+    text-as-image gate corpus), so it is a measurement query by the
+    same rule as the other exact pair twins."""
     docs = load_table(spark, sf_dir, "documents")
-    return M.media_dhash_pairs(M.media_dhash(M.documents_as_pgm(docs)))
+    return M.media_dhash_pairs(
+        M.media_dhash(M.documents_as_pgm(docs)), max_bucket=None
+    )
 
 
 @q(
