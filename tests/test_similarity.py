@@ -452,3 +452,29 @@ def test_semdedup_auto_cap_engages_under_skew(spark):
     # dominant cell = number of non-empty hash groups (<= 5), vs 1
     extra = auto_keep - unc_keep
     assert 1 <= len(extra) <= 4
+
+
+def test_semdedup_fixed_budget_regime_is_capped_pinned(spark):
+    """The fixed-budget regime (n_cells AND max_cell both pinned — the
+    q_semdedup_fixedk production shape): the explicit int cap applies in
+    the pinned-K path too, its keep-set is a superset of the uncapped
+    pinned-K keep-set (cap only misses dup pairs), and with a cap large
+    enough to cover every cell the two are identical."""
+    from trading_etl_python_spark.operators import similarity as S
+
+    # 60 exact dups of one vector + 20 spread vectors, K=4 pinned
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(60)]
+    rows += [(100 + j, [0.0, 0.1 + j / 30.0, 0.7, 0.0]) for j in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    unc = {r.vec_id for r in S.semdedup(
+        emb, n_cells=4, max_cell=None, assign_via_join=True).collect()
+        if r.is_kept}
+    capped = {r.vec_id for r in S.semdedup(
+        emb, n_cells=4, max_cell=8, assign_via_join=True).collect()
+        if r.is_kept}
+    wide = {r.vec_id for r in S.semdedup(
+        emb, n_cells=4, max_cell=1000, assign_via_join=True).collect()
+        if r.is_kept}
+    assert unc <= capped          # superset law under the pinned regime
+    assert len(capped) > len(unc)  # m=8 < |dup cell| = 60: cap engaged
+    assert wide == unc             # m >= every cell: cap inert

@@ -297,7 +297,13 @@ from ._cert_ledger import LAST_CERT  # noqa: E402
 #     held 38% of the sf1 corpus), so the production entry gained the
 #     semdedup-style bucket bound and this twin preserves the exact/
 #     unbounded semantics at measurement tier.
-_NEW_R11: list[str] = ["q_media_dhash_pairs_exact"]
+#   - q_semdedup_fixedk: VERDICT #4 — the sf1->sf10 sweep measured the
+#     auto-K semdedup family at its designed ~N^1.5 balance law (29.7x
+#     for 10x data); this entry pins BOTH knobs (n_cells=64,
+#     max_cell=64), the paper's own fixed-budget regime, making total
+#     work linear in N — the production lever when N^1.5 exceeds a
+#     fixed compute budget.
+_NEW_R11: list[str] = ["q_media_dhash_pairs_exact", "q_semdedup_fixedk"]
 # Builder-or-oracle semantics changed in r11, so the old cert is void:
 #   - q_semdedup now defaults to the auto skew bound max_cell="auto"
 #     (r10 VERDICT #2); builder AND oracle both carry the 4*ceil(N/K)

@@ -2415,6 +2415,30 @@ def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semdedup(emb, n_cells=64, threshold=0.8, assign_via_join=True)
 
 
+@q("q_semdedup_fixedk", _semdedup_capped_sql("64", 64))
+def q_semdedup_fixedk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup in the FIXED-BUDGET regime the paper itself deploys
+    (Abbas et al. train a fixed cluster count, e.g. 50k for LAION-440M,
+    chosen per corpus — not a function of N): BOTH knobs pinned,
+    n_cells=64 and max_cell=64, which makes TOTAL work linear in N by
+    construction — assignment is N*K dot products (K constant), and the
+    capped in-cell join is at most N*m pair evaluations (m constant) no
+    matter how cells grow or skew.  This is the 100 TB production
+    posture when a compute budget is fixed up front; the auto default
+    (q_semdedup: K=ceil(sqrt(N)), m=4*ceil(N/K)) self-tunes granularity
+    for unknown N at the compute-balanced ~N^1.5 — the r11 sf1->sf10
+    sweep measured that law directly (29.7x for 10x data vs the 31.6x
+    the balance equation predicts, sweeps/r11_sf10.json), which is the
+    designed trade, not a plan defect; THIS entry is the linear lever a
+    deployment pulls when N^1.5 exceeds the budget.  Granularity/recall
+    degrade gracefully as N/K grows (coarser cells, more sub-splits);
+    the survivor rule and oracle derivation are identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semdedup(
+        emb, n_cells=64, threshold=0.8, max_cell=64, assign_via_join=True
+    )
+
+
 def _pca_power_sql(iters: int = 4) -> str:
     """SQL twin of similarity.pca_power: same 6dp-rounded Gram input,
     same ORDER BY-folded matrix-vector product and norm (bit-exact
