@@ -1498,6 +1498,11 @@ def silhouette_scores(
     (b-a)/max(a,b) over two exact int64 casts, emitted unrounded.
     Vectors in single-point clusters get a_sq = 0; max(a,b) = 0 (all
     centroids identical) emits NULL via the NULLIF guard."""
+    # spread before the x64 posexplode and the N*k dim-index join that
+    # consumes it un-shuffled: on a narrow single-file scan both run on
+    # 1-2 tasks (r11 quiet measured 5.2-5.4 s at sf1 for the two
+    # consumers of this function; the join output is N*k rows)
+    emb = spread(emb)
     e = emb.select(id_col, label_col, F.posexplode(vec_col).alias("i", "x"))
     eq = e.select(
         id_col,

@@ -141,7 +141,8 @@ def doc_fingerprint(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     fold(acc*31 + (ascii(first_char)*31 + len)) mod 1e9+7.  A pure
     aggregate() HOF — order-sensitive by construction (a permuted doc
     fingerprints differently), unlike a bag-of-words hash."""
-    df = with_tokens(df)
+    # spread before the per-token fold HOF (narrow-scan CPU, r9 trap)
+    df = with_tokens(spread(df))
     vals = F.transform(
         F.col("_toks"),
         lambda t: (F.ascii(F.substring(t, 1, 1)).cast("long") * F.lit(31) + F.length(t)).cast(
@@ -1262,6 +1263,10 @@ def flesch_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     exact integer counts from single regexp scans; the scores are fixed
     double chains over their ratios, rounded 4dp.  Pure map-side — no
     shuffle at any corpus size."""
+    # spread before the three per-row regexp scans (r9 trap class: a
+    # narrow single-file scan serializes the regex CPU onto 1-2 tasks;
+    # measured r11 sf1 quiet: 2.74 s on the 2-partition scan)
+    df = spread(df)
     words = F.size(tokens_col(text_col)).cast("long")
     syl = F.size(
         F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[aeiouy]+"), F.lit(0))
