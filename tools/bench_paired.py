@@ -69,7 +69,7 @@ def main():
     # the newest round's minima file wins — references only ratchet
     # DOWN (stricter), they are re-anchored UP only for a documented
     # semantics change (the r9 corpus_pipeline precedent)
-    ref_path = os.path.join(repo, "sweeps", "r10_headline_minima.json")
+    ref_path = os.path.join(repo, "sweeps", "r11_headline_minima.json")
     if not os.path.exists(ref_path):
         ref_path = os.path.join(repo, "sweeps", "r9_headline_minima.json")
     if os.path.exists(ref_path) and isinstance(rec.get("queries"), dict):
