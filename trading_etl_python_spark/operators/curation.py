@@ -294,8 +294,12 @@ def dsir_weights(
     form ``ROUND(AVG(lr), 4)`` over raw LN doubles forked engines on
     accumulation order (the r6 driver red, the exact hazard the repo
     float rulebook forbids)."""
+    from ..util import spread
     from .text import with_tokens
 
+    # r11: the tokenize+explode consumes the scan directly — fan the
+    # narrow gate scan out (no-op on an already-wide corpus scan)
+    docs = spread(docs)
     tok = with_tokens(docs).select(
         F.col(id_col), "lang", F.explode("_toks").alias("token")
     )

@@ -31,7 +31,7 @@ def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def token_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """X4 — per-doc token counting."""
-    df = with_tokens(df)
+    df = with_tokens(spread(df))  # r11: narrow-scan CPU, the r9 trap class
     return df.select(
         id_col,
         F.size("_toks").cast("long").alias("n_tokens"),
@@ -98,7 +98,7 @@ def lang_id(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Stopword-ratio language ID.  Argmax with fixed priority order
     (en>es>de>fr) — a deliberately simple, deterministic heuristic; real
     systems would swap in a fastText-style model via mapInPandas."""
-    df = with_tokens(df)
+    df = with_tokens(spread(df))  # r11: four stopword-set scans per row
     for lang in STOPWORDS:
         df = df.withColumn(f"h_{lang}", _hits(lang).cast("long"))
     pred = (
@@ -254,6 +254,9 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     (unigram + bigram) joined on doc id; all JVM expressions, shuffle
     keys are (doc_id, token) — bounded by document length, never corpus
     size, so the plan is skew-safe at 100 TB."""
+    # r11: both explode passes consume the scan directly — fan the
+    # narrow gate scan out once so tokenize+explode parallelize
+    df = spread(df)
     tf = (
         with_tokens(df)
         .select(id_col, F.explode("_toks").alias("tok"))
@@ -940,10 +943,13 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     Every rule is INTEGER arithmetic (mean-word-length in [3,10] is
     3n <= chars <= 10n, the 80% gate is 5*alpha >= 4*n) — no float
-    anywhere, so the oracle compares hash-exact.  One map-side pass,
-    no shuffle at all; at 100 TB this is the first, cheapest gate in
-    the curation funnel and must never cost an exchange."""
-    df = with_tokens(df)
+    anywhere, so the oracle compares hash-exact.  One map-side pass;
+    at 100 TB this is the first, cheapest gate in the curation funnel
+    and must never cost an exchange — the keyless spread() below
+    no-ops on any already-wide corpus scan (it only fans out the
+    narrow single-file gate scans that would otherwise serialize the
+    per-token rule CPU onto 1-2 tasks)."""
+    df = with_tokens(spread(df))
     n = F.size("_toks").cast("long")
     chars = F.length(F.concat_ws("", F.col("_toks"))).cast("long")
     n_alpha = F.size(F.filter(F.col("_toks"), lambda t: t.rlike("[a-z]"))).cast("long")
@@ -1356,6 +1362,7 @@ def sentiment_lexicon(
     documented constant over the synthetic vocabulary — swap for
     AFINN/VADER terms on a natural corpus).  Map-side only: the lexicon
     ships as array literals inside the expression, never a join."""
+    df = spread(df)  # r11: two lexicon filter scans per row
     toks = tokens_col(text_col)
     n_pos = F.size(F.filter(toks, lambda t: t.isin(*pos))).cast("long")
     n_neg = F.size(F.filter(toks, lambda t: t.isin(*neg))).cast("long")
