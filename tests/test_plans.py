@@ -748,6 +748,31 @@ def test_tfidf_cosine_no_action_during_construction(spark, sf_dir):
     assert out.count() > 0  # and the lazy plan still executes
 
 
+def test_tfidf_top_terms_no_action_during_construction(spark, sf_dir):
+    """Same laziness pin for tfidf_top_terms: its r11 form ran
+    df.count() at plan-build time (r11 VERDICT wrong #3 — the last
+    eager construction in the registry); N is now the same in-plan
+    1-row aggregate + broadcast crossJoin as tfidf_cosine.  The
+    registry-wide closure of this class is tools/lint_registry.py
+    --lazy (r12 artifact: sweeps/r12_lazy_lint.log)."""
+    from trading_etl_python_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(i, ("red fox " if i < 4 else "blue owl ") + ("x%d" % i))
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("tfidf-top-construct", "plan construction must be lazy")
+    try:
+        out = tfidf_top_terms(docs, k=2)
+        jobs = sc.statusTracker().getJobIdsForGroup("tfidf-top-construct")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(jobs) == [], f"jobs ran during plan construction: {jobs}"
+    assert out.count() > 0  # and the lazy plan still executes
+
+
 def test_gopher_rules_shuffle_free(spark, sf_dir):
     """The first curation gate stays a pure map-side pass AT CORPUS
     SCALE: on an input already at shuffle-width the r11 keyless
@@ -762,8 +787,14 @@ def test_gopher_rules_shuffle_free(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").repartition(n)
     wide = gopher_rules(docs)
     plan = wide._jdf.queryExecution().executedPlan().toString()
-    # the only exchange is the explicit test repartition; gopher adds none
-    assert plan.count("Exchange") <= 1, plan[:2000]
+    # EXACTLY one exchange — the explicit test repartition (round-robin
+    # by construction); gopher adds none.  == 1 plus the RoundRobin
+    # match means a gopher-introduced hashpartitioning exchange cannot
+    # hide behind the repartition's allowance (r11 ADVICE #3).
+    assert plan.count("Exchange") == 1, plan[:2000]
+    assert plan.count("Exchange roundrobin") + plan.count(
+        "Exchange RoundRobin"
+    ) == 1, plan[:2000]
     narrow = _executed(QUERIES["q_gopher_rules"](spark, sf_dir))
     assert narrow.count("Exchange") <= 1, narrow[:2000]
 

@@ -6,7 +6,7 @@ bench itself saturates 32 cores); everything else is recorded but
 marked noisy.
 
 Every run is also compared per-query against the quiet reference
-minima (BASELINE.md r10: sweeps/r9_headline_minima.json); queries
+minima (the newest sweeps/r{N}_headline_minima.json present); queries
 above 1.2x their reference are printed.  Per the protocol a query is a
 SUSPECTED regression only if it exceeds 1.2x in BOTH of two
 quiet-start runs — one flagged run is information, not a verdict.
@@ -69,9 +69,15 @@ def main():
     # the newest round's minima file wins — references only ratchet
     # DOWN (stricter), they are re-anchored UP only for a documented
     # semantics change (the r9 corpus_pipeline precedent)
-    ref_path = os.path.join(repo, "sweeps", "r11_headline_minima.json")
-    if not os.path.exists(ref_path):
-        ref_path = os.path.join(repo, "sweeps", "r9_headline_minima.json")
+    # newest-first fallback chain: a checkout missing the newest minima
+    # file compares against the next-newest, never silently the loosest
+    ref_path = None
+    for rnd in range(20, 8, -1):
+        cand = os.path.join(repo, "sweeps", f"r{rnd}_headline_minima.json")
+        if os.path.exists(cand):
+            ref_path = cand
+            break
+    ref_path = ref_path or os.path.join(repo, "sweeps", "r9_headline_minima.json")
     if os.path.exists(ref_path) and isinstance(rec.get("queries"), dict):
         ref = json.load(open(ref_path))
         over = {

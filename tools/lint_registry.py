@@ -1,7 +1,17 @@
 """Registry/docs consistency lint: every registry query must appear in
 COVERAGE.md, every COVERAGE.md q_-mention must exist in the registry,
 and the advertised counts must match reality.  Run in CI-style before a
-round closes; exits non-zero on drift."""
+round closes; exits non-zero on drift.
+
+``--lazy`` additionally constructs EVERY registry query at sf0.001
+under a Spark job group and fails if any Spark job ran during plan
+CONSTRUCTION (the r11 VERDICT #3 class: an eager ``df.count()`` while
+building the plan serializes an extra job per invocation and breaks
+laziness).  Queries whose algorithms require bounded driver state at
+build time (K k-means centroids, d quantize params, a 1-row query-
+vector lookup) are enumerated in LAZY_ALLOW with the justification —
+any NEW construction-time job must be deliberately added there, so the
+class stays closed."""
 
 from __future__ import annotations
 
@@ -63,5 +73,108 @@ def main() -> int:
     return 1 if bad else 0
 
 
+# Queries allowed to run jobs during plan CONSTRUCTION — each is
+# bounded driver state intrinsic to the algorithm, never a full-input
+# action like count()/collect()-of-rows:
+#   - k-means centroid training (K vectors on the driver; Lloyd
+#     iterations are inherently sequential jobs)
+#   - per-dimension quantize params (d scalar pairs)
+#   - the 1-row query-vector lookup for top-k/ANN probes
+LAZY_ALLOW_REASONS = {
+    "centroids": "k-means training: K centroid vectors on the driver",
+    "quantize": "d per-dimension quantize params on the driver",
+    "query_vec": "1-row query-vector lookup for the probe",
+    "dim_probe": "1-row embedding-width probe",
+    "sketch": "bounded sketch state (bloom bits) collected for broadcast",
+    "iterative": "driver-side convergence/greedy loop (inherently eager)",
+    "barrier": "deliberate lineage barrier on a bounded intermediate",
+    "materialize": "query materializes its own artifact before reading it",
+}
+
+
+# Reader schema-inference/metadata jobs: Spark runs ONE tiny job per
+# spark.read.<format>(path) to read the footer/first-file schema; the
+# stage callsite is the reader itself.  These are unavoidable bounded
+# metadata I/O, not the eager-action class the lint hunts (count/
+# collect/save at plan-build time show action callsites or the AQE
+# $anonfun stage instead).
+_READER_STAGE_PREFIXES = (
+    "parquet at ", "json at ", "csv at ", "orc at ", "text at ",
+    "binaryFile at ", "load at ",
+)
+
+
+def lint_lazy() -> int:
+    """Construct every registry query at sf0.001; fail on any non-
+    metadata Spark job during construction unless the query is
+    explicitly allowlisted."""
+    from trading_etl_python_spark.session import get_spark
+    from trading_etl_python_spark.suite import QUERIES
+
+    allow = _load_lazy_allow()
+    sf = os.environ.get("SPARK_GRAFT_LINT_SF", "/root/testdata/sf0.001")
+    spark = get_spark("lint-lazy")
+    sc = spark.sparkContext
+    st = sc.statusTracker()
+
+    def eager_jobs(job_ids):
+        out = []
+        for j in job_ids:
+            ji = st.getJobInfo(j)
+            stages = [st.getStageInfo(s) for s in (ji.stageIds if ji else [])]
+            names = [s.name for s in stages if s is not None]
+            if names and all(n.startswith(_READER_STAGE_PREFIXES) for n in names):
+                continue  # schema-inference metadata job
+            out.append((j, sorted({n.split(" at ")[0] for n in names}) or ["?"]))
+        return out
+
+    eager, errors = {}, {}
+    for name in sorted(QUERIES):
+        group = f"lint-lazy-{name}"
+        sc.setJobGroup(group, "plan construction must be lazy")
+        try:
+            QUERIES[name](spark, sf)
+            jobs = eager_jobs(st.getJobIdsForGroup(group))
+        except Exception as exc:  # construction itself must not raise
+            errors[name] = repr(exc)[:200]
+            jobs = []
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        if jobs and name not in allow:
+            kinds = sorted({k for _, ks in jobs for k in ks})
+            eager[name] = f"{len(jobs)} jobs: {','.join(kinds)}"
+    bad = False
+    if errors:
+        print(f"CONSTRUCTION ERRORS ({len(errors)}): {errors}")
+        bad = True
+    if eager:
+        print(f"EAGER AT CONSTRUCTION ({len(eager)}, not in LAZY_ALLOW): {eager}")
+        bad = True
+    stale_allow = sorted(q for q in allow if q not in QUERIES)
+    if stale_allow:
+        print(f"LAZY_ALLOW ENTRIES NOT IN REGISTRY: {stale_allow}")
+        bad = True
+    print(
+        f"lazy lint: {len(QUERIES)} constructed, {len(allow)} allowlisted, "
+        f"{len(eager)} eager, {len(errors)} errors"
+    )
+    spark.stop()
+    return 1 if bad else 0
+
+
+def _load_lazy_allow() -> dict[str, str]:
+    """The allowlist lives next to this lint as a plain dict literal so
+    additions show up in diffs: query name -> reason key."""
+    from tools._lazy_allow import LAZY_ALLOW
+
+    unknown = {q: r for q, r in LAZY_ALLOW.items() if r not in LAZY_ALLOW_REASONS}
+    if unknown:
+        raise SystemExit(f"LAZY_ALLOW reasons not in LAZY_ALLOW_REASONS: {unknown}")
+    return LAZY_ALLOW
+
+
 if __name__ == "__main__":
-    raise SystemExit(main())
+    rc = main()
+    if "--lazy" in sys.argv:
+        rc = lint_lazy() or rc
+    raise SystemExit(rc)

@@ -164,15 +164,28 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, id_col: str = "doc_id") -> DataFr
     (term-per-doc, then doc-frequency) -> broadcast-size idf join ->
     per-doc top-k window.  The idf table is one row per distinct token —
     at corpus scale it exceeds broadcast size and Catalyst shuffles it,
-    which is the correct fallback."""
+    which is the correct fallback.
+
+    N is computed IN-PLAN (1-row aggregate, broadcast crossJoin — the
+    tfidf_cosine construction): the r6-era form ran a driver-side
+    ``df.count()`` during plan CONSTRUCTION, serializing an extra job
+    per invocation and re-scanning the input per call (r11 VERDICT
+    wrong #3)."""
     from pyspark.sql import Window
 
-    n_docs = df.count()  # scalar, computed once at plan-build time
+    stats = F.broadcast(df.agg(F.count(F.lit(1)).alias("_n")))
     toks = with_tokens(df).select(id_col, F.explode("_toks").alias("token"))
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(dfreq, "token").withColumn(
-        "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(stats)
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("_n").cast("double") / F.col("df")), 6
+            ),
+        )
     )
     # rank on the ROUNDED score (token tiebreak): the raw product is a
     # deterministic scalar of counts, but ln() can differ by 1 ulp
@@ -1267,8 +1280,9 @@ def flesch_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     words; vowel-less tokens contribute 0 — documented convention),
     sentences = max(1, count of [.!?]+ runs).  All three inputs are
     exact integer counts from single regexp scans; the scores are fixed
-    double chains over their ratios, rounded 4dp.  Pure map-side — no
-    shuffle at any corpus size."""
+    double chains over their ratios, rounded 4dp.  Map-side rules, plus
+    a keyless spread() that no-ops on already-wide scans and adds one
+    fan-out exchange on narrow gate scans (the r9 trap class)."""
     # spread before the three per-row regexp scans (r9 trap class: a
     # narrow single-file scan serializes the regex CPU onto 1-2 tasks;
     # measured r11 sf1 quiet: 2.74 s on the 2-partition scan)
@@ -1360,8 +1374,10 @@ def sentiment_lexicon(
     """Lexicon-based polarity scoring: polarity = (pos − neg)/(pos +
     neg) over exact lexicon-hit counts (the fixed lexicon is a
     documented constant over the synthetic vocabulary — swap for
-    AFINN/VADER terms on a natural corpus).  Map-side only: the lexicon
-    ships as array literals inside the expression, never a join."""
+    AFINN/VADER terms on a natural corpus).  The lexicon ships as array
+    literals inside the expression, never a join; map-side rules, plus
+    a keyless spread() that no-ops on already-wide scans and adds one
+    fan-out exchange on narrow gate scans."""
     df = spread(df)  # r11: two lexicon filter scans per row
     toks = tokens_col(text_col)
     n_pos = F.size(F.filter(toks, lambda t: t.isin(*pos))).cast("long")
