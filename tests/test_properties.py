@@ -618,3 +618,93 @@ def test_semdedup_cap_superset_and_audit_laws(spark, rows, m):
         kept = {r.vec_id: r.is_kept for r in out}
         for c_ids in cells.values():
             assert kept[min(c_ids)]
+
+
+# --- media_dhash_pairs max_bucket cap laws (r11 VERDICT #6) ---------------
+# Signatures are generated directly (4 x 16-bit band keys from a tiny
+# alphabet, so buckets overflow small m with high probability); the
+# verifier recomputes bucket sizes, the 4*?N?/explicit bound, and the
+# portable id-hash sub-assignment INDEPENDENTLY (hashlib md5 prefix =
+# operators/dedup.porthash32) — no operator internals are reused.
+
+_dhash_sigs = st.lists(
+    st.tuples(
+        st.integers(0, 3), st.integers(0, 3),
+        st.integers(0, 3), st.integers(0, 3),
+    ),
+    min_size=2,
+    max_size=28,
+)
+
+
+def _porthash32_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+@given(_dhash_sigs, st.integers(1, 5))
+@settings(max_examples=8, deadline=None)
+def test_dhash_pairs_cap_laws_on_arbitrary_corpora(spark, keysets, m):
+    """Laws of the media_dhash_pairs bucket cap on arbitrary signature
+    corpora: (1) capped pairs are a subset of exact pairs with identical
+    hamming; (2) every DROPPED pair straddles a sub-split of an
+    OVERSIZED bucket in every band where its keys match (bucket > m and
+    the two ids hash to different sub-groups — a pair a band could have
+    matched exactly is never dropped); (3) the n_blocks audit equals the
+    MIN sub-split count over the pair's matched (band, key, sub)
+    buckets, and n_blocks = 1 iff the pair matched through an unsplit
+    bucket."""
+    import math
+
+    from trading_etl_python_spark.operators import multimodal as M
+
+    rows = [
+        (i, (k0 | (k1 << 16)), (k2 | (k3 << 16)))
+        for i, (k0, k1, k2, k3) in enumerate(keysets)
+    ]
+    sig = spark.createDataFrame(rows, "media_id long, dh_lo long, dh_hi long")
+    exact = {
+        (r.media_a, r.media_b): r.hamming
+        for r in M.media_dhash_pairs(sig, max_bucket=None).collect()
+    }
+    capped_rows = M.media_dhash_pairs(sig, max_bucket=m).collect()
+    capped = {(r.media_a, r.media_b): r.hamming for r in capped_rows}
+    audit = {(r.media_a, r.media_b): r.n_blocks for r in capped_rows}
+
+    # independent recomputation of band keys, bucket sizes, subs
+    keys = {i: ks for i, ks in enumerate(keysets)}
+    bucket: dict[tuple[int, int], int] = {}
+    for ks in keysets:
+        for b, k in enumerate(ks):
+            bucket[(b, k)] = bucket.get((b, k), 0) + 1
+    nsub = {bk: max(1, math.ceil(c / m)) for bk, c in bucket.items()}
+    sub = {
+        (i, b): _porthash32_py(str(i)) % nsub[(b, keys[i][b])]
+        for i in keys
+        for b in range(4)
+    }
+
+    # law 1: subset with identical hamming
+    assert set(capped) <= set(exact)
+    assert all(capped[p] == exact[p] for p in capped)
+
+    for (ia, ib), h in exact.items():
+        matched = [
+            b for b in range(4)
+            if keys[ia][b] == keys[ib][b]
+            and sub[(ia, b)] == sub[(ib, b)]
+        ]
+        if (ia, ib) in capped:
+            # law 3: audit = MIN nsub over matched buckets; 1 iff some
+            # matched bucket was unsplit
+            want = min(nsub[(b, keys[ia][b])] for b in matched)
+            assert audit[(ia, ib)] == want
+        else:
+            # law 2: dropped => every key-matching band is an oversized
+            # bucket the pair straddles
+            assert not matched
+            for b in range(4):
+                if keys[ia][b] == keys[ib][b]:
+                    assert bucket[(b, keys[ia][b])] > m
+                    assert sub[(ia, b)] != sub[(ib, b)]

@@ -743,7 +743,17 @@ def media_dhash_pairs(
     ``None`` = exact/unbounded (the measurement twin); an int >= 1 pins
     an explicit bound (values < 1 raise — a zero/negative bound would
     silently collapse the sub-split to one group and hand back the
-    exact uncapped quadratic the caller believes is capped)."""
+    exact uncapped quadratic the caller believes is capped).
+
+    The cap is NOT silent (r12): capped output carries an ``n_blocks``
+    audit column = MIN over the pair's matching (band, key, sub)
+    buckets of the number of sub-groups that band's bucket was split
+    into.  ``n_blocks = 1`` certifies the pair was matched through at
+    least one UNSPLIT bucket (exact semantics for that pair);
+    ``n_blocks > 1`` marks a pair found only inside sub-splits of
+    oversized buckets, i.e. a neighborhood where recall may be
+    partial.  The uncapped form has no cap to audit and keeps the
+    3-column shape."""
     if isinstance(max_bucket, bool) or (
         isinstance(max_bucket, int) and max_bucket < 1
     ):
@@ -807,28 +817,43 @@ def media_dhash_pairs(
                 / m_col
             ),
         )
-        banded = banded.withColumn(
-            "_sub", porthash32(F.col("media_id").cast("string")) % nsub
-        ).select("media_id", *[f"k{i}" for i in range(4)], "band", "key", "_sub")
+        banded = banded.withColumn("_nsub", nsub).withColumn(
+            "_sub", porthash32(F.col("media_id").cast("string")) % F.col("_nsub")
+        ).select(
+            "media_id", *[f"k{i}" for i in range(4)], "band", "key", "_sub", "_nsub"
+        )
         on = on & (F.col("a._sub") == F.col("b._sub"))
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(b, on)
-        .select(
-            F.col("a.media_id").alias("media_a"),
-            F.col("b.media_id").alias("media_b"),
-            *[F.col(f"a.k{i}").alias(f"ka{i}") for i in range(4)],
-            *[F.col(f"b.k{i}").alias(f"kb{i}") for i in range(4)],
+    pair_cols = [
+        F.col("a.media_id").alias("media_a"),
+        F.col("b.media_id").alias("media_b"),
+        *[F.col(f"a.k{i}").alias(f"ka{i}") for i in range(4)],
+        *[F.col(f"b.k{i}").alias(f"kb{i}") for i in range(4)],
+    ]
+    if m_col is not None:
+        # dedup candidate rows AND compute the audit in one aggregation
+        # (same shuffle the old distinct paid): n_blocks = MIN matched-
+        # band sub-split count — 1 proves an unsplit-bucket match
+        cand = (
+            a.join(b, on)
+            .select(*pair_cols, F.col("a._nsub").alias("_nsub"))
+            .groupBy("media_a", "media_b",
+                     *[f"ka{i}" for i in range(4)],
+                     *[f"kb{i}" for i in range(4)])
+            .agg(F.min("_nsub").alias("n_blocks"))
         )
-        .distinct()
-    )
+    else:
+        cand = a.join(b, on).select(*pair_cols).distinct()
     ham = sum(
         F.bit_count(F.col(f"ka{i}").bitwiseXOR(F.col(f"kb{i}"))) for i in range(4)
     )
+    out_cols = ["media_a", "media_b", "hamming"]
+    if m_col is not None:
+        out_cols.append("n_blocks")
     return (
         cand.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("media_a", "media_b", "hamming")
+        .select(*out_cols)
     )
 
 

@@ -303,7 +303,7 @@ from ._cert_ledger import LAST_CERT  # noqa: E402
 #     max_cell=64), the paper's own fixed-budget regime, making total
 #     work linear in N — the production lever when N^1.5 exceeds a
 #     fixed compute budget.
-_NEW_R11: list[str] = ["q_media_dhash_pairs_exact", "q_semdedup_fixedk"]
+_NEW_R11: list[str] = ["q_media_dhash_pairs_exact", "q_semdedup_fixedk"]  # noqa: F841 (kept for the r11 window note above)
 # Builder-or-oracle semantics changed in r11, so the old cert is void:
 #   - q_semdedup now defaults to the auto skew bound max_cell="auto"
 #     (r10 VERDICT #2); builder AND oracle both carry the 4*ceil(N/K)
@@ -311,15 +311,32 @@ _NEW_R11: list[str] = ["q_media_dhash_pairs_exact", "q_semdedup_fixedk"]
 #   - q_media_dhash_pairs now defaults to the auto bucket bound
 #     max_bucket="auto" (r10 VERDICT #3); builder AND oracle both carry
 #     the 4*ceil(sqrt(N)) per-(band,key) sub-split derivation.
-_REWIRED_R11: list[str] = ["q_semdedup", "q_media_dhash_pairs"]
-_head_r11 = {*_NEW_R11, *_REWIRED_R11}
-_pos_r10 = {n: i for i, n in enumerate(_ORDER_R10)}
-_PRIORITY = [
+_REWIRED_R11: list[str] = ["q_semdedup", "q_media_dhash_pairs"]  # noqa: F841
+_ORDER_R11: list[str] = [
     *_NEW_R11,
     *_REWIRED_R11,
     *sorted(
-        (n for n in _ORDER_R10 if n not in _head_r11),
-        key=lambda n: (LAST_CERT.get(n, 0), _pos_r10[n]),
+        (n for n in _ORDER_R10 if n not in {*_NEW_R11, *_REWIRED_R11}),
+        key=lambda n: (LAST_CERT.get(n, 0), _ORDER_R10.index(n)),
+    ),
+]
+# r12: no births; ONE semantics rewire, then the window is the
+# ledger-computed oldest entries (r11 VERDICT #4: "verifiable in
+# advance").  The r11 head entries were all certified green in the r11
+# window, so the ledger itself now sends them to the back.  _ORDER_R11
+# (head + ledger-sorted tail, deterministic given the checked-in
+# ledger) is kept only as the stable tiebreak for equal-round entries.
+#   - q_media_dhash_pairs gained the n_blocks audit column (r11
+#     VERDICT #6: the bucket cap must not be silent) — a schema
+#     change, so its r11 certification is void and it re-certifies
+#     first.
+_REWIRED_R12: list[str] = ["q_media_dhash_pairs"]
+_pos_r11 = {n: i for i, n in enumerate(_ORDER_R11)}
+_PRIORITY = [
+    *_REWIRED_R12,
+    *sorted(
+        (n for n in _ORDER_R11 if n not in _REWIRED_R12),
+        key=lambda n: (LAST_CERT.get(n, 0), _pos_r11[n]),
     ),
 ]
 

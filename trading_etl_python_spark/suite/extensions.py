@@ -1665,19 +1665,31 @@ _DHASH_PAIRS_TAIL = """SELECT media_a, media_b,
 @q(
     "q_media_dhash_pairs",
     f"""WITH {_DHASH_BANDS_CTES},
-       sb AS (SELECT *, {_PH_HI.format(c="CAST(media_id AS VARCHAR)")}
-                % GREATEST(1, CAST(CEIL(
+       sbn AS (SELECT *, GREATEST(1, CAST(CEIL(
                     (COUNT(*) OVER (PARTITION BY band, key))
                     / (SELECT 4 * CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))
-                       FROM hs)) AS BIGINT)) AS sub
-              FROM bands),
-       cand AS (SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+                       FROM hs)) AS BIGINT)) AS nsub
+               FROM bands),
+       sb AS (SELECT *, {_PH_HI.format(c="CAST(media_id AS VARCHAR)")}
+                % nsub AS sub
+              FROM sbn),
+       cand AS (SELECT a.media_id AS media_a, b.media_id AS media_b,
                        a.k0 AS ka0, a.k1 AS ka1, a.k2 AS ka2, a.k3 AS ka3,
-                       b.k0 AS kb0, b.k1 AS kb1, b.k2 AS kb2, b.k3 AS kb3
+                       b.k0 AS kb0, b.k1 AS kb1, b.k2 AS kb2, b.k3 AS kb3,
+                       MIN(a.nsub) AS n_blocks
                 FROM sb a JOIN sb b
                   ON a.band = b.band AND a.key = b.key AND a.sub = b.sub
-                 AND a.media_id < b.media_id)
-       {_DHASH_PAIRS_TAIL}""",
+                 AND a.media_id < b.media_id
+                GROUP BY a.media_id, b.media_id,
+                         a.k0, a.k1, a.k2, a.k3, b.k0, b.k1, b.k2, b.k3)
+       SELECT media_a, media_b,
+              CAST(bit_count(xor(ka0, kb0)) + bit_count(xor(ka1, kb1))
+                   + bit_count(xor(ka2, kb2)) + bit_count(xor(ka3, kb3))
+                   AS INT) AS hamming,
+              n_blocks
+       FROM cand
+       WHERE bit_count(xor(ka0, kb0)) + bit_count(xor(ka1, kb1))
+             + bit_count(xor(ka2, kb2)) + bit_count(xor(ka3, kb3)) <= 3""",
 )
 def q_media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup pairs by perceptual hash: 4 x 16-bit banded join
@@ -1687,7 +1699,10 @@ def q_media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-splits skew-blown band buckets by portable hash (the r11 quiet
     measurement confirmed 5.8x at 10x data, governed by ONE band key
     holding 38% of the corpus); the oracle derives the identical bound,
-    and the exact/unbounded form is q_media_dhash_pairs_exact."""
+    and the exact/unbounded form is q_media_dhash_pairs_exact.  r12:
+    the cap is audited, not silent — ``n_blocks`` = MIN matched-band
+    sub-split count per pair (1 proves an unsplit-bucket match, i.e.
+    exact semantics for that pair's neighborhood)."""
     docs = load_table(spark, sf_dir, "documents")
     return M.media_dhash_pairs(M.media_dhash(M.documents_as_pgm(docs)))
 
