@@ -237,24 +237,36 @@ def ivf_assign_join(
     multiplies per-task CPU by K, so a narrow scan (the sf1 embeddings
     parquet reads as 2 partitions) would pin the whole assignment to
     two cores — measured at sf1/K=160: 25.8s -> ~2s; the groupBy(id)
-    argmax then rides the same hash(id) distribution."""
+    argmax then rides the same hash(id) distribution.
+
+    The argmax aggregates SKINNY (id, cell, sim) rows and joins the
+    winning cell back to the input afterward (r12).  The r11 form ran
+    ``max_by(struct(embedding, ...), ...)`` — an array-typed buffer
+    forces SortAggregate, which SORTS the full N*K candidate stream
+    WITH every row's embedding: at sf10 (200k x 448 = 89.6M wide rows)
+    that one stage spilled 50 GB memory / 23 GB disk and pushed the
+    designed ~N^1.5 semdedup family to a measured 39x per 10x data
+    (sweeps/r12_semdedup_audit_sf10.json).  Dropping the payload from
+    the aggregation leaves the same N*K dot products but only 24-byte
+    rows in the sort, and the join back is one linear hash(id)-aligned
+    pass — assignment semantics (incl. tie-break) are bit-identical."""
     embeddings = spread(embeddings, id_col, factor=16)
     carry = [c for c in embeddings.columns if c != id_col]
     sim = dot(F.col("embedding"), F.col("cv"))
-    best = (
-        embeddings.join(F.broadcast(centroids_df), how="cross")
+    win = (
+        embeddings.select(id_col, "embedding")
+        .join(F.broadcast(centroids_df), how="cross")
+        .select(F.col(id_col), F.col("cell"), sim.alias("_sim"))
         .groupBy(id_col)
         .agg(
             F.max_by(
-                F.struct(*carry, F.col("cell")),
-                F.struct(sim.alias("sim"), (-F.col("cell")).alias("negcell")),
-            ).alias("_b")
+                F.col("cell"),
+                F.struct(F.col("_sim").alias("sim"), (-F.col("cell")).alias("negcell")),
+            ).alias("_wcell")
         )
     )
-    return best.select(
-        id_col,
-        *[F.col(f"_b.{c}").alias(c) for c in carry],
-        F.col("_b.cell").cast("int").alias(cell_col),
+    return embeddings.join(win, id_col).select(
+        id_col, *carry, F.col("_wcell").cast("int").alias(cell_col)
     )
 
 
