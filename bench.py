@@ -114,14 +114,14 @@ def main() -> None:
         #      sf0.001 pre-compilation above covers plan-shape codegen,
         #      but AQE can pick a different physical plan at full size,
         #      so the first full-SF run may still pay a compile;
-        #   2. min of 2 timed passes (each scans parquet end-to-end —
+        #   2. min of 3 timed passes (each scans parquet end-to-end —
         #      nothing is cached between runs);
-        #   3. if the two passes disagree by >25% the host is noisy:
+        #   3. if the passes disagree by >25% the host is noisy:
         #      take up to 2 extra passes so a transient spike cannot
         #      inflate the reported minimum.
         consume(make_df())  # untimed warmup
         runs: list[float] = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             consume(make_df())
             runs.append(time.time() - t0)
