@@ -209,9 +209,16 @@ def winnow_fingerprints(
     substring of length >= k + w - 1 produces a shared fingerprint —
     the robust fingerprinting behind plagiarism/near-dup detection.
 
-    Entirely HOF expressions (JVM, one explode + one distinct shuffle);
-    the polynomial hash folds left-to-right mod 1e9+7, which both engines
-    compute identically on ASCII codes (non-alphanumerics are stripped).
+    Entirely HOF expressions (JVM) with ZERO shuffle: selections are
+    deduplicated IN-ROW (``array_distinct`` over the per-doc selection
+    array) before the explode — the selection key (pos, hash) is
+    per-document, so the r11 global ``.distinct()`` bought nothing the
+    in-row dedup doesn't, while costing the plan's only exchange (at
+    sf10: a 554 MB shuffle whose partial aggregation spilled 4 GB,
+    the superlinear component of the r12 steep-text sweep).  The
+    polynomial hash folds left-to-right mod 1e9+7, which both engines
+    compute identically on ASCII codes (non-alphanumerics are
+    stripped).
 
     Plan note: the char-code array is materialized as a COLUMN first and
     the gram lambdas index it with element_at.  HOF lambdas are
@@ -252,9 +259,8 @@ def winnow_fingerprints(
         ),
     )
     return (
-        df.select(id_col, F.explode(win_min).alias("fp"))
+        df.select(id_col, F.explode(F.array_distinct(win_min)).alias("fp"))
         .select(id_col, F.col("fp.p").cast("long").alias("pos"), F.col("fp.v").alias("hash"))
-        .distinct()
     )
 
 
