@@ -136,6 +136,23 @@ def test_ivf_assign_join_matches_inline(spark, sf_dir):
     assert via_inline == via_join
     # schema parity: join path carries every input column through
     assert set(S.ivf_assign_join(emb, cdf).columns) == set(S.ivf_assign(emb, cents).columns)
+    # unique-id contract (r12 ADVICE): one output row per input row
+    assert len(via_join) == emb.count()
+
+
+def test_ivf_assign_join_rejects_null_ids(spark):
+    """The join-back argmax silently drops null ids through its inner
+    join; the in-plan guard must turn that silent loss into a raise
+    (the unique/non-null id precondition, r12 ADVICE)."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    cdf = S.centroids_to_df(spark, {0: [1.0, 0.0], 1: [0.0, 1.0]})
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (None, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(PySparkException):
+        S.ivf_assign_join(df, cdf).collect()
 
 
 def test_kmeans_step_switches_to_join_past_crossover(spark, sf_dir):

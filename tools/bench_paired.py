@@ -71,13 +71,18 @@ def main():
     # semantics change (the r9 corpus_pipeline precedent)
     # newest-first fallback chain: a checkout missing the newest minima
     # file compares against the next-newest, never silently the loosest
-    ref_path = None
-    for rnd in range(20, 8, -1):
-        cand = os.path.join(repo, "sweeps", f"r{rnd}_headline_minima.json")
-        if os.path.exists(cand):
-            ref_path = cand
-            break
-    ref_path = ref_path or os.path.join(repo, "sweeps", "r9_headline_minima.json")
+    # r13: the canonical live reference (sweeps/headline_minima.json,
+    # ratcheted down by tools/ratchet_minima.py) wins when present; the
+    # r{N} chain remains as the fallback for older checkouts
+    ref_path = os.path.join(repo, "sweeps", "headline_minima.json")
+    if not os.path.exists(ref_path):
+        ref_path = None
+        for rnd in range(20, 8, -1):
+            cand = os.path.join(repo, "sweeps", f"r{rnd}_headline_minima.json")
+            if os.path.exists(cand):
+                ref_path = cand
+                break
+        ref_path = ref_path or os.path.join(repo, "sweeps", "r9_headline_minima.json")
     if os.path.exists(ref_path) and isinstance(rec.get("queries"), dict):
         ref = json.load(open(ref_path))
         over = {

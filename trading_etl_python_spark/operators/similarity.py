@@ -249,7 +249,25 @@ def ivf_assign_join(
     (sweeps/r12_semdedup_audit_sf10.json).  Dropping the payload from
     the aggregation leaves the same N*K dot products but only 24-byte
     rows in the sort, and the join back is one linear hash(id)-aligned
-    pass — assignment semantics (incl. tie-break) are bit-identical."""
+    pass — assignment semantics (incl. tie-break) are bit-identical.
+
+    PRECONDITION: ``id_col`` must be UNIQUE and NON-NULL (r12 ADVICE).
+    The r11 groupBy form collapsed duplicate ids to one output row and
+    kept null-id rows; this join-back form fans duplicate ids out to
+    one output row per input row and silently DROPS null ids via the
+    inner join.  Every current caller feeds the parquet ``vec_id``
+    primary key, where both hold; tests/test_similarity.py pins the
+    contract (unique-id round-trip row count + a null-id raise)."""
+    if embeddings.schema[id_col].nullable:
+        # enforce the non-null half of the contract in-plan: a null id
+        # raises instead of silently vanishing through the inner join
+        embeddings = embeddings.withColumn(
+            id_col,
+            F.when(
+                F.col(id_col).isNull(),
+                F.raise_error(F.lit(f"ivf_assign_join: null {id_col} (ids must be unique+non-null)")),
+            ).otherwise(F.col(id_col)),
+        )
     embeddings = spread(embeddings, id_col, factor=16)
     carry = [c for c in embeddings.columns if c != id_col]
     sim = dot(F.col("embedding"), F.col("cv"))
