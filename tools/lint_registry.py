@@ -11,7 +11,15 @@ laziness).  Queries whose algorithms require bounded driver state at
 build time (K k-means centroids, d quantize params, a 1-row query-
 vector lookup) are enumerated in LAZY_ALLOW with the justification —
 any NEW construction-time job must be deliberately added there, so the
-class stays closed."""
+class stays closed.
+
+``--argmax`` (r12 VERDICT #5) scans every registry plan for max_by/
+min_by aggregates carrying an array/map-typed value or ordering
+expression — the PLANS.md §73 skinny-argmax law, closed as a class:
+a wide buffer forces SortAggregate, which sorts the whole
+pre-aggregation stream WITH the payload (the r12 semdedup 50 GB spill
+cliff).  Legit exceptions go in ARGMAX_ALLOW with the cardinality
+argument spelled out."""
 
 from __future__ import annotations
 
@@ -162,6 +170,122 @@ def lint_lazy() -> int:
     return 1 if bad else 0
 
 
+# Queries allowed to carry an array/map-typed max_by/min_by buffer —
+# the PLANS.md §73 skinny-argmax law says there should be NONE (a wide
+# payload in a sort-aggregated argmax buffer is the semdedup 50 GB
+# spill cliff); any future entry here needs the cardinality argument
+# written next to it (e.g. "group count is bounded by K, not data").
+ARGMAX_ALLOW: dict[str, str] = {}
+
+
+def _expr_trees(flat: list) -> list:
+    """Rebuild expression trees from Catalyst's flattened pre-order
+    JSON (each node carries num-children; children follow in order)."""
+    pos = [0]
+
+    def take():
+        node = dict(flat[pos[0]])
+        pos[0] += 1
+        node["_children"] = [take() for _ in range(node.get("num-children", 0))]
+        return node
+
+    roots = []
+    while pos[0] < len(flat):
+        roots.append(take())
+    return roots
+
+
+def _subtree_touches_wide(node: dict) -> bool:
+    """True if any node in the expression subtree is array/map-typed —
+    the 'wide payload' of the skinny-argmax law (PLANS.md §73).
+    Catalyst JSON writes simple types as strings ("double") and complex
+    types as nested dicts ({"type": "array", ...}); a struct hiding an
+    array deep inside is still wide, so the dict form is searched
+    recursively."""
+    import json as _json
+
+    dt = node.get("dataType", "")
+    s = dt if isinstance(dt, str) else _json.dumps(dt)
+    if s.startswith(("array", "map")) or '"array"' in s or '"map"' in s:
+        return True
+    return any(_subtree_touches_wide(c) for c in node["_children"])
+
+
+def _wide_argmax_hits(plan_json: str) -> list[str]:
+    """Scan one optimized logical plan (Catalyst toJSON) for MaxBy/MinBy
+    aggregates whose value OR ordering subtree touches an array/map
+    type.  Both halves ride the aggregation buffer through the
+    SortAggregate, so either one reproduces the r12 spill cliff."""
+    import json as _json
+
+    hits: list[str] = []
+
+    def walk_field(v):
+        if isinstance(v, list) and v and isinstance(v[0], dict) and "class" in v[0]:
+            for tree in _expr_trees(v):
+                stack = [tree]
+                while stack:
+                    n = stack.pop()
+                    cls = n.get("class", "")
+                    if cls.endswith((".MaxBy", ".MinBy")) and any(
+                        _subtree_touches_wide(c) for c in n["_children"]
+                    ):
+                        hits.append(cls.rsplit(".", 1)[-1])
+                    stack.extend(n["_children"])
+        elif isinstance(v, list):
+            for item in v:
+                walk_field(item)
+
+    for op in _json.loads(plan_json):
+        for key, val in op.items():
+            if key != "class":
+                walk_field(val)
+    return hits
+
+
+def lint_argmax() -> int:
+    """Construct every registry query at sf0.001 and fail if any plan
+    aggregates a wide (array/map) payload through max_by/min_by — the
+    r12 semdedup memory cliff (PLANS.md §73), closed as a CLASS
+    (r12 VERDICT #5): the buffer forces SortAggregate, which sorts the
+    full pre-aggregation stream WITH the payload; at a product-term
+    cardinality that is a spill cliff, invisible at test SFs."""
+    from trading_etl_python_spark.session import get_spark
+    from trading_etl_python_spark.suite import QUERIES
+
+    sf = os.environ.get("SPARK_GRAFT_LINT_SF", "/root/testdata/sf0.001")
+    spark = get_spark("lint-argmax")
+    wide, errors = {}, {}
+    for name in sorted(QUERIES):
+        try:
+            df = QUERIES[name](spark, sf)
+            hits = _wide_argmax_hits(
+                df._jdf.queryExecution().optimizedPlan().toJSON()
+            )
+        except Exception as exc:
+            errors[name] = repr(exc)[:200]
+            hits = []
+        if hits and name not in ARGMAX_ALLOW:
+            wide[name] = hits
+    bad = False
+    if errors:
+        print(f"ARGMAX LINT CONSTRUCTION ERRORS ({len(errors)}): {errors}")
+        bad = True
+    if wide:
+        print(f"WIDE ARGMAX BUFFERS ({len(wide)}, not in ARGMAX_ALLOW): {wide}")
+        bad = True
+    stale = sorted(q for q in ARGMAX_ALLOW if q not in QUERIES)
+    if stale:
+        print(f"ARGMAX_ALLOW ENTRIES NOT IN REGISTRY: {stale}")
+        bad = True
+    print(
+        f"argmax lint: {len(QUERIES)} plans scanned, {len(ARGMAX_ALLOW)} allowlisted, "
+        f"{len(wide)} wide, {len(errors)} errors"
+    )
+    spark.stop()
+    return 1 if bad else 0
+
+
 def _load_lazy_allow() -> dict[str, str]:
     """The allowlist lives next to this lint as a plain dict literal so
     additions show up in diffs: query name -> reason key."""
@@ -177,4 +301,6 @@ if __name__ == "__main__":
     rc = main()
     if "--lazy" in sys.argv:
         rc = lint_lazy() or rc
+    if "--argmax" in sys.argv:
+        rc = lint_argmax() or rc
     raise SystemExit(rc)

@@ -45,9 +45,21 @@ def main() -> None:
         for s in _stage_iter(sc)
     }
 
+    # The audited run gets its own job group so its FULL stage set —
+    # including stages Spark SKIPS by reusing warmup shuffle output —
+    # is known (r12 ADVICE: skipped stages never reach the completed-
+    # stage list, so a per-stage dump alone can silently under-report
+    # work the warmup pre-paid).
+    sc.setJobGroup("stage-audit", "audited run")
     t0 = time.time()
     build(spark, sf_dir).write.format("noop").mode("overwrite").save()
     wall = round(time.time() - t0, 3)
+    st = sc.statusTracker()
+    audited_stage_ids: set[int] = set()
+    for j in st.getJobIdsForGroup("stage-audit"):
+        ji = st.getJobInfo(j)
+        audited_stage_ids.update(ji.stageIds if ji else [])
+    sc.setLocalProperty("spark.jobGroup.id", None)
 
     store = sc._jsc.sc().statusStore()
     stages = []
@@ -80,7 +92,20 @@ def main() -> None:
             }
         )
     stages.sort(key=lambda r: -(r["task_ms_sum"] or 0))
-    out = {"query": name, "sf_dir": sf_dir, "wall_sec": wall, "stages": stages}
+    seen = {r["stage"] for r in stages}
+    reused = sorted(
+        s for s in audited_stage_ids if s in warm_stages or s not in seen
+    )
+    out = {
+        "query": name,
+        "sf_dir": sf_dir,
+        "wall_sec": wall,
+        # stages the audited run planned but did not execute (shuffle
+        # output reused from the warmup) — their cost is NOT in
+        # `stages` and a cold run would pay it (r12 ADVICE)
+        "reused_or_skipped_stages": reused,
+        "stages": stages,
+    }
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"wall_sec": wall, "n_stages": len(stages)}))
@@ -92,14 +117,25 @@ def _stage_iter(sc):
     # AppStatusStore.stageList(statuses: JList, details: Boolean,
     # taskStatus: Boolean, quantiles: Array[Double], summaries: JList)
     # — Scala default args live in synthetic stageList$default$N
-    # methods, which py4j reaches via getattr
-    it = store.stageList(
-        sc._jvm.java.util.ArrayList(),
-        getattr(store, "stageList$default$2")(),
-        getattr(store, "stageList$default$3")(),
-        getattr(store, "stageList$default$4")(),
-        getattr(store, "stageList$default$5")(),
-    ).iterator()
+    # methods, which py4j reaches via getattr.  Version guard (r12
+    # ADVICE): both the synthetic-method reflection and the py4j Option
+    # handling in main() depend on Spark-internal shapes pinned against
+    # the bundled pyspark (4.1.x); fail with a named cause instead of a
+    # bare py4j stack if an upgrade moves them.
+    try:
+        it = store.stageList(
+            sc._jvm.java.util.ArrayList(),
+            getattr(store, "stageList$default$2")(),
+            getattr(store, "stageList$default$3")(),
+            getattr(store, "stageList$default$4")(),
+            getattr(store, "stageList$default$5")(),
+        ).iterator()
+    except Exception as exc:
+        raise SystemExit(
+            "stage_audit: AppStatusStore.stageList reflection failed — "
+            "Spark-internal API moved (tool pinned against pyspark 4.1.x); "
+            f"update _stage_iter. Cause: {exc!r:.200}"
+        ) from exc
     while it.hasNext():
         yield it.next()
 

@@ -340,6 +340,33 @@ _PRIORITY = [
     ),
 ]
 
+# r13 (r12 VERDICT #3 + "What's wrong #3"): the pre-emption rule is now
+# EXPLICIT.  A query whose builder or oracle CODE was touched this
+# round re-certifies first — its old certification no longer covers the
+# new plan — and PRE-EMPTS the tail of the ~50 window.  Every displaced
+# entry automatically LEADS the next window: the ledger keeps its (now
+# oldest) certification round and the tail sorts oldest-first, so
+# displacement costs one round at most and is self-correcting.  The
+# window is auditable in advance: `python tools/cert_ledger.py
+# --window` prints the predicted next-50 from the checked-in ledger +
+# this head.  The r13 window = the pre-empted entries below + the
+# r6-era remainder (q_ad_line, q_aroon, q_bucket_join, q_cmf, ...).
+#   - q_sql_tpch_q2: the Spark-side plan was rewritten from the
+#     double-expanded `supply` CTE + correlated scalar subquery to a
+#     single-pass window-min form (r12 VERDICT #2, the sf10 outlier);
+#     results are value-identical and the DuckDB oracle is unchanged,
+#     but the executed plan is new, so the r12 cert is void by the
+#     q_media_dhash_pairs precedent.
+_PREEMPT_R13: list[str] = ["q_sql_tpch_q2"]
+_pos_r12 = {n: i for i, n in enumerate(_PRIORITY)}
+_PRIORITY = [
+    *_PREEMPT_R13,
+    *sorted(
+        (n for n in _pos_r12 if n not in _PREEMPT_R13),
+        key=lambda n: (LAST_CERT.get(n, 0), _pos_r12[n]),
+    ),
+]
+
 assert len(_PRIORITY) == len(set(_PRIORITY)) and all(n in _ALL for n in _PRIORITY)
 
 QUERIES: dict[str, Builder] = {n: _ALL[n] for n in _PRIORITY}
