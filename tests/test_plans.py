@@ -566,15 +566,21 @@ def test_pq_topk_two_take_ordered_tiers_no_join_on_vectors(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_sql_q2_decorrelates_min_cost(spark, sf_dir):
-    """Q2-shape's correlated MIN-cost scalar subquery must decorrelate
-    into an aggregate-then-join on partkey (no per-part re-execution,
-    no nested-loop fallback), with the part filters pushed to the
-    scan."""
+def test_sql_q2_single_pass_min_cost(spark, sf_dir):
+    """Q2-shape (r13 rewrite, r12 VERDICT #2): the Spark plan must scan
+    lineitem exactly ONCE — the r12 form expanded the supply CTE into
+    two final-aggregation consumers, which at sf10 each spilled ~6 GB
+    over a near-distinct (partkey, suppkey) hash table — with the
+    part filter below the supply aggregation (pushed to the part scan)
+    and the per-part min as a Window, not a second aggregate + join
+    back.  No nested-loop fallback."""
     plan = _explain_formatted(QUERIES["q_sql_tpch_q2"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
     assert "p_size" in pushed and "p_type" in pushed, pushed
+    lineitem_scans = re.findall(r"Location: \S+ \[[^\]]*lineitem\.parquet\]", plan)
+    assert len(lineitem_scans) == 1, lineitem_scans
+    assert "Window" in plan
 
 
 def test_sql_q9_partial_profit_rollup(spark, sf_dir):
