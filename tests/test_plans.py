@@ -851,3 +851,34 @@ def test_clustering_coef_lineage_truncated_at_checkpoint(spark, sf_dir):
     assert "ExistingRDD" in plan, plan[:2000]
     # no parquet scan of documents = the shingle pipeline is NOT inlined
     assert "Scan parquet" not in plan, plan[:2000]
+
+
+def test_wide_argmax_detector_classifies_buffer_shapes(spark):
+    """Pin the skinny-argmax LINT itself (r12 VERDICT #5 / PLANS.md
+    §73): tools/lint_registry._wide_argmax_hits must flag max_by/min_by
+    whose value OR ordering subtree carries an array (either half rides
+    the SortAggregate buffer — the r12 semdedup 50 GB spill cliff) and
+    must NOT flag skinny argmax, plain min/max, or collect_list (a
+    different, ObjectHashAggregate-backed class)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+    )
+    from lint_registry import _wide_argmax_hits
+
+    df = spark.createDataFrame(
+        [(1, [1.0], 2.0)], "id long, emb array<double>, s double"
+    )
+    cases = {
+        "wide_value": (df.groupBy("id").agg(F.max_by(F.struct("emb"), "s").alias("w")), ["MaxBy"]),
+        "wide_ordering": (df.groupBy("id").agg(F.max_by("s", F.struct("emb", "s")).alias("w")), ["MaxBy"]),
+        "wide_min_by": (df.groupBy("id").agg(F.min_by("emb", "s").alias("w")), ["MinBy"]),
+        "skinny": (df.groupBy("id").agg(F.max_by("s", F.struct("s", "id")).alias("w")), []),
+        "plain_max": (df.groupBy("id").agg(F.max("s").alias("m")), []),
+        "collect_list": (df.groupBy("id").agg(F.collect_list("emb").alias("c")), []),
+    }
+    for name, (q_df, expected) in cases.items():
+        hits = _wide_argmax_hits(q_df._jdf.queryExecution().optimizedPlan().toJSON())
+        assert hits == expected, f"{name}: {hits} != {expected}"
