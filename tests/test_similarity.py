@@ -145,14 +145,19 @@ def test_ivf_assign_join_rejects_null_ids(spark):
     join; the in-plan guard must turn that silent loss into a raise
     (the unique/non-null id precondition, r12 ADVICE)."""
     import pytest
+    from py4j.protocol import Py4JJavaError
     from pyspark.errors import PySparkException
 
     cdf = S.centroids_to_df(spark, {0: [1.0, 0.0], 1: [0.0, 1.0]})
     df = spark.createDataFrame(
         [(0, [1.0, 0.0]), (None, [0.0, 1.0])], "vec_id long, embedding array<double>"
     )
-    with pytest.raises(PySparkException):
+    # the in-plan raise_error surfaces as PySparkException when the
+    # error-class mapping applies and as a bare Py4JJavaError otherwise
+    # (depends on accumulated session state under the full suite)
+    with pytest.raises((PySparkException, Py4JJavaError)) as exc_info:
         S.ivf_assign_join(df, cdf).collect()
+    assert "null vec_id" in str(exc_info.value)
 
 
 def test_kmeans_step_switches_to_join_past_crossover(spark, sf_dir):
