@@ -143,7 +143,7 @@ def main() -> None:
                 minima = {k: v for k, v in json.load(f).items() if isinstance(v, (int, float))}
         except OSError:
             pass
-    noise_budget = float(os.environ.get("SPARK_GRAFT_BENCH_NOISE_BUDGET", "120"))
+    noise_budget = float(os.environ.get("SPARK_GRAFT_BENCH_NOISE_BUDGET", "180"))
 
     def timed(make_df) -> float:
         # noise-robust base protocol (r11 VERDICT #4: the official
@@ -182,10 +182,10 @@ def main() -> None:
     # Global noise-rescue phase (r13, r12 VERDICT #1): any query whose
     # best-of-passes still reads >1.15x its stored series-reference
     # minimum is re-sampled WORST-RATIO-FIRST until the whole suite
-    # sits <=1.15x or the shared wall-clock budget (default 120 s,
+    # sits <=1.15x or the shared wall-clock budget (default 180 s,
     # SPARK_GRAFT_BENCH_NOISE_BUDGET) is spent.  Global + greedy so the
     # most-inflated query always gets budget (a per-query loop starved
-    # whichever query ran last); a query that fails to recover within 6
+    # whichever query ran last); a query that fails to recover within 8
     # rescue passes stops competing (a genuine regression would eat the
     # whole budget retrying — it should stay visible instead, since
     # references only ratchet DOWN).
@@ -199,7 +199,7 @@ def main() -> None:
                 if n in minima
                 and minima[n] > 0
                 and timings[n] > 1.15 * minima[n]
-                and attempts.get(n, 0) < 6
+                and attempts.get(n, 0) < 8
             ),
             reverse=True,
         )
