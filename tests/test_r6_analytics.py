@@ -145,13 +145,27 @@ def test_dsir_weights_upweight_target_language(spark):
 
 
 def test_ewma_sql_matches_arrow_kernel(spark, sf_dir):
-    """The Spark 4 recursive-CTE formulation (q_ewma_sql) and the
-    grouped Arrow kernel (q_ewma_vol) must produce identical tables."""
+    """q_ewma_sql (r13: the AGGREGATE-fold form) and the grouped Arrow
+    kernel (q_ewma_vol) must produce identical tables."""
     from trading_etl_python_spark.suite import QUERIES
 
     a = {(r.symbol, r.day): r.ewma_vol for r in QUERIES["q_ewma_vol"](spark, sf_dir).collect()}
     b = {(r.symbol, r.day): r.ewma_vol for r in QUERIES["q_ewma_sql"](spark, sf_dir).collect()}
     assert a == b and len(a) > 0
+
+
+def test_ewma_fold_matches_recursive_cte_verbatim(spark, sf_dir):
+    """r13 equivalence pin: the WITH RECURSIVE text (still the DuckDB
+    oracle, and still the certification of Spark 4's recursive-CTE
+    surface) run verbatim through spark.sql must equal the optimized
+    AGGREGATE-fold plan q_ewma_sql now executes — bit-for-bit, since
+    the fold applies the same double ops in the same order."""
+    from trading_etl_python_spark.suite import QUERIES
+    from trading_etl_python_spark.suite.sql_api import EWMA_RECURSIVE, _sql
+
+    rec = {(r.symbol, r.day): r.ewma_vol for r in _sql(spark, sf_dir, EWMA_RECURSIVE).collect()}
+    fold = {(r.symbol, r.day): r.ewma_vol for r in QUERIES["q_ewma_sql"](spark, sf_dir).collect()}
+    assert rec == fold and len(rec) > 0
 
 
 def test_hll_set_algebra_exact_and_estimates(spark):

@@ -357,7 +357,11 @@ _PRIORITY = [
 #     results are value-identical and the DuckDB oracle is unchanged,
 #     but the executed plan is new, so the r12 cert is void by the
 #     q_media_dhash_pairs precedent.
-_PREEMPT_R13: list[str] = ["q_sql_tpch_q2"]
+#   - q_ewma_sql: the Spark-side plan was rewritten from the UnionLoop
+#     recursion to the bit-identical AGGREGATE-fold over running-window
+#     prefix arrays (r13 optimization round: 13.5 s -> ~1.0 s quiet at
+#     sf0.1); oracle unchanged (EWMA_RECURSIVE), executed plan new.
+_PREEMPT_R13: list[str] = ["q_sql_tpch_q2", "q_ewma_sql"]
 _pos_r12 = {n: i for i, n in enumerate(_PRIORITY)}
 _PRIORITY = [
     *_PREEMPT_R13,

@@ -665,9 +665,64 @@ SELECT symbol, CAST(day AS TIMESTAMP) AS day, ROUND(SQRT(v), 6) AS ewma_vol
 FROM rec"""
 
 
+# r13 (optimization round, guide §1.2 "fix the distributed algorithm
+# first"): Spark 4 executes WITH RECURSIVE as UnionLoop — one driver-
+# orchestrated count()+step round trip PER LEVEL.  The ~29-level
+# day-grid recursion cost 786 stages / 13.5 s quiet at sf0.1 (the
+# slowest production-tier query in the registry) with only ~4 s of
+# TOTAL task time — pure per-iteration orchestration, and the loop
+# step re-executed the full static prefix (events scan -> day agg ->
+# LAG window) at every level on top of it.  The recurrence
+#     v_1 = r_1 * r_1;  v_n = 0.94 * v_{n-1} + (1.0 - 0.94) * r_n^2
+# is a left fold over the day-ordered r sequence, so the Spark side
+# now computes it with the AGGREGATE higher-order function over
+# running-window prefix arrays: collect_list(r) OVER (symbol, day
+# ROWS UNBOUNDED PRECEDING) gives row n exactly [r_1..r_n], and the
+# fold applies THE SAME double ops IN THE SAME ORDER as the recursion
+# (note (1.0D - 0.94D), kept as a subtraction: IEEE 1.0-0.94 =
+# 0.06000000000000005 != the literal 0.06 — constant folding computes
+# it identically), so every v_n is bit-identical to the UnionLoop's.
+# One window pass, zero loop jobs: 786 stages -> a handful; the day
+# grid is ~30 deep independent of SF, so the O(D^2) per-symbol fold
+# work is ~450 multiply-adds — nothing at any scale.  The DuckDB
+# oracle keeps the original one-text recursive form (EWMA_RECURSIVE),
+# and tests/test_r6_analytics.py additionally runs EWMA_RECURSIVE
+# verbatim through spark.sql and asserts row-for-row equality, so the
+# recursive-CTE surface stays exercised and the equivalence is pinned
+# in CI, not just argued here.
+EWMA_FOLD = """WITH bars AS (
+  SELECT user_id AS symbol, ts AS time, event_id,
+         value AS close
+  FROM events
+),
+d AS (SELECT symbol, CAST(time AS DATE) AS day, AVG(close) AS close_d
+      FROM bars GROUP BY symbol, CAST(time AS DATE)),
+r0 AS (SELECT symbol, day, close_d,
+        LAG(close_d) OVER (PARTITION BY symbol ORDER BY day) AS prev
+       FROM d),
+r AS (SELECT symbol, day, ROUND(LN(close_d / prev), 6) AS r
+      FROM r0 WHERE prev > 0 AND close_d > 0),
+p AS (SELECT symbol, day,
+        COLLECT_LIST(r) OVER (PARTITION BY symbol ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs
+      FROM r)
+SELECT symbol, CAST(day AS TIMESTAMP) AS day,
+       ROUND(SQRT(AGGREGATE(slice(rs, 2, size(rs) - 1),
+                            element_at(rs, 1) * element_at(rs, 1),
+                            (acc, x) -> 0.94D * acc + (1.0D - 0.94D) * (x * x))),
+             6) AS ewma_vol
+FROM p"""
+
+
 @q("q_ewma_sql", EWMA_RECURSIVE)
 def q_ewma_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RiskMetrics EWMA volatility as a Spark 4 RECURSIVE CTE — the
-    exact SQL text the oracle runs, submitted verbatim to spark.sql.
-    Values equal q_ewma_vol's Arrow-kernel output row-for-row."""
-    return _sql(spark, sf_dir, EWMA_RECURSIVE)
+    """RiskMetrics EWMA volatility recursion.  The ORACLE runs the
+    one-text recursive form (EWMA_RECURSIVE) verbatim; the Spark side
+    runs EWMA_FOLD — the same left fold expressed with the AGGREGATE
+    higher-order function over running-window prefix arrays (see the
+    r13 comment block above for the bit-identity argument and the
+    UnionLoop orchestration cost that mandated it).  Values equal
+    q_ewma_vol's Arrow-kernel output row-for-row, and the recursive
+    text itself is still executed against this output in
+    tests/test_r6_analytics.py."""
+    return _sql(spark, sf_dir, EWMA_FOLD)
