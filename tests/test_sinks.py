@@ -36,6 +36,23 @@ def test_upsert_ignore_is_idempotent(spark, sf_dir, tmp_path):
     assert spark.read.parquet(path).count() == 200
 
 
+def test_upsert_ignore_write_is_clustered_by_partition(spark, sf_dir, tmp_path):
+    """r13 (guide §6): the append is REBALANCE(partition_col)-clustered,
+    so a small batch writes ~one file per touched date instead of
+    (write tasks) x (dates) tiny files — measured 736 -> 23 files and a
+    5x faster write on the sf0.1 backfill seed.  Bound: no more files
+    than touched partitions (AQE may only SPLIT oversized dates, and
+    nothing here is oversized)."""
+    import glob
+
+    path = str(tmp_path / "tbl")
+    batch = _sample(spark, sf_dir)
+    upsert_ignore(batch, path)
+    parts = [d for d in os.listdir(path) if d.startswith("trade_date=")]
+    files = glob.glob(os.path.join(path, "trade_date=*", "*.parquet"))
+    assert len(files) <= len(parts)
+
+
 def test_upsert_ignore_null_partition_stays_idempotent(spark):
     """NULL time -> NULL trade_date partition; isin() semantics must not
     silently drop it from the existing-keys read (it would re-append the

@@ -131,7 +131,24 @@ def upsert_ignore(
             incoming = incoming.join(existing_keys, on=anti_cond, how="left_anti")
         n = incoming.count()
         if n:
-            incoming.write.mode("append").partitionBy(partition_col).parquet(path)
+            # r13 (guide §6 small files): without clustering, EVERY write
+            # task opens a file per touched partition value — measured at
+            # sf0.1: 32 tasks x ~23 dates = 736 files of ~100 rows for the
+            # backfill seed, and the write cost 2.5x the pipeline compute
+            # (5.6 s vs 2.2 s).  REBALANCE(partition_col) is the AQE-aware
+            # clustering: rows of one date land in one (or a few) tasks,
+            # sized by advisoryPartitionSizeInBytes — at sf0.1 that is ~23
+            # files (one per date); at 100 TB AQE SPLITS oversized dates
+            # into multiple advisory-sized files, so there is no
+            # one-task-per-date skew cliff.  The extra exchange reads the
+            # already-persisted ``pinned`` cache, so it costs one cheap
+            # cache pass, not a pipeline recompute.
+            (
+                incoming.hint("rebalance", F.col(partition_col))
+                .write.mode("append")
+                .partitionBy(partition_col)
+                .parquet(path)
+            )
         return n
     finally:
         pinned.unpersist()

@@ -43,6 +43,52 @@ from ..operators.recursive import round_half_up
 LOOKBACK = 60  # consumer.py:33
 WARMUP = 26  # consumer.py:165
 
+
+def stream_state_partitions(spark: SparkSession, n: int | str | None = None):
+    """Pin ``spark.sql.shuffle.partitions`` for the duration of ONE
+    eagerly-executed streaming run, restoring it afterwards.
+
+    Structured Streaming reads the shuffle-partition count at query
+    start and bakes it into the checkpoint as the STATE partition
+    count — it is a per-stream design choice, not a batch tuning knob.
+    Every state partition carries fixed machinery (store provider,
+    delta files, commit fsyncs; a stream-stream join runs FOUR stores
+    per partition), so the count should track key cardinality and
+    per-trigger volume, not the session's batch default.  Measured at
+    sf0.1 (r13, guide §2.2 fewer-larger-partitions): the stream-stream
+    join at 32 state partitions spent ~20 s/task of uniform per-task
+    state overhead; 8 partitions ran the same single-batch replay 2.2x
+    faster with identical output.  Default 8 (~1.5k keys, <100k rows
+    per replay batch locally); on a cluster set
+    ``SPARK_GRAFT_STREAM_PARTITIONS`` to the keys-x-throughput sizing —
+    the value is pinned per checkpoint either way, so restarts are
+    consistent by construction.
+
+    Results are partition-count-independent: state routing is
+    hash(key)-deterministic and every streaming operator here is
+    per-key; the oracle gates (value-hash) re-certify the stream
+    queries this round regardless.
+    """
+    import os as _os
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _cm():
+        key = "spark.sql.shuffle.partitions"
+        val = str(n or _os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, val)
+        try:
+            yield
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    return _cm()
+
+
 TICK_SCHEMA = T.StructType(
     [
         T.StructField("symbol", T.LongType()),

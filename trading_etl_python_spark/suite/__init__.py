@@ -361,7 +361,28 @@ _PRIORITY = [
 #     recursion to the bit-identical AGGREGATE-fold over running-window
 #     prefix arrays (r13 optimization round: 13.5 s -> ~1.0 s quiet at
 #     sf0.1); oracle unchanged (EWMA_RECURSIVE), executed plan new.
-_PREEMPT_R13: list[str] = ["q_sql_tpch_q2", "q_ewma_sql"]
+#   - the five upsert-sink consumers below: sinks/parquet.upsert_ignore
+#     now REBALANCE-clusters the append by the partition column (r13
+#     optimization round, guide §6 small files: 736 -> 23 files, 5x
+#     faster write on the backfill seed); values unchanged, write path
+#     new.
+#   - the three stateful-operator streams below: their builders now pin
+#     the streaming state-partition count via stream_state_partitions
+#     (r13, guide §2.2: fixed per-partition state-store machinery
+#     dominated the single-batch replay — stream-stream join 2.5x);
+#     values are partition-routing-independent, executed plan new.
+_PREEMPT_R13: list[str] = [
+    "q_sql_tpch_q2",
+    "q_ewma_sql",
+    "q_backfill_job",
+    "q_backfill_incremental",
+    "q_upsert_ignore",
+    "q_stream_replay",
+    "q_stream_ingest",
+    "q_stream_join",
+    "q_stream_sessions",
+    "q_stream_candles",
+]
 _pos_r12 = {n: i for i, n in enumerate(_PRIORITY)}
 _PRIORITY = [
     *_PREEMPT_R13,

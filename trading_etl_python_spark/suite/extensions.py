@@ -3582,10 +3582,11 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import (
         events_file_stream,
         stream_session_windows,
+        stream_state_partitions,
     )
 
     sink = os.path.join(_sink_root(), f"sess_{next(_SINK_SEQ)}", "out")
-    with tempfile.TemporaryDirectory(prefix="ckpt_sess_q_") as ckpt:
+    with tempfile.TemporaryDirectory(prefix="ckpt_sess_q_") as ckpt, stream_state_partitions(spark):
         ev_stream = events_file_stream(spark, sf_dir).select(
             "user_id", "ts", "value"
         )
@@ -3629,6 +3630,7 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import (
         documents_file_stream,
         stream_heavy_hitter_candidates,
+        stream_state_partitions,
     )
 
     sink = os.path.join(_sink_root(), f"mgtopk_{next(_SINK_SEQ)}", "out")
@@ -3701,10 +3703,14 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi+range join — the oracle."""
     import tempfile
 
-    from ..streaming.pipeline import events_file_stream, stream_stream_join
+    from ..streaming.pipeline import (
+        events_file_stream,
+        stream_state_partitions,
+        stream_stream_join,
+    )
 
     sink = os.path.join(_sink_root(), f"ssj_{next(_SINK_SEQ)}", "out")
-    with tempfile.TemporaryDirectory(prefix="ckpt_ssj_q_") as ckpt:
+    with tempfile.TemporaryDirectory(prefix="ckpt_ssj_q_") as ckpt, stream_state_partitions(spark):
         src = events_file_stream(spark, sf_dir)
         probes = src.filter(
             F.col("event_type").isin("view", "click")
@@ -3765,10 +3771,14 @@ def q_stream_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     because the corpus has no duplicate (user_id, ts) pairs."""
     import tempfile
 
-    from ..streaming.pipeline import events_file_stream, stream_candles
+    from ..streaming.pipeline import (
+        events_file_stream,
+        stream_candles,
+        stream_state_partitions,
+    )
 
     sink = os.path.join(_sink_root(), f"cndl_{next(_SINK_SEQ)}", "out")
-    with tempfile.TemporaryDirectory(prefix="ckpt_cndl_q_") as ckpt:
+    with tempfile.TemporaryDirectory(prefix="ckpt_cndl_q_") as ckpt, stream_state_partitions(spark):
         ticks = events_file_stream(spark, sf_dir).select(
             F.col("user_id").alias("symbol"),
             F.col("ts").alias("time"),
@@ -4239,7 +4249,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import tempfile
 
-    from ..streaming.pipeline import stream_bloom_dedup
+    from ..streaming.pipeline import stream_bloom_dedup, stream_state_partitions
 
     ev = load_events(spark, sf_dir).select(
         (F.col("user_id") * F.lit(1000) + F.col("event_id") % F.lit(7)).alias("key"),
@@ -5347,7 +5357,11 @@ def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the order-sensitive sum (psi_drift(quantized=True))."""
     import tempfile
 
-    from ..streaming.pipeline import events_file_stream, stream_drift_monitor
+    from ..streaming.pipeline import (
+        events_file_stream,
+        stream_drift_monitor,
+        stream_state_partitions,
+    )
 
     ref = load_events(spark, sf_dir).filter(F.col("event_id") % 2 == 0)
     sink = os.path.join(_sink_root(), f"drift_{next(_SINK_SEQ)}", "out")
@@ -5379,6 +5393,7 @@ def q_stream_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import (
         events_file_stream,
         stream_cardinality_monitor,
+        stream_state_partitions,
     )
 
     sink = os.path.join(_sink_root(), f"card_{next(_SINK_SEQ)}", "out")
@@ -5410,7 +5425,11 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..operators.dedup import write_minhash_index
-    from ..streaming.pipeline import documents_file_stream, stream_ingest_dedup
+    from ..streaming.pipeline import (
+        documents_file_stream,
+        stream_ingest_dedup,
+        stream_state_partitions,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     root = os.path.join(_sink_root(), f"ingest_{next(_SINK_SEQ)}")
