@@ -110,6 +110,7 @@ def upsert_ignore(
         .persist()
     )
     incoming = pinned
+    touched: list = []
     try:
         if _table_exists(path, partition_col):
             touched = collect_touched_partitions(incoming, partition_col)
@@ -135,16 +136,36 @@ def upsert_ignore(
             # task opens a file per touched partition value — measured at
             # sf0.1: 32 tasks x ~23 dates = 736 files of ~100 rows for the
             # backfill seed, and the write cost 2.5x the pipeline compute
-            # (5.6 s vs 2.2 s).  REBALANCE(partition_col) is the AQE-aware
-            # clustering: rows of one date land in one (or a few) tasks,
-            # sized by advisoryPartitionSizeInBytes — at sf0.1 that is ~23
-            # files (one per date); at 100 TB AQE SPLITS oversized dates
-            # into multiple advisory-sized files, so there is no
-            # one-task-per-date skew cliff.  The extra exchange reads the
-            # already-persisted ``pinned`` cache, so it costs one cheap
-            # cache pass, not a pipeline recompute.
+            # (5.6 s vs 2.2 s).  First cut used REBALANCE(partition_col);
+            # AQE's 64 MB advisory then coalesced the whole sf1 table into
+            # ONE serial write task (backfill sweeps +50-65%), so the
+            # clustering is now an EXPLICIT repartition, which AQE leaves
+            # alone: hash(partition value, key-hash bucket) into
+            # touched x k tasks — every date still lands whole-in-one-task
+            # (k=1), so ~one file per date, written in parallel across
+            # dates.  At scale a hot date cannot pin the write to one
+            # task: k = ceil(rows / (dates x rows_per_file)) sub-buckets
+            # split it, bounded by SPARK_GRAFT_UPSERT_ROWS_PER_FILE
+            # (default 4M rows ~ hundreds of MB — the guide's 128 MB-1 GB
+            # file goal); the bucket key is a deterministic xxhash64 of
+            # the PK so task retries re-produce the same placement
+            # (guide §2.5).  ``touched`` comes from the existing-table
+            # prune; on a first write it is one tiny distinct over the
+            # already-persisted batch.
+            import math
+            import os
+
+            if not touched:
+                touched = collect_touched_partitions(incoming, partition_col)
+            rows_per_file = int(
+                os.environ.get("SPARK_GRAFT_UPSERT_ROWS_PER_FILE", str(4_000_000))
+            )
+            k = max(1, math.ceil(n / (max(1, len(touched)) * rows_per_file)))
+            bucket = F.pmod(F.xxhash64(*[F.col(c) for c in keys]), F.lit(k))
             (
-                incoming.hint("rebalance", F.col(partition_col))
+                incoming.repartition(
+                    max(1, len(touched)) * k, F.col(partition_col), bucket
+                )
                 .write.mode("append")
                 .partitionBy(partition_col)
                 .parquet(path)
