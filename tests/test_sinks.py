@@ -37,12 +37,14 @@ def test_upsert_ignore_is_idempotent(spark, sf_dir, tmp_path):
 
 
 def test_upsert_ignore_write_is_clustered_by_partition(spark, sf_dir, tmp_path):
-    """r13 (guide §6): the append is REBALANCE(partition_col)-clustered,
-    so a small batch writes ~one file per touched date instead of
-    (write tasks) x (dates) tiny files — measured 736 -> 23 files and a
-    5x faster write on the sf0.1 backfill seed.  Bound: no more files
-    than touched partitions (AQE may only SPLIT oversized dates, and
-    nothing here is oversized)."""
+    """r13 (guide §6): the append is clustered by an explicit
+    repartition on (partition value, PK-hash bucket), so a small batch
+    writes ~one file per touched date instead of (write tasks) x
+    (dates) tiny files — measured 736 -> 23 files and a 5x faster
+    write on the sf0.1 backfill seed.  Bound: no more files than
+    touched partitions (the k sub-bucket split only engages above
+    SPARK_GRAFT_UPSERT_ROWS_PER_FILE rows per date, and nothing here
+    is near it)."""
     import glob
 
     path = str(tmp_path / "tbl")

@@ -362,10 +362,11 @@ _PRIORITY = [
 #     prefix arrays (r13 optimization round: 13.5 s -> ~1.0 s quiet at
 #     sf0.1); oracle unchanged (EWMA_RECURSIVE), executed plan new.
 #   - the five upsert-sink consumers below: sinks/parquet.upsert_ignore
-#     now REBALANCE-clusters the append by the partition column (r13
-#     optimization round, guide §6 small files: 736 -> 23 files, 5x
-#     faster write on the backfill seed); values unchanged, write path
-#     new.
+#     now clusters the append with an explicit (partition value,
+#     PK-hash bucket) repartition (r13 optimization round, guide §6
+#     small files: 736 -> 23 files, 5x faster write on the backfill
+#     seed; the first REBALANCE cut was reverted after AQE coalescing
+#     serialized the sf1 write); values unchanged, write path new.
 #   - the three stateful-operator streams below: their builders now pin
 #     the streaming state-partition count via stream_state_partitions
 #     (r13, guide §2.2: fixed per-partition state-store machinery
