@@ -383,6 +383,8 @@ _PREEMPT_R13: list[str] = [
     "q_stream_join",
     "q_stream_sessions",
     "q_stream_candles",
+    # staging scan un-serialized (coalesce(1) -> repartition(slice)):
+    "q_stream_dedup",
 ]
 _pos_r12 = {n: i for i, n in enumerate(_PRIORITY)}
 _PRIORITY = [

@@ -4262,8 +4262,14 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE staging job: slice by event_id mod 3 (batch membership is
     # irrelevant to the DISTINCT oracle — only exactly-once is) and let
     # partitionBy fan the three files out; keys recur across slices, so
-    # every batch overlaps the previous ones
-    ev.coalesce(1).write.partitionBy("slice").mode("overwrite").parquet(src)
+    # every batch overlaps the previous ones.  r13: the original
+    # coalesce(1) pinned the ENTIRE upstream scan+projection to one
+    # task to guarantee one file per slice; repartition(slice) gives
+    # the same guarantee (each slice value hashes to exactly one
+    # post-shuffle task) with the scan parallel.
+    ev.repartition(F.col("slice")).write.partitionBy("slice").mode(
+        "overwrite"
+    ).parquet(src)
     flat = _os.path.join(root, "flat")
     _os.makedirs(flat, exist_ok=True)
     # iterate the slice dirs that actually exist — a tiny corpus may
@@ -4273,8 +4279,10 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for i, sl in enumerate(slices):
         d = _os.path.join(src, sl)
-        part = next(f for f in _os.listdir(d) if f.endswith(".parquet"))
-        _os.rename(_os.path.join(d, part), _os.path.join(flat, f"b{i}.parquet"))
+        parts = [f for f in _os.listdir(d) if f.endswith(".parquet")]
+        if len(parts) != 1:  # the one-file-per-slice invariant the replay relies on
+            raise AssertionError(f"expected exactly 1 staged file in {d}, got {parts}")
+        _os.rename(_os.path.join(d, parts[0]), _os.path.join(flat, f"b{i}.parquet"))
     with tempfile.TemporaryDirectory(prefix="ckpt_sdedup_") as ckpt:
         stream = (
             spark.readStream.schema("key long, event_id long")
