@@ -83,3 +83,44 @@ def test_label_propagation_separates_cliques(spark):
     out2 = {r["node"]: r["community"]
             for r in label_propagation(df.repartition(5), iters=6).collect()}
     assert out == out2
+
+
+def test_fold_twins_match_loops_exactly(spark):
+    """r14: the small-graph fold fast paths (pagerank / hits / label
+    propagation / textrank) must reproduce the distributed loops
+    row-for-row — the fold is an execution-strategy change, never a
+    semantic one.  Gates are monkeypatched to force each path."""
+    import trading_etl_python_spark.operators.graph as G
+    from trading_etl_python_spark.operators.text import textrank_keywords
+
+    edges = spark.createDataFrame(
+        [(1, 2, 2.0), (2, 1, 1.0), (1, 3, 1.0), (3, 4, 5.0), (4, 2, 1.0), (5, 1, 3.0)],
+        ["src", "dst", "w"],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (5, 6), (6, 4), (7, 8)], ["doc_a", "doc_b"]
+    )
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma beta alpha delta epsilon alpha " * 3)
+         for i in range(6)],
+        ["doc_id", "text"],
+    )
+    cases = [
+        lambda: G.pagerank(edges, iters=4),
+        lambda: G.hits(edges, iters=3),
+        lambda: G.label_propagation(pairs, iters=3),
+        lambda: textrank_keywords(docs, iters=3),
+    ]
+    saved = (G._FOLD_MAX_NODES, G._FOLD_MAX_EDGES)
+    try:
+        for make in cases:
+            G._FOLD_MAX_NODES, G._FOLD_MAX_EDGES = saved
+            fold = make()
+            G._FOLD_MAX_NODES, G._FOLD_MAX_EDGES = -1, -1
+            loop = make()
+            assert [f.name for f in fold.schema] == [f.name for f in loop.schema]
+            assert sorted(map(tuple, fold.collect())) == sorted(
+                map(tuple, loop.collect())
+            )
+    finally:
+        G._FOLD_MAX_NODES, G._FOLD_MAX_EDGES = saved

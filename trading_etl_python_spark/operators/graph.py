@@ -26,6 +26,137 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Small-graph fold gate (r14, the q_ewma_sql lesson generalized): when
+# the graph that survives edge aggregation is provably small, the
+# iterative DataFrame loop is pure per-level orchestration — each
+# iteration pays fixed driver/job/stage latency on microscopic state
+# (measured r14: q_textrank 89 stages / 2.0 s task time for 4.4 s wall,
+# q_pagerank 123 stages, q_hits 259 stages — the exact cost class the
+# r13 ewma fold removed).  Below these bounds the whole power iteration
+# runs as ONE higher-order-function fold over a single packed row
+# (state O(V+E), per-iteration work O(V+E) via phase-threaded
+# accumulators, never nested-recompute); above them the distributed
+# loop is the right shape and stands unchanged.  Bounds sized so the
+# packed row stays well under Spark's single-row comfort zone
+# (~24 B/edge x 2 directions + ~32 B/node ≈ 50 MB at the cap).
+_FOLD_MAX_NODES = 65_536
+_FOLD_MAX_EDGES = 1_000_000
+
+
+def _indexed_one_row(
+    norm: DataFrame,
+    nodes: DataFrame,
+    src: str,
+    dst: str,
+    frac: str,
+    out_lists: bool = False,
+) -> DataFrame:
+    """Pack a (small, pre-counted) weighted digraph into ONE row:
+    ``g`` = array over dense node index of
+    ``struct(_i, node, _in[, _out])`` where ``_in``/``_out`` are the
+    node's inbound/outbound edge lists as ``struct(_j, _f)`` (neighbor
+    index, weight), each list sorted by neighbor index so every fold
+    accumulates in a deterministic order.  Nodes without edges in a
+    direction carry NULL lists (the fold treats them as empty — the
+    same semantics as the loop's left-join + coalesce)."""
+    from pyspark.sql import Window
+
+    nid = nodes.select("node").withColumn(
+        "_i", (F.row_number().over(Window.orderBy("node")) - F.lit(1)).cast("int")
+    )
+    e = (
+        norm.join(
+            nid.select(F.col("node").alias("_sn"), F.col("_i").alias("_si")),
+            F.col(src) == F.col("_sn"),
+        )
+        .join(
+            nid.select(F.col("node").alias("_dn"), F.col("_i").alias("_di")),
+            F.col(dst) == F.col("_dn"),
+        )
+        .select("_si", "_di", F.col(frac).alias("_f"))
+    )
+    inb = e.groupBy("_di").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_si").alias("_j"), F.col("_f")))
+        ).alias("_in")
+    )
+    g = nid.join(inb, nid["_i"] == inb["_di"], "left").select("_i", "node", "_in")
+    if out_lists:
+        outb = e.groupBy("_si").agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_di").alias("_j"), F.col("_f")))
+            ).alias("_out")
+        )
+        g = g.join(outb, g["_i"] == outb["_si"], "left").select(
+            "_i", "node", "_in", "_out"
+        )
+    return g.agg(
+        F.sort_array(F.collect_list(F.struct(*[F.col(c) for c in g.columns]))).alias(
+            "g"
+        )
+    )
+
+
+def _explode_scores(one: DataFrame, scores, out_col: str) -> DataFrame:
+    """(packed row, scores array) -> (node, ROUND(score, 6)) rows."""
+    z = one.select(
+        F.explode(
+            F.arrays_zip(F.col("g.node").alias("node"), scores.alias("_s"))
+        ).alias("z")
+    )
+    return z.select(
+        F.col("z.node").alias("node"), F.round("z._s", 6).alias(out_col)
+    )
+
+
+def _pagerank_fold(
+    norm: DataFrame, nodes: DataFrame, n: int, damping: float, iters: int,
+    src: str, dst: str,
+) -> DataFrame:
+    """The small-graph fold twin of ``pagerank``'s loop: identical
+    double literals and per-node operations, accumulation order fixed
+    (edge lists sorted by source index) where the loop's shuffle order
+    was arbitrary — the same <=1e-16 class of float-sum reordering the
+    loop already tolerates under the final 6-decimal rounding (module
+    docstring).  Two fold phases per iteration so the dangling-mass
+    scalar is computed ONCE per iteration (state-threaded), keeping the
+    per-iteration cost O(V+E) instead of O(V^2)."""
+    one = _indexed_one_row(norm, nodes, src=src, dst=dst, frac="_frac", out_lists=True)
+    init = F.struct(
+        F.array_repeat(F.lit(1.0 / n), n).alias("sc"), F.lit(0.0).alias("dm")
+    )
+    base = F.lit((1 - damping) / n)
+
+    def _step(st, i):
+        # phase 1 (odd i): dangling mass of the CURRENT scores — the
+        # loop's `ranks ⋈ dang |> sum(score)` as an O(V) array scan
+        dm = F.aggregate(
+            F.col("g"),
+            F.lit(0.0),
+            lambda a, x: a
+            + F.when(
+                x["_out"].isNull(), F.element_at(st["sc"], x["_i"] + F.lit(1))
+            ).otherwise(F.lit(0.0)),
+        )
+        # phase 2 (even i): the rank update itself
+        def node_score(x):
+            c = F.aggregate(
+                x["_in"],
+                F.lit(0.0),
+                lambda acc, e: acc + e["_f"] * F.element_at(st["sc"], e["_j"] + F.lit(1)),
+            )
+            c = F.when(x["_in"].isNull(), F.lit(0.0)).otherwise(c)
+            return base + F.lit(damping) * (c + st["dm"] / F.lit(n))
+        return F.when(
+            i % F.lit(2) == F.lit(1),
+            F.struct(st["sc"].alias("sc"), dm.alias("dm")),
+        ).otherwise(
+            F.struct(F.transform(F.col("g"), node_score).alias("sc"), st["dm"].alias("dm"))
+        )
+
+    folded = F.aggregate(F.sequence(F.lit(1), F.lit(2 * iters)), init, _step)
+    return _explode_scores(one, folded["sc"], "score")
+
 
 def pagerank(
     edges: DataFrame,
@@ -56,6 +187,13 @@ def pagerank(
         .distinct()
     )
     n = nodes.count()
+    # small-graph fast path (r14): the whole power iteration as ONE
+    # fold over a packed row — see _FOLD_MAX_NODES.  Counts are cheap
+    # here (both sides derive from the checkpointed edge table).
+    if n <= _FOLD_MAX_NODES:
+        norm = norm.localCheckpoint(eager=False)
+        if norm.count() <= _FOLD_MAX_EDGES:
+            return _pagerank_fold(norm, nodes, n, damping, iters, src, dst)
     # parallelism tracks the GRAPH size, not the (often much larger)
     # edge-construction input: below the threshold the per-iteration
     # state is driver-page-sized and 32-task stages are pure scheduler
@@ -173,6 +311,60 @@ def triangle_counts(
     return counted.unionAll(audited)
 
 
+def _lpa_fold(edges: DataFrame, nodes: DataFrame, iters: int) -> DataFrame:
+    """Small-graph fold twin of ``label_propagation``'s loop — exact by
+    construction: per node the new label is the mode of its neighbors'
+    labels with smallest-label tie-break, computed here by sorting the
+    neighbor labels and scanning runs (ascending order makes "strictly
+    greater count replaces" pick the smallest label among maxima —
+    the same total order as the loop's ``ORDER BY count DESC, label``
+    row_number).  Integer counts, no floats: fold == loop exactly."""
+    one = _indexed_one_row(
+        edges.withColumn("_f", F.lit(1.0)), nodes, src="u", dst="v", frac="_f"
+    )
+    init = F.col("g.node")  # every node starts as its own community
+
+    def _mode(x, lab):
+        nl = F.array_sort(
+            F.transform(x["_in"], lambda e: F.element_at(lab, e["_j"] + F.lit(1)))
+        )
+        z = F.struct(
+            F.element_at(nl, 1).alias("best"),
+            F.lit(0).cast("long").alias("bc"),
+            F.element_at(nl, 1).alias("cur"),
+            F.lit(0).cast("long").alias("cc"),
+        )
+
+        def scan(s, l):
+            cc = F.when(l == s["cur"], s["cc"] + F.lit(1)).otherwise(
+                F.lit(1).cast("long")
+            )
+            return F.struct(
+                F.when(cc > s["bc"], l).otherwise(s["best"]).alias("best"),
+                F.when(cc > s["bc"], cc).otherwise(s["bc"]).alias("bc"),
+                l.alias("cur"),
+                cc.alias("cc"),
+            )
+
+        return F.aggregate(nl, z, scan, lambda s: s["best"])
+
+    def _step(lab, i):
+        return F.transform(
+            F.col("g"),
+            lambda x: F.when(
+                x["_in"].isNull(), F.element_at(lab, x["_i"] + F.lit(1))
+            ).otherwise(_mode(x, lab)),
+        )
+
+    folded = F.aggregate(F.sequence(F.lit(1), F.lit(iters)), init, _step)
+    z = one.select(
+        F.explode(
+            F.arrays_zip(F.col("g.node").alias("node"), folded.alias("_l"))
+        ).alias("z")
+    )
+    return z.select(F.col("z.node").alias("node"), F.col("z._l").alias("community"))
+
+
 def label_propagation(
     pairs: DataFrame, iters: int = 5, a: str = "doc_a", b: str = "doc_b"
 ) -> DataFrame:
@@ -196,11 +388,18 @@ def label_propagation(
     p = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).localCheckpoint()
     # parallelism tracks the graph size, same rationale and threshold as
     # ``pagerank``: below it the loop runs single-task stages
-    if p.count() <= 100_000:
+    n_pairs = p.count()
+    if n_pairs <= 100_000:
         p = p.coalesce(1)
     edges = p.unionAll(
         p.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
+    # small-graph fast path (r14): the whole propagation as ONE fold —
+    # exact (integer counts, deterministic tie-break), see _FOLD_MAX_NODES
+    if 2 * n_pairs <= _FOLD_MAX_EDGES:
+        nodes = edges.select(F.col("u").alias("node")).distinct()
+        if nodes.count() <= _FOLD_MAX_NODES:
+            return _lpa_fold(edges, nodes, iters)
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
@@ -221,6 +420,70 @@ def label_propagation(
         if it % 2 == 1 and it != iters - 1:
             labels = labels.localCheckpoint(eager=False)
     return labels.select("node", F.col("label").alias("community"))
+
+
+def _hits_fold(frac: DataFrame, nodes: DataFrame, n: int, iters: int) -> DataFrame:
+    """Small-graph fold twin of ``hits``'s loop — exact by construction:
+    every contribution quantizes to integer 1e-12 units before the
+    sums (order-irrelevant long arithmetic), and the L1 totals are the
+    same long sums (nodes without edges contribute literal 0).  Six
+    fold phases per iteration thread the intermediates (quantized
+    sums, totals) through the accumulator so each phase is O(V+E) —
+    no nested recompute."""
+    one = _indexed_one_row(frac, nodes, src="s", dst="d", frac="frac", out_lists=True)
+    zl = F.lit(0).cast("long")
+
+    def _qsum(lst, vec):
+        s = F.aggregate(
+            lst,
+            zl,
+            lambda acc, e: acc
+            + F.round(
+                e["_f"] * F.element_at(vec, e["_j"] + F.lit(1)) * F.lit(1e12), 0
+            ).cast("long"),
+        )
+        return F.when(lst.isNull(), zl).otherwise(s)
+
+    init = F.struct(
+        F.array_repeat(F.lit(0.0), n).alias("a"),
+        F.array_repeat(F.lit(1.0) / F.lit(float(n)), n).alias("h"),
+        F.array_repeat(zl, n).alias("q"),
+        zl.alias("t"),
+    )
+
+    def _step(st, i):
+        ph = (i - F.lit(1)) % F.lit(6)
+        tot = F.aggregate(st["q"], zl, lambda p, x: p + x)
+        ratio = F.transform(st["q"], lambda x: x.cast("double") / st["t"].cast("double"))
+
+        def keep(**over):
+            fields = {"a": st["a"], "h": st["h"], "q": st["q"], "t": st["t"], **over}
+            return F.struct(*[fields[k].alias(k) for k in ("a", "h", "q", "t")])
+
+        return (
+            F.when(ph == F.lit(0), keep(q=F.transform(F.col("g"), lambda x: _qsum(x["_in"], st["h"]))))
+            .when(ph == F.lit(1), keep(t=tot))
+            .when(ph == F.lit(2), keep(a=ratio))
+            .when(ph == F.lit(3), keep(q=F.transform(F.col("g"), lambda x: _qsum(x["_out"], st["a"]))))
+            .when(ph == F.lit(4), keep(t=tot))
+            .otherwise(keep(h=ratio))
+        )
+
+    folded = F.aggregate(F.sequence(F.lit(1), F.lit(6 * iters)), init, _step)
+    z = one.select(
+        F.explode(
+            F.arrays_zip(
+                F.col("g.node").alias("node"),
+                folded["a"].alias("_a"),
+                folded["h"].alias("_h"),
+            )
+        ).alias("z")
+    )
+    return z.select(
+        F.col("z.node").alias("node"),
+        F.round("z._a", 6).alias("authority"),
+        F.round("z._h", 6).alias("hub"),
+    )
 
 
 def hits(
@@ -256,6 +519,10 @@ def hits(
         .localCheckpoint()
     )
     n = nodes.count()
+    # small-graph fast path (r14): one fold instead of 5 x 4 jobs —
+    # exact (quantized-integer contributions), see _FOLD_MAX_NODES
+    if n <= _FOLD_MAX_NODES and e.count() <= _FOLD_MAX_EDGES:
+        return _hits_fold(frac, nodes, n, iters)
     hub = nodes.withColumn("h", F.lit(1.0) / F.lit(float(n)))
     auth = None
     for _ in range(iters):
