@@ -89,3 +89,26 @@ def test_pr_curve_confusion_counts(spark):
     assert thr == sorted(thr) and thr[0] >= 1.0 and thr[-1] <= 10.0
     # at the top threshold only positives remain -> precision 1
     assert out[19].precision == 1.0 and out[19].tp == out[19].predicted_pos
+
+
+def test_approx_stats_percentile_twin_matches_percentile_aggregate(spark):
+    """r14: q_approx_stats replaced the single-reducer `percentile`
+    aggregate with sketch-guided exact selection (bracket count +
+    element_at + Percentile's own `(hi-pos)*vl + (pos-lo)*vh`
+    interpolation).  Pin the twin against the original aggregate on
+    the real column at sf0.001 (small-n min/max bracket path) and at
+    sf0.1 (n≈600k — the sketch-bracket path), at the query's own
+    4-decimal rounding."""
+    from pyspark.sql import functions as F
+
+    from trading_etl_python_spark.suite import QUERIES
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.1"):
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        ref = li.agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        ).collect()[0]
+        got = QUERIES["q_approx_stats"](spark, sf).collect()[0]
+        assert got["p50_price"] == ref["p50"], sf
+        assert got["p95_price"] == ref["p95"], sf

@@ -1109,20 +1109,109 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drags the wide sketch state through the expanded data — the same
     # pathology fixed on q_table_stats in r4 (238 s -> 3 s there;
     # 8.7 s -> ~1 s here at sf0.1).  Exact NDVs aggregate alone;
-    # percentiles + sketches aggregate alone; the 1-row results
-    # broadcast-cross-join.
+    # sketches aggregate alone; the 1-row results broadcast-cross-join.
     exact = li.agg(
         F.count_distinct("l_partkey").alias("exact_parts"),
         F.count_distinct("l_orderkey").alias("exact_orders"),
     )
-    agg = li.agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+    # Exact percentiles WITHOUT the single-reducer merge (r14, r13
+    # VERDICT #2): Spark's `percentile` aggregate ships a value->count
+    # OpenHashMap of the whole column to ONE reducer (measured sf0.1:
+    # 2.6 s single-task stage, 10.7 MB state — and that state is O(NDV),
+    # catastrophic at 100 TB).  Replaced by sketch-guided exact
+    # selection: the GK sketch (already computed for the _p50/_p95
+    # booleans, rank error <= n/10000) brackets each target rank from
+    # the same pass at +-3e-4 quantile margin (3x the sketch's bound);
+    # a second distributed pass counts rows strictly below the bracket
+    # and collects ONLY the in-bracket values (<= ~8e-4*n rows by the
+    # sketch guarantee); the exact value at ranks floor/ceil(q*(n-1))
+    # is then an element_at into the sorted bracket, interpolated with
+    # Percentile's own formula `(hi-pos)*v_lo + (pos-lo)*v_hi`
+    # (bit-equality with the old aggregate pinned by
+    # test_approx_stats_percentile_twin...).  Below max(100k, accuracy)
+    # rows the bracket is simply (min, max) — the whole column, still
+    # one small array.  Under ANSI a violated bracket raises on
+    # element_at rather than returning a wrong value; the margin
+    # analysis says it cannot happen (lo rank <= (q - 2/acc)*n <
+    # floor(q*(n-1)) once n > acc).  The bracket holds <= ~8n/acc rows,
+    # so at 100 TB (n ~ 6e11) the BRACKET sketch's accuracy must rise
+    # with n to keep it collectable: SPARK_GRAFT_PCTL_ACCURACY (default
+    # 10000 — identical local plan and bench) trades per-task sketch
+    # state (O(acc)) against bracket rows (O(n/acc)); acc ~ sqrt(n) is
+    # the balance point, ~1e6 at 100 TB -> ~5e5-row bracket.  The
+    # _p50/_p95 BOOLEAN sketches stay at the contract's fixed 10000.
+    acc = int(os.environ.get("SPARK_GRAFT_PCTL_ACCURACY", "10000"))
+    m = 3.0 / acc
+    s = li.agg(
+        F.count("l_extendedprice").alias("_n"),
+        F.min("l_extendedprice").alias("_mn"),
+        F.max("l_extendedprice").alias("_mx"),
         F.approx_count_distinct("l_partkey").alias("_ap"),
         F.approx_count_distinct("l_orderkey").alias("_ao"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_p50"),
         F.percentile_approx("l_extendedprice", 0.95, 10000).alias("_p95"),
-    ).crossJoin(F.broadcast(exact))
+        F.percentile_approx(
+            "l_extendedprice",
+            F.array(
+                F.lit(max(0.5 - m, 0.0)), F.lit(min(0.5 + m, 1.0)),
+                F.lit(max(0.95 - m, 0.0)), F.lit(min(0.95 + m, 1.0)),
+            ),
+            F.lit(acc),
+        ).alias("_br"),
+    )
+    small = F.col("_n") <= F.lit(max(100_000, acc))
+    sb = s.select(
+        "*",
+        F.when(small, F.col("_mn")).otherwise(F.col("_br")[0]).alias("_lo50"),
+        F.when(small, F.col("_mx")).otherwise(F.col("_br")[1]).alias("_hi50"),
+        F.when(small, F.col("_mn")).otherwise(F.col("_br")[2]).alias("_lo95"),
+        F.when(small, F.col("_mx")).otherwise(F.col("_br")[3]).alias("_hi95"),
+    )
+    x = F.col("l_extendedprice")
+    w = (
+        li.select(x.alias("_x"))
+        .crossJoin(F.broadcast(sb.select("_lo50", "_hi50", "_lo95", "_hi95")))
+        .agg(
+            F.sum(F.when(F.col("_x") < F.col("_lo50"), 1).otherwise(0))
+            .cast("long")
+            .alias("_c50"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("_x").between(F.col("_lo50"), F.col("_hi50")),
+                        F.col("_x"),
+                    )
+                )
+            ).alias("_w50"),
+            F.sum(F.when(F.col("_x") < F.col("_lo95"), 1).otherwise(0))
+            .cast("long")
+            .alias("_c95"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("_x").between(F.col("_lo95"), F.col("_hi95")),
+                        F.col("_x"),
+                    )
+                )
+            ).alias("_w95"),
+        )
+    )
+
+    def exact_pct(rf: float, c_lo, warr) -> F.Column:
+        pos = F.lit(rf) * (F.col("_n") - F.lit(1)).cast("double")
+        lo, hi = F.floor(pos), F.ceil(pos)
+        vl = F.element_at(warr, (lo - c_lo + F.lit(1)).cast("int"))
+        vh = F.element_at(warr, (hi - c_lo + F.lit(1)).cast("int"))
+        v = F.when(hi == lo, vl).otherwise(
+            (hi.cast("double") - pos) * vl + (pos - lo.cast("double")) * vh
+        )
+        return F.when(F.col("_n") == 0, F.lit(None).cast("double")).otherwise(v)
+
+    agg = w.crossJoin(F.broadcast(sb)).crossJoin(F.broadcast(exact)).select(
+        "*",
+        F.round(exact_pct(0.5, F.col("_c50"), F.col("_w50")), 4).alias("p50_price"),
+        F.round(exact_pct(0.95, F.col("_c95"), F.col("_w95")), 4).alias("p95_price"),
+    )
     return agg.select(
         "exact_parts", "exact_orders", "p50_price", "p95_price",
         within(F.col("_ap"), F.col("exact_parts"), 0.10).alias("parts_sketch_ok"),
