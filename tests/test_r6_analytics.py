@@ -158,8 +158,11 @@ def test_ewma_fold_matches_recursive_cte_verbatim(spark, sf_dir):
     """r13 equivalence pin: the WITH RECURSIVE text (still the DuckDB
     oracle, and still the certification of Spark 4's recursive-CTE
     surface) run verbatim through spark.sql must equal the optimized
-    AGGREGATE-fold plan q_ewma_sql now executes — bit-for-bit, since
-    the fold applies the same double ops in the same order."""
+    AGGREGATE-fold plan q_ewma_sql executes.  Since r14 the fold's
+    multiplier is 0.06D — the double the recursion's DECIMAL-folded
+    (1.0 - 0.94) actually casts to — so the equality is genuinely
+    bit-for-bit pre-rounding (the r13 (1.0D - 0.94D) form drifted
+    ~1e-16/step under the 6-decimal rounding; ADVICE r13)."""
     from trading_etl_python_spark.suite import QUERIES
     from trading_etl_python_spark.suite.sql_api import EWMA_RECURSIVE, _sql
 
@@ -242,3 +245,29 @@ def test_pit_state_by_day_picks_covering_version(spark):
     assert out[(1, "2024-01-02")] == ("paid", 2)
     assert out[(1, "2024-01-04")] == ("churned", 3)
     assert len(out) == 3
+
+
+def test_ewma_fold_day_grid_stays_bounded(spark, sf_dir):
+    """r14 (r13 VERDICT #7): EWMA_FOLD's running collect_list prefix
+    arrays hold O(D^2) doubles per symbol across the window buffer,
+    where D = day-grid depth (distinct trading days per symbol).  D is
+    SPAN-bound (calendar length of the events window), never SF-bound —
+    more data at the same span only widens the per-day average.  Pin
+    the corpus far inside the comfort zone: at D=1000 the per-symbol
+    prefix state is ~4 MB (tolerable), beyond that q_ewma_vol's Arrow
+    kernel is the right shape and the fold should be re-pointed at it."""
+    from pyspark.sql import functions as F
+
+    from trading_etl_python_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    d = (
+        ev.where("value IS NOT NULL")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .groupBy("user_id")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert d <= 64, f"day grid depth {d} outgrew the O(D^2) fold comfort zone"

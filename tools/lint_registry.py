@@ -77,8 +77,59 @@ def main() -> int:
     if m and (int(m.group(1)) != len(QUERIES) or int(m.group(2)) != len(ORACLES)):
         print(f"COVERAGE.md count {m.groups()} != actual {len(QUERIES)}")
         bad = True
+    # r14 (r13 VERDICT #6): unused in-function imports.  Reverted
+    # experiments kept leaving import residue (five dead
+    # stream_state_partitions imports survived r13) that misrepresents
+    # which builders use a knob — flag any function-local import whose
+    # name is never referenced in the function body.
+    dead = _unused_function_imports()
+    if dead:
+        print(f"UNUSED IN-FUNCTION IMPORTS ({len(dead)}):")
+        for h in dead:
+            print(f"  {h}")
+        bad = True
     print(f"{len(registry)} registry, {len(mentioned)} documented, drift={'YES' if bad else 'no'}")
     return 1 if bad else 0
+
+
+def _unused_function_imports() -> list[str]:
+    """Scan the package for imports inside function bodies whose bound
+    name is never used in that function's subtree."""
+    import ast
+
+    hits: list[str] = []
+    pkg = os.path.join(
+        os.path.dirname(__file__), "..", "trading_etl_python_spark"
+    )
+    for root, _dirs, files in os.walk(pkg):
+        for fn in sorted(files):
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            tree = ast.parse(open(path).read())
+            for node in ast.walk(tree):
+                if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    continue
+                bound: dict[str, int] = {}
+                for stmt in ast.walk(node):
+                    if isinstance(stmt, ast.ImportFrom):
+                        for a in stmt.names:
+                            bound[a.asname or a.name] = stmt.lineno
+                    elif isinstance(stmt, ast.Import):
+                        for a in stmt.names:
+                            bound[a.asname or a.name.split(".")[0]] = stmt.lineno
+                if not bound:
+                    continue
+                used = {
+                    n.id
+                    for n in ast.walk(node)
+                    if isinstance(n, ast.Name) and isinstance(n.ctx, ast.Load)
+                }
+                rel = os.path.relpath(path, os.path.join(pkg, ".."))
+                for name, line in sorted(bound.items(), key=lambda kv: kv[1]):
+                    if name not in used:
+                        hits.append(f"{rel}:{line} {node.name}: import {name!r} unused")
+    return hits
 
 
 # Queries allowed to run jobs during plan CONSTRUCTION — each is

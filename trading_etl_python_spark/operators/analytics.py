@@ -546,8 +546,6 @@ def ewma_volatility(df: DataFrame, lam: float = 0.94) -> DataFrame:
     the one hash(symbol, day) pre-aggregation.  The numpy fold mirrors
     the oracle's recursive CTE operation-for-operation (lam*v then
     (1.0-lam)*(r*r), strict left order) so the floats are bit-equal."""
-    import pandas as pd
-
     from .recursive import round_half_up
 
     r = _daily_returns(df).select("symbol", "day", "r")
@@ -1000,7 +998,6 @@ def garch_volatility(
     pre-aggregation, then a per-key Arrow fold mirroring the oracle's
     recursive CTE operation-for-operation."""
     import numpy as np
-    import pandas as pd
 
     from .recursive import round_half_up
 

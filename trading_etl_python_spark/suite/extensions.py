@@ -3719,7 +3719,6 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import (
         documents_file_stream,
         stream_heavy_hitter_candidates,
-        stream_state_partitions,
     )
 
     sink = os.path.join(_sink_root(), f"mgtopk_{next(_SINK_SEQ)}", "out")
@@ -4338,7 +4337,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import tempfile
 
-    from ..streaming.pipeline import stream_bloom_dedup, stream_state_partitions
+    from ..streaming.pipeline import stream_bloom_dedup
 
     ev = load_events(spark, sf_dir).select(
         (F.col("user_id") * F.lit(1000) + F.col("event_id") % F.lit(7)).alias("key"),
@@ -5457,7 +5456,6 @@ def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import (
         events_file_stream,
         stream_drift_monitor,
-        stream_state_partitions,
     )
 
     ref = load_events(spark, sf_dir).filter(F.col("event_id") % 2 == 0)
@@ -5490,7 +5488,6 @@ def q_stream_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import (
         events_file_stream,
         stream_cardinality_monitor,
-        stream_state_partitions,
     )
 
     sink = os.path.join(_sink_root(), f"card_{next(_SINK_SEQ)}", "out")
@@ -5525,7 +5522,6 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import (
         documents_file_stream,
         stream_ingest_dedup,
-        stream_state_partitions,
     )
 
     docs = load_table(spark, sf_dir, "documents")

@@ -678,10 +678,15 @@ FROM rec"""
 # now computes it with the AGGREGATE higher-order function over
 # running-window prefix arrays: collect_list(r) OVER (symbol, day
 # ROWS UNBOUNDED PRECEDING) gives row n exactly [r_1..r_n], and the
-# fold applies THE SAME double ops IN THE SAME ORDER as the recursion
-# (note (1.0D - 0.94D), kept as a subtraction: IEEE 1.0-0.94 =
-# 0.06000000000000005 != the literal 0.06 — constant folding computes
-# it identically), so every v_n is bit-identical to the UnionLoop's.
+# fold applies THE SAME double ops IN THE SAME ORDER as the recursion.
+# The multiplier is 0.06D (r14, ADVICE r13): the recursion's
+# (1.0 - 0.94) is DECIMAL arithmetic — Spark parses 0.94 as
+# decimal(2,2), the subtraction constant-folds to exact decimal 0.06,
+# and the cast to double yields 0.059999999999999998 == the literal
+# 0.06D.  A double-typed (1.0D - 0.94D) subtraction instead gives
+# 0.06000000000000005, which diverges from the recursion by ~1e-16 per
+# step (r13 shipped that form; masked by ROUND(..,6), latent flake).
+# With 0.06D every v_n is bit-identical to the UnionLoop's.
 # One window pass, zero loop jobs: 786 stages -> a handful; the day
 # grid is ~30 deep independent of SF, so the O(D^2) per-symbol fold
 # work is ~450 multiply-adds — nothing at any scale.  The DuckDB
@@ -709,7 +714,7 @@ p AS (SELECT symbol, day,
 SELECT symbol, CAST(day AS TIMESTAMP) AS day,
        ROUND(SQRT(AGGREGATE(slice(rs, 2, size(rs) - 1),
                             element_at(rs, 1) * element_at(rs, 1),
-                            (acc, x) -> 0.94D * acc + (1.0D - 0.94D) * (x * x))),
+                            (acc, x) -> 0.94D * acc + 0.06D * (x * x))),
              6) AS ewma_vol
 FROM p"""
 
