@@ -573,3 +573,27 @@ def test_prefix_prefilters_lossless_at_float_boundary(spark):
     ngram = {(r["doc_a"], r["doc_b"]): r["jaccard"]
              for r in D.ngram_jaccard_pairs(df2, n=3, threshold=0.07).collect()}
     assert ngram == {(0, 1): 0.07}
+
+
+def test_cc_fold_matches_star_loop_exactly(spark):
+    """r14: the small-graph in-row CC fold must reproduce the star
+    loop's labels row-for-row (max_iter below the default routes to the
+    loop, which is how both paths stay independently reachable)."""
+    from trading_etl_python_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    # chain 0..9, triangle 20/21/22, star 30<-{31,32,33}, isolated rest
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)]
+        + [(20, 21), (21, 22), (20, 22), (31, 30), (32, 30), (33, 30)],
+        "doc_a long, doc_b long",
+    )
+    fold = sorted(map(tuple, dedup_clusters(docs, pairs=pairs, max_iter=30).collect()))
+    star = sorted(map(tuple, dedup_clusters(docs, pairs=pairs, max_iter=29).collect()))
+    assert fold == star
+    # chain collapses to min label 0, triangle to 20, star to 30
+    lab = {d: c for d, c, _ in fold}
+    assert all(lab[i] == 0 for i in range(10))
+    assert lab[20] == lab[21] == lab[22] == 20
+    assert lab[30] == lab[31] == lab[32] == lab[33] == 30
+    assert lab[39] == 39
