@@ -65,15 +65,47 @@ class TarShardReader(DataSourceReader):
         import os
         import tarfile
 
+        import pyarrow as pa
+
         p = partition.value
         shard = os.path.basename(p)
+        # Arrow batches instead of per-row tuples (r14, guide §4): the
+        # row path pickles every (shard, key, payload) triple
+        # individually through the Python worker; batching the members
+        # into RecordBatches moves the same bytes in a few columnar
+        # buffers.  Batches cut at ~32 MB of payload (or 1024 members)
+        # to bound worker memory on fat archives.
+        keys: list[str] = []
+        payloads: list[bytes] = []
+        nbytes = 0
+
+        def flush():
+            batch = pa.record_batch(
+                [
+                    pa.array([shard] * len(keys), pa.string()),
+                    pa.array(keys, pa.string()),
+                    pa.array(payloads, pa.binary()),
+                ],
+                names=["shard", "key", "payload"],
+            )
+            keys.clear()
+            payloads.clear()
+            return batch
+
         with tarfile.open(p) as tf:
             for m in tf.getmembers():
                 if not m.isfile():
                     # directories/symlinks/hardlinks in foreign archives:
                     # extractfile() returns None
                     continue
-                yield (shard, os.path.splitext(m.name)[0], tf.extractfile(m).read())
+                keys.append(os.path.splitext(m.name)[0])
+                payloads.append(tf.extractfile(m).read())
+                nbytes += len(payloads[-1])
+                if len(keys) >= 1024 or nbytes >= 32 << 20:
+                    yield flush()
+                    nbytes = 0
+            if keys:
+                yield flush()
 
 
 class TarShardWriter(DataSourceWriter):
