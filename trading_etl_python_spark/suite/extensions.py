@@ -3719,10 +3719,18 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import (
         documents_file_stream,
         stream_heavy_hitter_candidates,
+        stream_state_partitions,
     )
 
+    # r14 (r13 VERDICT #4 stream audit): this is an
+    # applyInPandasWithState stream like sessions/join/candles — at
+    # session width its MG stage ran 32 state partitions for 8 group
+    # keys, 24 of them empty yet each paying ~850 ms of state-store +
+    # Python-worker machinery (sweeps/r14/audit_q_stream_topk.json:
+    # one 32-task stage = 27 s of 28 s total task time).  Pin the
+    # state partition count like the other stateful streams.
     sink = os.path.join(_sink_root(), f"mgtopk_{next(_SINK_SEQ)}", "out")
-    with tempfile.TemporaryDirectory(prefix="ckpt_mgtopk_q_") as ckpt:
+    with tempfile.TemporaryDirectory(prefix="ckpt_mgtopk_q_") as ckpt, stream_state_partitions(spark):
         doc_stream = documents_file_stream(spark, sf_dir)
         handle = (
             stream_heavy_hitter_candidates(doc_stream, capacity=64, n_groups=8)
