@@ -151,7 +151,13 @@ def upsert_ignore(
             # the PK so task retries re-produce the same placement
             # (guide §2.5).  ``touched`` comes from the existing-table
             # prune; on a first write it is one tiny distinct over the
-            # already-persisted batch.
+            # already-persisted batch.  In the existing-table branch the
+            # list is DELIBERATELY the pre-anti-join one (ADVICE r13):
+            # a partition whose rows all dedup away leaves its shuffle
+            # slots empty, which costs empty no-file tasks, while
+            # recomputing ``touched`` post-anti-join would cost a second
+            # distinct scan of the batch every run — the wrong trade at
+            # every scale (empty tasks are ~free; the scan is not).
             import math
             import os
 

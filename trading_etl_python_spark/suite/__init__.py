@@ -395,6 +395,52 @@ _PRIORITY = [
     ),
 ]
 
+# r14 (second optimization round): builder code touched this round, so
+# the executed plans are new and the old certifications are void:
+#   - q_ewma_sql: fold multiplier (1.0D - 0.94D) -> 0.06D (ADVICE r13 —
+#     the double the recursion's decimal-folded constant actually is).
+#   - q_approx_stats: exact percentiles via sketch-guided bracket
+#     selection instead of the single-reducer `percentile` aggregate.
+#   - q_textrank / q_pagerank / q_hits / q_communities /
+#     q_communities_minhash: small-graph power iterations folded into
+#     single-row higher-order-function folds (loop kept above the gate).
+#   - q_dedup_clusters + its composition consumers q_dup_weights,
+#     q_corpus_pipeline, q_corpus_full: connected components as a lazy
+#     in-row fold below 100k edges; PLUS the shared exact-Jaccard
+#     verify tail now semi-join-prunes docs BEFORE tokenize (also
+#     covers q_dedup_minhash_ml, q_minhash_banded_verified).
+#   - q_stream_topk: state partitions pinned via
+#     stream_state_partitions (it is an applyInPandasWithState stream,
+#     misclassified with the foreachBatch set in r13).
+#   - q_tar_datasource / q_tar_writer: the tar DataSource reader now
+#     yields Arrow record batches instead of pickled rows.
+_PREEMPT_R14: list[str] = [
+    "q_ewma_sql",
+    "q_approx_stats",
+    "q_textrank",
+    "q_pagerank",
+    "q_hits",
+    "q_communities",
+    "q_communities_minhash",
+    "q_dedup_clusters",
+    "q_dup_weights",
+    "q_corpus_pipeline",
+    "q_corpus_full",
+    "q_dedup_minhash_ml",
+    "q_minhash_banded_verified",
+    "q_stream_topk",
+    "q_tar_datasource",
+    "q_tar_writer",
+]
+_pos_r13 = {n: i for i, n in enumerate(_PRIORITY)}
+_PRIORITY = [
+    *_PREEMPT_R14,
+    *sorted(
+        (n for n in _pos_r13 if n not in _PREEMPT_R14),
+        key=lambda n: (LAST_CERT.get(n, 0), _pos_r13[n]),
+    ),
+]
+
 assert len(_PRIORITY) == len(set(_PRIORITY)) and all(n in _ALL for n in _PRIORITY)
 
 QUERIES: dict[str, Builder] = {n: _ALL[n] for n in _PRIORITY}
