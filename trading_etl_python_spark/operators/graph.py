@@ -470,12 +470,16 @@ def _hits_fold(frac: DataFrame, nodes: DataFrame, n: int, iters: int) -> DataFra
         )
 
     folded = F.aggregate(F.sequence(F.lit(1), F.lit(6 * iters)), init, _step)
+    # stage the fold behind a projection boundary so the interpreted
+    # HOF evaluates ONCE (the _cc_fold_labels lesson): referencing
+    # folded["a"]/folded["h"] directly would inline two copies
+    one = one.select(F.col("g"), folded.alias("_st"))
     z = one.select(
         F.explode(
             F.arrays_zip(
                 F.col("g.node").alias("node"),
-                folded["a"].alias("_a"),
-                folded["h"].alias("_h"),
+                F.col("_st.a").alias("_a"),
+                F.col("_st.h").alias("_h"),
             )
         ).alias("z")
     )
