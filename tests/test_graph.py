@@ -124,3 +124,33 @@ def test_fold_twins_match_loops_exactly(spark):
             )
     finally:
         G._FOLD_MAX_NODES, G._FOLD_MAX_EDGES = saved
+
+
+def test_kcore_fold_matches_peel_loop_exactly(spark):
+    """r14: the small-graph k-core fold must reproduce the peel loop
+    boolean-for-boolean (the contract is EXACTLY `rounds` synchronous
+    peels, so the fold has no round-bound caveat at all)."""
+    import trading_etl_python_spark.operators.graph as G
+
+    # a triangle (3-core... actually 2-core), a 4-clique (3-core), a
+    # chain (peels away for k=2), and a pendant off the clique
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)]
+        + [(10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13)]
+        + [(20, 21), (21, 22), (22, 23)]
+        + [(13, 30)],
+        ["doc_a", "doc_b"],
+    )
+    saved = (G._FOLD_MAX_NODES, G._FOLD_MAX_EDGES)
+    try:
+        G._FOLD_MAX_NODES, G._FOLD_MAX_EDGES = saved
+        fold = sorted(map(tuple, G.kcore_layers(pairs).collect()))
+        G._FOLD_MAX_NODES, G._FOLD_MAX_EDGES = -1, -1
+        loop = sorted(map(tuple, G.kcore_layers(pairs).collect()))
+    finally:
+        G._FOLD_MAX_NODES, G._FOLD_MAX_EDGES = saved
+    assert fold == loop
+    c = dict(fold)
+    assert c[1] == c[2] == c[3] == 2          # triangle: 2-core
+    assert c[10] == c[11] == c[12] == c[13] == 3  # 4-clique: 3-core
+    assert c[20] == c[23] == 1 and c[30] == 1     # chain ends / pendant

@@ -604,10 +604,74 @@ def kcore_layers(
     # unionAll(pairs, pairs) would inline the (typically expensive)
     # build twice into one plan and double its cost
     p0 = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).localCheckpoint()
+    # small-graph fast path (r14, the fold family): the peel loop is
+    # 2 k-values x `rounds` x (degree agg + 2 joins + every-2nd-round
+    # eager checkpoint) on a tiny edge set.  The contract is EXACTLY
+    # `rounds` synchronous peels (fixed, not converge-until), and the
+    # per-round state is one alive-flag per node with the integer
+    # recurrence K_r(x) = (# incident edges with both endpoints alive
+    # under K_{r-1}) >= k — so the in-row fold below is exactly the
+    # loop, boolean-for-boolean, with no round-bound caveat at all.
+    n_pairs = p0.count()
+    if 2 * n_pairs <= _FOLD_MAX_EDGES:
+        e2 = p0.unionAll(p0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        nodes = e2.select(F.col("u").alias("node")).distinct()
+        if nodes.count() <= _FOLD_MAX_NODES:
+            one = _indexed_one_row(
+                e2.withColumn("_f", F.lit(1.0)), nodes, src="u", dst="v", frac="_f"
+            )
+
+            def core_flags(k: int):
+                init = F.transform(F.col("g"), lambda x: F.lit(True))
+
+                def step(fl, _r):
+                    return F.transform(
+                        F.col("g"),
+                        lambda x: F.aggregate(
+                            x["_in"],
+                            F.lit(0),
+                            lambda c, e: c
+                            + F.when(
+                                F.element_at(fl, x["_i"] + F.lit(1))
+                                & F.element_at(fl, e["_j"] + F.lit(1)),
+                                F.lit(1),
+                            ).otherwise(F.lit(0)),
+                        )
+                        >= F.lit(k),
+                    )
+
+                return F.aggregate(F.sequence(F.lit(1), F.lit(rounds)), init, step)
+
+            one = one.select(
+                F.col("g"), core_flags(2).alias("_k2"), core_flags(3).alias("_k3")
+            )
+
+            def member(flags_col, x):
+                return F.element_at(flags_col, x["_i"] + F.lit(1)) & F.exists(
+                    x["_in"],
+                    lambda e: F.element_at(flags_col, e["_j"] + F.lit(1)),
+                )
+
+            corn = F.transform(
+                F.col("g"),
+                lambda x: (
+                    F.lit(1)
+                    + member(F.col("_k2"), x).cast("int")
+                    + member(F.col("_k3"), x).cast("int")
+                ).cast("long"),
+            )
+            z = one.select(
+                F.explode(
+                    F.arrays_zip(F.col("g.node").alias("node"), corn.alias("_c"))
+                ).alias("z")
+            )
+            return z.select(
+                F.col("z.node").alias("node"), F.col("z._c").alias("coreness")
+            )
     # parallelism tracks the GRAPH size (the pagerank rule): the peel
     # loop is 2 x rounds x (degree agg + 2 joins) — on a small edge set
     # 32-task stages are pure scheduler overhead
-    if p0.count() <= 100_000:
+    if n_pairs <= 100_000:
         p0 = p0.coalesce(1).localCheckpoint()
     e0 = p0.unionAll(p0.select(F.col("v").alias("u"), F.col("u").alias("v")))
     all_nodes = e0.select(F.col("u").alias("node")).distinct().localCheckpoint()

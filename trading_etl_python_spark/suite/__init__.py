@@ -409,6 +409,9 @@ _PRIORITY = [
 #     in-row fold below 100k edges; PLUS the shared exact-Jaccard
 #     verify tail now semi-join-prunes docs BEFORE tokenize (also
 #     covers q_dedup_minhash_ml, q_minhash_banded_verified).
+#   - q_kcore / q_kcore_minhash: the fixed-6-round peel as an exact
+#     in-row fold below the gate (alive-flag recurrence == the loop
+#     boolean-for-boolean; no convergence caveat).
 #   - q_stream_topk: state partitions pinned via
 #     stream_state_partitions (it is an applyInPandasWithState stream,
 #     misclassified with the foreachBatch set in r13).
@@ -428,6 +431,8 @@ _PREEMPT_R14: list[str] = [
     "q_corpus_full",
     "q_dedup_minhash_ml",
     "q_minhash_banded_verified",
+    "q_kcore",
+    "q_kcore_minhash",
     "q_stream_topk",
     "q_tar_datasource",
     "q_tar_writer",
